@@ -1,18 +1,30 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.ops.FlowRollup
+import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every entry in [[queries]] is an operator from SURVEY.md §2 re-expressed
+  * Every entry in [[queries]] re-expresses an operator from SURVEY.md §2
   * Spark-first over the driver testdata; [[oracleSql]] carries the
   * DuckDB-equivalent ANSI SQL the driver hash-compares against at sf0.01.
+  *
+  * Numeric-parity conventions (so Spark and DuckDB hash identically):
+  * sums of doubles go through `decimal(18,2..4)` (exact, order-independent)
+  * and are cast back to double; percentiles use Spark's exact `percentile`
+  * (= DuckDB `quantile_cont`) rounded to 4 dp; every computed column is
+  * aliased identically on both sides; LIMIT/row_number always carry a
+  * unique total order.
   */
 object SparkEntry {
+
+  /** Exact order-independent sum of a double column (see header). */
+  private def decSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -20,8 +32,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1+A2+A15 (+P1/P3): the reference's hot-path flow rollup —
-    // etl_deepflow/neptune_etl_deepflow.py:633-646.
+
+    // ── A1+A2+A15 (+P1/P3): hot-path flow rollup —
+    //    etl_deepflow/neptune_etl_deepflow.py:633-646.
     "q_flow_rollup" -> ((s, dir) =>
       FlowRollup(
         Tables.events(s, dir),
@@ -30,7 +43,219 @@ object SparkEntry {
         valueCol = "value",
         timePredicate = col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp"),
         errPredicate = col("value") >= 30.0
-      ))
+      )),
+
+    // ── A3: per-server latency/error profile (p50/p99/rps/error-rate) —
+    //    etl_deepflow:143-153.
+    "q_metric_profile" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"),
+          (count(lit(1)).cast("double") / lit(300.0)).as("rps"),
+          (count(when(col("value") >= 30.0, 1)).cast("double") / count(lit(1)))
+            .as("error_rate")
+        )),
+
+    // ── A5 (+P9): active-connection proxy: filtered sum per server —
+    //    etl_deepflow:224-231 (sum(syn_count) where protocol=6).
+    "q_active_connections" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "click")
+        .groupBy(col("user_id"))
+        .agg(decSum(col("value")).as("active_connections"))),
+
+    // ── A4 (+J2): throttle-flag rollup: conditional sums folded to per-key
+    //    booleans — etl_deepflow:178-213.
+    "q_throttle_flags" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          expr("bool_or(event_type = 'error' AND value > 50.0)").as("err_throttled"),
+          expr("bool_or(event_type = 'purchase' AND value > 80.0)").as("buy_throttled"),
+          expr("bool_or(value > 95.0)").as("any_throttled")
+        )),
+
+    // ── J1-style broadcast dim chain: fact ⋈ supplier ⋈ nation ⋈ region →
+    //    revenue per region (the ip_map enrichment shape, etl_deepflow:675-695).
+    "q_region_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_items")
+        )
+    }),
+
+    // ── J5/SO4: semi-join membership (EC2-in-EKS shape, etl_aws:1513-1518).
+    "q_semi_join" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))),
+
+    // ── A14/K9/SO1: anti-join ghost-node GC — etl_aws:1932-2066. "Live" =
+    //    keys seen by the latest scan (open orders); everything else is stale.
+    "q_anti_gc" -> ((s, dir) =>
+      AntiJoinGC.stale(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+        Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"))),
+
+    // ── J7 (+F6): env-var value join — JSON field of the fact row joined to
+    //    a resource table's natural key (etl_aws:1622-1657).
+    "q_env_join" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .join(broadcast(Tables.supplier(s, dir)), col("k") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_refs"), decSum(col("value")).as("total_value"))),
+
+    // ── A10 + §2.6: last-datapoint-per-series via ranked window —
+    //    etl_aws:795-796 (sorted-by-ts last value).
+    "q_last_value" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          col("user_id"),
+          col("event_type").as("last_type"),
+          col("value").as("last_value"),
+          unix_micros(col("ts")).as("last_ts_us"))
+    }),
+
+    // ── A9/G3: fused degree metrics over an edge table —
+    //    etl_deepflow:536-568.
+    "q_degree" -> ((s, dir) => {
+      val nodes = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("node_id"), col("s_name"))
+      val edges = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("src"), (col("l_partkey") % 100).as("dst"),
+          col("l_returnflag"))
+      DegreeMetrics(nodes, "node_id", edges, "src", "dst",
+        Seq("returned_out" -> (col("l_returnflag") === "R")))
+    }),
+
+    // ── A7/K8/SO3: set-cardinality property recompute (AZ set per service,
+    //    etl_deepflow:709-746) — deterministic sorted distinct set.
+    "q_collect_set" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+          .as("type_set"))),
+
+    // ── K1-K3/§7.3: merge-upsert with absent-preserves semantics —
+    //    etl_aws:209-253. Incoming batch (order totals) merged into the
+    //    customer snapshot; c_name is absent in the batch and must survive.
+    "q_merge_upsert" -> ((s, dir) => {
+      val existing = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val incoming = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(decSum(col("o_totalprice")).as("c_acctbal"))
+        .withColumn("c_name", lit(null).cast("string"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      MergeUpsert(existing, incoming, Seq("c_custkey"), Seq("c_name", "c_acctbal"))
+    }),
+
+    // ── §2.10 reset-then-degrade: health recomputed each batch from the
+    //    alarm join — etl_aws:1469,2074-2111.
+    "q_two_phase_health" -> ((s, dir) => {
+      val alarms = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_alarms"))
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(alarms, Seq("c_custkey"), "left_outer")
+        .select(
+          col("c_custkey"),
+          coalesce(col("n_alarms"), lit(0L)).as("n_alarms"),
+          when(col("n_alarms").isNotNull, lit("degraded"))
+            .otherwise(lit("healthy")).as("health_status"))
+    }),
+
+    // ── F1: IPv4 uint32 → dotted string (IPv4NumToString analog,
+    //    etl_deepflow:148).
+    "q_ipv4" -> ((s, dir) => {
+      val ip = pmod(col("event_id") * lit(2654435761L), lit(4294967296L))
+      Tables.events(s, dir).select(
+        col("event_id"),
+        concat_ws(".",
+          shiftright(ip, 24).bitwiseAND(255),
+          shiftright(ip, 16).bitwiseAND(255),
+          shiftright(ip, 8).bitwiseAND(255),
+          ip.bitwiseAND(255)).as("ip_str"))
+    }),
+
+    // ── F3/P13: name normalization — tail segment extraction
+    //    (etl_cfn:347-354, etl_aws:1790-1797).
+    "q_split_tail" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .withColumn("tail", regexp_extract(col("p_type"), "([^ ]+)$", 1))
+        .groupBy(col("tail"))
+        .agg(count(lit(1)).as("n_parts"), decSum(col("p_retailprice")).as("total_price"))),
+
+    // ── F6: JSON field extraction histogram — etl_aws:671-678.
+    "q_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_events"))),
+
+    // ── SO1/SO2: union + except over key sets — etl_deepflow:357-358,
+    //    etl_aws:1954.
+    "q_union_except" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      def ids(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("day"))
+      ids("click").union(ids("purchase")).distinct().except(ids("error"))
+    }),
+
+    // ── §2.6 window-rank (extended surface): top-3 orders per customer.
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+    }),
+
+    // ── Extended agg surface: ROLLUP totals (free via Catalyst, SURVEY §2.5).
+    "q_rollup" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n_orders"), col("total"))),
+
+    // ── S20-style pivot: per-key event-type counts as columns.
+    "q_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)),
+
+    // ── §2.10 tumbling time window (the 5-min lookback re-expressed as a
+    //    proper event-time window) — etl_deepflow:641.
+    "q_time_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n_events"), col("total_value")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,6 +273,161 @@ object SparkEntry {
          GROUP BY user_id, event_type
          HAVING count(*) >= 2
          ORDER BY calls DESC, user_id, event_type
-         LIMIT 100"""
+         LIMIT 100""",
+
+    "q_metric_profile" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 4) AS p50,
+         round(quantile_cont(value, 0.99), 4) AS p99,
+         CAST(count(*) AS DOUBLE) / 300.0 AS rps,
+         CAST(count(*) FILTER (WHERE value >= 30.0) AS DOUBLE) / count(*) AS error_rate
+         FROM events GROUP BY event_type""",
+
+    "q_active_connections" ->
+      """SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS active_connections
+         FROM events WHERE event_type = 'click' GROUP BY user_id""",
+
+    "q_throttle_flags" ->
+      """SELECT user_id,
+         bool_or(event_type = 'error' AND value > 50.0) AS err_throttled,
+         bool_or(event_type = 'purchase' AND value > 80.0) AS buy_throttled,
+         bool_or(value > 95.0) AS any_throttled
+         FROM events GROUP BY user_id""",
+
+    "q_region_revenue" ->
+      """SELECT r_name,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
+
+    "q_anti_gc" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""",
+
+    "q_env_join" ->
+      """SELECT s_name, count(*) AS n_refs,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events JOIN supplier
+           ON CAST(json_extract_string(props, '$.k') AS BIGINT) = s_suppkey
+         GROUP BY s_name""",
+
+    "q_last_value" ->
+      """SELECT user_id, event_type AS last_type, value AS last_value,
+                epoch_us(ts) AS last_ts_us
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) t
+         WHERE rn = 1""",
+
+    "q_degree" ->
+      """WITH edges AS (SELECT l_suppkey AS src, l_partkey % 100 AS dst,
+                               l_returnflag FROM lineitem),
+         out_d AS (SELECT src, count(*) AS out_degree,
+                          count(*) FILTER (WHERE l_returnflag = 'R') AS returned_out
+                   FROM edges GROUP BY src),
+         in_d AS (SELECT dst, count(*) AS in_degree FROM edges GROUP BY dst)
+         SELECT s_suppkey AS node_id, s_name,
+                COALESCE(out_degree, 0) AS out_degree,
+                COALESCE(returned_out, 0) AS returned_out,
+                COALESCE(in_degree, 0) AS in_degree,
+                COALESCE(in_degree, 0) = 0 AS is_entry_point
+         FROM supplier
+         LEFT JOIN out_d ON s_suppkey = out_d.src
+         LEFT JOIN in_d ON s_suppkey = in_d.dst""",
+
+    "q_collect_set" ->
+      """SELECT user_id,
+         string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_set
+         FROM events GROUP BY user_id""",
+
+    "q_merge_upsert" ->
+      """SELECT COALESCE(i.c_custkey, e.c_custkey) AS c_custkey,
+                COALESCE(i.c_name, e.c_name) AS c_name,
+                COALESCE(i.c_acctbal, e.c_acctbal) AS c_acctbal
+         FROM customer e
+         FULL OUTER JOIN
+           (SELECT o_custkey AS c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS c_acctbal
+            FROM orders GROUP BY o_custkey) i
+         ON e.c_custkey = i.c_custkey""",
+
+    "q_two_phase_health" ->
+      """SELECT c.c_custkey,
+                COALESCE(a.n_alarms, 0) AS n_alarms,
+                CASE WHEN a.n_alarms IS NOT NULL THEN 'degraded'
+                     ELSE 'healthy' END AS health_status
+         FROM customer c
+         LEFT JOIN (SELECT o_custkey, count(*) AS n_alarms FROM orders
+                    WHERE o_orderstatus = 'F' GROUP BY o_custkey) a
+         ON c.c_custkey = a.o_custkey""",
+
+    "q_ipv4" ->
+      """SELECT event_id,
+         ((ip >> 24) & 255) || '.' || ((ip >> 16) & 255) || '.' ||
+         ((ip >> 8) & 255) || '.' || (ip & 255) AS ip_str
+         FROM (SELECT event_id,
+                      (event_id * 2654435761) % 4294967296 AS ip
+               FROM events) t""",
+
+    "q_split_tail" ->
+      """SELECT regexp_extract(p_type, '([^ ]+)$', 1) AS tail,
+                count(*) AS n_parts,
+                CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM part GROUP BY 1""",
+
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                count(*) AS n_events
+         FROM events GROUP BY 1""",
+
+    "q_union_except" ->
+      """(SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+          FROM events WHERE event_type = 'click'
+          UNION
+          SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+          FROM events WHERE event_type = 'purchase')
+         EXCEPT
+         SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+         FROM events WHERE event_type = 'error'""",
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+               FROM orders) t
+         WHERE rk <= 3""",
+
+    "q_rollup" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+                COALESCE(o_orderpriority, '(all)') AS priority,
+                count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+
+    "q_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'error') AS error,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id""",
+
+    "q_time_window" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                event_type, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2"""
   )
 }

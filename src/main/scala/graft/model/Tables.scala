@@ -37,7 +37,9 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      // NB: integer division — epoch-nanos overflow double's 53-bit mantissa,
+      // so `col/1000` (double div) would round off by up to ±1 µs.
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's core stateful operator: idempotent merge-upsert of a
+  * record batch into the graph store (K1–K8 in SURVEY.md §2.2):
+  * `lambda/etl_aws/neptune_etl_aws.py:209-275` (`mergeV` with
+  * onCreate/onMatch + `property(single, …)` overwrite chains),
+  * `lambda/etl_deepflow/neptune_etl_deepflow.py:451-534` (batched variant +
+  * edge metric refresh), `lambda/etl_deepflow/neptune_etl_deepflow.py:709-746`
+  * (set-cardinality property rewrite).
+  *
+  * Spark-first re-expression: a single full-outer shuffle join on the
+  * natural key, then pure column logic — no row-at-a-time RPCs, no driver
+  * loops. Semantics preserved from the reference:
+  *
+  *  - **single cardinality, last-wins, absent-preserves**: an incoming NULL
+  *    means "property not observed this run" and must NOT clobber the stored
+  *    value (the reference skips `None` tag values,
+  *    `etl_aws/neptune_etl_aws.py:332,1457-1462`) → `coalesce(incoming, existing)`.
+  *  - **set cardinality**: multi-valued props are recomputed as the sorted
+  *    distinct union (the reference drops-then-rewrites the AZ set,
+  *    `etl_deepflow:709-746`; sorting makes the array deterministic).
+  *  - **idempotence**: merging the same batch twice is a fixpoint — the
+  *    invariant the reference's get-or-create patterns exist to provide.
+  *
+  * At 100 TB the existing side is a partitioned table; writing back
+  * partition-by-partition (or via a transactional table format's MERGE) is
+  * the storage concern — this operator is the pure computation.
+  */
+object MergeUpsert {
+  def apply(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
+      singleCols: Seq[String],
+      setCols: Seq[String] = Nil,
+      stamp: Map[String, Column] = Map.empty
+  ): DataFrame = {
+    val ex = existing.alias("ex")
+    val in = incoming.alias("in")
+    val joinCond = keys.map(k => col(s"ex.$k") <=> col(s"in.$k")).reduce(_ && _)
+
+    val keyCols = keys.map(k => coalesce(col(s"in.$k"), col(s"ex.$k")).as(k))
+    val single  = singleCols.map(c => coalesce(col(s"in.$c"), col(s"ex.$c")).as(c))
+    val sets = setCols.map { c =>
+      array_sort(array_distinct(concat(
+        coalesce(col(s"ex.$c"), array()),
+        coalesce(col(s"in.$c"), array())
+      ))).as(c)
+    }
+    val stamped = stamp.toSeq.sortBy(_._1).map { case (name, c) => c.as(name) }
+
+    ex.join(in, joinCond, "full_outer")
+      .select(keyCols ++ single ++ sets ++ stamped: _*)
+  }
+
+  /** K7: metric-only refresh — update metric columns on existing rows, never
+    * create rows (`etl_aws:1073-1113`, `etl_deepflow:576-617`). */
+  def refreshMetrics(
+      existing: DataFrame,
+      metrics: DataFrame,
+      keys: Seq[String],
+      metricCols: Seq[String]
+  ): DataFrame = {
+    val ex = existing.alias("ex")
+    val m  = metrics.alias("m")
+    val joinCond = keys.map(k => col(s"ex.$k") === col(s"m.$k")).reduce(_ && _)
+    val passthrough = existing.columns.filterNot(metricCols.contains)
+      .map(c => col(s"ex.$c").as(c))
+    val updated = metricCols.map(c => coalesce(col(s"m.$c"), col(s"ex.$c")).as(c))
+    ex.join(m, joinCond, "left_outer").select(passthrough ++ updated: _*)
+  }
+}
