@@ -247,6 +247,21 @@ object SparkEntry {
         .count()
         .na.fill(0L)),
 
+    // ── F7/F8 + J13 shape: recursive JSON reference extraction (the CFN/SFN
+    //    walker, etl_cfn:200-242 + etl_aws:1117-1147) over synthesized
+    //    nested templates, then the refs flattened to a sorted list.
+    "q_ref_extract" -> ((s, dir) => {
+      val tpl = concat(
+        lit("""{"Resources":{"A":{"Ref":"Svc"""), col("user_id"),
+        lit(""""},"B":{"Fn::Sub":"${"""), col("event_type"),
+        lit("""}-x"},"C":{"Deep":[{"Resource":"arn:aws:states:r:1:fn"""),
+        get_json_object(col("props"), "$.k"),
+        lit(""":async"}]}}}"""))
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          array_join(RefExtract.refsUdf(tpl), ",").as("refs"))
+    }),
+
     // ── §2.10 tumbling time window (the 5-min lookback re-expressed as a
     //    proper event-time window) — etl_deepflow:641.
     "q_time_window" -> ((s, dir) =>
@@ -423,6 +438,15 @@ object SparkEntry {
                 count(*) FILTER (WHERE event_type = 'signup') AS signup,
                 count(*) FILTER (WHERE event_type = 'view') AS view
          FROM events GROUP BY user_id""",
+
+    "q_ref_extract" ->
+      """SELECT event_id,
+                array_to_string(list_sort([
+                  'Svc' || CAST(user_id AS VARCHAR),
+                  event_type,
+                  'arn:aws:states:r:1:fn' || json_extract_string(props, '$.k')
+                ]), ',') AS refs
+         FROM events""",
 
     "q_time_window" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
