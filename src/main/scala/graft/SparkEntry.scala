@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.model.Tables
 import graft.ops._
 
@@ -270,8 +271,104 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
         .select(
           date_format(col("w.start"), "yyyy-MM-dd").as("day"),
-          col("event_type"), col("n_events"), col("total_value")))
+          col("event_type"), col("n_events"), col("total_value"))),
+
+    // ════ ext/: LLM-training-data pipeline operators (SURVEY §7.1 ext/) ════
+
+    // ── Token counting: whitespace + BPE-ish pre-tokenizer counts.
+    "q_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"))),
+
+    // ── Quality scoring: length / punctuation / stopword-ratio composite.
+    "q_quality_score" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_words"),
+        TextAnalysis.qualityScore(col("text"), ExtConfig.stopwords).as("quality"))),
+
+    // ── Language ID: marker-token voting with lexicographic tie-break.
+    "q_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.languageId(col("text"), ExtConfig.langMarkers).as("predicted"))),
+
+    // ── Document fingerprinting: md5 over normalized text.
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // ── Exact dedup: hash-groupBy keep-min-id (corpus unioned with a
+    //    shifted copy of itself so every group genuinely has 2 members).
+    "q_dedup_exact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.exact(docs.union(copies), "doc_id", "text")
+    }),
+
+    // ── N-gram Jaccard near-dup pairs via inverted shingle index.
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5)),
+
+    // ── MinHash + LSH banding with exact-Jaccard verification.
+    "q_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5)),
+
+    // ── SimHash 32-bit fingerprints (occurrence-weighted md5 bit votes).
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")),
+
+    // ── Embedding-cosine near-dup pairs within sign-LSH buckets.
+    "q_embed_dedup" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), "vec_id",
+        "embedding", threshold = 0.3, bucketBits = 8)),
+
+    // ── ANN: brute-force cosine top-k for a small probe batch (baseline).
+    "q_ann_brute" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    // ── ANN: sign-LSH bucketed top-k (the 100 TB path).
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, bucketBits = 8)
+    }),
+
+    // ── Multimodal plumbing: opaque binary + metadata through the typed
+    //    Dataset decode path (codec STUBBED — see Multimodal.FakeCodec).
+    "q_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.attach(Tables.documents(s, dir), "doc_id",
+        "text", "text/plain").as[Multimodal.MediaRow]
+      Multimodal.decodeFeatures(media).toDF().select(
+        col("media_id"), col("format"), col("n_bytes"), col("content_md5"),
+        col("n_frames"),
+        col("features")(0).as("f_len"),
+        round(col("features")(1), 4).as("f_mean"),
+        col("features")(2).as("f_head"))
+    })
   )
+
+  /** Shared ext/ configuration (markers kept tiny and explicit so the SQL
+    * oracles can inline them verbatim). */
+  private object ExtConfig {
+    val stopwords = Seq("the", "a", "of", "and", "to")
+    val langMarkers: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("der", "die", "das", "und"),
+      "en" -> Seq("the", "a", "of", "and"),
+      "es" -> Seq("el", "los", "que"),
+      "fr" -> Seq("le", "les", "une"),
+      "zh" -> Seq("de", "shi", "le")
+    )
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -452,6 +549,206 @@ object SparkEntry {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                 event_type, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+
+    "q_token_count" ->
+      """SELECT doc_id,
+                len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
+                len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens
+         FROM documents""",
+
+    "q_quality_score" ->
+      """SELECT doc_id,
+                len(string_split_regex(lower(trim(text)), '\s+')) AS n_words,
+                round(
+                  0.4 * least(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) / 50.0, 1.0)
+                + 0.3 * (1.0 - CAST(strlen(text) - strlen(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(strlen(text) AS DOUBLE))
+                + 0.3 * (CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                          x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+                         / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)),
+                4) AS quality
+         FROM documents""",
+
+    "q_lang_id" ->
+      """WITH s AS (SELECT doc_id, lang,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> list_contains(['der','die','das','und'], x))) AS s_de,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> list_contains(['the','a','of','and'], x))) AS s_en,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> list_contains(['el','los','que'], x))) AS s_es,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> list_contains(['le','les','une'], x))) AS s_fr,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> list_contains(['de','shi','le'], x))) AS s_zh
+           FROM documents)
+         SELECT doc_id, lang,
+                CASE WHEN s_de >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                     WHEN s_en >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                     WHEN s_es >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                     WHEN s_fr >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                     WHEN s_zh >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+                     ELSE 'und' END AS predicted
+         FROM s""",
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents""",
+
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 1000000, text FROM documents)
+         GROUP BY 1""",
+
+    "q_ngram_jaccard" ->
+      """WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                        FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
+                FROM words, UNNEST(range(1, len(w)-1)) t(i)),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+         SELECT doc_a, doc_b,
+                round(CAST(c AS DOUBLE)/(na.n + nb.n - c), 4) AS jaccard
+         FROM inter
+         JOIN cnt na ON doc_a = na.doc_id
+         JOIN cnt nb ON doc_b = nb.doc_id
+         WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5""",
+
+    "q_minhash_lsh" ->
+      """WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                        FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
+                FROM words, UNNEST(range(1, len(w)-1)) t(i)),
+         sig AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS sg
+                 FROM sh, UNNEST(range(12)) t(h) GROUP BY 1, 2),
+         bands AS (SELECT doc_id, CAST(floor(h/4) AS INT) AS band,
+                          md5(string_agg(h||':'||sg, '|' ORDER BY h||':'||sg)) AS bsig
+                   FROM sig GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+                   GROUP BY 1, 2),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+         SELECT doc_a, doc_b,
+                round(CAST(c AS DOUBLE)/(na.n + nb.n - c), 4) AS jaccard
+         FROM inter
+         JOIN cnt na ON doc_a = na.doc_id
+         JOIN cnt nb ON doc_b = nb.doc_id
+         WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5""",
+
+    "q_simhash" ->
+      """WITH w AS (SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+              FROM documents),
+         h AS (SELECT doc_id, substr(md5(word), 1, 8) AS hh FROM w),
+         bits AS (SELECT doc_id, j,
+                strpos('0123456789abcdef',
+                       substr(hh, 1 + CAST(floor(j/4) AS INT), 1)) - 1 AS nib
+              FROM h, UNNEST(range(32)) t(j)),
+         votes AS (SELECT doc_id, j,
+                sum(CASE WHEN ((nib >> CAST(3 - j%4 AS INT)) & 1) = 1
+                         THEN 1 ELSE -1 END) AS v
+              FROM bits GROUP BY 1, 2)
+         SELECT doc_id,
+                CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS simhash
+         FROM votes GROUP BY doc_id""",
+
+    "q_embed_dedup" ->
+      """WITH b AS (SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+           + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+           + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+           + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+           + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+           FROM embeddings),
+         p AS (SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b,
+                      a.embedding AS va, b2.embedding AS vb
+               FROM b a JOIN b b2
+               ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+         d AS (SELECT doc_a, doc_b,
+                 CAST(sum(CAST(CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS dotv,
+                 CAST(sum(CAST(CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS na2,
+                 CAST(sum(CAST(CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nb2
+               FROM p, UNNEST(range(1, len(va) + 1)) t(i)
+               GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                round(dotv/(sqrt(na2)*sqrt(nb2)), 4) AS cosine
+         FROM d WHERE dotv/(sqrt(na2)*sqrt(nb2)) >= 0.3""",
+
+    "q_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         p AS (SELECT query_id, neighbor_id, qv, cv FROM q JOIN c
+               ON query_id <> neighbor_id),
+         d AS (SELECT query_id, neighbor_id,
+                 CAST(sum(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS dotv,
+                 CAST(sum(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nq,
+                 CAST(sum(CAST(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nc
+               FROM p, UNNEST(range(1, len(qv) + 1)) t(i)
+               GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id,
+                      dotv/(sqrt(nq)*sqrt(nc)) AS cos,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY dotv/(sqrt(nq)*sqrt(nc)) DESC, neighbor_id) AS rk
+               FROM d)
+         SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rk
+         FROM r WHERE rk <= 5""",
+
+    "q_ann_lsh" ->
+      """WITH b AS (SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+           + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+           + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+           + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+           + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+               WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+         p AS (SELECT query_id, neighbor_id, qv, cv FROM q JOIN c USING (bucket)
+               WHERE query_id <> neighbor_id),
+         d AS (SELECT query_id, neighbor_id,
+                 CAST(sum(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS dotv,
+                 CAST(sum(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nq,
+                 CAST(sum(CAST(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nc
+               FROM p, UNNEST(range(1, len(qv) + 1)) t(i)
+               GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id,
+                      dotv/(sqrt(nq)*sqrt(nc)) AS cos,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY dotv/(sqrt(nq)*sqrt(nc)) DESC, neighbor_id) AS rk
+               FROM d)
+         SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rk
+         FROM r WHERE rk <= 3""",
+
+    "q_multimodal" ->
+      """SELECT doc_id AS media_id,
+                'text/plain' AS format,
+                CAST(strlen(text) AS BIGINT) AS n_bytes,
+                md5(text) AS content_md5,
+                CAST(ceil(strlen(text)/1024.0) AS INT) AS n_frames,
+                CAST(strlen(text) AS DOUBLE) AS f_len,
+                round(CAST(list_sum(list_transform(range(1, strlen(text) + 1),
+                        i -> unicode(substr(text, CAST(i AS INT), 1)))) AS DOUBLE)
+                      / CAST(strlen(text) AS DOUBLE), 4) AS f_mean,
+                CAST(unicode(substr(text, 1, 1)) AS DOUBLE) AS f_head
+         FROM documents"""
   )
 }

@@ -1,0 +1,171 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, all built on the
+  * inverted-index / LSH pattern: NEVER a cross join. Candidate generation
+  * shuffles on a small key (shingle, band signature, or bucket), so the
+  * cost is O(candidate pairs), not O(n²) — the property that keeps these
+  * operators alive at 100 TB.
+  */
+object Dedup {
+
+  /** Word n-gram shingles, one distinct (id, shingle) row per shingle. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = TextAnalysis.words(col(textCol))
+    df.select(col(idCol), w.as("w"))
+      .select(col(idCol),
+        explode(expr(s"transform(sequence(1, greatest(size(w) - ${n - 1}, 0)), " +
+          s"i -> concat_ws(' ', slice(w, i, $n)))")).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact dedup: normalize → hash → keep the smallest id per hash group.
+    * One shuffle on the hash; at scale the hash distributes uniformly so
+    * there is no skew by construction. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** N-gram Jaccard near-dup pairs via inverted-index join.
+    *
+    * @param maxShingleDF drop shingles occurring in more than this many
+    *        docs before pairing — the standard skew guard: a stop-shingle
+    *        appearing in 1M docs would otherwise generate 10¹² candidate
+    *        pairs on one shuffle key.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      maxShingleDF: Option[Long] = None
+  ): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val filtered = maxShingleDF match {
+      case Some(cap) =>
+        val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select(col("shingle"))
+        sh.join(rare, Seq("shingle"), "left_semi")
+      case None => sh
+    }
+    val a = filtered.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = filtered.select(col(idCol).as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val jac = col("n_inter").cast("double") /
+      (col("n_a") + col("n_b") - col("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+  }
+
+  /** MinHash signature rows: (id, h, sig) for h in [0, numHashes).
+    *
+    * The hash family is `min(md5(h || '|' || shingle))` over the doc's
+    * shingle set — md5 as the random permutation proxy, lexicographic min.
+    * Deterministic across engines (and SQL-expressible for the oracle).
+    */
+  def minhashSignatures(
+      sh: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    sh.select(col(idCol), explode(expr(s"sequence(0, ${numHashes - 1})")).as("h"),
+        col("shingle"))
+      .groupBy(col(idCol), col("h"))
+      .agg(min(md5(concat(col("h"), lit("|"), col("shingle")))).as("sig"))
+
+  /** MinHash + LSH near-dup pairs, verified with true Jaccard.
+    *
+    * Bands of `bandSize` signature rows are hashed; docs sharing any band
+    * hash become candidates (one shuffle on the band key); candidates are
+    * then verified against the exact shingle-set Jaccard. Recall follows
+    * the usual 1-(1-s^r)^b curve; precision is exact post-verify.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 12,
+      bandSize: Int = 4,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleN).cache()
+    val sigs = minhashSignatures(sh, idCol, numHashes)
+    // collect_list order isn't deterministic → sort the (h, sig) pairs
+    // before hashing the band signature
+    val bandsDet = sigs
+      .groupBy(col(idCol), (col("h") / bandSize).cast("int").as("band"))
+      .agg(md5(concat_ws("|", array_sort(collect_list(concat_ws(":", col("h"), col("sig")))))).as("band_sig"))
+
+    val ca = bandsDet.select(col(idCol).as("doc_a"), col("band"), col("band_sig"))
+    val cb = bandsDet.select(col(idCol).as("doc_b"), col("band"), col("band_sig"))
+    val candidates = ca.join(cb, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+
+    // verify candidates with exact jaccard over the shingle sets
+    val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val jac = col("n_inter").cast("double") /
+      (col("n_a") + col("n_b") - col("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+  }
+
+  /** 32-bit SimHash per document, occurrence-weighted.
+    *
+    * Bit source: the first 8 hex chars of md5(word), 4 bits per char —
+    * deterministic across engines. Fingerprint bit j is set iff the
+    * ±1 vote sum over all word occurrences is positive.
+    * Returned as a bigint in [0, 2³²).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withWords = df
+      .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("word"))
+      .withColumn("hh", substring(md5(col("word")), 1, 8))
+    val bits = withWords
+      .select(col(idCol), col("hh"), explode(expr("sequence(0, 31)")).as("j"))
+      .withColumn("nib",
+        expr("instr('0123456789abcdef', substring(hh, 1 + CAST(j / 4 AS INT), 1)) - 1"))
+      .withColumn("bit", expr("(nib >> (3 - j % 4)) & 1"))
+      .withColumn("vote", when(col("bit") === 1, 1).otherwise(-1))
+    bits.groupBy(col(idCol), col("j"))
+      .agg(sum(col("vote")).as("v"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("v") > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** Near-dup pairs by embedding cosine within sign-bucket (see
+    * [[Similarity.signBucket]]): approximate recall, exact scores. */
+  def embeddingCosinePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bucketBits: Int = 8): DataFrame = {
+    val withB = df.select(col(idCol), col(vecCol).as("v"))
+      .withColumn("bucket", Similarity.signBucket(col("v"), bucketBits))
+    val a = withB.select(col("bucket"), col(idCol).as("doc_a"), col("v").as("va"))
+    val b = withB.select(col("bucket"), col(idCol).as("doc_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 4).as("cosine"))
+  }
+}

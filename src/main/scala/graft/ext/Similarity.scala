@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Numeric determinism: dot products and norms fold element products into
+  * a `decimal(38,15)` accumulator — exact and order-independent, so the
+  * same cosine comes out of Spark and the DuckDB oracle bit-for-bit (the
+  * final sqrt/divide happen once, in double).
+  */
+object Similarity {
+
+  /** Exact, order-independent dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") * y.cast("double")).cast("decimal(30,15)")),
+      lit(0).cast("decimal(38,15)"),
+      // re-cast each step: Spark's decimal-addition promotion would
+      // otherwise drift the scale to (38,14) and fail to typecheck
+      (acc, v) => (acc + v).cast("decimal(38,15)")
+    ).cast("double")
+
+  /** Cosine similarity via the exact dot/norm fold. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Random-hyperplane LSH bucket with axis-aligned planes: an integer in
+    * [0, 2^bits) from the sign pattern of the first `bits` dimensions.
+    * Sign tests on floats are exact, so bucketing is deterministic. */
+  def signBucket(vec: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(get(vec, lit(i)) > 0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Brute-force cosine top-k: every query row against every corpus row.
+    *
+    * The query side is expected to be SMALL (a probe batch) — it is
+    * broadcast, so the corpus scan stays shuffle-free and the plan is a
+    * BroadcastNestedLoopJoin + per-query top-k heap. The scale path for
+    * large query sets is [[lshTopK]].
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cosine"),
+        col("rk"))
+  }
+
+  /** LSH-bucketed top-k: candidates limited to the query's sign bucket —
+    * the 100 TB path (shuffle on the bucket key, no broadcast of the
+    * corpus, no cross join). Approximate: recall depends on bucket bits. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, bucketBits: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", signBucket(col("qv"), bucketBits))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", signBucket(col("cv"), bucketBits))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cosine"),
+        col("rk"))
+  }
+}

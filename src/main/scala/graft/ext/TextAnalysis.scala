@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language ID (marker n-gram heuristic), quality scoring, token counting,
+  * and document fingerprinting. All pure `Column` expressions — they stay
+  * inside whole-stage codegen, shuffle nothing, and scale linearly with the
+  * corpus (the 100 TB path is embarrassingly parallel map work).
+  *
+  * Determinism note: everything here is reproducible bit-for-bit against a
+  * SQL oracle — integer counts, single-rounded doubles, md5 hex.
+  */
+object TextAnalysis {
+
+  /** Lower-cased whitespace tokens of the trimmed text. */
+  def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish token count: runs of letters, single digits, or single
+    * non-alphanumeric glyphs — the standard pre-tokenizer shape. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  /** Tokens that appear in `markers`. */
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(words(text), w => array_contains(lit(markers.toArray), w)))
+
+  /** Composite quality score in [0,1]:
+    * 0.4·min(n_words/50, 1)  — enough content
+    * 0.3·(1 − punct/chars)   — not symbol soup
+    * 0.3·stopwords/words     — looks like natural language
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nWords = tokenCount(text).cast("double")
+    val nChars = length(text).cast("double")
+    round(
+      lit(0.4) * least(nWords / 50.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - punctCount(text).cast("double") / nChars) +
+        lit(0.3) * (markerCount(text, stopwords).cast("double") / nWords),
+      4)
+  }
+
+  /** Marker-voting language ID: the language whose marker set matches the
+    * most tokens wins; ties go to the lexicographically first language.
+    * (The real-corpus version swaps in per-language character n-gram
+    * frequency tables; the operator shape — score columns + argmax — is
+    * identical.)
+    */
+  def languageId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val scores = markers.sortBy(_._1).map { case (lang, ws) =>
+      lang -> markerCount(text, ws)
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), elseCol) =>
+      when(s >= best, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Deterministic document fingerprint: md5 of the lower-cased,
+    * whitespace-collapsed text. Equal fingerprints ⇔ same normalized text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

@@ -1,0 +1,73 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private val docs = Seq(
+    (1L, base),
+    (2L, base),                                   // exact dup of 1
+    (3L, base.replace("gamma", "GAMMA  ")),       // normalized dup of 1
+    (4L, base.replace("kappa", "changed")),       // near dup
+    (5L, "totally different words entirely here now today yes ok fine")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies"))
+      .toMap
+    assert(out(1L) == 3L) // 1, 2, 3 share a fingerprint
+    assert(out(4L) == 1L)
+    assert(out(5L) == 1L)
+  }
+
+  test("ngram jaccard finds the near-dup pair and not the unrelated doc") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)) || pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("maxShingleDF cap drops ubiquitous shingles") {
+    // a shingle present in all docs is dropped at cap=2 → fewer candidates
+    val all = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.01).count()
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.01,
+      maxShingleDF = Some(1)).count()
+    assert(capped < all)
+  }
+
+  test("minhash LSH recovers high-jaccard pairs with exact verification") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.contains((1L, 2L))) // identical shingle sets always collide
+    val brute = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute)) // LSH+verify never yields false positives
+  }
+
+  test("simhash: identical docs share fingerprints, near-dups are close") {
+    val fp = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(4L)) < hamming(fp(1L), fp(5L)))
+  }
+
+  test("embedding cosine pairs: identical vectors found in-bucket") {
+    val vecs = Seq(
+      (1L, Array(1f, 2f, 3f, 4f)),
+      (2L, Array(1f, 2f, 3f, 4f)),
+      (3L, Array(-1f, -2f, -3f, -4f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding",
+      threshold = 0.99, bucketBits = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // 3 is anti-parallel AND other bucket
+  }
+}
