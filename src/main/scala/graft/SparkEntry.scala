@@ -273,6 +273,17 @@ object SparkEntry {
           date_format(col("w.start"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("n_events"), col("total_value"))),
 
+    // ── §3.1 end-to-end pipeline: rollup → broadcast service-dim resolve
+    //    (inner = drop unresolvable, P5) → metric edges.
+    "q_flow_pipeline" -> ((s, dir) =>
+      graft.pipelines.Pipelines.flowGraph(
+        Tables.events(s, dir),
+        Tables.customer(s, dir)
+          .select(col("c_custkey").as("service_key"), col("c_name").as("service_name")),
+        srcCol = "user_id", dstCol = "event_type", valueCol = "value",
+        timePredicate = col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp"),
+        errPredicate = col("value") >= 30.0)),
+
     // ════ ext/: LLM-training-data pipeline operators (SURVEY §7.1 ext/) ════
 
     // ── Token counting: whitespace + BPE-ish pre-tokenizer counts.
@@ -550,6 +561,24 @@ object SparkEntry {
                 event_type, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    "q_flow_pipeline" ->
+      """WITH r AS (
+           SELECT user_id, event_type,
+             count(*) AS calls,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value,
+             count(*) FILTER (WHERE value >= 30.0) AS err_count,
+             round(quantile_cont(value, 0.99), 4) AS p99_value
+           FROM events
+           WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+             AND user_id IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY user_id, event_type
+           HAVING count(*) >= 2
+           ORDER BY calls DESC, user_id, event_type
+           LIMIT 100)
+         SELECT c_name AS src_service, event_type AS dst_service,
+                calls, avg_value, err_count, p99_value
+         FROM r JOIN customer ON user_id = c_custkey""",
 
     "q_token_count" ->
       """SELECT doc_id,

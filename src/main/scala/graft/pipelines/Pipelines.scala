@@ -1,0 +1,86 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextAnalysis
+import graft.ops._
+
+/** Thin compositions of library operators mirroring the reference's three
+  * ETL entry points (SURVEY.md §3). Each stage is a pure
+  * DataFrame→DataFrame function; no driver-side loops, no row-at-a-time
+  * writes — the reference's ~180 serial HTTPS requests per run collapse
+  * into one logical plan per pipeline.
+  */
+object Pipelines {
+
+  /** §3.1 deepflow analog: flow facts → service-call edge batch.
+    *
+    * rollup (A1/A2/A15) → resolve src keys against the service dim with
+    * INNER join semantics (unresolvable keys dropped, P5,
+    * `etl_deepflow:675-680`) → metric-carrying edges.
+    */
+  def flowGraph(
+      flows: DataFrame,
+      serviceDim: DataFrame, // (service_key, service_name)
+      srcCol: String,
+      dstCol: String,
+      valueCol: String,
+      timePredicate: Column,
+      errPredicate: Column
+  ): DataFrame =
+    FlowRollup(flows, srcCol, dstCol, valueCol, timePredicate, errPredicate)
+      .join(broadcast(serviceDim), col(srcCol) === col("service_key"))
+      .select(
+        col("service_name").as("src_service"),
+        col(dstCol).as("dst_service"),
+        col("calls"), col("avg_value"), col("err_count"), col("p99_value"))
+
+  /** §3.2 topology analog: a resource snapshot merged into the vertex
+    * store, health degraded from the alarm join (two-phase write,
+    * `etl_aws:1469,2074-2111`), then ghost-node GC (A14). Returns the new
+    * vertex store state. */
+  def topology(
+      vertexStore: DataFrame, // (label, name, health_status, last_updated)
+      snapshot: DataFrame,    // (label, name) live resources
+      alarms: DataFrame,      // (label, name) currently alarming
+      runStamp: Long
+  ): DataFrame = {
+    val incoming = snapshot
+      .withColumn("health_status", lit("healthy"))
+      .withColumn("last_updated", lit(runStamp))
+    val merged = MergeUpsert(
+      vertexStore, incoming, keys = Seq("label", "name"),
+      singleCols = Seq("health_status", "last_updated"))
+    val degraded = merged.alias("m")
+      .join(alarms.select(col("label"), col("name"), lit(true).as("alarming")),
+        Seq("label", "name"), "left_outer")
+      .select(col("label"), col("name"),
+        when(col("alarming"), lit("degraded"))
+          .otherwise(col("health_status")).as("health_status"),
+        col("last_updated"))
+    AntiJoinGC.retained(degraded, snapshot.select(col("label"), col("name")),
+      Seq("label", "name"))
+  }
+
+  /** §3.3 CFN analog: template documents → recursive ref extraction (F7) →
+    * logical→physical resolution (J13) → provenance-stamped edges (K6). */
+  def declaredDeps(
+      templates: DataFrame,   // (stack_name, src_logical, template_json)
+      physicalIds: DataFrame  // (logical_id, physical_id)
+  ): DataFrame =
+    templates
+      .select(col("stack_name"), col("src_logical"),
+        explode(RefExtract.refsUdf(col("template_json"))).as("dst_logical"))
+      .join(broadcast(physicalIds.select(col("logical_id").as("src_logical"),
+        col("physical_id").as("src_physical"))), Seq("src_logical"))
+      .join(broadcast(physicalIds.select(col("logical_id").as("dst_logical"),
+        col("physical_id").as("dst_physical"))), Seq("dst_logical"))
+      .select(
+        col("src_physical").as("src"),
+        lit("DependsOn").as("edge_label"),
+        col("dst_physical").as("dst"),
+        lit("cfn").as("declared_in"),
+        col("stack_name"))
+      .distinct()
+}
