@@ -273,6 +273,74 @@ object SparkEntry {
           date_format(col("w.start"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("n_events"), col("total_value"))),
 
+    // ── P12: derived-column projections — precedence when/otherwise chain +
+    //    initcap tier normalization (etl_aws:311-352,1449-1456).
+    "q_derived_cols" -> ((s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        initcap(lower(col("c_mktsegment"))).as("tier"),
+        when(col("c_acctbal") < 0, lit("delinquent"))
+          .when(col("c_acctbal") > 9000, lit("premium"))
+          .otherwise(lit("standard")).as("account_class"),
+        coalesce(nullif(col("c_mktsegment"), lit("")), lit("UNKNOWN")).as("segment"))),
+
+    // ── F2: epoch/time arithmetic — unix seconds, interval add, age
+    //    derivation (etl_deepflow:150, etl_aws:788-789).
+    "q_time_math" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        date_format(col("ts") + expr("INTERVAL 1 DAY"), "yyyy-MM-dd HH:mm:ss")
+          .as("ts_plus_day"),
+        ((lit(1706659200L) - unix_timestamp(col("ts"))) / 60).cast("long")
+          .as("age_minutes"))),
+
+    // ── J8: multi-key equi join (event-source mapping double key,
+    //    etl_aws:1785-1809).
+    "q_multi_key_join" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey") && col("l_linenumber") === 1)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_first_lines"),
+          decSum(col("l_extendedprice")).as("total_first_price"))),
+
+    // ── J14/P7: substring theta join — tiny pattern side broadcast, never a
+    //    shuffled nested loop (etl_aws:1256-1266).
+    "q_substring_join" -> ((s, dir) => {
+      import s.implicits._
+      val patterns = Seq("green", "blue", "red", "metallic", "polished").toDF("pat")
+      Tables.part(s, dir)
+        .join(broadcast(patterns), col("p_name").contains(col("pat")))
+        .groupBy(col("pat"))
+        .agg(count(lit(1)).as("n_parts"))
+    }),
+
+    // ── K10: filtered bulk delete — retained view after predicate purge
+    //    (etl_deepflow:776-789).
+    "q_filtered_delete" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(!(col("event_type") === "error" && col("value") < 5.0))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"))),
+
+    // ── A13/SO4: exact distinct counts per group (dedup of extracted refs,
+    //    etl_aws:1147).
+    "q_distinct_count" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(get_json_object(col("props"), "$.k")).as("n_keys"))),
+
+    // ── S5/SO2-shape: explode of a derived membership array
+    //    (etl_aws:408-447 nodegroup→instance flattening).
+    "q_explode" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"), explode(split(col("p_type"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("p_partkey")).as("n_parts"))),
+
     // ── §3.1 end-to-end pipeline: rollup → broadcast service-dim resolve
     //    (inner = drop unresolvable, P5) → metric edges.
     "q_flow_pipeline" -> ((s, dir) =>
@@ -561,6 +629,56 @@ object SparkEntry {
                 event_type, count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    "q_derived_cols" ->
+      """SELECT c_custkey,
+                upper(substr(lower(c_mktsegment), 1, 1)) ||
+                  lower(substr(lower(c_mktsegment), 2)) AS tier,
+                CASE WHEN c_acctbal < 0 THEN 'delinquent'
+                     WHEN c_acctbal > 9000 THEN 'premium'
+                     ELSE 'standard' END AS account_class,
+                COALESCE(nullif(c_mktsegment, ''), 'UNKNOWN') AS segment
+         FROM customer""",
+
+    "q_time_math" ->
+      """SELECT event_id,
+                CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+                strftime(ts + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS ts_plus_day,
+                CAST(floor((1706659200 - floor(epoch(ts))) / 60.0) AS BIGINT) AS age_minutes
+         FROM events""",
+
+    "q_multi_key_join" ->
+      """SELECT o_orderstatus,
+                count(*) AS n_first_lines,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_first_price
+         FROM lineitem JOIN orders
+           ON l_orderkey = o_orderkey AND l_linenumber = 1
+         GROUP BY o_orderstatus""",
+
+    "q_substring_join" ->
+      """SELECT pat, count(*) AS n_parts
+         FROM part
+         JOIN (VALUES ('green'),('blue'),('red'),('metallic'),('polished')) p(pat)
+           ON contains(p_name, pat)
+         GROUP BY pat""",
+
+    "q_filtered_delete" ->
+      """SELECT event_type, count(*) AS n_kept
+         FROM events
+         WHERE NOT (event_type = 'error' AND value < 5.0)
+         GROUP BY event_type""",
+
+    "q_distinct_count" ->
+      """SELECT event_type,
+                count(DISTINCT user_id) AS n_users,
+                count(DISTINCT json_extract_string(props, '$.k')) AS n_keys
+         FROM events GROUP BY event_type""",
+
+    "q_explode" ->
+      """SELECT word, count(*) AS n, count(DISTINCT p_partkey) AS n_parts
+         FROM (SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word
+               FROM part)
+         GROUP BY word""",
 
     "q_flow_pipeline" ->
       """WITH r AS (

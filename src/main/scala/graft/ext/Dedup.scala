@@ -112,11 +112,16 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
 
-    // verify candidates with exact jaccard over the shingle sets
+    // verify candidates with exact jaccard — drive the intersection FROM
+    // the candidate set (small) instead of exploding all shingle-sharing
+    // pairs first: candidates ⋈ shingles(doc_a) ⋈ shingles(doc_b, same
+    // shingle). Cost is O(candidate pairs × shingles/doc), independent of
+    // the corpus-wide shingle collision count.
     val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
     val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
-      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+    val inter = candidates
+      .join(a, Seq("doc_a"))
+      .join(b, Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val jac = col("n_inter").cast("double") /
@@ -124,7 +129,6 @@ object Dedup {
     inter
       .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
       .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
-      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
       .filter(jac >= threshold)
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
   }
@@ -160,11 +164,15 @@ object Dedup {
       threshold: Double, bucketBits: Int = 8): DataFrame = {
     val withB = df.select(col(idCol), col(vecCol).as("v"))
       .withColumn("bucket", Similarity.signBucket(col("v"), bucketBits))
-    val a = withB.select(col("bucket"), col(idCol).as("doc_a"), col("v").as("va"))
-    val b = withB.select(col("bucket"), col(idCol).as("doc_b"), col("v").as("vb"))
+      .withColumn("n", sqrt(Similarity.dot(col("v"), col("v"))))
+    val a = withB.select(col("bucket"), col(idCol).as("doc_a"),
+      col("v").as("va"), col("n").as("na"))
+    val b = withB.select(col("bucket"), col(idCol).as("doc_b"),
+      col("v").as("vb"), col("n").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cos",
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("cos"), 4).as("cosine"))
   }
