@@ -69,18 +69,20 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
   }
 
-  /** MinHash signature rows: (id, h, sig) for h in [0, numHashes).
-    *
-    * The hash family is `min(md5(h || '|' || shingle))` over the doc's
-    * shingle set — md5 as the random permutation proxy, lexicographic min.
-    * Deterministic across engines (and SQL-expressible for the oracle).
+  /** MinHash signatures as one wide aggregation: column sig_h =
+    * `min(md5(h || '|' || shingle))` over the doc's shingle set — md5 as
+    * the random permutation proxy, lexicographic min. One shuffle on the
+    * doc id, NO 12× row explosion (numHashes aggregate expressions ride a
+    * single HashAggregate). Deterministic across engines (and
+    * SQL-expressible for the oracle).
     */
   def minhashSignatures(
-      sh: DataFrame, idCol: String, numHashes: Int): DataFrame =
-    sh.select(col(idCol), explode(expr(s"sequence(0, ${numHashes - 1})")).as("h"),
-        col("shingle"))
-      .groupBy(col(idCol), col("h"))
-      .agg(min(md5(concat(col("h"), lit("|"), col("shingle")))).as("sig"))
+      sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map { h =>
+      min(md5(concat(lit(h), lit("|"), col("shingle")))).as(s"sig_$h")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** MinHash + LSH near-dup pairs, verified with true Jaccard.
     *
@@ -100,11 +102,21 @@ object Dedup {
   ): DataFrame = {
     val sh = shingles(df, idCol, textCol, shingleN).cache()
     val sigs = minhashSignatures(sh, idCol, numHashes)
-    // collect_list order isn't deterministic → sort the (h, sig) pairs
-    // before hashing the band signature
+    // band signature = md5 of the band's sorted "h:sig" strings (sorted so
+    // the value is order-canonical and matches the SQL oracle); bands then
+    // unpivot to rows via stack() — pure projection, no extra shuffle
+    val nBands = numHashes / bandSize
+    val bandCols = (0 until nBands).map { b =>
+      val items = (b * bandSize until (b + 1) * bandSize).map { h =>
+        concat_ws(":", lit(h), col(s"sig_$h"))
+      }
+      md5(concat_ws("|", array_sort(array(items: _*)))).as(s"bsig_$b")
+    }
+    val stackArgs = (0 until nBands).map(b => s"$b, bsig_$b").mkString(", ")
     val bandsDet = sigs
-      .groupBy(col(idCol), (col("h") / bandSize).cast("int").as("band"))
-      .agg(md5(concat_ws("|", array_sort(collect_list(concat_ws(":", col("h"), col("sig")))))).as("band_sig"))
+      .select(col(idCol) +: bandCols: _*)
+      .select(col(idCol),
+        expr(s"stack($nBands, $stackArgs) AS (band, band_sig)"))
 
     val ca = bandsDet.select(col(idCol).as("doc_a"), col("band"), col("band_sig"))
     val cb = bandsDet.select(col(idCol).as("doc_b"), col("band"), col("band_sig"))
