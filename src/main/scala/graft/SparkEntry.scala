@@ -341,6 +341,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("p_partkey")).as("n_parts"))),
 
+    // ── G5: 2-hop traversal over the relational edge encoding
+    //    (supplier→part→order; etl_aws:1474-1476 documents the shape).
+    "q_two_hop" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val e1 = li.select(
+        lit("Supplier").as("src_label"), concat(lit("s"), col("l_suppkey")).as("src_name"),
+        lit("Supplies").as("edge_label"),
+        lit("Part").as("dst_label"), concat(lit("p"), col("l_partkey")).as("dst_name"))
+      val e2 = li.select(
+        lit("Part").as("src_label"), concat(lit("p"), col("l_partkey")).as("src_name"),
+        lit("OrderedIn").as("edge_label"),
+        lit("Order").as("dst_label"), concat(lit("o"), col("l_orderkey")).as("dst_name"))
+      graft.model.GraphStore.twoHop(e1.union(e2), "Supplies", "OrderedIn")
+        .filter(col("a_name").isin("s1", "s2", "s3"))
+        .groupBy(col("a_name"))
+        .agg(countDistinct(col("m_name")).as("n_parts"),
+          countDistinct(col("c_name")).as("n_orders"))
+    }),
+
     // ── §3.1 end-to-end pipeline: rollup → broadcast service-dim resolve
     //    (inner = drop unresolvable, P5) → metric edges.
     "q_flow_pipeline" -> ((s, dir) =>
@@ -679,6 +698,15 @@ object SparkEntry {
          FROM (SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word
                FROM part)
          GROUP BY word""",
+
+    "q_two_hop" ->
+      """WITH e1 AS (SELECT 's'||l_suppkey AS a, 'p'||l_partkey AS m
+                     FROM lineitem WHERE 's'||l_suppkey IN ('s1','s2','s3')),
+         e2 AS (SELECT 'p'||l_partkey AS m, 'o'||l_orderkey AS c FROM lineitem)
+         SELECT a AS a_name, count(DISTINCT e1.m) AS n_parts,
+                count(DISTINCT c) AS n_orders
+         FROM e1 JOIN e2 ON e1.m = e2.m
+         GROUP BY a""",
 
     "q_flow_pipeline" ->
       """WITH r AS (
