@@ -36,13 +36,15 @@ object SparkEntry {
 
     // ── A1+A2+A15 (+P1/P3): hot-path flow rollup —
     //    etl_deepflow/neptune_etl_deepflow.py:633-646.
+    // time cutoff 2024-01-08 00:00 UTC = 1704672000, applied pre-conversion
+    // so it reaches the parquet scan (see Tables.eventsSince).
     "q_flow_rollup" -> ((s, dir) =>
       FlowRollup(
-        Tables.events(s, dir),
+        Tables.eventsSince(s, dir, 1704672000L),
         srcCol = "user_id",
         dstCol = "event_type",
         valueCol = "value",
-        timePredicate = col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp"),
+        timePredicate = lit(true),
         errPredicate = col("value") >= 30.0
       )),
 
@@ -364,11 +366,11 @@ object SparkEntry {
     //    (inner = drop unresolvable, P5) → metric edges.
     "q_flow_pipeline" -> ((s, dir) =>
       graft.pipelines.Pipelines.flowGraph(
-        Tables.events(s, dir),
+        Tables.eventsSince(s, dir, 1704672000L),
         Tables.customer(s, dir)
           .select(col("c_custkey").as("service_key"), col("c_name").as("service_name")),
         srcCol = "user_id", dstCol = "event_type", valueCol = "value",
-        timePredicate = col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp"),
+        timePredicate = lit(true),
         errPredicate = col("value") >= 30.0)),
 
     // ════ ext/: LLM-training-data pipeline operators (SURVEY §7.1 ext/) ════

@@ -42,6 +42,21 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else raw
   }
+
+  /** Events with the time-window predicate applied BEFORE the ns→µs
+    * conversion, so it pushes to the parquet scan as a raw int64 range
+    * (`PushedFilters: [GreaterThanOrEqual(ts, …)]` → row-group skipping).
+    * A filter on the converted column cannot push through
+    * `timestamp_micros`, which at 100 TB means a full scan — this loader
+    * is the hot-path variant (P1, `etl_deepflow:641`).
+    * @param cutoffSeconds inclusive lower bound, epoch seconds UTC. */
+  def eventsSince(s: SparkSession, d: String, cutoffSeconds: Long): DataFrame = {
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.filter(col("ts") >= cutoffSeconds * 1000000000L)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw.filter(col("ts") >= timestamp_seconds(lit(cutoffSeconds)))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
