@@ -1,0 +1,35 @@
+package graft.model
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphStorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("label-partitioned roundtrip; label scan prunes to one partition") {
+    val dir = Files.createTempDirectory("graftstore").toString
+    val vertices = Seq(
+      ("Microservice", "a", 1L), ("Microservice", "b", 1L),
+      ("RDSCluster", "db", 1L)
+    ).toDF("label", "name", "last_updated")
+
+    GraphStorage.writeVertices(vertices, s"$dir/vertices")
+    val back = GraphStorage.readVertices(spark, s"$dir/vertices")
+    assert(back.count() == 3)
+    assert(back.columns.toSet == Set("label", "name", "last_updated"))
+
+    // partition pruning: the physical plan's scan lists only the matching
+    // partition directory
+    val scan = GraphStore.labelScan(back, "Microservice", "name")
+    assert(scan.count() == 2)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(!plan.contains("RDSCluster"))
+
+    // on-disk layout really is label=...
+    val dirs = new java.io.File(s"$dir/vertices").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("label=Microservice", "label=RDSCluster"))
+  }
+}
