@@ -185,16 +185,14 @@ object SparkEntry {
     }),
 
     // ── F1: IPv4 uint32 → dotted string (IPv4NumToString analog,
-    //    etl_deepflow:148).
+    //    etl_deepflow:148) via the native codegen Expression
+    //    graft.functions.IPv4String.
     "q_ipv4" -> ((s, dir) => {
+      graft.functions.IPv4String.register(s)
       val ip = pmod(col("event_id") * lit(2654435761L), lit(4294967296L))
       Tables.events(s, dir).select(
         col("event_id"),
-        concat_ws(".",
-          shiftright(ip, 24).bitwiseAND(255),
-          shiftright(ip, 16).bitwiseAND(255),
-          shiftright(ip, 8).bitwiseAND(255),
-          ip.bitwiseAND(255)).as("ip_str"))
+        call_function("ipv4_str", ip).as("ip_str"))
     }),
 
     // ── F3/P13: name normalization — tail segment extraction
