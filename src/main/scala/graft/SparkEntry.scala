@@ -421,6 +421,11 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")),
 
+    // ── SimHash near-dup pairs: 8-bit band join + exact hamming verify.
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3)),
+
     // ── Embedding-cosine near-dup pairs within sign-LSH buckets.
     "q_embed_dedup" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), "vec_id",
@@ -837,6 +842,33 @@ object SparkEntry {
                 CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT)
                               ELSE 0 END) AS BIGINT) AS simhash
          FROM votes GROUP BY doc_id""",
+
+    "q_simhash_pairs" ->
+      """WITH w AS (SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+              FROM documents),
+         h AS (SELECT doc_id, substr(md5(word), 1, 8) AS hh FROM w),
+         bits AS (SELECT doc_id, j,
+                strpos('0123456789abcdef',
+                       substr(hh, 1 + CAST(floor(j/4) AS INT), 1)) - 1 AS nib
+              FROM h, UNNEST(range(32)) t(j)),
+         votes AS (SELECT doc_id, j,
+                sum(CASE WHEN ((nib >> CAST(3 - j%4 AS INT)) & 1) = 1
+                         THEN 1 ELSE -1 END) AS v
+              FROM bits GROUP BY 1, 2),
+         fp AS (SELECT doc_id,
+                CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id),
+         bands AS (SELECT doc_id, simhash, b,
+                          (simhash >> CAST(b * 8 AS INT)) & 255 AS chunk
+                   FROM fp, UNNEST(range(4)) t(b)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                         bit_count(xor(a.simhash, b2.simhash)) AS hamming
+                  FROM bands a JOIN bands b2
+                  ON a.b = b2.b AND a.chunk = b2.chunk
+                     AND a.doc_id < b2.doc_id)
+         SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3""",
 
     "q_embed_dedup" ->
       """WITH b AS (SELECT vec_id, embedding,

@@ -169,6 +169,31 @@ object Dedup {
         .as("simhash"))
   }
 
+  /** SimHash near-dup pairs: band the 32-bit fingerprint into four 8-bit
+    * chunks; docs sharing ANY chunk become candidates (pigeonhole: every
+    * pair within hamming distance 3 shares at least one of 4 bands);
+    * verify with exact `bit_count(a^b)`. One shuffle on the (band, value)
+    * key — no cross join, the same LSH posture as minhash banding.
+    */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(df, idCol, textCol)
+    val bands = fp.select(col(idCol), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("chunk", expr("shiftright(simhash, CAST(b * 8 AS INT)) & 255"))
+    val ca = bands.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"),
+      col("b"), col("chunk"))
+    val cb = bands.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"),
+      col("b"), col("chunk"))
+    ca.join(cb, Seq("b", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Near-dup pairs by embedding cosine within sign-bucket (see
     * [[Similarity.signBucket]]): approximate recall, exact scores. */
   def embeddingCosinePairs(

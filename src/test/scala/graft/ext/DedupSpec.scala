@@ -59,6 +59,15 @@ class DedupSpec extends SparkSpec {
     assert(hamming(fp(1L), fp(4L)) < hamming(fp(1L), fp(5L)))
   }
 
+  test("simhashPairs: identical docs pair at hamming 0; unrelated doc absent") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(pairs.get((1L, 2L)).contains(0))
+    assert(pairs.get((1L, 3L)).contains(0)) // normalization-equal
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("embedding cosine pairs: identical vectors found in-bucket") {
     val vecs = Seq(
       (1L, Array(1f, 2f, 3f, 4f)),
