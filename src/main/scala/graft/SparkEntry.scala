@@ -263,6 +263,16 @@ object SparkEntry {
           array_join(RefExtract.refsUdf(tpl), ",").as("refs"))
     }),
 
+    // ── Session windows (gap-based, 1 h): the streaming-native grouping the
+    //    reference approximates with fixed lookbacks; works identically in
+    //    batch and Structured Streaming.
+    "q_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "1 hour").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("session_value"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+          col("n_events"), col("session_value"))),
+
     // ── §2.10 tumbling time window (the 5-min lookback re-expressed as a
     //    proper event-time window) — etl_deepflow:641.
     "q_time_window" -> ((s, dir) =>
@@ -443,6 +453,15 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 3, bucketBits = 8)
+    }),
+
+    // ── ANN: IVF (k-means coarse quantizer, probe nearest lists). No SQL
+    //    oracle (k-means) → driver records the rows-only check; correctness
+    //    is gated by IvfIndexSpec's recall-vs-brute-force assertion.
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ext.IvfIndex.searchTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4)
     }),
 
     // ── Multimodal plumbing: opaque binary + metadata through the typed
@@ -647,6 +666,22 @@ object SparkEntry {
                   'arn:aws:states:r:1:fn' || json_extract_string(props, '$.k')
                 ]), ',') AS refs
          FROM events""",
+
+    "q_session_window" ->
+      """WITH x AS (SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x)
+         SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+         FROM s GROUP BY user_id, sid""",
 
     "q_time_window" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -1,0 +1,46 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three well-separated clusters around orthogonal anchors
+  private def cluster(center: Array[Float], n: Int, base: Long, rnd: Random) =
+    (0 until n).map { i =>
+      (base + i, center.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }
+
+  private lazy val vecs = {
+    val rnd = new Random(7)
+    val a = cluster(Array(10f, 0f, 0f, 0f), 20, 0L, rnd)
+    val b = cluster(Array(0f, 10f, 0f, 0f), 20, 100L, rnd)
+    val c = cluster(Array(0f, 0f, 10f, 0f), 20, 200L, rnd)
+    (a ++ b ++ c).toDF("vec_id", "embedding")
+  }
+
+  test("assign puts each separated cluster in one list") {
+    val assigned = IvfIndex.assign(vecs, "vec_id", "embedding", nLists = 3)
+    // every original cluster maps to exactly one list id
+    val spread = assigned
+      .withColumn("orig", (col("vec_id") / 100).cast("int"))
+      .groupBy("orig").agg(countDistinct("list_id").as("lists"))
+      .select("lists").as[Long].collect()
+    assert(spread.forall(_ == 1L))
+  }
+
+  test("IVF top-k matches brute force for in-cluster queries (nProbe=1)") {
+    val queries = vecs.filter($"vec_id".isin(0L, 100L, 200L))
+    val ivf = IvfIndex.searchTopK(vecs, queries, "vec_id", "embedding",
+      k = 3, nLists = 3, nProbe = 1)
+      .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)]
+      .collect().toSet
+    val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding",
+      k = 3)
+      .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(ivf == brute) // separated clusters: probing 1 list is lossless
+  }
+}
