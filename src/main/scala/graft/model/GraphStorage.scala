@@ -23,4 +23,17 @@ object GraphStorage {
 
   def readEdges(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed catalog tables: co-locate the vertex store and edge source
+    * endpoints on the name hash so the merge/degree joins are
+    * SHUFFLE-FREE — at 100 TB the merge-upsert's full-outer join is the
+    * dominant shuffle, and bucketing both sides by the join key removes
+    * it entirely (bucket metadata lives in the catalog; requires
+    * saveAsTable, not path writes). See GraphStorageSpec for plan proof.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
 }

@@ -32,4 +32,19 @@ class GraphStorageSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).sorted
     assert(dirs.toSeq == Seq("label=Microservice", "label=RDSCluster"))
   }
+
+  test("bucketed tables make the key join shuffle-free") {
+    val left = (1 to 500).map(i => (s"n$i", i)).toDF("name", "v")
+    val right = (1 to 500).map(i => (s"n$i", i * 2)).toDF("name", "w")
+    GraphStorage.writeBucketed(left, "bkt_left", "name", nBuckets = 8)
+    GraphStorage.writeBucketed(right, "bkt_right", "name", nBuckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "name")
+      assert(joined.count() == 500)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
