@@ -342,6 +342,16 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"),
           countDistinct(get_json_object(col("props"), "$.k")).as("n_keys"))),
 
+    // ── Sketch surface (SURVEY §2.5 "available free"): HLL++ distinct
+    //    estimates per group. No SQL oracle (sketch internals differ per
+    //    engine) → rows-only check; the exact twin is q_distinct_count.
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          expr("approx_percentile(value, array(0.5, 0.99), 1000)")
+            .as("p50_p99_sketch"))),
+
     // ── S5/SO2-shape: explode of a derived membership array
     //    (etl_aws:408-447 nodegroup→instance flattening).
     "q_explode" -> ((s, dir) =>

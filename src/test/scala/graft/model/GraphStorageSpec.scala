@@ -34,6 +34,18 @@ class GraphStorageSpec extends SparkSpec {
   }
 
   test("bucketed tables make the key join shuffle-free") {
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse directories persist — clear both before writing
+    Seq("bkt_left", "bkt_right").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     val left = (1 to 500).map(i => (s"n$i", i)).toDF("name", "v")
     val right = (1 to 500).map(i => (s"n$i", i * 2)).toDF("name", "w")
     GraphStorage.writeBucketed(left, "bkt_left", "name", nBuckets = 8)
