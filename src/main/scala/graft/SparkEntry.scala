@@ -678,14 +678,14 @@ object SparkEntry {
          FROM events""",
 
     "q_session_window" ->
-      """WITH x AS (SELECT user_id, ts, value,
+      """WITH x AS (SELECT user_id, event_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
                   THEN 1 ELSE 0 END AS brk
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          s AS (SELECT user_id, ts, value,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
            FROM x)
          SELECT user_id, epoch_us(min(ts)) AS session_start_us,
