@@ -302,7 +302,7 @@ object SparkEntry {
         unix_timestamp(col("ts")).as("epoch_s"),
         date_format(col("ts") + expr("INTERVAL 1 DAY"), "yyyy-MM-dd HH:mm:ss")
           .as("ts_plus_day"),
-        ((lit(1706659200L) - unix_timestamp(col("ts"))) / 60).cast("long")
+        floor((lit(1706659200L) - unix_timestamp(col("ts"))) / 60).cast("long")
           .as("age_minutes"))),
 
     // ── J8: multi-key equi join (event-source mapping double key,
@@ -349,8 +349,8 @@ object SparkEntry {
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-          expr("approx_percentile(value, array(0.5, 0.99), 1000)")
-            .as("p50_p99_sketch"))),
+          round(expr("approx_percentile(value, 0.5, 1000)"), 4).as("p50_sketch"),
+          round(expr("approx_percentile(value, 0.99, 1000)"), 4).as("p99_sketch"))),
 
     // ── S5/SO2-shape: explode of a derived membership array
     //    (etl_aws:408-447 nodegroup→instance flattening).
@@ -365,7 +365,11 @@ object SparkEntry {
     //    (supplier→part→order; etl_aws:1474-1476 documents the shape).
     "q_two_hop" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      val e1 = li.select(
+      // anchor predicate on the RAW key (not the derived concat) so it
+      // reaches the parquet scan as PushedFilters: In(l_suppkey, [1,2,3]);
+      // the tiny anchor leg is then broadcast — the big second leg is
+      // never shuffled.
+      val e1 = li.filter(col("l_suppkey").isin(1, 2, 3)).select(
         lit("Supplier").as("src_label"), concat(lit("s"), col("l_suppkey")).as("src_name"),
         lit("Supplies").as("edge_label"),
         lit("Part").as("dst_label"), concat(lit("p"), col("l_partkey")).as("dst_name"))
@@ -373,8 +377,7 @@ object SparkEntry {
         lit("Part").as("src_label"), concat(lit("p"), col("l_partkey")).as("src_name"),
         lit("OrderedIn").as("edge_label"),
         lit("Order").as("dst_label"), concat(lit("o"), col("l_orderkey")).as("dst_name"))
-      graft.model.GraphStore.twoHop(e1.union(e2), "Supplies", "OrderedIn")
-        .filter(col("a_name").isin("s1", "s2", "s3"))
+      graft.model.GraphStore.twoHop(broadcast(e1), e2, "Supplies", "OrderedIn")
         .groupBy(col("a_name"))
         .agg(countDistinct(col("m_name")).as("n_parts"),
           countDistinct(col("c_name")).as("n_orders"))
@@ -470,8 +473,13 @@ object SparkEntry {
     //    is gated by IvfIndexSpec's recall-vs-brute-force assertion.
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      graft.ext.IvfIndex.searchTopK(emb, emb.filter(col("vec_id") < 5),
-        "vec_id", "embedding", k = 3, nLists = 16, nProbe = 4)
+      // build once, then search — the model serves any number of probe
+      // batches without refitting the quantizer (at scale: model.save /
+      // IvfIndex.load over a list_id-partitioned layout).
+      val model = graft.ext.IvfIndex.build(emb, "vec_id", "embedding",
+        nLists = 16)
+      graft.ext.IvfIndex.search(model, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, nProbe = 4)
     }),
 
     // ── Multimodal plumbing: opaque binary + metadata through the typed

@@ -32,10 +32,19 @@ object Dedup {
 
   /** N-gram Jaccard near-dup pairs via inverted-index join.
     *
+    * The shingle→docs inverted index drives CANDIDATE generation only;
+    * every candidate pair is then verified with exact Jaccard over the
+    * FULL (uncapped) shingle sets, so the reported score is true Jaccard
+    * regardless of the cap.
+    *
     * @param maxShingleDF drop shingles occurring in more than this many
-    *        docs before pairing — the standard skew guard: a stop-shingle
-    *        appearing in 1M docs would otherwise generate 10¹² candidate
-    *        pairs on one shuffle key.
+    *        docs from candidate generation — the standard skew guard,
+    *        ON by default: a stop-shingle appearing in 1M docs would
+    *        otherwise generate 10¹² candidate pairs on one shuffle key.
+    *        A pair is missed only if EVERY shingle it shares exceeds the
+    *        cap — at near-dup thresholds shared shingles are pair-specific,
+    *        so recall is unaffected in practice. Dropped shingles are
+    *        logged (no silent caps). `None` disables the guard.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -43,20 +52,36 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double,
-      maxShingleDF: Option[Long] = None
+      maxShingleDF: Option[Long] = Some(1000L)
   ): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
-    val filtered = maxShingleDF match {
+    val sh = shingles(df, idCol, textCol, n)
+    val indexed = maxShingleDF match {
       case Some(cap) =>
-        val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select(col("shingle"))
-        sh.join(rare, Seq("shingle"), "left_semi")
+        val dfCounts = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        val nDropped = dfCounts.filter(col("df") > cap).count()
+        if (nDropped > 0) {
+          org.slf4j.LoggerFactory.getLogger("graft.ext.Dedup").warn(
+            s"ngramJaccardPairs: skew guard dropped $nDropped shingle(s) " +
+              s"with document frequency > $cap from candidate generation " +
+              "(scores remain exact Jaccard over full shingle sets)")
+        }
+        sh.join(dfCounts.filter(col("df") <= cap).select(col("shingle")),
+          Seq("shingle"), "left_semi")
       case None => sh
     }
-    val a = filtered.select(col(idCol).as("doc_a"), col("shingle"))
-    val b = filtered.select(col(idCol).as("doc_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+    val ca = indexed.select(col(idCol).as("doc_a"), col("shingle"))
+    val cb = indexed.select(col(idCol).as("doc_b"), col("shingle"))
+    val candidates = ca.join(cb, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+
+    // exact verify, candidate-driven (same shape as minhashLshPairs):
+    // cost is O(candidates × shingles/doc), skew-free.
+    val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
+    val inter = candidates
+      .join(a, Seq("doc_a"))
+      .join(b, Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
@@ -100,7 +125,10 @@ object Dedup {
       bandSize: Int = 4,
       threshold: Double = 0.7
   ): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleN).cache()
+    // no cache here: the shingle subtree repeats in the plan and Spark's
+    // ReuseExchange dedupes its distinct-shuffle; cache ownership (and its
+    // memory budget) belongs to the caller at scale.
+    val sh = shingles(df, idCol, textCol, shingleN)
     val sigs = minhashSignatures(sh, idCol, numHashes)
     // band signature = md5 of the band's sorted "h:sig" strings (sorted so
     // the value is order-canonical and matches the SQL oracle); bands then

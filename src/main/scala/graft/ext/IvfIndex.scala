@@ -2,8 +2,7 @@ package graft.ext
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.linalg.Vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,39 +11,54 @@ import org.apache.spark.sql.functions._
   * every corpus vector to its nearest centroid list; a query probes only
   * the `nProbe` nearest lists.
   *
-  * Spark-first shape: the quantizer is MLlib KMeans (fixed seed); corpus
-  * assignment is one `model.transform`; the probe step broadcasts the
-  * (tiny) exploded query→list pairs and joins on the list id — shuffle on
-  * the list key, never a cross join. At 100 TB the corpus side is
-  * write-once partitioned BY list id, making a probe a partition-pruned
-  * scan, which is exactly the on-disk IVF layout of a vector DB.
+  * Index build and search are SEPARATE phases — `build` fits the
+  * quantizer and assigns the corpus exactly once; `search` reuses the
+  * resulting [[IvfModel]] for any number of probe batches. At 100 TB the
+  * built index is persisted partitioned BY list id ([[IvfModel.save]]),
+  * making a probe a partition-pruned scan — exactly the on-disk IVF
+  * layout of a vector DB. Refitting the quantizer at query time would be
+  * a full ML job per probe batch; the API makes that impossible.
   *
   * Results are rows-only-checkable (k-means has no SQL oracle);
   * correctness is gated by the recall-vs-brute-force spec.
   */
 object IvfIndex {
 
-  /** Assign each row its IVF list id. */
-  def assign(corpus: DataFrame, idCol: String, vecCol: String,
-      nLists: Int, seed: Long = 42L): DataFrame = {
-    val vecs = corpus.withColumn("__features",
-      array_to_vector(col(vecCol).cast("array<double>")))
-    val model = new KMeans().setK(nLists).setSeed(seed)
-      .setFeaturesCol("__features").setPredictionCol("__list")
-      .fit(vecs)
-    model.transform(vecs)
-      .select(col(idCol), col(vecCol), col("__list").as("list_id"))
+  /** A built IVF index: per-row list assignment (with precomputed L2
+    * norms, ready to join) plus the centroid table (tiny — lives on the
+    * driver, used to pick probe lists without touching the corpus). */
+  final case class IvfModel(
+      assigned: DataFrame, // columns: neighbor_id, cv (vector), cn (norm), list_id
+      centroids: Array[(Int, Array[Double])]) {
+
+    /** Persist the index in the partition-pruned on-disk layout: corpus
+      * rows partitioned by `list_id` + a tiny centroids table. A later
+      * `search` against the loaded index scans only the probed lists. */
+    def save(path: String): Unit = {
+      assigned.write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$path/lists")
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      centroids.toSeq.map { case (i, c) => (i, c) }
+        .toDF("list_id", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    }
   }
 
-  /** Top-k cosine neighbors probing the nProbe nearest lists per query.
-    * `queries` must be small (a probe batch) — its list assignment is
-    * computed driver-side against the centroid set. */
-  def searchTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nLists: Int, nProbe: Int,
-      seed: Long = 42L): DataFrame = {
-    val spark = corpus.sparkSession
+  /** Load a previously-saved index. `assigned` is a lazy partitioned scan
+    * — probing n lists reads n partitions, never the full corpus. */
+  def load(spark: SparkSession, path: String): IvfModel = {
     import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("list_id").cast("int"), col("centroid"))
+      .as[(Int, Array[Double])].collect()
+    IvfModel(spark.read.parquet(s"$path/lists"), cents)
+  }
 
+  /** Build the index: fit the coarse quantizer ONCE over the corpus and
+    * assign every row its nearest list. One KMeans job + one transform. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, seed: Long = 42L): IvfModel = {
     val vecs = corpus.withColumn("__features",
       array_to_vector(col(vecCol).cast("array<double>")))
     val model = new KMeans().setK(nLists).setSeed(seed)
@@ -54,16 +68,35 @@ object IvfIndex {
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         col("__list").as("list_id"))
       .withColumn("cn", sqrt(Similarity.dot(col("cv"), col("cv"))))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+    IvfModel(assigned, centroids)
+  }
 
-    val centroids: Array[(Int, Array[Double])] =
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+  /** Assign each row its IVF list id (the build half, kept for callers
+    * that only need the partitioning column). */
+  def assign(corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, seed: Long = 42L): DataFrame =
+    build(corpus, idCol, vecCol, nLists, seed).assigned
+      .select(col("neighbor_id").as(idCol), col("cv").as(vecCol),
+        col("list_id"))
+
+  /** Top-k cosine neighbors probing the `nProbe` nearest lists per query.
+    * Reuses a prebuilt model — no quantizer fit here. `queries` must be
+    * small (a probe batch): its list selection is computed driver-side
+    * against the (tiny) centroid set; the bounded `.collect()` is the
+    * probe batch, never the corpus. */
+  def search(model: IvfModel, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
 
     // driver-side probe-list selection for the small query batch
     val probePairs = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .as[(Long, Array[Float])].collect()
       .flatMap { case (qid, qv) =>
-        centroids.map { case (lid, c) =>
+        model.centroids.map { case (lid, c) =>
           val d = c.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum
           (qid, lid, d)
         }.sortBy(_._3).take(nProbe).map { case (qid2, lid, _) => (qid2, lid) }
@@ -76,7 +109,7 @@ object IvfIndex {
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    assigned.join(broadcast(probes), Seq("list_id"))
+    model.assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
@@ -84,5 +117,15 @@ object IvfIndex {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cos"), 4).as("cosine"), col("rk"))
+  }
+
+  /** Convenience: build + search in one call (the quantizer still fits
+    * exactly once). Prefer explicit `build`/`search` so one index serves
+    * many probe batches. */
+  def searchTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nLists: Int, nProbe: Int,
+      seed: Long = 42L): DataFrame = {
+    val model = build(corpus, idCol, vecCol, nLists, seed)
+    search(model, queries, idCol, vecCol, k, nProbe)
   }
 }

@@ -57,11 +57,20 @@ object GraphStore {
 
   /** G5 — 2-hop expansion (e.g. EC2→Subnet→AZ, etl_aws:1474-1476): two
     * self-joins over the edge table. */
-  def twoHop(edges: DataFrame, firstLabel: String, secondLabel: String): DataFrame = {
-    val e1 = edges.filter(col("edge_label") === firstLabel)
+  def twoHop(edges: DataFrame, firstLabel: String, secondLabel: String): DataFrame =
+    twoHop(edges, edges, firstLabel, secondLabel)
+
+  /** G5 two-hop with pre-separated legs. Callers that anchor the
+    * traversal on a few source vertices should pre-filter `first` (on
+    * the RAW key so the predicate reaches the scan) and wrap it in
+    * `broadcast(...)` — the anchor leg is then map-side joined against
+    * the second leg with no shuffle of the big edge table. */
+  def twoHop(first: DataFrame, second: DataFrame,
+      firstLabel: String, secondLabel: String): DataFrame = {
+    val e1 = first.filter(col("edge_label") === firstLabel)
       .select(col("src_label").as("a_label"), col("src_name").as("a_name"),
         col("dst_label").as("m_label"), col("dst_name").as("m_name"))
-    val e2 = edges.filter(col("edge_label") === secondLabel)
+    val e2 = second.filter(col("edge_label") === secondLabel)
       .select(col("src_label").as("m_label"), col("src_name").as("m_name"),
         col("dst_label").as("c_label"), col("dst_name").as("c_name"))
     e1.join(e2, Seq("m_label", "m_name"))

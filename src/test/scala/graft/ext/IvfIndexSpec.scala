@@ -33,8 +33,9 @@ class IvfIndexSpec extends SparkSpec {
 
   test("IVF top-k matches brute force for in-cluster queries (nProbe=1)") {
     val queries = vecs.filter($"vec_id".isin(0L, 100L, 200L))
-    val ivf = IvfIndex.searchTopK(vecs, queries, "vec_id", "embedding",
-      k = 3, nLists = 3, nProbe = 1)
+    val model = IvfIndex.build(vecs, "vec_id", "embedding", nLists = 3)
+    val ivf = IvfIndex.search(model, queries, "vec_id", "embedding",
+      k = 3, nProbe = 1)
       .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)]
       .collect().toSet
     val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding",
@@ -42,5 +43,30 @@ class IvfIndexSpec extends SparkSpec {
       .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)]
       .collect().toSet
     assert(ivf == brute) // separated clusters: probing 1 list is lossless
+  }
+
+  test("one build serves many probe batches; save/load round-trips") {
+    val model = IvfIndex.build(vecs, "vec_id", "embedding", nLists = 3)
+    val batch1 = vecs.filter($"vec_id" === 0L)
+    val batch2 = vecs.filter($"vec_id" === 100L)
+    val r1 = IvfIndex.search(model, batch1, "vec_id", "embedding", 3, 1)
+    val r2 = IvfIndex.search(model, batch2, "vec_id", "embedding", 3, 1)
+    assert(r1.count() == 3 && r2.count() == 3)
+
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    model.save(dir)
+    // on-disk layout is partition-pruned: one directory per list id
+    val listDirs = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("list_id="))
+    assert(listDirs.length == 3)
+    val loaded = IvfIndex.load(spark, dir)
+    val viaLoaded = IvfIndex
+      .search(loaded, batch1, "vec_id", "embedding", 3, 1)
+      .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)]
+      .collect().toSet
+    val viaBuilt = r1
+      .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(viaLoaded == viaBuilt)
   }
 }

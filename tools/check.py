@@ -56,8 +56,13 @@ def main():
         s_cols = spark_tbl.column_names
         s_rows = [tuple(r[c] for c in s_cols) for r in spark_tbl.to_pylist()]
         if name not in oracle:
+            ok = len(s_rows) > 0
             print(f"  {name}: NO-ORACLE rows={len(s_rows)} (rows-only check: "
-                  f"{'PASS' if len(s_rows) > 0 else 'FAIL'})")
+                  f"{'PASS' if ok else 'FAIL'})")
+            if ok:
+                n_pass += 1
+            else:
+                n_fail += 1
             continue
         try:
             res = con.execute(oracle[name])
