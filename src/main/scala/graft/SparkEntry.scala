@@ -168,6 +168,31 @@ object SparkEntry {
       MergeUpsert(existing, incoming, Seq("c_custkey"), Seq("c_name", "c_acctbal"))
     }),
 
+    // ── F10/K1 dynamic props: MapType(String,String) property column with
+    //    per-key overlay merge (the reference injects one property per tag
+    //    key and never clobbers tags absent from the batch —
+    //    etl_aws:214-222,312,521-523). Result exploded to (name, key, value)
+    //    rows so the map is oracle-hashable.
+    "q_map_props" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val existing = c.select(
+        lit("Account").as("label"), col("c_name").as("name"),
+        map(lit("segment"), col("c_mktsegment"),
+          lit("nation"), col("c_nationkey").cast("string")).as("props"))
+      val batch = c.filter(col("c_custkey") % 3 === 0).select(
+        lit("Account").as("label"), col("c_name").as("name"),
+        map(lit("segment"), lit("MACHINERY"),
+          lit("tier"), when(col("c_acctbal") > 0, "paid").otherwise("free"),
+          lit("nation"), when(col("c_custkey") % 2 === 0,
+            concat(lit("N"), col("c_nationkey")))
+            .otherwise(lit(null).cast("string"))).as("props"))
+      graft.model.GraphStore
+        .mergeVertices(existing, batch, singleCols = Nil,
+          mapCols = Seq("props"))
+        .select(col("name"),
+          explode(col("props")).as(Seq("prop_key", "prop_value")))
+    }),
+
     // ── §2.10 reset-then-degrade: health recomputed each batch from the
     //    alarm join — etl_aws:1469,2074-2111.
     "q_two_phase_health" -> ((s, dir) => {
@@ -612,6 +637,29 @@ object SparkEntry {
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS c_acctbal
             FROM orders GROUP BY o_custkey) i
          ON e.c_custkey = i.c_custkey""",
+
+    "q_map_props" ->
+      """WITH existing AS (
+           SELECT c_name AS name, 'segment' AS k, c_mktsegment AS v FROM customer
+           UNION ALL
+           SELECT c_name, 'nation', CAST(c_nationkey AS VARCHAR) FROM customer),
+         incoming AS (
+           SELECT c_name AS name, 'segment' AS k, 'MACHINERY' AS v
+           FROM customer WHERE c_custkey % 3 = 0
+           UNION ALL
+           SELECT c_name, 'tier',
+                  CASE WHEN c_acctbal > 0 THEN 'paid' ELSE 'free' END
+           FROM customer WHERE c_custkey % 3 = 0
+           UNION ALL
+           SELECT c_name, 'nation',
+                  CASE WHEN c_custkey % 2 = 0 THEN 'N'||c_nationkey END
+           FROM customer WHERE c_custkey % 3 = 0)
+         SELECT COALESCE(e.name, i.name) AS name,
+                COALESCE(e.k, i.k) AS prop_key,
+                COALESCE(i.v, e.v) AS prop_value
+         FROM existing e
+         FULL OUTER JOIN incoming i ON e.name = i.name AND e.k = i.k
+         WHERE COALESCE(i.v, e.v) IS NOT NULL""",
 
     "q_two_phase_health" ->
       """SELECT c.c_custkey,

@@ -45,10 +45,13 @@ object GraphStore {
       "src", "dst", filteredOut)
   }
 
-  /** G4/K1 — vertex batch merge (get-or-create + last-wins props). */
+  /** G4/K1 — vertex batch merge (get-or-create + last-wins props).
+    * `mapCols` carries dynamic properties (tags/env-vars/K8s labels) as
+    * `map<string,string>` columns merged per key — see MergeUpsert. */
   def mergeVertices(vertices: DataFrame, batch: DataFrame,
-      singleCols: Seq[String], setCols: Seq[String] = Nil): DataFrame =
-    MergeUpsert(vertices, batch, VertexKey, singleCols, setCols)
+      singleCols: Seq[String], setCols: Seq[String] = Nil,
+      mapCols: Seq[String] = Nil): DataFrame =
+    MergeUpsert(vertices, batch, VertexKey, singleCols, setCols, mapCols)
 
   /** K4/K5 — edge batch merge on the (src, label, dst) identity. */
   def mergeEdges(edges: DataFrame, batch: DataFrame,

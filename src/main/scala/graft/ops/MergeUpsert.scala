@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   *  - **set cardinality**: multi-valued props are recomputed as the sorted
   *    distinct union (the reference drops-then-rewrites the AZ set,
   *    `etl_deepflow:709-746`; sorting makes the array deterministic).
+  *  - **dynamic props (MapType)**: tags / env-vars / K8s labels are a
+  *    `map<string,string>` column (the reference injects one property per
+  *    tag key, `etl_aws/neptune_etl_aws.py:214-222,312,521-523`); merge
+  *    overlays the incoming map onto the stored one PER KEY — an incoming
+  *    key wins, a stored key absent from the batch survives, and an
+  *    incoming NULL value means "not observed" (preserves), mirroring the
+  *    single-cardinality rule at map-entry granularity.
   *  - **idempotence**: merging the same batch twice is a fixpoint — the
   *    invariant the reference's get-or-create patterns exist to provide.
   *
@@ -36,6 +43,7 @@ object MergeUpsert {
       keys: Seq[String],
       singleCols: Seq[String],
       setCols: Seq[String] = Nil,
+      mapCols: Seq[String] = Nil,
       stamp: Map[String, Column] = Map.empty
   ): DataFrame = {
     val ex = existing.alias("ex")
@@ -50,10 +58,22 @@ object MergeUpsert {
         coalesce(col(s"in.$c"), array())
       ))).as(c)
     }
+    val maps = mapCols.map { c =>
+      // key-union overlay: incoming value wins, NULL incoming value (or a
+      // key missing from the batch) preserves the stored entry; entries
+      // null on both sides are dropped.
+      map_filter(
+        map_zip_with(
+          coalesce(col(s"ex.$c"), expr("map()")),
+          coalesce(col(s"in.$c"), expr("map()")),
+          (_, ev, iv) => coalesce(iv, ev)),
+        (_, v) => v.isNotNull
+      ).as(c)
+    }
     val stamped = stamp.toSeq.sortBy(_._1).map { case (name, c) => c.as(name) }
 
     ex.join(in, joinCond, "full_outer")
-      .select(keyCols ++ single ++ sets ++ stamped: _*)
+      .select(keyCols ++ single ++ sets ++ maps ++ stamped: _*)
   }
 
   /** K7: metric-only refresh — update metric columns on existing rows, never

@@ -54,6 +54,33 @@ class MergeUpsertSpec extends SparkSpec {
     assert(sortedRows(once) == sortedRows(twice))
   }
 
+  test("map props: per-key overlay — incoming wins, absent/null preserves") {
+    val ex = Seq(
+      ("svc", "a", Map("env" -> "prod", "team" -> "core")),
+      ("svc", "b", Map("env" -> "dev"))
+    ).toDF("label", "name", "props")
+    val in = Seq(
+      // env updated, team NOT in batch (survives), tier added, owner null
+      // (not observed → no entry created)
+      ("svc", "a", Map("env" -> "staging", "tier" -> "gold",
+        "owner" -> null.asInstanceOf[String])),
+      ("svc", "c", Map("env" -> "test"))
+    ).toDF("label", "name", "props")
+    val out = MergeUpsert(ex, in, Seq("label", "name"),
+      singleCols = Nil, mapCols = Seq("props"))
+    val m = out.collect()
+      .map(r => r.getString(1) -> r.getMap[String, String](2).toMap).toMap
+    assert(m("a") == Map("env" -> "staging", "team" -> "core", "tier" -> "gold"))
+    assert(m("b") == Map("env" -> "dev"))     // untouched row
+    assert(m("c") == Map("env" -> "test"))    // created
+    // idempotent: overlaying the same batch again changes nothing
+    val twice = MergeUpsert(out, in, Seq("label", "name"),
+      singleCols = Nil, mapCols = Seq("props"))
+    val m2 = twice.collect()
+      .map(r => r.getString(1) -> r.getMap[String, String](2).toMap).toMap
+    assert(m2 == m)
+  }
+
   test("refreshMetrics never creates rows and only touches metric cols") {
     val metrics = Seq(("svc", "a", 7.7), ("svc", "zzz", 1.1))
       .toDF("label", "name", "latency")
