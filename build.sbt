@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs the whole engine in one JVM: executor threads, shuffle
+  // blocks and broadcast all share this heap, and 8g GC-thrashes under the
+  // string-heavy dedup queries (3-7x run-to-run variance). The box has
+  // 128 GiB; give the single-JVM "cluster" a realistic share.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -209,6 +209,50 @@ object SparkEntry {
             .otherwise(lit("healthy")).as("health_status"))
     }),
 
+    // ── J11: multi-dimension alarm dispatch — each alarm's ordered
+    //    dimension list walked for the first entry in the dim→label
+    //    registry, then a union of per-label resource joins
+    //    (etl_aws:2074-2105). Dim 1 is unmapped (skipped), dim 2 is null
+    //    for user_id % 7 == 0 (skipped), so all three skip paths execute.
+    "q_alarm_dispatch" -> ((s, dir) => {
+      val alarms = Tables.events(s, dir)
+        .filter(col("event_type") === "error")
+        .select(
+          col("event_id").as("alarm_id"),
+          concat(lit("alarm_"), col("event_id")).as("alarm_name"),
+          array(
+            struct(lit("Extra").as("d_name"),
+              get_json_object(col("props"), "$.k").as("d_value")),
+            struct(lit("CustomerId").as("d_name"),
+              when(col("user_id") % 7 =!= 0, col("user_id").cast("string"))
+                .as("d_value")),
+            struct(lit("SupplierId").as("d_name"),
+              get_json_object(col("props"), "$.k").as("d_value"))
+          ).as("dims"))
+      val dispatched = graft.ops.AlarmDispatch(alarms, Seq(
+        graft.ops.AlarmDispatch.Dim("CustomerId", "Customer",
+          Tables.customer(s, dir), "c_custkey"),
+        graft.ops.AlarmDispatch.Dim("SupplierId", "Supplier",
+          Tables.supplier(s, dir), "s_suppkey")))
+      graft.ops.AlarmDispatch.degraded(dispatched)
+    }),
+
+    // ── J12: vpc join with cross fallback — monitors dispatch metrics to
+    //    instances in their declared VPCs; monitors declaring NO vpc fan
+    //    out to every instance (etl_aws:1041-1070). Nations stand in for
+    //    monitors (every 5th declares no vpc), customers for instances.
+    "q_vpc_fallback" -> ((s, dir) => {
+      val monitors = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("monitor_id"), col("n_name").as("monitor_name"))
+      val monitorVpcs = Tables.nation(s, dir)
+        .filter(col("n_nationkey") % 5 =!= 0)
+        .select(col("n_nationkey").as("monitor_id"), col("n_regionkey").as("vpc_id"))
+      val instances = Tables.customer(s, dir)
+        .select(col("c_custkey"), (col("c_nationkey") % 5).as("vpc_id"))
+      graft.ops.VpcDispatch(instances, "vpc_id", monitors, "monitor_id", monitorVpcs)
+        .select(col("c_custkey"), col("monitor_id"), col("monitor_name"), col("via"))
+    }),
+
     // ── F1: IPv4 uint32 → dotted string (IPv4NumToString analog,
     //    etl_deepflow:148) via the native codegen Expression
     //    graft.functions.IPv4String.
@@ -264,6 +308,18 @@ object SparkEntry {
           coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
           coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
           col("n_orders"), col("total"))),
+
+    // ── §2.5 grouping sets, CUBE flavor: all four grouping combinations in
+    //    one pass (Spark expands to a single Expand + HashAggregate — one
+    //    shuffle regardless of the number of grouping sets).
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"), decSum(col("l_quantity")).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("lstatus"),
+          col("n_items"), col("qty"))),
 
     // ── S20-style pivot: per-key event-type counts as columns.
     "q_pivot" -> ((s, dir) =>
@@ -455,7 +511,10 @@ object SparkEntry {
       Dedup.exact(docs.union(copies), "doc_id", "text")
     }),
 
-    // ── N-gram Jaccard near-dup pairs via inverted shingle index.
+    // ── N-gram Jaccard near-dup pairs via prefix-filtered inverted index
+    //    (AllPairs-style candidate generation — lossless for J ≥ t, so the
+    //    oracle is the plain all-shared-shingle-pairs formulation and stays
+    //    bit-identical at every scale factor without modeling the prefix).
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5)),
@@ -671,6 +730,54 @@ object SparkEntry {
                     WHERE o_orderstatus = 'F' GROUP BY o_custkey) a
          ON c.c_custkey = a.o_custkey""",
 
+    // The oracle collapses "first valid dimension in order" into the
+    // equivalent CASE precedence (dim 1 is never mapped, so precedence is
+    // CustomerId then SupplierId).
+    "q_alarm_dispatch" ->
+      """WITH ev AS (
+           SELECT event_id AS alarm_id,
+                  'alarm_' || CAST(event_id AS VARCHAR) AS alarm_name,
+                  CASE WHEN user_id % 7 <> 0 THEN CAST(user_id AS VARCHAR) END AS cust_val,
+                  json_extract_string(props, '$.k') AS supp_val
+           FROM events WHERE event_type = 'error'),
+         fd AS (
+           SELECT alarm_id, alarm_name,
+                  CASE WHEN cust_val IS NOT NULL AND cust_val <> ''
+                       THEN 'CustomerId' ELSE 'SupplierId' END AS d_name,
+                  CASE WHEN cust_val IS NOT NULL AND cust_val <> ''
+                       THEN cust_val ELSE supp_val END AS d_value
+           FROM ev
+           WHERE (cust_val IS NOT NULL AND cust_val <> '')
+              OR (supp_val IS NOT NULL AND supp_val <> '')),
+         u AS (
+           SELECT alarm_id, alarm_name, 'Customer' AS label,
+                  CAST(c_custkey AS VARCHAR) AS resource_key
+           FROM fd JOIN customer
+           ON fd.d_name = 'CustomerId' AND fd.d_value = CAST(c_custkey AS VARCHAR)
+           UNION ALL
+           SELECT alarm_id, alarm_name, 'Supplier' AS label,
+                  CAST(s_suppkey AS VARCHAR) AS resource_key
+           FROM fd JOIN supplier
+           ON fd.d_name = 'SupplierId' AND fd.d_value = CAST(s_suppkey AS VARCHAR))
+         SELECT label, resource_key, count(*) AS n_alarms,
+                min(alarm_name) AS alarm_name, 'degraded' AS health_status
+         FROM u GROUP BY 1, 2""",
+
+    "q_vpc_fallback" ->
+      """WITH monitors AS (SELECT n_nationkey AS monitor_id, n_name AS monitor_name
+                           FROM nation),
+         vpcs AS (SELECT n_nationkey AS monitor_id, n_regionkey AS vpc_id
+                  FROM nation WHERE n_nationkey % 5 <> 0),
+         inst AS (SELECT c_custkey, c_nationkey % 5 AS vpc_id FROM customer)
+         SELECT i.c_custkey, m.monitor_id, m.monitor_name, 'vpc' AS via
+         FROM inst i JOIN vpcs v ON i.vpc_id = v.vpc_id
+                     JOIN monitors m ON v.monitor_id = m.monitor_id
+         UNION ALL
+         SELECT i.c_custkey, m.monitor_id, m.monitor_name, 'fallback' AS via
+         FROM inst i CROSS JOIN
+              (SELECT * FROM monitors
+               WHERE monitor_id NOT IN (SELECT monitor_id FROM vpcs)) m""",
+
     "q_ipv4" ->
       """SELECT event_id,
          ((ip >> 24) & 255) || '.' || ((ip >> 16) & 255) || '.' ||
@@ -714,6 +821,13 @@ object SparkEntry {
                 count(*) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS rflag,
+                COALESCE(l_linestatus, '(all)') AS lstatus,
+                count(*) AS n_items,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
 
     "q_pivot" ->
       """SELECT user_id,
@@ -930,11 +1044,11 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id,
                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
               FROM documents),
-         h AS (SELECT doc_id, substr(md5(word), 1, 8) AS hh FROM w),
+         h AS (SELECT doc_id, substr(md5(word), 1, 16) AS hh FROM w),
          bits AS (SELECT doc_id, j,
                 strpos('0123456789abcdef',
                        substr(hh, 1 + CAST(floor(j/4) AS INT), 1)) - 1 AS nib
-              FROM h, UNNEST(range(32)) t(j)),
+              FROM h, UNNEST(range(63)) t(j)),
          votes AS (SELECT doc_id, j,
                 sum(CASE WHEN ((nib >> CAST(3 - j%4 AS INT)) & 1) = 1
                          THEN 1 ELSE -1 END) AS v
@@ -948,11 +1062,11 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id,
                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
               FROM documents),
-         h AS (SELECT doc_id, substr(md5(word), 1, 8) AS hh FROM w),
+         h AS (SELECT doc_id, substr(md5(word), 1, 16) AS hh FROM w),
          bits AS (SELECT doc_id, j,
                 strpos('0123456789abcdef',
                        substr(hh, 1 + CAST(floor(j/4) AS INT), 1)) - 1 AS nib
-              FROM h, UNNEST(range(32)) t(j)),
+              FROM h, UNNEST(range(63)) t(j)),
          votes AS (SELECT doc_id, j,
                 sum(CASE WHEN ((nib >> CAST(3 - j%4 AS INT)) & 1) = 1
                          THEN 1 ELSE -1 END) AS v
@@ -962,7 +1076,7 @@ object SparkEntry {
                               ELSE 0 END) AS BIGINT) AS simhash
               FROM votes GROUP BY doc_id),
          bands AS (SELECT doc_id, simhash, b,
-                          (simhash >> CAST(b * 8 AS INT)) & 255 AS chunk
+                          (simhash >> CAST(b * 16 AS INT)) & 65535 AS chunk
                    FROM fp, UNNEST(range(4)) t(b)),
          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
                          bit_count(xor(a.simhash, b2.simhash)) AS hamming

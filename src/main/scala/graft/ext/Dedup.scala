@@ -1,8 +1,12 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Deduplication operators for training-data pipelines, all built on the
   * inverted-index / LSH pattern: NEVER a cross join. Candidate generation
@@ -11,6 +15,41 @@ import org.apache.spark.sql.functions._
   * operators alive at 100 TB.
   */
 object Dedup {
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.ext.Dedup")
+
+  /** Unique observe-metric names (Spark requires per-plan uniqueness). */
+  private val guardSeq = new AtomicLong(0L)
+  private val GuardPrefix = "ngram_skew_guard_"
+
+  /** Sessions that already carry the skew-guard log listener. */
+  private val guardListenerRegistered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register (once per session) a listener that logs the skew-guard drop
+    * count AFTER an action completes — construction stays side-effect-free
+    * and the guard costs zero extra Spark jobs ("no silent caps" without a
+    * synchronous pre-count).
+    */
+  private def ensureGuardListener(spark: SparkSession): Unit =
+    if (guardListenerRegistered.add(spark)) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith(GuardPrefix) && !row.isNullAt(0)) {
+              val dropped = row.getLong(0)
+              if (dropped > 0) log.warn(
+                s"ngramJaccardPairs: skew guard dropped $dropped shingle(s) " +
+                  s"with document frequency over the cap from candidate " +
+                  "generation (scores remain exact Jaccard over full sets)")
+            }
+          }
+        override def onFailure(funcName: String, qe: QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    }
 
   /** Word n-gram shingles, one distinct (id, shingle) row per shingle. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
@@ -30,21 +69,33 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** N-gram Jaccard near-dup pairs via inverted-index join.
+  /** N-gram Jaccard near-dup pairs via a prefix-filtered inverted index
+    * (the AllPairs/PPJoin candidate-generation family).
     *
-    * The shingle→docs inverted index drives CANDIDATE generation only;
-    * every candidate pair is then verified with exact Jaccard over the
-    * FULL (uncapped) shingle sets, so the reported score is true Jaccard
-    * regardless of the cap.
+    * Candidate generation indexes only each document's PREFIX — its
+    * ⌊(1−t)·|d|⌋+1 rarest shingles under a global (corpus df, shingle)
+    * order. Prefix-filtering principle: if J(A,B) ≥ t then
+    * |A∩B| ≥ t·max(|A|,|B|), so the first |X|−⌈t|X|⌉+1 elements of each
+    * set (same total order) must intersect — candidate recall is EXACT,
+    * while candidate volume drops from Θ(Σ df²) to the collision count of
+    * rare shingles. A size filter (t·|A| ≤ |B| ≤ |A|/t, another exact
+    * consequence of J ≥ t) prunes further before the distinct. Every
+    * candidate is then verified with true Jaccard over the FULL shingle
+    * sets, so results are bit-identical to a naive all-shared-shingle-pairs
+    * oracle — this is a pure execution optimization, and the one that keeps
+    * the operator alive at 10⁹ docs: ubiquitous shingles sort LAST and so
+    * never enter a prefix, which is the principled form of stop-shingle
+    * skew handling.
     *
-    * @param maxShingleDF drop shingles occurring in more than this many
-    *        docs from candidate generation — the standard skew guard,
-    *        ON by default: a stop-shingle appearing in 1M docs would
-    *        otherwise generate 10¹² candidate pairs on one shuffle key.
-    *        A pair is missed only if EVERY shingle it shares exceeds the
-    *        cap — at near-dup thresholds shared shingles are pair-specific,
-    *        so recall is unaffected in practice. Dropped shingles are
-    *        logged (no silent caps). `None` disables the guard.
+    * @param maxShingleDF optional hard skew guard for adversarial corpora
+    *        (e.g. millions of byte-identical docs, where even true-positive
+    *        candidate volume is quadratic): additionally drop shingles with
+    *        document frequency above the cap from candidate generation.
+    *        LOSSY — a pair is missed if every shared shingle exceeds the
+    *        cap — so it is opt-in, and a caller checked against an oracle
+    *        must model the same cap there. The drop count rides the plan as
+    *        an `observe` metric and is logged by a QueryExecutionListener
+    *        after each action — no extra Spark job, no silent caps.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -52,44 +103,83 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double,
-      maxShingleDF: Option[Long] = Some(1000L)
+      maxShingleDF: Option[Long] = None
   ): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
-    val indexed = maxShingleDF match {
+    // Global rarity + per-doc rank + per-doc size in ONE windowed chain
+    // (two shuffles — shingle, then doc id) instead of groupBy+join passes:
+    // every derived stat the operator needs rides this single frame, so the
+    // expensive shingle subtree is computed once here and only twice more
+    // (the two sides of the verification join).
+    val withDf = sh.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    val perDoc = Window.partitionBy(col(idCol))
+    val ranked = withDf
+      .withColumn("rk", row_number().over(perDoc.orderBy(col("df"), col("shingle"))))
+      .withColumn("n_doc", count(lit(1)).over(perDoc))
+    val guarded = maxShingleDF match {
       case Some(cap) =>
-        val dfCounts = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        val nDropped = dfCounts.filter(col("df") > cap).count()
-        if (nDropped > 0) {
-          org.slf4j.LoggerFactory.getLogger("graft.ext.Dedup").warn(
-            s"ngramJaccardPairs: skew guard dropped $nDropped shingle(s) " +
-              s"with document frequency > $cap from candidate generation " +
-              "(scores remain exact Jaccard over full shingle sets)")
-        }
-        sh.join(dfCounts.filter(col("df") <= cap).select(col("shingle")),
-          Seq("shingle"), "left_semi")
-      case None => sh
+        ensureGuardListener(df.sparkSession)
+        ranked.observe(GuardPrefix + guardSeq.incrementAndGet(),
+            sum(when(col("df") > cap, 1L)).as("n_dropped"))
+          .filter(col("df") <= cap)
+      case None => ranked
     }
-    val ca = indexed.select(col(idCol).as("doc_a"), col("shingle"))
-    val cb = indexed.select(col(idCol).as("doc_b"), col("shingle"))
-    val candidates = ca.join(cb, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    // Prefix selection: keep each doc's ⌊(1−t)·|d|⌋+1 globally-rarest
+    // shingles (epsilon guards float rounding so the prefix can only err
+    // LONGER — never lossy).
+    val prefix = guarded
+      .filter(col("rk") <=
+        floor(lit(1.0 - threshold) * col("n_doc") + lit(1e-9)) + 1)
+      .select(col(idCol), col("shingle"), col("n_doc"), col("rk"))
+    // Candidate pairs from POSTING LISTS, not a self-join: group the prefix
+    // index by shingle and expand id pairs in-row. A self-join would plan
+    // the whole windowed chain twice (Spark 4.1 AQE does not reuse
+    // identical sibling query stages — measured, see PERF.md), and shuffle
+    // both copies; this computes it once and shuffles once. Posting lists
+    // stay small by construction: prefixes hold each doc's RAREST shingles,
+    // and the optional df cap bounds them adversarially. Pairs CARRY both
+    // docs' full set sizes (constant per doc), so no sizes subtree or join
+    // is ever needed for the Jaccard denominator.
+    val postings = prefix
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
+        col("n_doc").as("n"), col("rk").as("rk")))).as("docs"))
+      .filter(size(col("docs")) >= 2)
+    val candidates = postings
+      .select(explode(expr(
+        """flatten(transform(docs, (x, i) ->
+          |  transform(slice(docs, i + 2, size(docs)), y -> struct(x, y))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.x.id").as("doc_a"), col("p.y.id").as("doc_b"),
+        col("p.x.n").as("n_a"), col("p.y.n").as("n_b"),
+        col("p.x.rk").as("rk_a"), col("p.y.rk").as("rk_b"))
+      // size filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t
+      .filter(col("n_b") >= col("n_a") * threshold - lit(1e-9) &&
+        col("n_a") >= col("n_b") * threshold - lit(1e-9))
+      // positional filter (PPJoin): a shared shingle at ranks (rkA, rkB)
+      // bounds the overlap by 1 + min(|A|−rkA, |B|−rkB); J ≥ t needs
+      // overlap ≥ t/(1+t)·(|A|+|B|). True pairs pass for EVERY shared
+      // prefix shingle (the bound always dominates the real overlap), so
+      // filtering before the distinct is lossless.
+      .filter(lit(1) + least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b"))
+        >= lit(threshold / (1.0 + threshold)) * (col("n_a") + col("n_b")) - lit(1e-9))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .distinct()
 
     // exact verify, candidate-driven (same shape as minhashLshPairs):
-    // cost is O(candidates × shingles/doc), skew-free.
+    // cost is O(candidates × shingles/doc), skew-free. The Jaccard
+    // denominator uses full (pre-cap) set sizes.
     val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
     val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
     val inter = candidates
       .join(a, Seq("doc_a"))
       .join(b, Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("n_inter"))
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val jac = col("n_inter").cast("double") /
       (col("n_a") + col("n_b") - col("n_inter"))
     inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
       .filter(jac >= threshold)
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
   }
@@ -129,7 +219,13 @@ object Dedup {
     // ReuseExchange dedupes its distinct-shuffle; cache ownership (and its
     // memory budget) belongs to the caller at scale.
     val sh = shingles(df, idCol, textCol, shingleN)
-    val sigs = minhashSignatures(sh, idCol, numHashes)
+    // signatures AND the doc's set size in ONE HashAggregate — the size
+    // rides along to the final Jaccard denominator for free, so no extra
+    // sizes pass over the shingle subtree is needed.
+    val sigAggs = (0 until numHashes).map { h =>
+      min(md5(concat(lit(h), lit("|"), col("shingle")))).as(s"sig_$h")
+    } :+ count(lit(1)).as("n_sh")
+    val sigs = sh.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
     // band signature = md5 of the band's sorted "h:sig" strings (sorted so
     // the value is order-canonical and matches the SQL oracle); bands then
     // unpivot to rows via stack() — pure projection, no extra shuffle
@@ -142,15 +238,19 @@ object Dedup {
     }
     val stackArgs = (0 until nBands).map(b => s"$b, bsig_$b").mkString(", ")
     val bandsDet = sigs
-      .select(col(idCol) +: bandCols: _*)
-      .select(col(idCol),
+      .select(col(idCol) +: col("n_sh") +: bandCols: _*)
+      .select(col(idCol), col("n_sh"),
         expr(s"stack($nBands, $stackArgs) AS (band, band_sig)"))
 
-    val ca = bandsDet.select(col(idCol).as("doc_a"), col("band"), col("band_sig"))
-    val cb = bandsDet.select(col(idCol).as("doc_b"), col("band"), col("band_sig"))
+    val ca = bandsDet.select(col(idCol).as("doc_a"), col("band"),
+      col("band_sig"), col("n_sh").as("n_a"))
+    val cb = bandsDet.select(col(idCol).as("doc_b"), col("band"),
+      col("band_sig"), col("n_sh").as("n_b"))
+    // sizes are constant per doc, so carrying them through the distinct
+    // leaves the candidate cardinality unchanged
     val candidates = ca.join(cb, Seq("band", "band_sig"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b")).distinct()
 
     // verify candidates with exact jaccard — drive the intersection FROM
     // the candidate set (small) instead of exploding all shingle-sharing
@@ -162,46 +262,55 @@ object Dedup {
     val inter = candidates
       .join(a, Seq("doc_a"))
       .join(b, Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
     val jac = col("n_inter").cast("double") /
       (col("n_a") + col("n_b") - col("n_inter"))
     inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
       .filter(jac >= threshold)
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
   }
 
-  /** 32-bit SimHash per document, occurrence-weighted.
+  /** 63-bit SimHash per document, occurrence-weighted.
     *
-    * Bit source: the first 8 hex chars of md5(word), 4 bits per char —
+    * Bit source: the first 16 hex chars of md5(word), 4 bits per char —
     * deterministic across engines. Fingerprint bit j is set iff the
-    * ±1 vote sum over all word occurrences is positive.
-    * Returned as a bigint in [0, 2³²).
+    * ±1 vote sum over all word occurrences is positive. Bits 0..62 only
+    * (bit 63 is skipped so the fingerprint — a sum of distinct powers of
+    * two — always fits a non-negative BIGINT in both Spark and DuckDB).
+    * Returned as a bigint in [0, 2⁶³).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withWords = df
+    // occurrence counts per (doc, word): votes are linear in the count, so
+    // the expensive per-bit string work below runs once per DISTINCT word,
+    // not once per occurrence × bit — at corpus scale the vocabulary is
+    // orders of magnitude smaller than the token stream.
+    val wc = df
       .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("word"))
-      .withColumn("hh", substring(md5(col("word")), 1, 8))
-    val bits = withWords
-      .select(col(idCol), col("hh"), explode(expr("sequence(0, 31)")).as("j"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("cnt"))
+    val vocabBits = wc.select(col("word")).distinct()
+      .withColumn("hh", substring(md5(col("word")), 1, 16))
+      .select(col("word"), explode(expr("sequence(0, 62)")).as("j"), col("hh"))
       .withColumn("nib",
         expr("instr('0123456789abcdef', substring(hh, 1 + CAST(j / 4 AS INT), 1)) - 1"))
-      .withColumn("bit", expr("(nib >> (3 - j % 4)) & 1"))
-      .withColumn("vote", when(col("bit") === 1, 1).otherwise(-1))
-    bits.groupBy(col(idCol), col("j"))
-      .agg(sum(col("vote")).as("v"))
+      .select(col("word"), col("j"),
+        (expr("(nib >> (3 - j % 4)) & 1") * 2 - 1).as("sgn"))
+    wc.join(vocabBits, Seq("word"))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(col("sgn") * col("cnt")).as("v"))
       .groupBy(col(idCol))
       .agg(sum(when(col("v") > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
         .as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 32-bit fingerprint into four 8-bit
-    * chunks; docs sharing ANY chunk become candidates (pigeonhole: every
-    * pair within hamming distance 3 shares at least one of 4 bands);
-    * verify with exact `bit_count(a^b)`. One shuffle on the (band, value)
-    * key — no cross join, the same LSH posture as minhash banding.
+  /** SimHash near-dup pairs: band the 63-bit fingerprint into four 16-bit
+    * chunks (the top band carries 15 usable bits); docs sharing ANY chunk
+    * become candidates (pigeonhole: every pair within hamming distance 3
+    * shares at least one of 4 bands); verify with exact `bit_count(a^b)`.
+    * One shuffle on the (band, value) key — no cross join, the same LSH
+    * posture as minhash banding. The 4 × 2¹⁶ ≈ 262k-key band space keeps
+    * candidate volume Θ(n²/2¹⁶) rather than the Θ(n²/2¹⁰) a 32-bit
+    * fingerprint saturates at — the property that matters at 10⁸+ docs.
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -209,7 +318,7 @@ object Dedup {
     val fp = simhash(df, idCol, textCol)
     val bands = fp.select(col(idCol), col("simhash"),
         explode(expr("sequence(0, 3)")).as("b"))
-      .withColumn("chunk", expr("shiftright(simhash, CAST(b * 8 AS INT)) & 255"))
+      .withColumn("chunk", expr("shiftright(simhash, CAST(b * 16 AS INT)) & 65535"))
     val ca = bands.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"),
       col("b"), col("chunk"))
     val cb = bands.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"),

@@ -21,13 +21,33 @@ import org.apache.spark.sql.functions.udf
   *    F8 suffix cleanup (`:sync`/`:async`/trailing `*`/`:` stripped,
   *    `etl_aws:1138,1649`).
   *
-  * Returns the sorted distinct reference list; invalid JSON → empty array.
+  * S24: templates are parsed as JSON first, then YAML (snakeyaml, also on
+  * Spark's classpath) — mirroring `etl_cfn:169-183`'s
+  * `json.loads`-then-`yaml.safe_load` fallback, including its limits: the
+  * reference uses `safe_load`, which rejects CFN short-form tags (`!Ref`),
+  * so only long-form YAML templates yield refs, and any unparseable body
+  * degrades to the empty list rather than erroring.
+  *
+  * Returns the sorted distinct reference list; invalid input → empty array.
   * Implemented on Jackson (already on Spark's classpath) as a Scala UDF —
   * per SURVEY.md §2.11 this is the single operator where a UDF beats
   * composing builtins; everything else in the engine stays codegen-friendly.
   */
 object RefExtract {
   private val subRef = raw"\$$\{([^.}]+)\}".r
+
+  /** JSON first, YAML fallback (S24). Returns null when neither parses. */
+  private def parseTree(mapper: ObjectMapper, body: String): JsonNode =
+    try mapper.readTree(body)
+    catch {
+      case _: Exception =>
+        try {
+          val yaml = new org.yaml.snakeyaml.Yaml(
+            new org.yaml.snakeyaml.constructor.SafeConstructor(
+              new org.yaml.snakeyaml.LoaderOptions()))
+          mapper.valueToTree[JsonNode](yaml.load[Object](body))
+        } catch { case _: Exception => null }
+    }
 
   def cleanArn(arn: String): String = {
     var a = arn.trim
@@ -40,9 +60,7 @@ object RefExtract {
   def extract(json: String): Seq[String] = {
     if (json == null) return Seq.empty
     val mapper = new ObjectMapper()
-    val root =
-      try mapper.readTree(json)
-      catch { case _: Exception => return Seq.empty }
+    val root = parseTree(mapper, json)
     if (root == null) return Seq.empty
     val refs = mutable.LinkedHashSet.empty[String]
 

@@ -41,6 +41,31 @@ class RefExtractSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(RefExtract.extract(null) == Seq.empty)
   }
 
+  test("S24: YAML long-form template via the fallback parse (etl_cfn:169-183)") {
+    val yaml =
+      """Resources:
+        |  Fn1:
+        |    Properties:
+        |      Env:
+        |        T:
+        |          Ref: MyTable
+        |        Q:
+        |          Fn::GetAtt: [MyQueue, Arn]
+        |        U:
+        |          Fn::Sub: "https://${MyApi}.example"
+        |""".stripMargin
+    assert(RefExtract.extract(yaml) == Seq("MyApi", "MyQueue", "MyTable"))
+  }
+
+  test("S24: short-form YAML tags degrade to empty (safe_load parity)") {
+    // the reference's yaml.safe_load rejects !Ref constructors; so do we
+    assert(RefExtract.extract("T: !Ref MyTable") == Seq.empty)
+  }
+
+  test("S24: scalar YAML bodies yield no refs") {
+    assert(RefExtract.extract("just a sentence, not a template") == Seq.empty)
+  }
+
   test("result is sorted distinct") {
     val json = """[{"Ref":"B"},{"Ref":"A"},{"Ref":"B"}]"""
     assert(RefExtract.extract(json) == Seq("A", "B"))
