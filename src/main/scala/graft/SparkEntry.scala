@@ -567,7 +567,9 @@ object SparkEntry {
     }),
 
     // ── Multimodal plumbing: opaque binary + metadata through the typed
-    //    Dataset decode path (codec STUBBED — see Multimodal.FakeCodec).
+    //    Dataset decode path. text/plain dispatches to the labeled
+    //    byte-stats stub (oracle-expressible); real decode paths (imageio
+    //    PNG/JPEG, RIFF WAV) are spec-gated — see MultimodalSpec.
     "q_multimodal" -> ((s, dir) => {
       import s.implicits._
       val media = Multimodal.attach(Tables.documents(s, dir), "doc_id",

@@ -91,10 +91,13 @@ object IvfIndex {
     val spark = queries.sparkSession
     import spark.implicits._
 
-    // driver-side probe-list selection for the small query batch
+    // driver-side probe-list selection for the small query batch; decode
+    // with explicit casts so any numeric id / float-or-double vector
+    // schema round-trips (not just bigint + array<float>)
     val probePairs = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .as[(Long, Array[Float])].collect()
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .as[(Long, Array[Double])].collect()
       .flatMap { case (qid, qv) =>
         model.centroids.map { case (lid, c) =>
           val d = c.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum

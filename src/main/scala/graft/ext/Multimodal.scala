@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata; decode / feature-extract /
   * frame-sample are per-partition batch transforms.
   *
-  * The Spark-side plumbing (schema, partitioning, batch shape, typed
-  * Dataset API) is real and tested; the DECODE STEP IS A STUB — this
-  * container has no image/audio codecs, so [[FakeCodec]] derives
-  * deterministic pseudo-features from the bytes. Swapping in a real codec
-  * (JNI, or `mapInPandas`+PIL on a PySpark edge) changes ONLY
-  * `FakeCodec.decode`; every plan shape stays identical.
+  * Decode is REAL for the formats the JVM ships codecs for — PNG / JPEG /
+  * BMP / GIF via `javax.imageio` ([[ImageCodec]]) and PCM WAV via a RIFF
+  * parser ([[WavCodec]]) — and falls back to the loudly-labeled
+  * [[FakeCodec]] byte-statistics stub for formats whose codecs this
+  * container lacks (video etc.). Codec dispatch is per row by format tag;
+  * adding a modality is one [[MediaCodec]] implementation, every plan
+  * shape stays identical.
   */
 object Multimodal {
 
@@ -21,13 +22,91 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, format: String, n_bytes: Long,
       content_md5: String, n_frames: Int, features: Array[Double])
 
-  /** ====== STUB ====== deterministic fake decoder standing in for a real
-    * image/audio codec (none available in this container). Features are
-    * byte statistics — stable, engine-independent, and obviously fake. */
-  object FakeCodec {
+  /** One modality's decoder: bytes → (frame count, 3 features). */
+  trait MediaCodec extends Serializable {
+    def decode(media: Array[Byte]): (Int, Array[Double])
+  }
+
+  /** Real still-image decode on the JDK's own `javax.imageio` (PNG, JPEG,
+    * BMP, GIF). Features: width, height, mean luminance (BT.601). */
+  object ImageCodec extends MediaCodec {
+    def decode(media: Array[Byte]): (Int, Array[Double]) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(media))
+      if (img == null) return (0, Array(0.0, 0.0, 0.0))
+      val (w, h) = (img.getWidth, img.getHeight)
+      var lum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          lum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      (1, Array(w.toDouble, h.toDouble, lum / (w.toLong * h)))
+    }
+  }
+
+  /** Real PCM WAV decode: RIFF header walk (no external codec needed).
+    * Features: sample rate, channels, RMS amplitude of the 16-bit samples
+    * (normalized to [0,1]); frame count = per-channel sample count. */
+  object WavCodec extends MediaCodec {
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+    def decode(media: Array[Byte]): (Int, Array[Double]) = {
+      if (media.length < 44 ||
+        new String(media, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(media, 8, 4, "US-ASCII") != "WAVE")
+        return (0, Array(0.0, 0.0, 0.0))
+      var pos = 12
+      var channels = 0; var sampleRate = 0; var bits = 0
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= media.length && (dataOff < 0 || channels == 0)) {
+        val id = new String(media, pos, 4, "US-ASCII")
+        val len = le32(media, pos + 4)
+        if (id == "fmt ") {
+          channels = le16(media, pos + 10)
+          sampleRate = le32(media, pos + 12)
+          bits = le16(media, pos + 22)
+        } else if (id == "data") {
+          dataOff = pos + 8
+          dataLen = math.min(len, media.length - dataOff)
+        }
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (channels == 0 || bits != 16 || dataOff < 0)
+        return (0, Array(sampleRate.toDouble, channels.toDouble, 0.0))
+      val nSamples = dataLen / 2
+      var sumSq = 0.0
+      var i = 0
+      while (i < nSamples) {
+        val s = le16(media, dataOff + i * 2).toShort / 32768.0
+        sumSq += s * s
+        i += 1
+      }
+      val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+      (nSamples / channels, Array(sampleRate.toDouble, channels.toDouble, rms))
+    }
+  }
+
+  /** ====== STUB ====== deterministic fake decoder standing in for codecs
+    * this container lacks (video, proprietary audio). Features are byte
+    * statistics — stable, engine-independent, and obviously fake. */
+  object FakeCodec extends MediaCodec {
     val FrameBytes = 1024
 
-    def decode(media: Array[Byte]): Array[Double] = {
+    def decode(media: Array[Byte]): (Int, Array[Double]) =
+      (frameCount(media.length.toLong), features(media))
+
+    def features(media: Array[Byte]): Array[Double] = {
       if (media.isEmpty) return Array(0.0, 0.0, 0.0)
       val sum = media.foldLeft(0L)((a, b) => a + (b & 0xff))
       Array(
@@ -39,6 +118,13 @@ object Multimodal {
 
     def frameCount(nBytes: Long): Int =
       math.ceil(nBytes.toDouble / FrameBytes).toInt
+  }
+
+  /** Per-format codec dispatch; unknown formats take the labeled stub. */
+  def codecFor(format: String): MediaCodec = format.toLowerCase match {
+    case "png" | "jpeg" | "jpg" | "bmp" | "gif" => ImageCodec
+    case "wav" => WavCodec
+    case _ => FakeCodec
   }
 
   /** Wrap a text/binary source column as a media column with metadata —
@@ -57,16 +143,17 @@ object Multimodal {
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real codec: init once per partition here
+      // codec instances are per-partition (amortized init, bounded memory)
       rows.map { r =>
+        val (nFrames, feats) = codecFor(r.format).decode(r.media)
         MediaFeatures(
           media_id = r.media_id,
           format = r.format,
           n_bytes = r.n_bytes,
           content_md5 = java.security.MessageDigest.getInstance("MD5")
             .digest(r.media).map("%02x".format(_)).mkString,
-          n_frames = FakeCodec.frameCount(r.n_bytes),
-          features = FakeCodec.decode(r.media))
+          n_frames = nFrames,
+          features = feats)
       }
     }
   }

@@ -81,10 +81,18 @@ object GraphStore {
         col("c_label"), col("c_name"))
   }
 
-  /** G6/K10 — filtered bulk delete: returns (retained, droppedCount). */
-  def purge(vertices: DataFrame, victim: Column): (DataFrame, Long) = {
-    val dropped = vertices.filter(victim).count()
-    (vertices.filter(!victim), dropped)
+  /** G6/K10 — filtered bulk delete. The dropped-row count rides the SAME
+    * job as the retained result via `observe` (pass an `Observation` and
+    * read `dropped` after your action) — no separate count pass over the
+    * store per purge. */
+  def purge(vertices: DataFrame, victim: Column,
+      stats: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val base = stats match {
+      case Some(o) =>
+        vertices.observe(o, count(when(victim, lit(1))).as("dropped"))
+      case None => vertices
+    }
+    base.filter(!victim)
   }
 
   /** A14/K9 — ghost-vertex GC against a live snapshot, per label. */

@@ -61,11 +61,22 @@ object MergeUpsert {
     val maps = mapCols.map { c =>
       // key-union overlay: incoming value wins, NULL incoming value (or a
       // key missing from the batch) preserves the stored entry; entries
-      // null on both sides are dropped.
+      // null on both sides are dropped. The empty-map fallback is typed
+      // from the column's ACTUAL schema (a bare map() literal is
+      // map<string,string> and would fail analysis for e.g. map<string,int>
+      // metric columns).
+      val dt = existing.schema.find(_.name == c).map(_.dataType)
+        .orElse(incoming.schema.find(_.name == c).map(_.dataType))
+        .getOrElse(throw new IllegalArgumentException(
+          s"mapCols column '$c' found in neither input schema"))
+      val mt = dt.asInstanceOf[org.apache.spark.sql.types.MapType]
+      val emptyTyped = expr(
+        s"map_from_entries(cast(array() as " +
+          s"array<struct<key:${mt.keyType.sql},value:${mt.valueType.sql}>>))")
       map_filter(
         map_zip_with(
-          coalesce(col(s"ex.$c"), expr("map()")),
-          coalesce(col(s"in.$c"), expr("map()")),
+          coalesce(col(s"ex.$c"), emptyTyped),
+          coalesce(col(s"in.$c"), emptyTyped),
           (_, ev, iv) => coalesce(iv, ev)),
         (_, v) => v.isNotNull
       ).as(c)

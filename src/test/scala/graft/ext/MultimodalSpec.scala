@@ -31,6 +31,62 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2L).features sameElements Array(2.0, 'a'.toInt + 0.5, 'a'.toInt))
   }
 
+  test("real PNG decode via javax.imageio: dimensions and luminance") {
+    // 4x2 image: top row pure white, bottom row pure black → mean lum 127.5
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4) {
+      img.setRGB(x, 0, 0xffffff)
+      img.setRGB(x, 1, 0x000000)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val pngBytes = bos.toByteArray
+
+    val media = Seq((1L, pngBytes)).toDF("media_id", "bin")
+    val rows = Multimodal.decodeFeatures(
+      Multimodal.attach(media, "media_id", "bin", "png")
+        .as[Multimodal.MediaRow]).collect()
+    val f = rows.head
+    assert(f.n_frames == 1)
+    assert(f.features(0) == 4.0 && f.features(1) == 2.0) // width, height
+    assert(math.abs(f.features(2) - 127.5) < 0.01)       // mean luminance
+  }
+
+  test("real WAV decode: RIFF header fields and RMS amplitude") {
+    // mono 16-bit 8kHz, 4 samples of a full-scale square wave → RMS 1.0
+    val sampleRate = 8000
+    val samples = Array[Short](Short.MinValue, Short.MaxValue,
+      Short.MinValue, Short.MaxValue)
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    val wavBytes = bb.array()
+
+    val media = Seq((1L, wavBytes)).toDF("media_id", "bin")
+    val f = Multimodal.decodeFeatures(
+      Multimodal.attach(media, "media_id", "bin", "wav")
+        .as[Multimodal.MediaRow]).collect().head
+    assert(f.n_frames == 4) // per-channel sample count
+    assert(f.features(0) == 8000.0 && f.features(1) == 1.0)
+    assert(math.abs(f.features(2) - 1.0) < 1e-4) // full-scale square ≈ RMS 1
+  }
+
+  test("unknown formats fall back to the labeled stub codec") {
+    val media = Seq((1L, Array[Byte](1, 2, 3))).toDF("media_id", "bin")
+    val f = Multimodal.decodeFeatures(
+      Multimodal.attach(media, "media_id", "bin", "video/mp4")
+        .as[Multimodal.MediaRow]).collect().head
+    assert(f.features sameElements Array(3.0, 2.0, 1.0))
+  }
+
   test("frameSample slices evenly sized byte frames") {
     val m = Multimodal.attach(docs, "doc_id", "text", "text/plain")
     val frames = Multimodal.frameSample(m, nFrames = 10)

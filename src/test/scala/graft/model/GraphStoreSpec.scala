@@ -61,9 +61,11 @@ class GraphStoreSpec extends SparkSpec {
     assert(prunedEdges.head.getAs[String]("dst_name") == "maindb")
   }
 
-  test("G6 purge returns retained set and drop count") {
-    val (retained, dropped) = GraphStore.purge(vertices,
-      col("label") === "Microservice")
-    assert(dropped == 2 && retained.count() == 2)
+  test("G6 purge reports the drop count on the retained action itself") {
+    val obs = org.apache.spark.sql.Observation("purge-stats")
+    val retained = GraphStore.purge(vertices,
+      col("label") === "Microservice", Some(obs))
+    assert(retained.count() == 2) // one job: retained rows + observed metric
+    assert(obs.get("dropped") == 2L)
   }
 }

@@ -81,6 +81,19 @@ class MergeUpsertSpec extends SparkSpec {
     assert(m2 == m)
   }
 
+  test("map props: non-string value types merge (typed empty-map fallback)") {
+    val ex = Seq(("svc", "a", Map("rps" -> 10L)))
+      .toDF("label", "name", "metrics")
+    val in = Seq(("svc", "a", Map("p99" -> 250L)), ("svc", "b", Map("rps" -> 5L)))
+      .toDF("label", "name", "metrics")
+    val out = MergeUpsert(ex, in, Seq("label", "name"),
+      singleCols = Nil, mapCols = Seq("metrics"))
+    val m = out.collect()
+      .map(r => r.getString(1) -> r.getMap[String, Long](2).toMap).toMap
+    assert(m("a") == Map("rps" -> 10L, "p99" -> 250L))
+    assert(m("b") == Map("rps" -> 5L)) // created row: typed empty ex side
+  }
+
   test("refreshMetrics never creates rows and only touches metric cols") {
     val metrics = Seq(("svc", "a", 7.7), ("svc", "zzz", 1.1))
       .toDF("label", "name", "latency")

@@ -20,6 +20,13 @@ import pyarrow.dataset as ds
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Expected row counts for queries that intentionally have no SQL oracle —
+# stronger than a blanket rows>0 (a sketch query returning garbage rows
+# should not pass, and a legitimately-small result should not fail).
+# q_ann_ivf: 5 probe vectors x k=3; q_approx_distinct: one row per event
+# type (5). Both are scale-factor-invariant by construction.
+NO_ORACLE_EXPECTED_ROWS = {"q_ann_ivf": 15, "q_approx_distinct": 5}
+
 
 def norm(v):
     if isinstance(v, float):
@@ -56,9 +63,11 @@ def main():
         s_cols = spark_tbl.column_names
         s_rows = [tuple(r[c] for c in s_cols) for r in spark_tbl.to_pylist()]
         if name not in oracle:
-            ok = len(s_rows) > 0
-            print(f"  {name}: NO-ORACLE rows={len(s_rows)} (rows-only check: "
-                  f"{'PASS' if ok else 'FAIL'})")
+            want = NO_ORACLE_EXPECTED_ROWS.get(name)
+            ok = len(s_rows) == want if want is not None else len(s_rows) > 0
+            print(f"  {name}: NO-ORACLE rows={len(s_rows)}"
+                  f"{f' expected={want}' if want is not None else ''} "
+                  f"({'PASS' if ok else 'FAIL'})")
             if ok:
                 n_pass += 1
             else:
