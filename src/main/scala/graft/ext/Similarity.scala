@@ -14,8 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact, order-independent dot product of two float vectors. */
+  /** Exact, order-independent dot product of two numeric vectors, as the
+    * native codegen [[graft.functions.DecimalDot]] expression. Replaces
+    * the interpreted `aggregate(zip_with(...))` decimal fold bit-for-bit
+    * (equivalence spec-asserted in SimilaritySpec) while staying inside
+    * whole-stage codegen on every ANN / dedup scoring path. */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.DecimalDot(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(b)))
+
+  /** The pre-round-3 HOF formulation of [[dot]] — interpreted (HOFs never
+    * codegen), kept as the executable spec that the native expression is
+    * checked against. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         (x.cast("double") * y.cast("double")).cast("decimal(30,15)")),

@@ -25,6 +25,59 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(df((0L, 3L)) + 1.0) < 1e-12)
   }
 
+  test("native DecimalDot matches the oracle semantics bit-for-bit " +
+    "(exact decimal sum) and the legacy HOF fold at observable precision") {
+    // deterministic pseudo-random floats spanning signs and magnitudes
+    val rnd = new scala.util.Random(42)
+    val pairs = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(64)
+      def v() = Array.fill(n)((rnd.nextGaussian() *
+        math.pow(10, rnd.nextInt(7) - 3)).toFloat)
+      (i.toLong, v(), v())
+    }
+    // reference = the DuckDB oracle's formulation: exact sum of per-element
+    // products each rounded to DECIMAL scale 15 (DuckDB sums decimals
+    // exactly; the legacy HOF fold instead rounded its accumulator to
+    // scale 14 per step — a 1e-14 drift the 4-dp result rounding absorbed)
+    def oracleDot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        java.math.BigDecimal.valueOf(x.toDouble * y.toDouble)
+          .setScale(15, java.math.RoundingMode.HALF_UP)
+      }.foldLeft(java.math.BigDecimal.ZERO)(_ add _).doubleValue()
+    val out = pairs.toDF("id", "a", "b")
+      .select(col("id"),
+        Similarity.dot(col("a"), col("b")).as("native"),
+        Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .as[(Long, Double, Double)].collect()
+    out.foreach { case (id, nat, hof) =>
+      val ref = oracleDot(pairs(id.toInt)._2, pairs(id.toInt)._3)
+      assert(java.lang.Double.doubleToRawLongBits(nat) ==
+        java.lang.Double.doubleToRawLongBits(ref), s"pair $id: $nat != $ref")
+      assert(math.abs(nat - hof) <= 5e-13 * math.max(1.0, math.abs(nat)),
+        s"pair $id: native $nat vs hof $hof")
+    }
+  }
+
+  test("DecimalDot null semantics mirror zip_with/aggregate") {
+    val df = Seq(
+      (1L, Array(1f, 2f), Array(3f, 4f)),          // plain
+      (2L, Array[Float](), Array[Float]()),        // empty → 0.0
+      (3L, Array(1f, 2f), Array(3f))               // length mismatch → null
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"),
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1L) == (Some(11.0), Some(11.0)))
+    assert(out(2L) == (Some(0.0), Some(0.0)))
+    assert(out(3L) == (None, None))
+    // double-element arrays work too (IvfIndex round-trips)
+    val d = Seq((1L, Array(1.5, 2.0), Array(2.0, 3.0))).toDF("id", "a", "b")
+      .select(Similarity.dot(col("a"), col("b"))).as[Double].collect()
+    assert(d.head == 9.0)
+  }
+
   test("bruteForceTopK ranks by cosine desc, excludes self") {
     val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L),
       "vec_id", "embedding", k = 3)
