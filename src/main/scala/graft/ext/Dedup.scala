@@ -167,19 +167,20 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .distinct()
 
-    // exact verify, candidate-driven (same shape as minhashLshPairs):
-    // cost is O(candidates × shingles/doc), skew-free. The Jaccard
-    // denominator uses full (pre-cap) set sizes.
-    val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
-    val inter = candidates
-      .join(a, Seq("doc_a"))
-      .join(b, Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    // exact verify against MATERIALIZED per-doc shingle sets (the PPJoin
+    // verification shape): two joins against a one-row-per-doc set table
+    // and a codegen'd array_intersect, instead of re-exploding the full
+    // inverted index into a candidates × shingles/doc intermediate. Cost
+    // is O(candidates × set size) compute with no wide shuffle; the
+    // Jaccard denominator uses the full (pre-cap) set sizes carried on
+    // the candidate rows.
+    val docsets = sh.groupBy(col(idCol)).agg(collect_list(col("shingle")).as("shset"))
     val jac = col("n_inter").cast("double") /
       (col("n_a") + col("n_b") - col("n_inter"))
-    inter
+    candidates
+      .join(docsets.select(col(idCol).as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
+      .join(docsets.select(col(idCol).as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
       .filter(jac >= threshold)
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
   }
@@ -252,21 +253,17 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b")).distinct()
 
-    // verify candidates with exact jaccard — drive the intersection FROM
-    // the candidate set (small) instead of exploding all shingle-sharing
-    // pairs first: candidates ⋈ shingles(doc_a) ⋈ shingles(doc_b, same
-    // shingle). Cost is O(candidate pairs × shingles/doc), independent of
-    // the corpus-wide shingle collision count.
-    val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
-    val inter = candidates
-      .join(a, Seq("doc_a"))
-      .join(b, Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    // verify candidates with exact jaccard against materialized per-doc
+    // shingle sets (array_intersect, codegen) — candidate-driven, so cost
+    // is O(candidate pairs × set size), independent of the corpus-wide
+    // shingle collision count, with no exploded join intermediate.
+    val docsets = sh.groupBy(col(idCol)).agg(collect_list(col("shingle")).as("shset"))
     val jac = col("n_inter").cast("double") /
       (col("n_a") + col("n_b") - col("n_inter"))
-    inter
+    candidates
+      .join(docsets.select(col(idCol).as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
+      .join(docsets.select(col(idCol).as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
       .filter(jac >= threshold)
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
   }
