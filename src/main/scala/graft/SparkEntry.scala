@@ -484,6 +484,26 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
         TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"))),
 
+    // ── Decontamination: n-gram containment of held-out docs in the
+    //    training corpus vocabulary (train/test overlap check). Probes =
+    //    every 10th doc; corpus = the rest.
+    "q_contamination" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.ngramContainment(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3)
+    }),
+
+    // ── Sequence packing: concat-and-chunk pack assignment under a
+    //    256-token budget, sharded by language (deterministic window
+    //    arithmetic — reproducible on any cluster and in plain SQL).
+    "q_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.ext.Packing.packSequences(docs, "doc_id", "n_tokens", "lang", 256L)
+    }),
+
     // ── Quality scoring: length / punctuation / stopword-ratio composite.
     "q_quality_score" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -953,6 +973,35 @@ object SparkEntry {
                 len(string_split_regex(lower(trim(text)), '\s+')) AS ws_tokens,
                 len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens
          FROM documents""",
+
+    "q_contamination" ->
+      """WITH cw AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+                     FROM documents WHERE doc_id % 10 <> 0),
+         vocab AS (SELECT DISTINCT w[i]||' '||w[i+1]||' '||w[i+2] AS s
+                   FROM cw, UNNEST(range(1, len(w)-1)) t(i)),
+         pw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                FROM documents WHERE doc_id % 10 = 0),
+         ps AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
+                FROM pw, UNNEST(range(1, len(w)-1)) t(i)),
+         hits AS (SELECT doc_id, count(*) AS n_hit FROM ps
+                  WHERE s IN (SELECT s FROM vocab) GROUP BY 1),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM ps GROUP BY 1)
+         SELECT sizes.doc_id, n_sh, COALESCE(n_hit, 0) AS n_hit,
+                round(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_sh, 4) AS containment
+         FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id""",
+
+    "q_pack" ->
+      """WITH d AS (SELECT doc_id, lang,
+                len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+              FROM documents),
+         c AS (SELECT lang, doc_id, n_tokens,
+                COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+               FROM d)
+         SELECT lang, doc_id, n_tokens,
+                CAST(floor(start_tok / 256.0) AS BIGINT) AS pack_id,
+                start_tok % 256 AS pack_offset
+         FROM c""",
 
     "q_quality_score" ->
       """SELECT doc_id,

@@ -328,6 +328,32 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Decontamination: n-gram containment of each probe (eval/test) doc in
+    * the training corpus — |S(probe) ∩ V(corpus)| / |S(probe)|, the
+    * standard train/test overlap check run before training.
+    *
+    * Scale shape: the corpus collapses to its DISTINCT shingle vocabulary
+    * (one shuffle, ubiquitous shingles become a single row — no skew), and
+    * probes hit it with a semi join keyed on the shingle. Cost is
+    * O(corpus + probe shingles); nothing pairs up, so there is no
+    * candidate explosion at any corpus size.
+    */
+  def ngramContainment(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val vocab = shingles(corpus, idCol, textCol, n).select(col("shingle")).distinct()
+    val probeSh = shingles(probes, idCol, textCol, n)
+    val hits = probeSh
+      .join(vocab, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    probeSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+      .join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh"), 4)
+          .as("containment"))
+  }
+
   /** Near-dup pairs by embedding cosine within sign-bucket (see
     * [[Similarity.signBucket]]): approximate recall, exact scores. */
   def embeddingCosinePairs(
