@@ -53,6 +53,16 @@ case class DecimalDot(left: Expression, right: Expression)
 }
 
 object DecimalDot {
+  val info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[DecimalDot].getName, "decimal_dot")
+
+  /** Imperative registration (tests, ad-hoc sessions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("decimal_dot"), info,
+      (children: Seq[Expression]) => DecimalDot(children(0), children(1)))
+
   /** Shared by interpreted eval and generated code. Returns null on length
     * mismatch or null elements (the `zip_with` null-padding semantics). */
   def compute(a: ArrayData, b: ArrayData,

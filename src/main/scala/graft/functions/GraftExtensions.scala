@@ -11,9 +11,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * SQL users as well as the DataFrame API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("ipv4_str"),
       IPv4String.info,
       (children: Seq[Expression]) => IPv4String.build(children)))
+    ext.injectFunction((
+      FunctionIdentifier("decimal_dot"),
+      DecimalDot.info,
+      (children: Seq[Expression]) => DecimalDot(children(0), children(1))))
+  }
 }
