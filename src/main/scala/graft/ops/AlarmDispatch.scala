@@ -30,6 +30,13 @@ object AlarmDispatch {
   /** Dispatch `alarms` (alarm_id, alarm_name, dims: array<struct<d_name,
     * d_value>>) through the registry. Returns one row per (alarm, matched
     * resource): alarm_id, alarm_name, label, resource_key.
+    *
+    * ONE broadcast hash join: the per-label resource tables contribute a
+    * unioned (label, key) frame — each table scanned exactly once, however
+    * many dimensions the registry maps — and the alarm side (tiny) is
+    * broadcast into it. A per-label join loop would re-derive the alarm
+    * window once per label (Spark 4.1 AQE does not reuse sibling stages,
+    * PERF.md) and scale linearly in registry size for no benefit.
     */
   def apply(alarms: DataFrame, registry: Seq[Dim]): DataFrame = {
     val spark = alarms.sparkSession
@@ -47,15 +54,16 @@ object AlarmDispatch {
       .withColumn("rn",
         row_number().over(Window.partitionBy(col("alarm_id")).orderBy(col("pos"))))
       .filter(col("rn") === 1)
-      .select(col("alarm_id"), col("alarm_name"), col("d_name"), col("d_value"))
-    registry.map { d =>
-      d.resources
-        .join(broadcast(firstDim.filter(col("d_name") === d.dimName)),
-          col("d_value") === col(d.keyCol).cast("string"))
-        .select(col("alarm_id"), col("alarm_name"),
-          lit(d.label).as("label"),
-          col(d.keyCol).cast("string").as("resource_key"))
+      .select(col("alarm_id"), col("alarm_name"), col("label"),
+        col("d_value").as("resource_key"))
+    val keyedResources = registry.map { d =>
+      d.resources.select(lit(d.label).as("label"),
+        col(d.keyCol).cast("string").as("resource_key"))
     }.reduce(_ unionByName _)
+    keyedResources
+      .join(broadcast(firstDim), Seq("label", "resource_key"))
+      .select(col("alarm_id"), col("alarm_name"), col("label"),
+        col("resource_key"))
   }
 
   /** Collapse dispatch rows to one degraded mark per resource (the
