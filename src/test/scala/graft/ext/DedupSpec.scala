@@ -41,6 +41,32 @@ class DedupSpec extends SparkSpec {
     assert(capped < all)
   }
 
+  test("prefix/size/positional filters are lossless vs brute-force jaccard") {
+    // adversarial corpus: small vocabulary forces heavy shingle sharing,
+    // so the filters do real pruning work; brute force is ground truth
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val corpus = (1L to 40L).map { i =>
+      val n = 5 + rnd.nextInt(15)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def shingleSet(t: String): Set[String] =
+      t.split("\\s+").sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    for (threshold <- Seq(0.3, 0.5, 0.8)) {
+      val expected = (for {
+        (i, ti) <- corpus; (j, tj) <- corpus if i < j
+        si = shingleSet(ti); sj = shingleSet(tj)
+        inter = (si & sj).size
+        jac = inter.toDouble / (si.size + sj.size - inter)
+        if jac >= threshold
+      } yield (i, j)).toSet
+      val got = Dedup.ngramJaccardPairs(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", 3, threshold)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"threshold $threshold")
+    }
+  }
+
   test("minhash LSH recovers high-jaccard pairs with exact verification") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
       shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5)
