@@ -36,6 +36,10 @@ import org.apache.spark.sql.functions.udf
 object RefExtract {
   private val subRef = raw"\$$\{([^.}]+)\}".r
 
+  // one parser per executor thread — ObjectMapper construction is far more
+  // expensive than a parse, and the UDF runs once per row
+  private val mappers = ThreadLocal.withInitial(() => new ObjectMapper())
+
   /** JSON first, YAML fallback (S24). Returns null when neither parses. */
   private def parseTree(mapper: ObjectMapper, body: String): JsonNode =
     try mapper.readTree(body)
@@ -59,8 +63,7 @@ object RefExtract {
 
   def extract(json: String): Seq[String] = {
     if (json == null) return Seq.empty
-    val mapper = new ObjectMapper()
-    val root = parseTree(mapper, json)
+    val root = parseTree(mappers.get(), json)
     if (root == null) return Seq.empty
     val refs = mutable.LinkedHashSet.empty[String]
 

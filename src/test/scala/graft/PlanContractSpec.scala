@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan CONTRACTS: the scale-design claims in PERF.md, enforced.
+  *
+  * Each assertion pins a physical-plan property that the 100 TB posture
+  * depends on — pushdown reaching the scan, dimension joins broadcasting,
+  * top-k staying a TakeOrderedAndProject, grouping sets expanding once,
+  * and no cartesian product anywhere. A refactor that silently regresses
+  * one of these fails here, not in a cluster.
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def plan(name: String): String = {
+    val q = SparkEntry.queries(name)(spark, sfDir)
+    q.collect() // finalize AQE
+    // AdaptiveSparkPlan.toString prints BOTH the final and the initial
+    // plan; contract-check only what actually executed
+    q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("events time-window predicate reaches the parquet scan as int64") {
+    val p = plan("q_flow_rollup")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(ts,1704672000000000000)"), p.take(400))
+  }
+
+  test("dimension chains broadcast; fact side never shuffles for the join") {
+    val p = plan("q_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("lineitem scan reads only the revenue columns") {
+    val p = plan("q_region_revenue")
+    val read = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+      .map(_.group(1)).find(_.contains("l_extendedprice"))
+    assert(read.isDefined)
+    val cols = read.get.split(",").length
+    assert(cols == 3, s"lineitem reads $cols cols: ${read.get}")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_flow_rollup").contains("TakeOrderedAndProject"))
+  }
+
+  test("grouping sets expand once: single Expand + aggregate pass") {
+    val p = plan("q_cube")
+    assert("Expand".r.findAllIn(p).length <= 2) // node + possible reference
+    assert("Scan parquet".r.findAllIn(p).length == 1)
+  }
+
+  test("theta joins stay broadcast nested-loop, never cartesian") {
+    val p = plan("q_substring_join")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("no query in the corpus plans a cartesian product") {
+    // cartesian = the only join shape with no scale story; check the
+    // self-join-heavy dedup family plus the cross-fallback op explicitly
+    Seq("q_ngram_jaccard", "q_minhash_lsh", "q_simhash_pairs",
+      "q_embed_dedup", "q_vpc_fallback", "q_alarm_dispatch").foreach { n =>
+      assert(!plan(n).contains("CartesianProduct"), n)
+    }
+  }
+
+  test("anti-join GC is a broadcast or shuffled hash anti join") {
+    val p = plan("q_anti_gc")
+    assert(p.contains("LeftAnti"), p.take(300))
+  }
+}
