@@ -2,7 +2,7 @@ package graft.ext
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -109,8 +109,8 @@ object Dedup {
     // Global rarity + per-doc rank + per-doc size in ONE windowed chain
     // (two shuffles — shingle, then doc id) instead of groupBy+join passes:
     // every derived stat the operator needs rides this single frame, so the
-    // expensive shingle subtree is computed once here and only twice more
-    // (the two sides of the verification join).
+    // expensive shingle subtree is computed only here and once more (the
+    // verification set table below).
     val withDf = sh.withColumn("df",
       count(lit(1)).over(Window.partitionBy(col("shingle"))))
     val perDoc = Window.partitionBy(col(idCol))
@@ -216,9 +216,11 @@ object Dedup {
       bandSize: Int = 4,
       threshold: Double = 0.7
   ): DataFrame = {
-    // no cache here: the shingle subtree repeats in the plan and Spark's
-    // ReuseExchange dedupes its distinct-shuffle; cache ownership (and its
-    // memory budget) belongs to the caller at scale.
+    // no cache here: cache ownership (and its memory budget) belongs to
+    // the caller at scale. The shingle subtree is computed twice (the
+    // signature aggregate and the verification set table) — AQE does not
+    // reuse sibling stages (PERF.md), so the operator minimizes consumers
+    // instead of relying on ReuseExchange.
     val sh = shingles(df, idCol, textCol, shingleN)
     // signatures AND the doc's set size in ONE HashAggregate — the size
     // rides along to the final Jaccard denominator for free, so no extra
