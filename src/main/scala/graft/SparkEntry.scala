@@ -1003,17 +1003,21 @@ object SparkEntry {
                 start_tok % 256 AS pack_offset
          FROM c""",
 
+    // quality is exact integer arithmetic + explicit half-up rounding —
+    // round(double, 4) disagrees between engines at .xxxx5 boundaries
     "q_quality_score" ->
-      """SELECT doc_id,
-                len(string_split_regex(lower(trim(text)), '\s+')) AS n_words,
-                round(
-                  0.4 * least(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) / 50.0, 1.0)
-                + 0.3 * (1.0 - CAST(strlen(text) - strlen(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(strlen(text) AS DOUBLE))
-                + 0.3 * (CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                          x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
-                         / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)),
-                4) AS quality
-         FROM documents""",
+      """WITH t AS (SELECT doc_id,
+                CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS w,
+                CAST(strlen(text) AS BIGINT) AS c,
+                CAST(strlen(text) - strlen(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS p,
+                CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT) AS m
+              FROM documents)
+         SELECT doc_id, w AS n_words,
+                CAST(floor((2*(4*least(w,50)*c*w + 150*(c-p)*w + 150*m*c)*10000
+                            + 500*c*w)
+                           / (2*500*c*w)) AS DOUBLE) / 10000 AS quality
+         FROM t""",
 
     "q_lang_id" ->
       """WITH s AS (SELECT doc_id, lang,

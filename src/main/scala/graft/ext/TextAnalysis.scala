@@ -37,15 +37,28 @@ object TextAnalysis {
     * 0.4·min(n_words/50, 1)  — enough content
     * 0.3·(1 − punct/chars)   — not symbol soup
     * 0.3·stopwords/words     — looks like natural language
+    *
+    * Computed as EXACT integer arithmetic with explicit half-up rounding
+    * to 4 dp: `round(double, 4)` is engine-dependent at .xxxx5 boundaries
+    * (Spark rounds the shortest decimal representation, DuckDB the binary
+    * value — at sf0.1 that flipped 20/5000 rows by 1 ulp of the 4th
+    * decimal). score = N/D with
+    *   N = 4·min(w,50)·c·w + 150·(c−p)·w + 150·m·c,  D = 500·c·w
+    * and half-up(N/D · 10⁴) = ⌊(2·N·10⁴ + D) / (2·D)⌋ — all intermediates
+    * < 2⁵³ so the long→double division is exact enough that the floor is
+    * unambiguous (quotient-to-integer gaps ≥ 1/(2D) ≈ 5e-11 vs ulp ≈
+    * 5e-13), giving bit-identical results in any engine.
     */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val nWords = tokenCount(text).cast("double")
-    val nChars = length(text).cast("double")
-    round(
-      lit(0.4) * least(nWords / 50.0, lit(1.0)) +
-        lit(0.3) * (lit(1.0) - punctCount(text).cast("double") / nChars) +
-        lit(0.3) * (markerCount(text, stopwords).cast("double") / nWords),
-      4)
+    val w = tokenCount(text).cast("long")
+    val c = length(text).cast("long")
+    val p = punctCount(text).cast("long")
+    val m = markerCount(text, stopwords).cast("long")
+    val n = lit(4L) * least(w, lit(50L)) * c * w +
+      lit(150L) * (c - p) * w + lit(150L) * m * c
+    val d = lit(500L) * c * w
+    floor((lit(2L) * n * lit(10000L) + d) / (lit(2L) * d))
+      .cast("double") / lit(10000.0)
   }
 
   /** Marker-voting language ID: the language whose marker set matches the
