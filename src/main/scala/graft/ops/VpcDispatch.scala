@@ -25,8 +25,12 @@ object VpcDispatch {
   def apply(instances: DataFrame, vpcCol: String,
       monitors: DataFrame, monitorKey: String,
       monitorVpcs: DataFrame): DataFrame = {
+    // membership is SET semantics (the reference collects vpc ids into a
+    // set) — dedupe defensively so a repeated (monitor, vpc) row can't
+    // duplicate dispatch output
+    val members = monitorVpcs.select(col(monitorKey), col(vpcCol)).distinct()
     val equi = instances
-      .join(broadcast(monitorVpcs), Seq(vpcCol))
+      .join(broadcast(members), Seq(vpcCol))
       .join(broadcast(monitors), Seq(monitorKey))
       .withColumn("via", lit("vpc"))
     val orphan = monitors.join(

@@ -25,6 +25,12 @@ class VpcDispatchSpec extends SparkSpec {
     assert(out == expected) // inst 4 (vpc v9) only gets the global monitor
   }
 
+  test("duplicate membership rows do not duplicate dispatch output") {
+    val dup = monitorVpcs.union(monitorVpcs) // every membership row twice
+    val out = VpcDispatch(instances, "vpc_id", monitors, "monitor_id", dup)
+    assert(out.filter(col("via") === "vpc").count() == 3L)
+  }
+
   test("no-fallback case: all monitors declare vpcs, no cross rows") {
     val out = VpcDispatch(instances, "vpc_id",
       monitors.filter(col("monitor_id") =!= 30L), "monitor_id", monitorVpcs)
