@@ -253,6 +253,23 @@ object SparkEntry {
         .select(col("c_custkey"), col("monitor_id"), col("monitor_name"), col("via"))
     }),
 
+    // ── AS-OF JOIN: each event joined to the latest per-day order rollup
+    //    of the same customer at-or-before the event date — the
+    //    time-series lookup Spark lacks natively, composed as union +
+    //    carry-forward window (ops.AsOfJoin; one shuffle, no range
+    //    explosion). Oracle: DuckDB's native ASOF LEFT JOIN.
+    "q_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        to_date(col("ts")).as("event_date"), col("value"))
+      val ord = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate").as("order_date"))
+        .agg(count(lit(1)).as("n_orders_day"),
+          decSum(col("o_totalprice")).as("day_total"))
+      graft.ops.AsOfJoin(ev, ord, Seq("user_id"), "event_date", "order_date")
+    }),
+
     // ── F1: IPv4 uint32 → dotted string (IPv4NumToString analog,
     //    etl_deepflow:148) via the native codegen Expression
     //    graft.functions.IPv4String.
@@ -784,6 +801,20 @@ object SparkEntry {
          SELECT label, resource_key, count(*) AS n_alarms,
                 min(alarm_name) AS alarm_name, 'degraded' AS health_status
          FROM u GROUP BY 1, 2""",
+
+    "q_asof" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date,
+                            value
+                     FROM events),
+         ord AS (SELECT o_custkey AS user_id, o_orderdate AS order_date,
+                        count(*) AS n_orders_day,
+                        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                          AS day_total
+                 FROM orders GROUP BY 1, 2)
+         SELECT ev.user_id, event_date, event_id, value,
+                order_date, n_orders_day, day_total
+         FROM ev ASOF LEFT JOIN ord
+         ON ev.user_id = ord.user_id AND ev.event_date >= ord.order_date""",
 
     "q_vpc_fallback" ->
       """WITH monitors AS (SELECT n_nationkey AS monitor_id, n_name AS monitor_name
