@@ -270,6 +270,21 @@ object SparkEntry {
       graft.ops.AsOfJoin(ev, ord, Seq("user_id"), "event_date", "order_date")
     }),
 
+    // ── RANGE JOIN: events matched to the overlapping value bands that
+    //    contain them — bucketized candidates + exact filter
+    //    (ops.RangeJoin), the equi-join shape that replaces the
+    //    nested-loop plan Spark gives a bare range predicate.
+    "q_range_join" -> ((s, dir) => {
+      val bands = Tables.nation(s, dir).select(
+        col("n_nationkey").as("band_id"),
+        (col("n_nationkey").cast("double") * 3.5).as("lo"),
+        (col("n_nationkey").cast("double") * 3.5 + 12.0).as("hi"))
+      val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+      graft.ops.RangeJoin.pointInInterval(ev, bands, Nil,
+          "value", "lo", "hi", bucketWidth = 8.0)
+        .select(col("event_id"), col("band_id"), col("value"))
+    }),
+
     // ── F1: IPv4 uint32 → dotted string (IPv4NumToString analog,
     //    etl_deepflow:148) via the native codegen Expression
     //    graft.functions.IPv4String.
@@ -815,6 +830,14 @@ object SparkEntry {
                 order_date, n_orders_day, day_total
          FROM ev ASOF LEFT JOIN ord
          ON ev.user_id = ord.user_id AND ev.event_date >= ord.order_date""",
+
+    "q_range_join" ->
+      """WITH bands AS (SELECT n_nationkey AS band_id,
+                               CAST(n_nationkey AS DOUBLE) * 3.5 AS lo,
+                               CAST(n_nationkey AS DOUBLE) * 3.5 + 12.0 AS hi
+                        FROM nation)
+         SELECT event_id, band_id, value
+         FROM events JOIN bands ON value >= lo AND value < hi""",
 
     "q_vpc_fallback" ->
       """WITH monitors AS (SELECT n_nationkey AS monitor_id, n_name AS monitor_name
