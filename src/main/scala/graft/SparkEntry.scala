@@ -536,6 +536,16 @@ object SparkEntry {
       graft.ext.Packing.packSequences(docs, "doc_id", "n_tokens", "lang", 256L)
     }),
 
+    // ── Deterministic train/val/test split: content-hash buckets, same
+    //    assignment on every run / cluster / engine (no rand(), no seed
+    //    bookkeeping) — reproducible dataset splits are a first-class
+    //    training-pipeline requirement.
+    "q_split" -> ((s, dir) =>
+      graft.ext.Splits.hashSplit(
+          Tables.documents(s, dir).select(col("doc_id")),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))),
+
     // ── Quality scoring: length / punctuation / stopword-ratio composite.
     "q_quality_score" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -1056,6 +1066,21 @@ object SparkEntry {
                 CAST(floor(start_tok / 256.0) AS BIGINT) AS pack_id,
                 start_tok % 256 AS pack_offset
          FROM c""",
+
+    // split boundaries: floor(0.8*65536)=52428, floor(0.9*65536)=58982;
+    // bucket = first 4 md5 nibbles (Spark computes the same value via conv)
+    "q_split" ->
+      """WITH b AS (SELECT doc_id,
+                (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS bucket
+              FROM documents)
+         SELECT doc_id,
+                CASE WHEN bucket < 52428 THEN 'train'
+                     WHEN bucket < 58982 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM b""",
 
     // quality is exact integer arithmetic + explicit half-up rounding —
     // round(double, 4) disagrees between engines at .xxxx5 boundaries
