@@ -270,6 +270,22 @@ object SparkEntry {
       graft.ops.AsOfJoin(ev, ord, Seq("user_id"), "event_date", "order_date")
     }),
 
+    // ── AS-OF JOIN with max-staleness bound: same lookup, but a match more
+    //    than 7 days older than the event is discarded (nulled) — the
+    //    common production "tolerance" variant.
+    "q_asof_tol" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        to_date(col("ts")).as("event_date"), col("value"))
+      val ord = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate").as("order_date"))
+        .agg(count(lit(1)).as("n_orders_day"),
+          decSum(col("o_totalprice")).as("day_total"))
+      graft.ops.AsOfJoin(ev, ord, Seq("user_id"), "event_date", "order_date",
+        tolerance = Some(expr("interval 7 days")))
+    }),
+
     // ── RANGE JOIN: events matched to the overlapping value bands that
     //    contain them — bucketized candidates + exact filter
     //    (ops.RangeJoin), the equi-join shape that replaces the
@@ -841,6 +857,27 @@ object SparkEntry {
          FROM ev ASOF LEFT JOIN ord
          ON ev.user_id = ord.user_id AND ev.event_date >= ord.order_date""",
 
+    // tolerance variant: DuckDB date_diff in days; a stale match
+    // (older than 7 days) nulls the WHOLE right row, like the Spark side
+    "q_asof_tol" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date,
+                            value
+                     FROM events),
+         ord AS (SELECT o_custkey AS user_id, o_orderdate AS order_date,
+                        count(*) AS n_orders_day,
+                        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                          AS day_total
+                 FROM orders GROUP BY 1, 2),
+         j AS (SELECT ev.user_id, event_date, event_id, value,
+                      order_date AS od, n_orders_day AS nod, day_total AS dt
+               FROM ev ASOF LEFT JOIN ord
+               ON ev.user_id = ord.user_id AND ev.event_date >= ord.order_date)
+         SELECT user_id, event_date, event_id, value,
+                CASE WHEN date_diff('day', od, event_date) <= 7 THEN od END AS order_date,
+                CASE WHEN date_diff('day', od, event_date) <= 7 THEN nod END AS n_orders_day,
+                CASE WHEN date_diff('day', od, event_date) <= 7 THEN dt END AS day_total
+         FROM j""",
+
     "q_range_join" ->
       """WITH bands AS (SELECT n_nationkey AS band_id,
                                CAST(n_nationkey AS DOUBLE) * 3.5 AS lo,
@@ -1059,8 +1096,8 @@ object SparkEntry {
                 len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
               FROM documents),
          c AS (SELECT lang, doc_id, n_tokens,
-                COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+                CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
                FROM d)
          SELECT lang, doc_id, n_tokens,
                 CAST(floor(start_tok / 256.0) AS BIGINT) AS pack_id,

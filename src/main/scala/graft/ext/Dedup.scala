@@ -40,10 +40,13 @@ object Dedup {
           qe.observedMetrics.foreach { case (name, row) =>
             if (name.startsWith(GuardPrefix) && !row.isNullAt(0)) {
               val dropped = row.getLong(0)
+              // the metric sums exploded (doc, shingle) rows, so one hot
+              // shingle with df=N contributes N — report it as postings
               if (dropped > 0) log.warn(
-                s"ngramJaccardPairs: skew guard dropped $dropped shingle(s) " +
-                  s"with document frequency over the cap from candidate " +
-                  "generation (scores remain exact Jaccard over full sets)")
+                s"ngramJaccardPairs: skew guard dropped $dropped " +
+                  s"(doc, shingle) posting(s) whose shingle document " +
+                  "frequency exceeds the cap from candidate generation " +
+                  "(scores remain exact Jaccard over full sets)")
             }
           }
         override def onFailure(funcName: String, qe: QueryExecution,

@@ -69,18 +69,31 @@ object Multimodal {
       var pos = 12
       var channels = 0; var sampleRate = 0; var bits = 0
       var dataOff = -1; var dataLen = 0
-      while (pos + 8 <= media.length && (dataOff < 0 || channels == 0)) {
+      var walking = true
+      while (walking && pos + 8 <= media.length &&
+        (dataOff < 0 || channels == 0)) {
         val id = new String(media, pos, 4, "US-ASCII")
         val len = le32(media, pos + 4)
-        if (id == "fmt ") {
-          channels = le16(media, pos + 10)
-          sampleRate = le32(media, pos + 12)
-          bits = le16(media, pos + 22)
-        } else if (id == "data") {
-          dataOff = pos + 8
-          dataLen = math.min(len, media.length - dataOff)
+        if (len < 0) {
+          // corrupt/crafted 32-bit length — stop rather than loop forever
+          walking = false
+        } else {
+          if (id == "fmt ") {
+            // fields live at pos+8..pos+24; a truncated fmt chunk degrades
+            // to the zero-feature fallback instead of throwing
+            if (pos + 24 <= media.length) {
+              channels = le16(media, pos + 10)
+              sampleRate = le32(media, pos + 12)
+              bits = le16(media, pos + 22)
+            } else walking = false
+          } else if (id == "data") {
+            dataOff = pos + 8
+            dataLen = math.max(0, math.min(len, media.length - dataOff))
+          }
+          val next = pos + 8 + len + (len & 1) // chunks are word-aligned
+          if (next <= pos) walking = false // overflow guard: must advance
+          else pos = next
         }
-        pos += 8 + len + (len & 1) // chunks are word-aligned
       }
       if (channels == 0 || bits != 16 || dataOff < 0)
         return (0, Array(sampleRate.toDouble, channels.toDouble, 0.0))

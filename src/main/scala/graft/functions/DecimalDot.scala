@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -26,6 +27,20 @@ case class DecimalDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "decimal_dot"
+
+  // `decimal_dot` is SQL-registered, so arbitrary user types can reach it:
+  // fail analysis with a named error instead of a runtime ClassCastException.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def vecType(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (vecType(left.dataType) && vecType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float>/array<double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
   private def isFloatArr(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType

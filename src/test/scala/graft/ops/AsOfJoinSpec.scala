@@ -43,6 +43,38 @@ class AsOfJoinSpec extends SparkSpec {
       Seq("k", "t", "event_id", "rt", "metric"))
   }
 
+  test("a NULL right payload is carried as part of its row, not skipped") {
+    // k1@01-15 has metric NULL: rows at-or-after it must see (01-15, null),
+    // NOT the newer __rt paired with the older row's metric. Per-column
+    // carry-forward (the pre-struct implementation) mixed right rows here.
+    val rightNullable = Seq(
+      ("k1", d("2024-01-05"), Option(10.0)),
+      ("k1", d("2024-01-15"), None)
+    ).toDF("k", "rt", "metric")
+    val out = AsOfJoin(left, rightNullable, Seq("k"), "t", "rt")
+      .select("event_id", "rt", "metric")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.toString), Option(r.get(2)))).toMap
+    assert(out(1L) == (Some("2024-01-05"), Some(10.0)))
+    assert(out(2L) == (Some("2024-01-15"), None)) // whole latest row, null and all
+    assert(out(3L) == (Some("2024-01-15"), None))
+    assert(out(5L) == (None, None))
+  }
+
+  test("tolerance bound nulls out matches older than the staleness limit") {
+    // date - date yields a day-interval in Spark; bound staleness to 3 days
+    val out = AsOfJoin(left, right, Seq("k"), "t", "rt",
+        tolerance = Some(expr("interval 3 days")))
+      .select("event_id", "rt", "metric")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.toString), Option(r.get(2)))).toMap
+    assert(out(1L) == (None, None)) // 5 days stale: nulled by the bound
+    assert(out(2L) == (Some("2024-01-15"), Some(20.0))) // 0 days old: keep
+    assert(out(3L) == (None, None)) // 5 days stale: nulled
+    assert(out(4L) == (None, None))
+    assert(out(5L) == (None, None)) // no match at all
+  }
+
   test("plans as one shuffle + window — no join operator at all") {
     val q = AsOfJoin(left, right, Seq("k"), "t", "rt")
     q.collect()
