@@ -209,6 +209,83 @@ object SparkEntry {
             .otherwise(lit("healthy")).as("health_status"))
     }),
 
+    // ── §3.2 END-TO-END topology pipeline: snapshot merged into the vertex
+    //    store (absent-preserves first_seen = onCreate/onMatch), health
+    //    reset-then-degraded from the alarm join, ghost vertices GC'd —
+    //    the reference's most load-bearing composition
+    //    (etl_aws:1393-2114) as ONE logical plan. Store = all customers;
+    //    snapshot drops custkey%5==0 (ghosts) and adds custkey%7==0
+    //    shifted by 100000 (creates); alarms = customers with failed
+    //    orders.
+    "q_topology" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val store = c.select(
+        lit("Account").as("label"), col("c_custkey").cast("string").as("name"),
+        lit("healthy").as("health_status"), lit(0L).as("last_updated"),
+        (col("c_custkey") % 1000).cast("long").as("first_seen"))
+      val snapshot = c.filter(col("c_custkey") % 5 =!= 0)
+        .select(lit("Account").as("label"),
+          col("c_custkey").cast("string").as("name"))
+        .unionByName(c.filter(col("c_custkey") % 7 === 0)
+          .select(lit("Account").as("label"),
+            (col("c_custkey") + 100000).cast("string").as("name")))
+      val alarms = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(lit("Account").as("label"),
+          col("o_custkey").cast("string").as("name"))
+        .distinct()
+      graft.pipelines.Pipelines.topology(store, snapshot, alarms,
+        runStamp = 1700000000L)
+    }),
+
+    // ── §3.3 END-TO-END declared-deps pipeline: templates synthesized from
+    //    events (as q_ref_extract), recursive ref extraction, both-side
+    //    logical→physical resolution against a broadcast dim, distinct
+    //    provenance edges (etl_cfn:244-374). The arn-shaped ref has no
+    //    physical id on purpose — the unresolvable-drop path (P5) runs.
+    "q_declared_deps" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val tpl = concat(
+        lit("""{"Resources":{"A":{"Ref":"Svc"""), col("user_id"),
+        lit(""""},"B":{"Fn::Sub":"${"""), col("event_type"),
+        lit("""}-x"},"C":{"Deep":[{"Resource":"arn:aws:states:r:1:fn"""),
+        get_json_object(col("props"), "$.k"),
+        lit(""":async"}]}}}"""))
+      val templates = ev.select(
+        concat(lit("stack-"), (col("user_id") % 20).cast("string"))
+          .as("stack_name"),
+        concat(lit("res"), (col("event_id") % 500).cast("string"))
+          .as("src_logical"),
+        tpl.as("template_json"))
+      val physicalIds = ev.select(
+          concat(lit("res"), (col("event_id") % 500).cast("string"))
+            .as("logical_id"),
+          concat(lit("p-res"), (col("event_id") % 500).cast("string"))
+            .as("physical_id"))
+        .unionByName(ev.select(
+          concat(lit("Svc"), col("user_id").cast("string")).as("logical_id"),
+          concat(lit("p-svc"), col("user_id").cast("string")).as("physical_id")))
+        .unionByName(ev.select(
+          col("event_type").as("logical_id"),
+          concat(lit("p-type-"), col("event_type")).as("physical_id")))
+        .distinct()
+      graft.pipelines.Pipelines.declaredDeps(templates, physicalIds)
+    }),
+
+    // ── Salted two-phase aggregation (the 100×-scale hot-key story):
+    //    events.event_type has only ~5 values, so a plain groupBy puts 20%
+    //    of ALL rows on one reducer — SkewAgg spreads each key over 16 salt
+    //    buckets, combines partials, and must equal the plain aggregation.
+    "q_skew_agg" -> ((s, dir) =>
+      graft.ops.SkewAgg.saltedSum(
+          Tables.events(s, dir), keys = Seq("event_type"),
+          distributor = col("event_id"), saltBuckets = 16,
+          sums = Map("total_value" -> col("value").cast("decimal(18,2)")),
+          counts = Seq("n_events"))
+        .select(col("event_type"),
+          col("total_value").cast("double").as("total_value"),
+          col("n_events"))),
+
     // ── J11: multi-dimension alarm dispatch — each alarm's ordered
     //    dimension list walked for the first entry in the dim→label
     //    registry, then a union of per-label resource joins
@@ -809,6 +886,62 @@ object SparkEntry {
          LEFT JOIN (SELECT o_custkey, count(*) AS n_alarms FROM orders
                     WHERE o_orderstatus = 'F' GROUP BY o_custkey) a
          ON c.c_custkey = a.o_custkey""",
+
+    // end-to-end §3.2: snapshot drives the surviving rows (GC); health is
+    // reset-then-degrade; first_seen preserved on match, runStamp on create
+    "q_topology" ->
+      """WITH store AS (SELECT 'Account' AS label,
+                               CAST(c_custkey AS VARCHAR) AS name,
+                               CAST(c_custkey % 1000 AS BIGINT) AS fs0
+                        FROM customer),
+         snap AS (SELECT 'Account' AS label, CAST(c_custkey AS VARCHAR) AS name
+                  FROM customer WHERE c_custkey % 5 <> 0
+                  UNION ALL
+                  SELECT 'Account', CAST(c_custkey + 100000 AS VARCHAR)
+                  FROM customer WHERE c_custkey % 7 = 0),
+         alarms AS (SELECT DISTINCT 'Account' AS label,
+                           CAST(o_custkey AS VARCHAR) AS name
+                    FROM orders WHERE o_orderstatus = 'F')
+         SELECT s.label, s.name,
+                CASE WHEN a.name IS NOT NULL THEN 'degraded'
+                     ELSE 'healthy' END AS health_status,
+                CAST(1700000000 AS BIGINT) AS last_updated,
+                COALESCE(st.fs0, 1700000000) AS first_seen
+         FROM snap s
+         LEFT JOIN store st ON s.label = st.label AND s.name = st.name
+         LEFT JOIN alarms a ON s.label = a.label AND s.name = a.name""",
+
+    // end-to-end §3.3: the refs are known by construction (same synthesized
+    // template as q_ref_extract); the arn ref has no dim row and drops
+    "q_declared_deps" ->
+      """WITH t AS (SELECT 'stack-' || CAST(user_id % 20 AS VARCHAR) AS stack_name,
+                           'res' || CAST(event_id % 500 AS VARCHAR) AS src_logical,
+                           'Svc' || CAST(user_id AS VARCHAR) AS ref_svc,
+                           event_type AS ref_type
+                    FROM events),
+         refs AS (SELECT stack_name, src_logical, ref_svc AS dst_logical FROM t
+                  UNION ALL
+                  SELECT stack_name, src_logical, ref_type FROM t),
+         dim AS (SELECT DISTINCT 'res' || CAST(event_id % 500 AS VARCHAR) AS logical_id,
+                        'p-res' || CAST(event_id % 500 AS VARCHAR) AS physical_id
+                 FROM events
+                 UNION
+                 SELECT DISTINCT 'Svc' || CAST(user_id AS VARCHAR),
+                        'p-svc' || CAST(user_id AS VARCHAR) FROM events
+                 UNION
+                 SELECT DISTINCT event_type, 'p-type-' || event_type FROM events)
+         SELECT DISTINCT sp.physical_id AS src, 'DependsOn' AS edge_label,
+                dp.physical_id AS dst, 'cfn' AS declared_in, r.stack_name
+         FROM refs r
+         JOIN dim sp ON r.src_logical = sp.logical_id
+         JOIN dim dp ON r.dst_logical = dp.logical_id""",
+
+    // salted ≡ plain: the oracle is the single-phase aggregation
+    "q_skew_agg" ->
+      """SELECT event_type,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+                count(*) AS n_events
+         FROM events GROUP BY event_type""",
 
     // The oracle collapses "first valid dimension in order" into the
     // equivalent CASE precedence (dim 1 is never mapped, so precedence is

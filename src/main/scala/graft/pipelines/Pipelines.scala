@@ -39,26 +39,43 @@ object Pipelines {
   /** §3.2 topology analog: a resource snapshot merged into the vertex
     * store, health degraded from the alarm join (two-phase write,
     * `etl_aws:1469,2074-2111`), then ghost-node GC (A14). Returns the new
-    * vertex store state. */
+    * vertex store state.
+    *
+    * If the store carries a `first_seen` column it gets the reference's
+    * onCreate-vs-onMatch treatment (`etl_aws:209-253` mergeV onCreate
+    * props): the batch never observes it (incoming NULL → absent-preserves
+    * keeps the stored stamp) and a vertex created this run gets `runStamp`.
+    */
   def topology(
-      vertexStore: DataFrame, // (label, name, health_status, last_updated)
+      vertexStore: DataFrame, // (label, name, health_status, last_updated[, first_seen])
       snapshot: DataFrame,    // (label, name) live resources
       alarms: DataFrame,      // (label, name) currently alarming
       runStamp: Long
   ): DataFrame = {
-    val incoming = snapshot
+    val hasFirstSeen = vertexStore.columns.contains("first_seen")
+    val incoming0 = snapshot
       .withColumn("health_status", lit("healthy"))
       .withColumn("last_updated", lit(runStamp))
+    val incoming =
+      if (hasFirstSeen) incoming0.withColumn("first_seen",
+        lit(null).cast(vertexStore.schema("first_seen").dataType))
+      else incoming0
     val merged = MergeUpsert(
       vertexStore, incoming, keys = Seq("label", "name"),
-      singleCols = Seq("health_status", "last_updated"))
-    val degraded = merged.alias("m")
+      singleCols = Seq("health_status", "last_updated") ++
+        (if (hasFirstSeen) Seq("first_seen") else Nil))
+    val created =
+      if (hasFirstSeen) merged.withColumn("first_seen",
+        coalesce(col("first_seen"), lit(runStamp)))
+      else merged
+    val degraded = created.alias("m")
       .join(alarms.select(col("label"), col("name"), lit(true).as("alarming")),
         Seq("label", "name"), "left_outer")
-      .select(col("label"), col("name"),
+      .select(col("label") +: col("name") +:
         when(col("alarming"), lit("degraded"))
-          .otherwise(col("health_status")).as("health_status"),
-        col("last_updated"))
+          .otherwise(col("health_status")).as("health_status") +:
+        col("last_updated") +:
+        (if (hasFirstSeen) Seq(col("first_seen")) else Nil): _*)
     AntiJoinGC.retained(degraded, snapshot.select(col("label"), col("name")),
       Seq("label", "name"))
   }

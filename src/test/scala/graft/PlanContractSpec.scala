@@ -71,4 +71,31 @@ class PlanContractSpec extends SparkSpec {
     val p = plan("q_anti_gc")
     assert(p.contains("LeftAnti"), p.take(300))
   }
+
+  test("salted aggregation is two-phase: salt-keyed then key-only") {
+    val p = plan("q_skew_agg")
+    // phase 1 groups on (event_type, __salt), phase 2 on event_type alone:
+    // the plan must carry a hash partitioning that includes the salt column
+    // and a later one that does not
+    assert(p.contains("__salt"), p.take(400))
+    val exchanges = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.exists(_.contains("__salt")), exchanges.mkString("; "))
+    assert(exchanges.exists(e =>
+      e.contains("event_type") && !e.contains("__salt")),
+      exchanges.mkString("; "))
+  }
+
+  test("topology pipeline: one full-outer merge shuffle, GC stays semi join") {
+    val p = plan("q_topology")
+    assert(p.contains("FullOuter"), p.take(400))
+    assert(p.contains("LeftSemi"), p.take(400))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("declared-deps pipeline: both physical-id joins broadcast") {
+    val p = plan("q_declared_deps")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(400))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

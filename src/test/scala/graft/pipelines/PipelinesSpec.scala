@@ -47,6 +47,19 @@ class PipelinesSpec extends SparkSpec {
     assert(out.values.forall(_.getAs[Long]("last_updated") == 2L))
   }
 
+  test("topology first_seen: preserved on match, stamped on create") {
+    val store = Seq(
+      ("EC2", "i-1", "healthy", 1L, 100L),
+      ("EC2", "i-gone", "healthy", 1L, 50L)
+    ).toDF("label", "name", "health_status", "last_updated", "first_seen")
+    val snapshot = Seq(("EC2", "i-1"), ("EC2", "i-new")).toDF("label", "name")
+    val alarms = Seq.empty[(String, String)].toDF("label", "name")
+    val out = Pipelines.topology(store, snapshot, alarms, runStamp = 2L)
+      .collect().map(r => r.getAs[String]("name") ->
+        r.getAs[Long]("first_seen")).toMap
+    assert(out == Map("i-1" -> 100L, "i-new" -> 2L)) // preserve vs onCreate
+  }
+
   test("topology is idempotent for a fixed snapshot+alarm set") {
     val store = Seq(("EC2", "i-1", "healthy", 1L))
       .toDF("label", "name", "health_status", "last_updated")
