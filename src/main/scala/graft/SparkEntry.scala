@@ -721,6 +721,23 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nProbe = 4)
     }),
 
+    // ── ANN: IVF over the PERSISTED index layout — save partitioned by
+    //    list_id, reload, search. Exercises the on-disk path a vector
+    //    store actually serves from: the probe is a partition-pruned scan
+    //    (static isin filter on the probed lists; see IvfIndexSpec's
+    //    scanned-files assertion). Same probes/seed as q_ann_ivf → same
+    //    15 rows.
+    "q_ann_ivf_disk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxPath = System.getProperty("java.io.tmpdir") +
+        "/graft_ivf_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.ext.IvfIndex.build(emb, "vec_id", "embedding", nLists = 16)
+        .save(idxPath)
+      val loaded = graft.ext.IvfIndex.load(s, idxPath)
+      graft.ext.IvfIndex.search(loaded, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, nProbe = 4)
+    }),
+
     // ── Multimodal plumbing: opaque binary + metadata through the typed
     //    Dataset decode path. text/plain dispatches to the labeled
     //    byte-stats stub (oracle-expressible); real decode paths (imageio

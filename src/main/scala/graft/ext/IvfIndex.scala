@@ -110,9 +110,16 @@ object IvfIndex {
     val probes = probePairs.toDF("query_id", "list_id")
       .join(queriesDf, Seq("query_id"))
 
+    // The probed list set is already driver-resident (it came out of the
+    // centroid scan above) — filter it STATICALLY so a partitioned on-disk
+    // index prunes to exactly the probed partitions at plan time, with no
+    // reliance on dynamic partition pruning kicking in through the join.
+    val probedLists = probePairs.map(_._2).distinct.sorted
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    model.assigned.join(broadcast(probes), Seq("list_id"))
+    model.assigned
+      .filter(col("list_id").isin(probedLists.map(Int.box): _*))
+      .join(broadcast(probes), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos",
         Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))

@@ -69,4 +69,34 @@ class IvfIndexSpec extends SparkSpec {
       .collect().toSet
     assert(viaLoaded == viaBuilt)
   }
+
+  test("search over a loaded index scans ONLY the probed partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val model = IvfIndex.build(vecs, "vec_id", "embedding", nLists = 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_prune").toString
+    model.save(dir)
+    val loaded = IvfIndex.load(spark, dir)
+    // one in-cluster query, nProbe=1 → exactly 1 of 3 list partitions read
+    val q = IvfIndex.search(loaded, vecs.filter($"vec_id" === 0L),
+      "vec_id", "embedding", 3, 1)
+    q.collect()
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case qs: QueryStageExec => leaves(qs.plan) // AQE stages are leaves
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(leaves) ++
+        other.subqueries.flatMap(leaves)
+    }
+    val listScan = leaves(q.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("lists")))
+    assert(listScan.isDefined, "no file scan over the lists layout found")
+    val numFiles = listScan.get.metrics("numFiles").value
+    val totalFiles = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("list_id=")).length
+    assert(totalFiles == 3)
+    assert(numFiles >= 1 && numFiles < totalFiles,
+      s"expected pruned scan, read $numFiles of $totalFiles partitions")
+  }
 }

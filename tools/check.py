@@ -25,7 +25,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # should not pass, and a legitimately-small result should not fail).
 # q_ann_ivf: 5 probe vectors x k=3; q_approx_distinct: one row per event
 # type (5). Both are scale-factor-invariant by construction.
-NO_ORACLE_EXPECTED_ROWS = {"q_ann_ivf": 15, "q_approx_distinct": 5}
+NO_ORACLE_EXPECTED_ROWS = {"q_ann_ivf": 15, "q_ann_ivf_disk": 15,
+                           "q_approx_distinct": 5}
 
 
 def norm(v):
