@@ -639,6 +639,50 @@ object SparkEntry {
           "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))),
 
+    // ── Deterministic stratified sampling: per-stratum keep rates decided
+    //    by the id's md5 bucket (same scheme as q_split) — a reproducible
+    //    "data recipe" filter, not a rand() draw.
+    "q_stratified_sample" -> ((s, dir) =>
+      graft.ext.Sampling.stratified(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25))),
+
+    // ── Corpus mixing: fractional up/down-sampling by repeat factor —
+    //    en×1.5 (every row once, half twice), de×0.5 (half the rows),
+    //    others unchanged; copy_idx spreads the duplicates downstream.
+    "q_mix_upsample" -> ((s, dir) =>
+      graft.ext.Sampling.upsample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", Map("en" -> 1.5, "de" -> 0.5))),
+
+    // ── Vocabulary statistics (tokenizer-training shape): corpus-wide
+    //    token frequency + document frequency, top 100 under a TOTAL
+    //    order (count desc, then word) so the cut is deterministic.
+    "q_vocab_topk" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.words(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occ").desc, col("word"))
+        .limit(100)),
+
+    // ── SCD type-2 history: per-user event_type change intervals with
+    //    [valid_from, valid_to) validity and is_current — the auditable
+    //    superset of the store's last-wins state (ops.Scd2, one shuffle).
+    "q_scd2" -> ((s, dir) =>
+      graft.ops.Scd2.history(
+          Tables.events(s, dir)
+            .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type")),
+          keys = Seq("user_id"), tsCol = "ts", attrs = Seq("event_type"),
+          tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"))),
+
     // ── Quality scoring: length / punctuation / stopword-ratio composite.
     "q_quality_score" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -1268,6 +1312,64 @@ object SparkEntry {
                      WHEN bucket < 58982 THEN 'val'
                      ELSE 'test' END AS split
          FROM b""",
+
+    // same md5-nibble bucket as q_split; en keeps bucket<32768 (0.5),
+    // de bucket<16384 (0.25), other strata keep everything
+    "q_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+                (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS bucket
+              FROM documents)
+         SELECT doc_id, lang FROM b
+         WHERE bucket < CASE lang WHEN 'en' THEN 32768
+                                  WHEN 'de' THEN 16384
+                                  ELSE 65536 END""",
+
+    // en: 1 copy + bucket<32768 gets a 2nd; de: bucket<32768 keeps 1; rest 1
+    "q_mix_upsample" ->
+      """WITH b AS (SELECT doc_id, lang,
+                (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS bucket
+              FROM documents),
+         n AS (SELECT doc_id, lang,
+                CASE lang WHEN 'en' THEN 1 + CASE WHEN bucket < 32768 THEN 1 ELSE 0 END
+                          WHEN 'de' THEN CASE WHEN bucket < 32768 THEN 1 ELSE 0 END
+                          ELSE 1 END AS n
+               FROM b)
+         SELECT doc_id, lang, unnest(range(CAST(n AS BIGINT))) AS copy_idx
+         FROM n WHERE n >= 1""",
+
+    "q_vocab_topk" ->
+      """WITH w AS (SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+              FROM documents)
+         SELECT word, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+         FROM w GROUP BY word
+         ORDER BY n_occ DESC, word LIMIT 100""",
+
+    // change rows = first observation or event_type differs from previous
+    // (per user, total order ts+event_id); validity closed by the next
+    // change row's timestamp
+    "q_scd2" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS rn
+              FROM events),
+         c AS (SELECT user_id, ts, event_id, event_type FROM o
+               WHERE rn = 1 OR prev <> event_type)
+         SELECT user_id, event_type,
+                epoch_us(ts) AS valid_from_us,
+                epoch_us(lead(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id)) AS valid_to_us,
+                (lead(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) IS NULL) AS is_current
+         FROM c""",
 
     // quality is exact integer arithmetic + explicit half-up rounding —
     // round(double, 4) disagrees between engines at .xxxx5 boundaries

@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and corpus mixing for training pipelines — the
+  * "data recipe" operators: per-stratum downsampling and fractional
+  * up/down-sampling by repeat factor. Everything hashes the row id (same
+  * md5-bucket scheme as [[Splits]]) instead of drawing `rand()`: the same
+  * row is kept / repeated identically on every run, any cluster, any
+  * engine — reproducible recipes are a hard requirement when a 100 TB mix
+  * must be regenerable byte-for-byte.
+  *
+  * All pure codegen column arithmetic; `stratified` is a narrow filter
+  * over the scan (predicate-pushdown friendly), `upsample` a narrow
+  * explode — nothing shuffles.
+  */
+object Sampling {
+
+  /** Keep each row with its stratum's probability, decided by the id's
+    * uniform [0, 65536) md5 bucket: kept ⇔ bucket < floor(rate·65536).
+    * Strata absent from `rates` keep `defaultRate`. */
+  def stratified(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val bucket = Splits.hashBucket(col(idCol))
+    val bound = rates.toSeq.sortBy(_._1)
+      .foldRight(lit(math.floor(defaultRate * 65536).toLong)) {
+        case ((stratum, r), elseCol) =>
+          when(col(stratumCol) === stratum,
+            lit(math.floor(r * 65536).toLong)).otherwise(elseCol)
+      }
+    df.filter(bucket < bound)
+  }
+
+  /** Fractional repeat factors: a factor of 2.3 emits every row twice and
+    * a deterministic 30% of rows (by id bucket) a third time; a factor of
+    * 0.25 keeps a quarter of rows once — one operator covers both up- and
+    * down-sampling of a mixture component. Output adds `copy_idx`
+    * (0-based) so downstream shuffles can spread the copies. */
+  def upsample(df: DataFrame, idCol: String, classCol: String,
+      factors: Map[String, Double], defaultFactor: Double = 1.0): DataFrame = {
+    require((factors.values.toSeq :+ defaultFactor).forall(_ >= 0),
+      "factors must be non-negative")
+    def copies(f: Double): (Long, Long) = // (whole copies, frac bound)
+      (math.floor(f).toLong, math.floor((f - math.floor(f)) * 65536).toLong)
+    val bucket = Splits.hashBucket(col(idCol))
+    val (dWhole, dFrac) = copies(defaultFactor)
+    val nCopies = factors.toSeq.sortBy(_._1)
+      .foldRight(lit(dWhole) + when(bucket < dFrac, 1L).otherwise(0L)) {
+        case ((cls, f), elseCol) =>
+          val (wh, fr) = copies(f)
+          when(col(classCol) === cls,
+            lit(wh) + when(bucket < fr, 1L).otherwise(0L)).otherwise(elseCol)
+      }
+    df.withColumn("__n", nCopies)
+      .filter(col("__n") >= 1)
+      .withColumn("copy_idx", explode(expr("sequence(0, __n - 1)")))
+      .drop("__n")
+  }
+}
