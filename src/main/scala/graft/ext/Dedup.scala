@@ -54,27 +54,15 @@ object Dedup {
       })
     }
 
-  /** Per-document distinct shingle SET as one array column — a narrow
-    * (shuffle-free) map: the per-row `array_distinct` replaces a global
-    * `.distinct()` over exploded (id, shingle) rows, which costs a full
-    * shuffle of the token stream. Requires one row per id (true of any
-    * document corpus); both the inverted index (explode this) and the
-    * verification set table ARE this frame, so the expensive text parse
-    * is never followed by a dedup shuffle. */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+  /** Word n-gram shingles, one distinct (id, shingle) row per shingle. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val w = TextAnalysis.words(col(textCol))
     df.select(col(idCol), w.as("w"))
       .select(col(idCol),
-        array_distinct(expr(
-          s"transform(sequence(1, greatest(size(w) - ${n - 1}, 0)), " +
-            s"i -> concat_ws(' ', slice(w, i, $n)))")).as("shset"))
+        explode(expr(s"transform(sequence(1, greatest(size(w) - ${n - 1}, 0)), " +
+          s"i -> concat_ws(' ', slice(w, i, $n)))")).as("shingle"))
+      .distinct()
   }
-
-  /** Word n-gram shingles, one distinct (id, shingle) row per shingle. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    shingleSets(df, idCol, textCol, n)
-      .select(col(idCol), explode(col("shset")).as("shingle"))
 
   /** Exact dedup: normalize → hash → keep the smallest id per hash group.
     * One shuffle on the hash; at scale the hash distributes uniformly so
@@ -120,20 +108,18 @@ object Dedup {
       threshold: Double,
       maxShingleDF: Option[Long] = None
   ): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
-    // One narrow parse produces the set table; exploding it carries the
-    // full set size for free (so no per-doc count window), leaving global
-    // rarity + per-doc rank in a two-window chain (two shuffles — shingle,
-    // then doc id). The set table is ALSO the verification side below; the
-    // duplicated work under AQE's no-sibling-reuse is just the narrow
-    // parse, never a shuffle.
-    val sh = sets.select(col(idCol), size(col("shset")).as("n_doc"),
-      explode(col("shset")).as("shingle"))
+    val sh = shingles(df, idCol, textCol, n)
+    // Global rarity + per-doc rank + per-doc size in ONE windowed chain
+    // (two shuffles — shingle, then doc id) instead of groupBy+join passes:
+    // every derived stat the operator needs rides this single frame, so the
+    // expensive shingle subtree is computed only here and once more (the
+    // verification set table below).
     val withDf = sh.withColumn("df",
       count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    val perDoc = Window.partitionBy(col(idCol))
     val ranked = withDf
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("df"), col("shingle"))))
+      .withColumn("rk", row_number().over(perDoc.orderBy(col("df"), col("shingle"))))
+      .withColumn("n_doc", count(lit(1)).over(perDoc))
     val guarded = maxShingleDF match {
       case Some(cap) =>
         ensureGuardListener(df.sparkSession)
@@ -184,15 +170,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .distinct()
 
-    // exact verify against the per-doc shingle sets (the PPJoin
-    // verification shape): two joins against the one-row-per-doc set frame
+    // exact verify against MATERIALIZED per-doc shingle sets (the PPJoin
+    // verification shape): two joins against a one-row-per-doc set table
     // and a codegen'd array_intersect, instead of re-exploding the full
     // inverted index into a candidates × shingles/doc intermediate. Cost
     // is O(candidates × set size) compute with no wide shuffle; the
     // Jaccard denominator uses the full (pre-cap) set sizes carried on
-    // the candidate rows. `sets` is already one row per doc — no
-    // collect_list aggregation (and its shuffle) needed.
-    val docsets = sets
+    // the candidate rows.
+    val docsets = sh.groupBy(col(idCol)).agg(collect_list(col("shingle")).as("shset"))
     val jac = col("n_inter").cast("double") /
       (col("n_a") + col("n_b") - col("n_inter"))
     candidates
@@ -239,8 +224,7 @@ object Dedup {
     // signature aggregate and the verification set table) — AQE does not
     // reuse sibling stages (PERF.md), so the operator minimizes consumers
     // instead of relying on ReuseExchange.
-    val sets = shingleSets(df, idCol, textCol, shingleN)
-    val sh = sets.select(col(idCol), explode(col("shset")).as("shingle"))
+    val sh = shingles(df, idCol, textCol, shingleN)
     // signatures AND the doc's set size in ONE HashAggregate — the size
     // rides along to the final Jaccard denominator for free, so no extra
     // sizes pass over the shingle subtree is needed.
@@ -274,12 +258,11 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b")).distinct()
 
-    // verify candidates with exact jaccard against the per-doc shingle
-    // sets (array_intersect, codegen) — candidate-driven, so cost is
-    // O(candidate pairs × set size), independent of the corpus-wide
-    // shingle collision count, with no exploded join intermediate. The
-    // set frame comes straight from the narrow parse — no collect_list.
-    val docsets = sets
+    // verify candidates with exact jaccard against materialized per-doc
+    // shingle sets (array_intersect, codegen) — candidate-driven, so cost
+    // is O(candidate pairs × set size), independent of the corpus-wide
+    // shingle collision count, with no exploded join intermediate.
+    val docsets = sh.groupBy(col(idCol)).agg(collect_list(col("shingle")).as("shset"))
     val jac = col("n_inter").cast("double") /
       (col("n_a") + col("n_b") - col("n_inter"))
     candidates
