@@ -723,6 +723,25 @@ object SparkEntry {
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5)),
 
+    // ── Near-dup pairs → dedup CLUSTERS: connected components over the
+    //    minhash pair graph (transitive closure), one row per cluster with
+    //    its min-id label, size, and sorted member list — the form a
+    //    keep-one-representative policy actually consumes (a raw pair list
+    //    mishandles chains A-B-C). Distributed min-label propagation
+    //    (ext.Components); oracle = recursive-CTE closure over the SAME
+    //    pair SQL.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id",
+        "text", shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5)
+      graft.ext.Components.connected(pairs, "doc_a", "doc_b")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(array_sort(collect_set(col("node").cast("string"))), ",")
+            .as("members"))
+        .select(col("component").as("cluster_id"), col("n_docs"),
+          col("members"))
+    }),
+
     // ── SimHash 32-bit fingerprints (occurrence-weighted md5 bit votes).
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")),
@@ -811,6 +830,33 @@ object SparkEntry {
       "zh" -> Seq("de", "shi", "le")
     )
   }
+
+  /** Shared by q_minhash_lsh and q_dedup_clusters (which closes over the
+    * same pair graph) — one source of truth for the pair semantics. */
+  private val minhashLshOracle: String =
+    """WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                        FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
+                FROM words, UNNEST(range(1, len(w)-1)) t(i)),
+         sig AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS sg
+                 FROM sh, UNNEST(range(12)) t(h) GROUP BY 1, 2),
+         bands AS (SELECT doc_id, CAST(floor(h/4) AS INT) AS band,
+                          md5(string_agg(h||':'||sg, '|' ORDER BY h||':'||sg)) AS bsig
+                   FROM sig GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+                   GROUP BY 1, 2),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+         SELECT doc_a, doc_b,
+                round(CAST(c AS DOUBLE)/(na.n + nb.n - c), 4) AS jaccard
+         FROM inter
+         JOIN cnt na ON doc_a = na.doc_id
+         JOIN cnt nb ON doc_b = nb.doc_id
+         WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1438,30 +1484,24 @@ object SparkEntry {
          JOIN cnt nb ON doc_b = nb.doc_id
          WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5""",
 
-    "q_minhash_lsh" ->
-      """WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-                        FROM documents),
-         sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
-                FROM words, UNNEST(range(1, len(w)-1)) t(i)),
-         sig AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS sg
-                 FROM sh, UNNEST(range(12)) t(h) GROUP BY 1, 2),
-         bands AS (SELECT doc_id, CAST(floor(h/4) AS INT) AS band,
-                          md5(string_agg(h||':'||sg, '|' ORDER BY h||':'||sg)) AS bsig
-                   FROM sig GROUP BY 1, 2),
-         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM bands a JOIN bands b
-                  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                   JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
-                   GROUP BY 1, 2),
-         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
-         SELECT doc_a, doc_b,
-                round(CAST(c AS DOUBLE)/(na.n + nb.n - c), 4) AS jaccard
-         FROM inter
-         JOIN cnt na ON doc_a = na.doc_id
-         JOIN cnt nb ON doc_b = nb.doc_id
-         WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5""",
+    "q_minhash_lsh" -> minhashLshOracle,
+
+    // transitive closure of the SAME pair query via a recursive CTE, then
+    // per-component min label / size / sorted member list
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($minhashLshOracle),
+         sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM sym
+                         UNION
+                         SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+                         WHERE s.b <> r.a),
+         comp AS (SELECT a AS node, least(a, min(b)) AS cluster_id
+                  FROM reach GROUP BY a)
+         SELECT cluster_id, count(*) AS n_docs,
+                string_agg(CAST(node AS VARCHAR), ','
+                           ORDER BY CAST(node AS VARCHAR)) AS members
+         FROM comp GROUP BY cluster_id""",
 
     "q_simhash" ->
       """WITH w AS (SELECT doc_id,

@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the step between
+  * near-dup PAIRS and dedup CLUSTERS: transitive closure groups the pairs
+  * so one representative per component survives (a pair list alone can
+  * drop both docs of a chain A–B–C, or keep two of them).
+  *
+  * Min-label propagation: every node starts labeled with itself; each
+  * round every node takes the minimum label among itself and its
+  * neighbors; fixpoint = components labeled by their minimum member.
+  * Each round is ONE distributed aggregation (union of current labels
+  * with neighbor-forwarded labels, `min` per node) — no driver-side graph
+  * state, and the per-round `localCheckpoint` keeps the plan flat instead
+  * of growing a 2^rounds lineage. Convergence is detected distributedly
+  * (count of changed labels); rounds needed = component diameter, which
+  * for near-dup clusters is tiny (chains of a few docs). For
+  * planetary-diameter graphs swap in the large-star/small-star
+  * contraction (same per-round shape, O(log n) rounds) — out of scope
+  * here by design.
+  */
+object Components {
+  /** @return (node, component) — component = min node id reachable. */
+  def connected(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .union(edges
+        .select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      .distinct()
+      .localCheckpoint() // edges are re-joined every round: materialize once
+    var labels = sym.select(col("a").as("node"))
+      .distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      val forwarded = sym
+        .join(labels, sym("a") === labels("node"))
+        .select(col("b").as("node"), col("component"))
+      val next = labels.select(col("node"), col("component"))
+        .union(forwarded)
+        .groupBy(col("node"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("component", "prev"), Seq("node"))
+        .filter(col("component") =!= col("prev"))
+        .count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    labels
+  }
+}

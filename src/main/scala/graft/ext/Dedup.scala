@@ -54,13 +54,19 @@ object Dedup {
       })
     }
 
-  /** Word n-gram shingles, one distinct (id, shingle) row per shingle. */
+  /** Word n-gram shingles, one distinct (id, shingle) row per shingle.
+    * Docs with fewer than n words (incl. empty/null text) yield no rows —
+    * the size guard matters: Spark's `sequence(1, 0)` is DESCENDING
+    * `[1, 0]`, and the 0 would crash `slice` at runtime. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val w = TextAnalysis.words(col(textCol))
     df.select(col(idCol), w.as("w"))
       .select(col(idCol),
-        explode(expr(s"transform(sequence(1, greatest(size(w) - ${n - 1}, 0)), " +
-          s"i -> concat_ws(' ', slice(w, i, $n)))")).as("shingle"))
+        explode(expr(
+          s"case when size(w) >= $n then " +
+            s"transform(sequence(1, size(w) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(w, i, $n))) " +
+            s"else array() end")).as("shingle"))
       .distinct()
   }
 

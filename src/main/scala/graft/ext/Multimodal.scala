@@ -175,8 +175,12 @@ object Multimodal {
     * frame i = bytes [i*frameBytes, (i+1)*frameBytes). */
   def frameSample(df: DataFrame, nFrames: Int,
       frameBytes: Int = FakeCodec.FrameBytes): DataFrame =
+    // empty media must yield no frames: a bare sequence(0, -1) is Spark's
+    // DESCENDING [0, -1] and would emit two junk rows per empty blob
     df.withColumn("frame_idx", explode(expr(
-        s"sequence(0, int(least(ceil(n_bytes / $frameBytes), $nFrames)) - 1)")))
+        s"case when n_bytes > 0 then " +
+          s"sequence(0, int(least(ceil(n_bytes / $frameBytes), $nFrames)) - 1) " +
+          s"else array() end")))
       .withColumn("frame",
         expr(s"substring(media, frame_idx * $frameBytes + 1, $frameBytes)"))
 }

@@ -94,6 +94,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("null / empty / whitespace-only text neither crashes nor pairs") {
+    val degenerate = Seq(
+      (1L, Option("alpha beta gamma delta epsilon")),
+      (2L, Option("alpha beta gamma delta epsilon")),
+      (3L, Option("")),
+      (4L, Option("   \t  ")),
+      (5L, None)
+    ).toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccardPairs(degenerate, "doc_id", "text",
+      n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(jac == Set((1L, 2L))) // degenerate docs produce no shingles
+    val mh = Dedup.minhashLshPairs(degenerate, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mh == Set((1L, 2L)))
+  }
+
   test("embedding cosine pairs: identical vectors found in-bucket") {
     val vecs = Seq(
       (1L, Array(1f, 2f, 3f, 4f)),

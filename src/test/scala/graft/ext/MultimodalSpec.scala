@@ -96,4 +96,10 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_._1).toSeq == Seq(0, 1, 2))
     assert(frames.map(_._2).toSeq == Seq(1024, 1024, 952))
   }
+
+  test("frameSample of empty media yields zero frames, not junk rows") {
+    val empty = Seq((9L, "")).toDF("doc_id", "text")
+    val m = Multimodal.attach(empty, "doc_id", "text", "text/plain")
+    assert(Multimodal.frameSample(m, nFrames = 10).count() == 0)
+  }
 }
