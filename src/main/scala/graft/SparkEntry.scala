@@ -218,24 +218,26 @@ object SparkEntry {
     //    shifted by 100000 (creates); alarms = customers with failed
     //    orders.
     "q_topology" -> ((s, dir) => {
-      val c = Tables.customer(s, dir)
-      val store = c.select(
-        lit("Account").as("label"), col("c_custkey").cast("string").as("name"),
-        lit("healthy").as("health_status"), lit(0L).as("last_updated"),
-        (col("c_custkey") % 1000).cast("long").as("first_seen"))
-      val snapshot = c.filter(col("c_custkey") % 5 =!= 0)
-        .select(lit("Account").as("label"),
-          col("c_custkey").cast("string").as("name"))
-        .unionByName(c.filter(col("c_custkey") % 7 === 0)
-          .select(lit("Account").as("label"),
-            (col("c_custkey") + 100000).cast("string").as("name")))
-      val alarms = Tables.orders(s, dir)
-        .filter(col("o_orderstatus") === "F")
-        .select(lit("Account").as("label"),
-          col("o_custkey").cast("string").as("name"))
-        .distinct()
+      val (store, snapshot, alarms) = topologyInputs(s, dir)
       graft.pipelines.Pipelines.topology(store, snapshot, alarms,
         runStamp = 1700000000L)
+    }),
+
+    // ── Snapshot diff (CDC between store versions): the q_topology run's
+    //    output diffed against the prior store state — one row per
+    //    added / removed / changed vertex with old+new health side by
+    //    side (ops.SnapshotDiff, one full-outer shuffle). The versioned
+    //    GraphStorage.commitSnapshot/readSnapshot layout this feeds is
+    //    spec-gated (filesystem behavior).
+    "q_snapshot_diff" -> ((s, dir) => {
+      val (store, snapshot, alarms) = topologyInputs(s, dir)
+      val current = graft.pipelines.Pipelines
+        .topology(store, snapshot, alarms, runStamp = 1700000000L)
+        .select(col("label"), col("name"), col("health_status"))
+      graft.ops.SnapshotDiff(
+        store.select(col("label"), col("name"), col("health_status")),
+        current, keys = Seq("label", "name"),
+        compareCols = Seq("health_status"))
     }),
 
     // ── §3.3 END-TO-END declared-deps pipeline: templates synthesized from
@@ -831,6 +833,55 @@ object SparkEntry {
     )
   }
 
+  /** Shared inputs of q_topology and q_snapshot_diff: store = all
+    * customers (healthy, stamped); snapshot drops custkey%5==0 (ghosts)
+    * and adds custkey%7==0 shifted by 100000 (creates); alarms =
+    * customers with failed orders. */
+  private def topologyInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val c = Tables.customer(s, dir)
+    val store = c.select(
+      lit("Account").as("label"), col("c_custkey").cast("string").as("name"),
+      lit("healthy").as("health_status"), lit(0L).as("last_updated"),
+      (col("c_custkey") % 1000).cast("long").as("first_seen"))
+    val snapshot = c.filter(col("c_custkey") % 5 =!= 0)
+      .select(lit("Account").as("label"),
+        col("c_custkey").cast("string").as("name"))
+      .unionByName(c.filter(col("c_custkey") % 7 === 0)
+        .select(lit("Account").as("label"),
+          (col("c_custkey") + 100000).cast("string").as("name")))
+    val alarms = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(lit("Account").as("label"),
+        col("o_custkey").cast("string").as("name"))
+      .distinct()
+    (store, snapshot, alarms)
+  }
+
+  /** Shared by q_topology and q_snapshot_diff (which diffs against the
+    * same run) — one source of truth for the pipeline semantics. */
+  private val topologyOracle: String =
+    """WITH store AS (SELECT 'Account' AS label,
+                               CAST(c_custkey AS VARCHAR) AS name,
+                               CAST(c_custkey % 1000 AS BIGINT) AS fs0
+                        FROM customer),
+         snap AS (SELECT 'Account' AS label, CAST(c_custkey AS VARCHAR) AS name
+                  FROM customer WHERE c_custkey % 5 <> 0
+                  UNION ALL
+                  SELECT 'Account', CAST(c_custkey + 100000 AS VARCHAR)
+                  FROM customer WHERE c_custkey % 7 = 0),
+         alarms AS (SELECT DISTINCT 'Account' AS label,
+                           CAST(o_custkey AS VARCHAR) AS name
+                    FROM orders WHERE o_orderstatus = 'F')
+         SELECT s.label, s.name,
+                CASE WHEN a.name IS NOT NULL THEN 'degraded'
+                     ELSE 'healthy' END AS health_status,
+                CAST(1700000000 AS BIGINT) AS last_updated,
+                COALESCE(st.fs0, 1700000000) AS first_seen
+         FROM snap s
+         LEFT JOIN store st ON s.label = st.label AND s.name = st.name
+         LEFT JOIN alarms a ON s.label = a.label AND s.name = a.name"""
+
   /** Shared by q_minhash_lsh and q_dedup_clusters (which closes over the
     * same pair graph) — one source of truth for the pair semantics. */
   private val minhashLshOracle: String =
@@ -996,27 +1047,27 @@ object SparkEntry {
 
     // end-to-end §3.2: snapshot drives the surviving rows (GC); health is
     // reset-then-degrade; first_seen preserved on match, runStamp on create
-    "q_topology" ->
-      """WITH store AS (SELECT 'Account' AS label,
-                               CAST(c_custkey AS VARCHAR) AS name,
-                               CAST(c_custkey % 1000 AS BIGINT) AS fs0
-                        FROM customer),
-         snap AS (SELECT 'Account' AS label, CAST(c_custkey AS VARCHAR) AS name
-                  FROM customer WHERE c_custkey % 5 <> 0
-                  UNION ALL
-                  SELECT 'Account', CAST(c_custkey + 100000 AS VARCHAR)
-                  FROM customer WHERE c_custkey % 7 = 0),
-         alarms AS (SELECT DISTINCT 'Account' AS label,
-                           CAST(o_custkey AS VARCHAR) AS name
-                    FROM orders WHERE o_orderstatus = 'F')
-         SELECT s.label, s.name,
-                CASE WHEN a.name IS NOT NULL THEN 'degraded'
-                     ELSE 'healthy' END AS health_status,
-                CAST(1700000000 AS BIGINT) AS last_updated,
-                COALESCE(st.fs0, 1700000000) AS first_seen
-         FROM snap s
-         LEFT JOIN store st ON s.label = st.label AND s.name = st.name
-         LEFT JOIN alarms a ON s.label = a.label AND s.name = a.name""",
+    "q_topology" -> topologyOracle,
+
+    // the new state's oracle is the SAME topology SQL; old state is the
+    // pre-run store (all healthy). Classification mirrors SnapshotDiff.
+    "q_snapshot_diff" ->
+      s"""WITH newstate AS ($topologyOracle),
+         oldstate AS (SELECT 'Account' AS label,
+                             CAST(c_custkey AS VARCHAR) AS name,
+                             'healthy' AS health_status
+                      FROM customer)
+         SELECT COALESCE(n.label, o.label) AS label,
+                COALESCE(n.name, o.name) AS name,
+                CASE WHEN o.name IS NULL THEN 'added'
+                     WHEN n.name IS NULL THEN 'removed'
+                     ELSE 'changed' END AS change_type,
+                o.health_status AS old_health_status,
+                n.health_status AS new_health_status
+         FROM oldstate o
+         FULL OUTER JOIN newstate n ON o.label = n.label AND o.name = n.name
+         WHERE o.name IS NULL OR n.name IS NULL
+            OR o.health_status <> n.health_status""",
 
     // end-to-end §3.3: the refs are known by construction (same synthesized
     // template as q_ref_extract); the arn ref has no dim row and drops

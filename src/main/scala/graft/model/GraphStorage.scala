@@ -36,4 +36,58 @@ object GraphStorage {
     df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+
+  // ── Versioned snapshots (time travel) ──────────────────────────────
+  // The Delta-style pattern without a table format dependency: each
+  // commit writes an IMMUTABLE `v=<n>` directory, then flips a `_latest`
+  // manifest via atomic rename — readers pinned to a version see a
+  // complete snapshot forever (GC/merge mistakes are undoable), and
+  // readers of "latest" never observe a half-written version because the
+  // manifest only moves after the data write completes. At 100 TB each
+  // version dir is itself label-partitioned; old versions retire by
+  // deleting dirs older than the retention horizon.
+
+  private def fs(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed version numbers, ascending. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val f = fs(spark, root)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong).sorted
+  }
+
+  /** Write `df` as the next snapshot version; returns its number. */
+  def commitSnapshot(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val next = versions(spark, root).lastOption.getOrElse(-1L) + 1
+    df.write.mode("errorifexists").parquet(s"$root/v=$next")
+    val f = fs(spark, root)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"_latest.tmp.$next")
+    val out = f.create(tmp, true)
+    out.write(next.toString.getBytes("UTF-8"))
+    out.close()
+    val latest = new org.apache.hadoop.fs.Path(root, "_latest")
+    f.delete(latest, false)
+    f.rename(tmp, latest) // atomic flip: data first, pointer second
+    next
+  }
+
+  /** Read a pinned version (time travel) or the latest committed one. */
+  def readSnapshot(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse {
+      val latest = new org.apache.hadoop.fs.Path(root, "_latest")
+      val f = fs(spark, root)
+      require(f.exists(latest), s"no committed snapshot under $root")
+      val in = f.open(latest)
+      val n = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+      n
+    }
+    spark.read.parquet(s"$root/v=$v")
+  }
 }

@@ -33,6 +33,46 @@ class GraphStorageSpec extends SparkSpec {
     assert(dirs.toSeq == Seq("label=Microservice", "label=RDSCluster"))
   }
 
+  test("versioned snapshots: commit, latest, time travel, immutability") {
+    val root = Files.createTempDirectory("graftsnap").toString
+    assert(GraphStorage.versions(spark, root).isEmpty)
+
+    val v0 = Seq(("EC2", "i-1", "healthy")).toDF("label", "name", "health")
+    val v1 = Seq(("EC2", "i-1", "degraded"), ("EC2", "i-2", "healthy"))
+      .toDF("label", "name", "health")
+    assert(GraphStorage.commitSnapshot(v0, root) == 0L)
+    assert(GraphStorage.commitSnapshot(v1, root) == 1L)
+    assert(GraphStorage.versions(spark, root) == Seq(0L, 1L))
+
+    // latest pointer follows the newest commit
+    assert(GraphStorage.readSnapshot(spark, root).count() == 2)
+    // time travel: version 0 is intact after version 1 was committed
+    val pinned = GraphStorage.readSnapshot(spark, root, Some(0L))
+    assert(pinned.count() == 1)
+    assert(pinned.select("health").as[String].head() == "healthy")
+    // version dirs are immutable: re-committing the same number is refused
+    intercept[Exception] {
+      v0.write.mode("errorifexists").parquet(s"$root/v=1")
+    }
+  }
+
+  test("snapshot diff between two committed versions is the change feed") {
+    val root = Files.createTempDirectory("graftsnapdiff").toString
+    GraphStorage.commitSnapshot(
+      Seq(("EC2", "i-1", "healthy"), ("EC2", "i-2", "healthy"))
+        .toDF("label", "name", "health"), root)
+    GraphStorage.commitSnapshot(
+      Seq(("EC2", "i-1", "degraded"), ("EC2", "i-3", "healthy"))
+        .toDF("label", "name", "health"), root)
+    val out = graft.ops.SnapshotDiff(
+      GraphStorage.readSnapshot(spark, root, Some(0L)),
+      GraphStorage.readSnapshot(spark, root, Some(1L)),
+      Seq("label", "name"), Seq("health"))
+      .select("name", "change_type").as[(String, String)].collect().toMap
+    assert(out == Map("i-1" -> "changed", "i-2" -> "removed",
+      "i-3" -> "added"))
+  }
+
   test("bucketed tables make the key join shuffle-free") {
     // the in-memory catalog forgets tables between JVMs but their
     // warehouse directories persist — clear both before writing
