@@ -22,7 +22,10 @@ object PlanProbe {
     names.foreach { n =>
       val q = SparkEntry.queries(n)(spark, sfDir)
       val t0 = System.nanoTime()
-      q.count()
+      // execute q's OWN QueryExecution (a ds.count() would build a new
+      // derived plan and leave q's AQE plan unexecuted — reuse/shuffle
+      // counts would then read the never-finalized initial plan)
+      q.queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       val p = q.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head

@@ -794,8 +794,11 @@ object SparkEntry {
     //    15 rows.
     "q_ann_ivf_disk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // unique per invocation: a fixed shared path would let a concurrent
+      // run's overwrite-save delete index files under this run's scan
       val idxPath = System.getProperty("java.io.tmpdir") +
-        "/graft_ivf_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        "/graft_ivf_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + ProcessHandle.current().pid() + "_" + System.nanoTime()
       graft.ext.IvfIndex.build(emb, "vec_id", "embedding", nLists = 16)
         .save(idxPath)
       val loaded = graft.ext.IvfIndex.load(s, idxPath)

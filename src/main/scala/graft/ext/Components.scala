@@ -14,17 +14,32 @@ import org.apache.spark.sql.functions._
   * Each round is ONE distributed aggregation (union of current labels
   * with neighbor-forwarded labels, `min` per node) — no driver-side graph
   * state, and the per-round `localCheckpoint` keeps the plan flat instead
-  * of growing a 2^rounds lineage. Convergence is detected distributedly
-  * (count of changed labels); rounds needed = component diameter, which
-  * for near-dup clusters is tiny (chains of a few docs). For
-  * planetary-diameter graphs swap in the large-star/small-star
+  * of growing a 2^rounds lineage; each round's checkpoint blocks are
+  * unpersisted as soon as the next round materializes, so executor
+  * storage holds at most two generations. Convergence is detected
+  * distributedly (count of changed labels); rounds needed = component
+  * diameter, which for near-dup clusters is tiny (chains of a few docs).
+  * For planetary-diameter graphs swap in the large-star/small-star
   * contraction (same per-round shape, O(log n) rounds) — out of scope
   * here by design.
+  *
+  * Hitting `maxIter` without convergence THROWS by default: unconverged
+  * labels are silently-wrong cluster assignments (a long chain splits in
+  * two). Pass `strict = false` to get best-effort labels instead (logged).
   */
 object Components {
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.ext.Components")
+
+  /** The checkpoint blocks backing a localCheckpoint'd frame. */
+  private def checkpointRdd(df: DataFrame) =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
   /** @return (node, component) — component = min node id reachable. */
   def connected(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, strict: Boolean = true): DataFrame = {
     val sym = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(edges
@@ -50,9 +65,17 @@ object Components {
         .join(labels.withColumnRenamed("component", "prev"), Seq("node"))
         .filter(col("component") =!= col("prev"))
         .count()
+      checkpointRdd(labels).foreach(_.unpersist(false)) // free prior round
       labels = next
       converged = changed == 0
       round += 1
+    }
+    checkpointRdd(sym).foreach(_.unpersist(false))
+    if (!converged) {
+      val msg = s"connected components did not converge within $maxIter " +
+        "rounds (graph diameter exceeds the budget) — labels are NOT final"
+      if (strict) throw new IllegalStateException(msg)
+      else log.warn(msg)
     }
     labels
   }

@@ -60,7 +60,11 @@ object GraphStorage {
       .filter(_.startsWith("v=")).map(_.drop(2).toLong).sorted
   }
 
-  /** Write `df` as the next snapshot version; returns its number. */
+  /** Write `df` as the next snapshot version; returns its number.
+    * Single-committer contract (the reference's ETL runs are serialized
+    * per store); READERS are fully concurrent-safe — the pointer flip is
+    * one atomic overwrite-rename, so `_latest` always names a complete
+    * version and a failed rename raises instead of losing the pointer. */
   def commitSnapshot(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
     val next = versions(spark, root).lastOption.getOrElse(-1L) + 1
@@ -71,8 +75,11 @@ object GraphStorage {
     out.write(next.toString.getBytes("UTF-8"))
     out.close()
     val latest = new org.apache.hadoop.fs.Path(root, "_latest")
-    f.delete(latest, false)
-    f.rename(tmp, latest) // atomic flip: data first, pointer second
+    // atomic overwrite-rename (FileContext throws on failure — never a
+    // silently dropped pointer, never a delete+rename visibility window)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, latest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     next
   }
 

@@ -24,10 +24,14 @@ class ComponentsSpec extends SparkSpec {
     val out = Components.connected(edges, "a", "b")
       .as[(Long, Long)].collect().toMap
     assert(out.values.toSet == Set(0L))
-    // an insufficient round budget must NOT loop forever (correct labels
-    // not guaranteed, termination is)
-    val truncated = Components.connected(edges, "a", "b", maxIter = 2)
-    assert(truncated.count() == 10)
+    // an insufficient round budget fails LOUDLY by default (unconverged
+    // labels are silently-wrong clusters) and terminates either way
+    intercept[IllegalStateException] {
+      Components.connected(edges, "a", "b", maxIter = 2)
+    }
+    val bestEffort = Components.connected(edges, "a", "b", maxIter = 2,
+      strict = false)
+    assert(bestEffort.count() == 10)
   }
 
   test("self-loops and duplicate edges are harmless") {
