@@ -83,6 +83,22 @@ object GraphStorage {
     next
   }
 
+  /** Retention: delete versions older than the newest `keepLast`
+    * (never the latest). Readers pinned to an expired version fail on
+    * their next read — the documented retention trade, same as any
+    * table format's VACUUM. Returns the versions deleted. */
+  def expireSnapshots(spark: SparkSession, root: String,
+      keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val vs = versions(spark, root)
+    val expire = vs.dropRight(keepLast)
+    val f = fs(spark, root)
+    expire.foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
+    }
+    expire
+  }
+
   /** Read a pinned version (time travel) or the latest committed one. */
   def readSnapshot(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {

@@ -98,4 +98,18 @@ class PlanContractSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(400))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("sampling and mixing are NARROW: zero exchanges over the scan") {
+    Seq("q_stratified_sample", "q_mix_upsample").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Exchange"),
+        s"$n should be a pure map over the scan:\n${p.take(400)}")
+    }
+  }
+
+  test("snapshot diff is one full-outer join, never cartesian") {
+    val p = plan("q_snapshot_diff")
+    assert(p.contains("FullOuter"), p.take(400))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

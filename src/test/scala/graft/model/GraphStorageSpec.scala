@@ -56,6 +56,22 @@ class GraphStorageSpec extends SparkSpec {
     }
   }
 
+  test("expireSnapshots keeps the newest versions and latest still reads") {
+    val root = Files.createTempDirectory("graftexpire").toString
+    (0 to 3).foreach { i =>
+      GraphStorage.commitSnapshot(
+        Seq(("EC2", s"i-$i")).toDF("label", "name"), root)
+    }
+    assert(GraphStorage.expireSnapshots(spark, root, keepLast = 2)
+      == Seq(0L, 1L))
+    assert(GraphStorage.versions(spark, root) == Seq(2L, 3L))
+    assert(GraphStorage.readSnapshot(spark, root)
+      .select("name").as[String].head() == "i-3")
+    // next commit continues the version sequence past the gap
+    assert(GraphStorage.commitSnapshot(
+      Seq(("EC2", "i-4")).toDF("label", "name"), root) == 4L)
+  }
+
   test("snapshot diff between two committed versions is the change feed") {
     val root = Files.createTempDirectory("graftsnapdiff").toString
     GraphStorage.commitSnapshot(
