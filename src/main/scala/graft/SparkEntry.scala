@@ -744,6 +744,26 @@ object SparkEntry {
           col("members"))
     }),
 
+    // ── The full keep-one-representative dedup POLICY: clusters ranked by
+    //    quality score, highest-quality member keeps (ties → smallest id),
+    //    the rest are the drop list — what a curation pipeline actually
+    //    materializes from near-dup detection.
+    "q_dedup_keep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5)
+      val comp = graft.ext.Components.connected(pairs, "doc_a", "doc_b")
+      val qual = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text"), ExtConfig.stopwords)
+          .as("quality"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("quality").desc, col("node"))
+      comp.join(qual, comp("node") === qual("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .select(col("component").as("cluster_id"), col("node").as("doc_id"),
+          col("quality"), (col("rk") === 1).as("is_keeper"))
+    }),
+
     // ── SimHash 32-bit fingerprints (occurrence-weighted md5 bit votes).
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")),
@@ -1556,6 +1576,36 @@ object SparkEntry {
                 string_agg(CAST(node AS VARCHAR), ','
                            ORDER BY CAST(node AS VARCHAR)) AS members
          FROM comp GROUP BY cluster_id""",
+
+    // closure + the q_quality_score formula + per-cluster argmax
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE pairs AS ($minhashLshOracle),
+         sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM sym
+                         UNION
+                         SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+                         WHERE s.b <> r.a),
+         comp AS (SELECT a AS node, least(a, min(b)) AS cluster_id
+                  FROM reach GROUP BY a),
+         t AS (SELECT doc_id,
+                CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS w,
+                CAST(strlen(text) AS BIGINT) AS c,
+                CAST(strlen(text) - strlen(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS p,
+                CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT) AS m
+               FROM documents),
+         qual AS (SELECT doc_id,
+                CAST(floor((2*(4*least(w,50)*c*w + 150*(c-p)*w + 150*m*c)*10000
+                            + 500*c*w)
+                           / (2*500*c*w)) AS DOUBLE) / 10000 AS quality
+              FROM t),
+         ranked AS (SELECT cluster_id, node AS doc_id, quality,
+                row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY quality DESC, node) AS rk
+              FROM comp JOIN qual ON node = qual.doc_id)
+         SELECT cluster_id, doc_id, quality, rk = 1 AS is_keeper
+         FROM ranked""",
 
     "q_simhash" ->
       """WITH w AS (SELECT doc_id,
