@@ -905,6 +905,36 @@ object SparkEntry {
          LEFT JOIN store st ON s.label = st.label AND s.name = st.name
          LEFT JOIN alarms a ON s.label = a.label AND s.name = a.name"""
 
+  /** Transitive-closure CTE block (expects a `pairs(doc_a, doc_b)` CTE in
+    * scope; yields `comp(node, cluster_id)`) — shared by q_dedup_clusters
+    * and q_dedup_keep. Interpolating callers must open WITH RECURSIVE. */
+  private val closureOracle: String =
+    """sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM sym
+                         UNION
+                         SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+                         WHERE s.b <> r.a),
+         comp AS (SELECT a AS node, least(a, min(b)) AS cluster_id
+                  FROM reach GROUP BY a)"""
+
+  /** Quality-score building blocks (the integer-exact formula of
+    * TextAnalysis.qualityScore) — shared by q_quality_score and
+    * q_dedup_keep. `qualityTCte` yields `t(doc_id, w, c, p, m)`;
+    * `qualityFormulaSql` is the half-up-rounded score over those. */
+  private val qualityTCte: String =
+    """t AS (SELECT doc_id,
+                CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS w,
+                CAST(strlen(text) AS BIGINT) AS c,
+                CAST(strlen(text) - strlen(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS p,
+                CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT) AS m
+              FROM documents)"""
+  private val qualityFormulaSql: String =
+    """CAST(floor((2*(4*least(w,50)*c*w + 150*(c-p)*w + 150*m*c)*10000
+                            + 500*c*w)
+                           / (2*500*c*w)) AS DOUBLE) / 10000"""
+
   /** Shared by q_minhash_lsh and q_dedup_clusters (which closes over the
     * same pair graph) — one source of truth for the pair semantics. */
   private val minhashLshOracle: String =
@@ -1494,17 +1524,9 @@ object SparkEntry {
     // quality is exact integer arithmetic + explicit half-up rounding —
     // round(double, 4) disagrees between engines at .xxxx5 boundaries
     "q_quality_score" ->
-      """WITH t AS (SELECT doc_id,
-                CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS w,
-                CAST(strlen(text) AS BIGINT) AS c,
-                CAST(strlen(text) - strlen(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS p,
-                CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                     x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT) AS m
-              FROM documents)
+      s"""WITH $qualityTCte
          SELECT doc_id, w AS n_words,
-                CAST(floor((2*(4*least(w,50)*c*w + 150*(c-p)*w + 150*m*c)*10000
-                            + 500*c*w)
-                           / (2*500*c*w)) AS DOUBLE) / 10000 AS quality
+                $qualityFormulaSql AS quality
          FROM t""",
 
     "q_lang_id" ->
@@ -1564,14 +1586,7 @@ object SparkEntry {
     // per-component min label / size / sorted member list
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($minhashLshOracle),
-         sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                 UNION SELECT doc_b, doc_a FROM pairs),
-         reach(a, b) AS (SELECT a, b FROM sym
-                         UNION
-                         SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-                         WHERE s.b <> r.a),
-         comp AS (SELECT a AS node, least(a, min(b)) AS cluster_id
-                  FROM reach GROUP BY a)
+         $closureOracle
          SELECT cluster_id, count(*) AS n_docs,
                 string_agg(CAST(node AS VARCHAR), ','
                            ORDER BY CAST(node AS VARCHAR)) AS members
@@ -1580,26 +1595,9 @@ object SparkEntry {
     // closure + the q_quality_score formula + per-cluster argmax
     "q_dedup_keep" ->
       s"""WITH RECURSIVE pairs AS ($minhashLshOracle),
-         sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                 UNION SELECT doc_b, doc_a FROM pairs),
-         reach(a, b) AS (SELECT a, b FROM sym
-                         UNION
-                         SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-                         WHERE s.b <> r.a),
-         comp AS (SELECT a AS node, least(a, min(b)) AS cluster_id
-                  FROM reach GROUP BY a),
-         t AS (SELECT doc_id,
-                CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS w,
-                CAST(strlen(text) AS BIGINT) AS c,
-                CAST(strlen(text) - strlen(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS p,
-                CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                     x -> list_contains(['the','a','of','and','to'], x))) AS BIGINT) AS m
-               FROM documents),
-         qual AS (SELECT doc_id,
-                CAST(floor((2*(4*least(w,50)*c*w + 150*(c-p)*w + 150*m*c)*10000
-                            + 500*c*w)
-                           / (2*500*c*w)) AS DOUBLE) / 10000 AS quality
-              FROM t),
+         $closureOracle,
+         $qualityTCte,
+         qual AS (SELECT doc_id, $qualityFormulaSql AS quality FROM t),
          ranked AS (SELECT cluster_id, node AS doc_id, quality,
                 row_number() OVER (PARTITION BY cluster_id
                   ORDER BY quality DESC, node) AS rk

@@ -84,19 +84,30 @@ object GraphStorage {
   }
 
   /** Retention: delete versions older than the newest `keepLast`
-    * (never the latest). Readers pinned to an expired version fail on
-    * their next read — the documented retention trade, same as any
-    * table format's VACUUM. Returns the versions deleted. */
+    * COMMITTED versions. Retention is computed relative to the `_latest`
+    * pointer, not the directory listing — a crashed commit can leave a
+    * half-written `v=<n>` dir NEWER than the pointer, and counting it
+    * would expire the real latest; dirs past the pointer are also never
+    * touched (they may be an in-flight commit). Readers pinned to an
+    * expired version fail on their next read — the documented retention
+    * trade, same as any table format's VACUUM. Returns the versions
+    * actually deleted (a failed delete is dropped from the result, not
+    * misreported). */
   def expireSnapshots(spark: SparkSession, root: String,
       keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "keepLast must be >= 1")
-    val vs = versions(spark, root)
-    val expire = vs.dropRight(keepLast)
+    val latest = new org.apache.hadoop.fs.Path(root, "_latest")
     val f = fs(spark, root)
-    expire.foreach { v =>
+    if (!f.exists(latest)) return Seq.empty // nothing committed yet
+    val in = f.open(latest)
+    val committed = try
+      scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+    finally in.close()
+    val expire = versions(spark, root).filter(_ <= committed)
+      .dropRight(keepLast)
+    expire.filter { v =>
       f.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
     }
-    expire
   }
 
   /** Read a pinned version (time travel) or the latest committed one. */

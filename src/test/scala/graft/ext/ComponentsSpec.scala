@@ -40,4 +40,34 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("property: equals brute-force union-find on random graphs") {
+    // reference implementation: path-compressed union-find on the driver
+    def unionFind(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      // min-label canonicalization: root chosen by union order is already
+      // the min because we always parent the larger root under the smaller
+      nodes.map(n => n -> find(n)).toMap
+    }
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      val n = 30 + trial * 10
+      val es = Seq.fill(n) {
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)
+      }.filter(e => e._1 != e._2)
+      val expected = unionFind(es)
+      val got = Components.connected(es.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial: $got != $expected")
+    }
+  }
 }

@@ -72,6 +72,22 @@ class GraphStorageSpec extends SparkSpec {
       Seq(("EC2", "i-4")).toDF("label", "name"), root) == 4L)
   }
 
+  test("expireSnapshots never counts or touches dirs past _latest") {
+    val root = Files.createTempDirectory("graftorphan").toString
+    (0 to 2).foreach { i =>
+      GraphStorage.commitSnapshot(
+        Seq(("EC2", s"i-$i")).toDF("label", "name"), root)
+    }
+    // simulate a crashed commit: a data dir newer than the pointer
+    Seq(("EC2", "orphan")).toDF("label", "name")
+      .write.parquet(s"$root/v=5")
+    assert(GraphStorage.expireSnapshots(spark, root, keepLast = 1)
+      == Seq(0L, 1L)) // v=2 (committed latest) survives; v=5 untouched
+    assert(GraphStorage.versions(spark, root) == Seq(2L, 5L))
+    assert(GraphStorage.readSnapshot(spark, root)
+      .select("name").as[String].head() == "i-2")
+  }
+
   test("snapshot diff between two committed versions is the change feed") {
     val root = Files.createTempDirectory("graftsnapdiff").toString
     GraphStorage.commitSnapshot(
