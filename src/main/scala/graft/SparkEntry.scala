@@ -744,6 +744,17 @@ object SparkEntry {
           col("members"))
     }),
 
+    // ── Fixed-iteration PageRank over the supplier→part-bucket graph in
+    //    INTEGER arithmetic (10¹² score grid, BIGINT floor division):
+    //    bit-exact against the SQL oracle — a float PageRank never is.
+    //    Graph centrality for the knowledge-graph side (ext.PageRank,
+    //    iterations unrolled into ONE plan, inputs checkpointed once).
+    "q_pagerank" -> ((s, dir) =>
+      graft.ext.PageRank.scores(
+        Tables.lineitem(s, dir).select(col("l_suppkey").as("src"),
+          (lit(100000) + col("l_partkey") % 100).as("dst")),
+        "src", "dst", iterations = 3)),
+
     // ── The full keep-one-representative dedup POLICY: clusters ranked by
     //    quality score, highest-quality member keeps (ties → smallest id),
     //    the rest are the drop list — what a curation pipeline actually
@@ -1591,6 +1602,37 @@ object SparkEntry {
                 string_agg(CAST(node AS VARCHAR), ','
                            ORDER BY CAST(node AS VARCHAR)) AS members
          FROM comp GROUP BY cluster_id""",
+
+    // 3 unrolled integer iterations; every sum CAST back to BIGINT
+    // (DuckDB sum() yields HUGEINT — the q_pack type-hash trap)
+    "q_pagerank" ->
+      """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                           CAST(100000 + l_partkey % 100 AS BIGINT) AS dst
+                    FROM lineitem),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         outd AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+         c AS (SELECT (CAST(1000000000000 AS BIGINT) * 15)
+                      // (100 * count(*)) AS base FROM nodes),
+         s0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS score FROM nodes),
+         m1 AS (SELECT e.dst AS id, CAST(sum(s0.score // outd.od) AS BIGINT) AS m
+                FROM e JOIN s0 ON e.src = s0.id JOIN outd ON e.src = outd.src
+                GROUP BY e.dst),
+         s1 AS (SELECT n.id,
+                       CAST((SELECT base FROM c) + 85 * COALESCE(m1.m, 0) // 100 AS BIGINT) AS score
+                FROM nodes n LEFT JOIN m1 ON n.id = m1.id),
+         m2 AS (SELECT e.dst AS id, CAST(sum(s1.score // outd.od) AS BIGINT) AS m
+                FROM e JOIN s1 ON e.src = s1.id JOIN outd ON e.src = outd.src
+                GROUP BY e.dst),
+         s2 AS (SELECT n.id,
+                       CAST((SELECT base FROM c) + 85 * COALESCE(m2.m, 0) // 100 AS BIGINT) AS score
+                FROM nodes n LEFT JOIN m2 ON n.id = m2.id),
+         m3 AS (SELECT e.dst AS id, CAST(sum(s2.score // outd.od) AS BIGINT) AS m
+                FROM e JOIN s2 ON e.src = s2.id JOIN outd ON e.src = outd.src
+                GROUP BY e.dst),
+         s3 AS (SELECT n.id,
+                       CAST((SELECT base FROM c) + 85 * COALESCE(m3.m, 0) // 100 AS BIGINT) AS score
+                FROM nodes n LEFT JOIN m3 ON n.id = m3.id)
+         SELECT id, score FROM s3""",
 
     // closure + the q_quality_score formula + per-cluster argmax
     "q_dedup_keep" ->

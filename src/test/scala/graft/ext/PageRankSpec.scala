@@ -1,0 +1,43 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // star: hub 1 ← {2,3,4}; plus 4→5 chain tail
+  private def edges = Seq(
+    (2L, 1L), (3L, 1L), (4L, 1L), (4L, 5L)
+  ).toDF("src", "dst")
+
+  test("hub accumulates more score than leaves; deterministic repeat") {
+    val out = PageRank.scores(edges, "src", "dst", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(1L) > out(5L)) // 3 in-edges vs 1 half-weight in-edge
+    assert(out(1L) > out(2L)) // sources keep only the base share
+    assert(out(2L) == out(3L)) // symmetric nodes get identical scores
+    val again = PageRank.scores(edges, "src", "dst", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == again) // integer arithmetic: bit-equal reruns
+  }
+
+  test("matches a hand-rolled integer reference on the same graph") {
+    def reference(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val outd = es.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val base = (PageRank.Scale * 15L) / (100L * nodes.size)
+      var s = nodes.map(_ -> PageRank.Scale).toMap
+      (1 to iters).foreach { _ =>
+        val m = es.groupBy(_._2).map { case (dst, in) =>
+          dst -> in.map { case (u, _) => s(u) / outd(u) }.sum
+        }
+        s = nodes.map(v => v -> (base + 85L * m.getOrElse(v, 0L) / 100L)).toMap
+      }
+      s
+    }
+    val got = PageRank.scores(edges, "src", "dst", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == reference(Seq((2L, 1L), (3L, 1L), (4L, 1L), (4L, 5L)), 3))
+  }
+}
