@@ -53,21 +53,26 @@ object Components {
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
-      val forwarded = sym
+      val msgMin = sym
         .join(labels, sym("a") === labels("node"))
         .select(col("b").as("node"), col("component"))
-      val next = labels.select(col("node"), col("component"))
-        .union(forwarded)
-        .groupBy(col("node"))
-        .agg(min(col("component")).as("component"))
+        .groupBy(col("node")).agg(min(col("component")).as("m"))
+      // min(self, neighbors) via ONE left join; the change flag rides the
+      // SAME checkpointed frame, so convergence detection is a scan of
+      // the materialized blocks (limit-1 early exit), not a second
+      // shuffle join against the previous round
+      val next = labels
+        .join(msgMin, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("component"), coalesce(col("m"), col("component")))
+            .as("component"),
+          (coalesce(col("m"), col("component")) < col("component"))
+            .as("__chg"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("component", "prev"), Seq("node"))
-        .filter(col("component") =!= col("prev"))
-        .count()
+      val anyChanged = next.filter(col("__chg")).limit(1).count() > 0
       checkpointRdd(labels).foreach(_.unpersist(false)) // free prior round
-      labels = next
-      converged = changed == 0
+      labels = next.drop("__chg")
+      converged = !anyChanged
       round += 1
     }
     checkpointRdd(sym).foreach(_.unpersist(false))
