@@ -112,4 +112,12 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("FullOuter"), p.take(400))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("persisted-index ANN equals the in-memory build (rows-only twin)") {
+    // q_ann_ivf and q_ann_ivf_disk have no SQL oracle (k-means); pin the
+    // on-disk serving path to the in-memory result instead
+    def rows(n: String) = SparkEntry.queries(n)(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows("q_ann_ivf") == rows("q_ann_ivf_disk"))
+  }
 }
