@@ -114,12 +114,16 @@ object Dedup {
       threshold: Double,
       maxShingleDF: Option[Long] = None
   ): DataFrame = {
+    // NOT checkpointed: materializing the exploded shingles to avoid the
+    // second parse+distinct (the verification set table below) was
+    // measured at sf0.1 — the checkpoint write costs more than the saved
+    // recompute (4.1 s vs 3.9 s warm). Recompute wins here because the
+    // subtree is cheap relative to its materialized size; see PERF.md's
+    // exchange-vs-recompute note.
     val sh = shingles(df, idCol, textCol, n)
     // Global rarity + per-doc rank + per-doc size in ONE windowed chain
     // (two shuffles — shingle, then doc id) instead of groupBy+join passes:
-    // every derived stat the operator needs rides this single frame, so the
-    // expensive shingle subtree is computed only here and once more (the
-    // verification set table below).
+    // every derived stat the operator needs rides this single frame.
     val withDf = sh.withColumn("df",
       count(lit(1)).over(Window.partitionBy(col("shingle"))))
     val perDoc = Window.partitionBy(col(idCol))
