@@ -744,6 +744,20 @@ object SparkEntry {
           col("members"))
     }),
 
+    // ── Gaps-and-islands: per-user activity intervals ([ts, ts + 1+⌊value⌋
+    //    minutes]) merged into maximal coverage islands — the windowed
+    //    interval-compaction every downtime/coverage report needs
+    //    (ops.Intervals, one shuffle).
+    "q_interval_merge" -> ((s, dir) =>
+      graft.ops.Intervals.mergeOverlapping(
+        Tables.events(s, dir).select(
+          col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) +
+            (floor(col("value")).cast("long") + 1L) * 60000000L).as("end_us")),
+        keys = Seq("user_id"), startCol = "start_us", endCol = "end_us",
+        tieBreak = Seq("event_id"))),
+
     // ── Fixed-iteration PageRank over the supplier→part-bucket graph in
     //    INTEGER arithmetic (10¹² score grid, BIGINT floor division):
     //    bit-exact against the SQL oracle — a float PageRank never is.
@@ -1602,6 +1616,31 @@ object SparkEntry {
                 string_agg(CAST(node AS VARCHAR), ','
                            ORDER BY CAST(node AS VARCHAR)) AS members
          FROM comp GROUP BY cluster_id""",
+
+    // running max over earlier ends (never lag) so nested intervals can't
+    // split an island; the island id sum is CAST BIGINT (HUGEINT trap)
+    "q_interval_merge" ->
+      """WITH iv AS (SELECT user_id, event_id,
+                CAST(epoch_us(ts) AS BIGINT) AS start_us,
+                CAST(epoch_us(ts) AS BIGINT)
+                  + (CAST(floor(value) AS BIGINT) + 1) * 60000000 AS end_us
+              FROM events),
+         m AS (SELECT user_id, event_id, start_us, end_us,
+                max(end_us) OVER (PARTITION BY user_id
+                  ORDER BY start_us, end_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+               FROM iv),
+         b AS (SELECT user_id, event_id, start_us, end_us,
+                CASE WHEN pm IS NULL OR start_us > pm THEN 1 ELSE 0 END AS brk
+               FROM m),
+         i AS (SELECT user_id, start_us, end_us,
+                CAST(sum(brk) OVER (PARTITION BY user_id
+                  ORDER BY start_us, end_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+               FROM b)
+         SELECT user_id, min(start_us) AS start_us, max(end_us) AS end_us,
+                count(*) AS n_merged
+         FROM i GROUP BY user_id, island""",
 
     // 3 unrolled integer iterations; every sum CAST back to BIGINT
     // (DuckDB sum() yields HUGEINT — the q_pack type-hash trap)
