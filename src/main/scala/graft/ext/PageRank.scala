@@ -39,6 +39,7 @@ object PageRank {
     val outd = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .localCheckpoint()
     val n = nodes.count() // fixed constant of the graph, computed once
+    if (n == 0) return nodes.withColumn("score", lit(Scale)) // empty graph
     val base = (Scale * (100L - dampNum)) / (100L * n)
 
     var s = nodes.withColumn("score", lit(Scale))

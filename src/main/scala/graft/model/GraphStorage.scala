@@ -51,8 +51,9 @@ object GraphStorage {
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Committed version numbers, ascending. */
-  def versions(spark: SparkSession, root: String): Seq[Long] = {
+  /** Every `v=<n>` directory, complete or not — the namespace a new
+    * commit must not collide with. */
+  private def allVersionDirs(spark: SparkSession, root: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(root)
     val f = fs(spark, root)
     if (!f.exists(p)) Seq.empty
@@ -60,14 +61,40 @@ object GraphStorage {
       .filter(_.startsWith("v=")).map(_.drop(2).toLong).sorted
   }
 
+  /** The `_latest` pointer's version, if any commit ever completed. */
+  private def latestCommitted(spark: SparkSession,
+      root: String): Option[Long] = {
+    val latest = new org.apache.hadoop.fs.Path(root, "_latest")
+    val f = fs(spark, root)
+    if (!f.exists(latest)) None
+    else {
+      val in = f.open(latest)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** COMPLETE version numbers, ascending: a `v=<n>` dir counts only with
+    * its parquet job's `_SUCCESS` marker — a crashed commit's
+    * half-written dir is invisible here (but still blocks its number,
+    * see [[commitSnapshot]]). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    allVersionDirs(spark, root).filter { v =>
+      f.exists(new org.apache.hadoop.fs.Path(root, s"v=$v/_SUCCESS"))
+    }
+  }
+
   /** Write `df` as the next snapshot version; returns its number.
     * Single-committer contract (the reference's ETL runs are serialized
     * per store); READERS are fully concurrent-safe — the pointer flip is
     * one atomic overwrite-rename, so `_latest` always names a complete
-    * version and a failed rename raises instead of losing the pointer. */
+    * version and a failed rename raises instead of losing the pointer.
+    * Version numbering skips over ANY existing dir (even a crashed
+    * commit's half-written one — never clobber, never reuse a number). */
   def commitSnapshot(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
-    val next = versions(spark, root).lastOption.getOrElse(-1L) + 1
+    val next = allVersionDirs(spark, root).lastOption.getOrElse(-1L) + 1
     df.write.mode("errorifexists").parquet(s"$root/v=$next")
     val f = fs(spark, root)
     val tmp = new org.apache.hadoop.fs.Path(root, s"_latest.tmp.$next")
@@ -83,45 +110,35 @@ object GraphStorage {
     next
   }
 
-  /** Retention: delete versions older than the newest `keepLast`
-    * COMMITTED versions. Retention is computed relative to the `_latest`
-    * pointer, not the directory listing — a crashed commit can leave a
-    * half-written `v=<n>` dir NEWER than the pointer, and counting it
-    * would expire the real latest; dirs past the pointer are also never
-    * touched (they may be an in-flight commit). Readers pinned to an
-    * expired version fail on their next read — the documented retention
-    * trade, same as any table format's VACUUM. Returns the versions
-    * actually deleted (a failed delete is dropped from the result, not
-    * misreported). */
+  /** Retention: delete complete versions older than the newest `keepLast`
+    * at-or-below the `_latest` pointer. Half-written dirs (no `_SUCCESS`)
+    * are never counted — they can neither consume a retention slot nor be
+    * mistaken for history; dirs past the pointer are never touched (an
+    * in-flight commit). Readers pinned to an expired version fail on
+    * their next read — the documented retention trade, same as any table
+    * format's VACUUM. Returns the versions actually deleted (a failed
+    * delete is dropped from the result, not misreported). */
   def expireSnapshots(spark: SparkSession, root: String,
       keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "keepLast must be >= 1")
-    val latest = new org.apache.hadoop.fs.Path(root, "_latest")
-    val f = fs(spark, root)
-    if (!f.exists(latest)) return Seq.empty // nothing committed yet
-    val in = f.open(latest)
-    val committed = try
-      scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-    finally in.close()
-    val expire = versions(spark, root).filter(_ <= committed)
-      .dropRight(keepLast)
-    expire.filter { v =>
-      f.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
+    latestCommitted(spark, root) match {
+      case None => Seq.empty // nothing committed yet
+      case Some(pointer) =>
+        val f = fs(spark, root)
+        versions(spark, root).filter(_ <= pointer)
+          .dropRight(keepLast)
+          .filter { v =>
+            f.delete(new org.apache.hadoop.fs.Path(root, s"v=$v"), true)
+          }
     }
   }
 
   /** Read a pinned version (time travel) or the latest committed one. */
   def readSnapshot(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
-    val v = version.getOrElse {
-      val latest = new org.apache.hadoop.fs.Path(root, "_latest")
-      val f = fs(spark, root)
-      require(f.exists(latest), s"no committed snapshot under $root")
-      val in = f.open(latest)
-      val n = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-      n
-    }
+    val v = version.orElse(latestCommitted(spark, root)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed snapshot under $root"))
     spark.read.parquet(s"$root/v=$v")
   }
 }

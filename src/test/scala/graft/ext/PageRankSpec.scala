@@ -22,6 +22,11 @@ class PageRankSpec extends SparkSpec {
     assert(out == again) // integer arithmetic: bit-equal reruns
   }
 
+  test("empty edge frame yields an empty result, not a crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(PageRank.scores(empty, "src", "dst").count() == 0)
+  }
+
   test("matches a hand-rolled integer reference on the same graph") {
     def reference(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
       val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct

@@ -72,20 +72,30 @@ class GraphStorageSpec extends SparkSpec {
       Seq(("EC2", "i-4")).toDF("label", "name"), root) == 4L)
   }
 
-  test("expireSnapshots never counts or touches dirs past _latest") {
+  test("crashed-commit dirs are invisible to history but block numbers") {
     val root = Files.createTempDirectory("graftorphan").toString
     (0 to 2).foreach { i =>
       GraphStorage.commitSnapshot(
         Seq(("EC2", s"i-$i")).toDF("label", "name"), root)
     }
-    // simulate a crashed commit: a data dir newer than the pointer
+    // simulate a crashed commit: a half-written data dir (no _SUCCESS)
     Seq(("EC2", "orphan")).toDF("label", "name")
       .write.parquet(s"$root/v=5")
+    new java.io.File(s"$root/v=5/_SUCCESS").delete()
+    assert(GraphStorage.versions(spark, root) == Seq(0L, 1L, 2L))
     assert(GraphStorage.expireSnapshots(spark, root, keepLast = 1)
-      == Seq(0L, 1L)) // v=2 (committed latest) survives; v=5 untouched
-    assert(GraphStorage.versions(spark, root) == Seq(2L, 5L))
+      == Seq(0L, 1L)) // v=2 (committed latest) survives; v=5 not a slot
+    assert(GraphStorage.versions(spark, root) == Seq(2L))
     assert(GraphStorage.readSnapshot(spark, root)
       .select("name").as[String].head() == "i-2")
+    // the orphan's number is burned, never reused or clobbered
+    assert(GraphStorage.commitSnapshot(
+      Seq(("EC2", "i-6")).toDF("label", "name"), root) == 6L)
+    // even after the pointer advances past the orphan, it cannot consume
+    // a retention slot (the round-2 review scenario)
+    assert(GraphStorage.expireSnapshots(spark, root, keepLast = 1)
+      == Seq(2L))
+    assert(GraphStorage.versions(spark, root) == Seq(6L))
   }
 
   test("snapshot diff between two committed versions is the change feed") {
