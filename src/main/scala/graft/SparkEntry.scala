@@ -744,6 +744,14 @@ object SparkEntry {
           col("members"))
     }),
 
+    // ── Ordered funnel: users converting view → click → purchase with
+    //    each stage strictly after the previous one (greedy earliest-
+    //    first; ops.Funnel — one user-keyed aggregation per step, stages
+    //    stay co-partitioned).
+    "q_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.steps(Tables.events(s, dir), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))),
+
     // ── Gaps-and-islands: per-user activity intervals ([ts, ts + 1+⌊value⌋
     //    minutes]) merged into maximal coverage islands — the windowed
     //    interval-compaction every downtime/coverage report needs
@@ -1616,6 +1624,26 @@ object SparkEntry {
                 string_agg(CAST(node AS VARCHAR), ','
                            ORDER BY CAST(node AS VARCHAR)) AS members
          FROM comp GROUP BY cluster_id""",
+
+    // chained stage CTEs mirror the operator: earliest qualifying event
+    // strictly after the previous stage time
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                     WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                GROUP BY e.user_id)
+         SELECT 1 AS step_idx, 'view' AS step,
+                (SELECT count(*) FROM s1) AS n_users
+         UNION ALL
+         SELECT 2, 'click', (SELECT count(*) FROM s2)
+         UNION ALL
+         SELECT 3, 'purchase', (SELECT count(*) FROM s3)""",
 
     // running max over earlier ends (never lag) so nested intervals can't
     // split an island; the island id sum is CAST BIGINT (HUGEINT trap)
