@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Relevance, Similarity, TextAnalysis}
 import graft.model.Tables
 import graft.ops._
 
@@ -611,6 +611,21 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
         TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"))),
 
+    // ── BM25 relevance of every document against a 3-term query: per-doc
+    //    tf/dl are codegen array arithmetic, corpus stats (N, Σdl, df)
+    //    are ONE single-row aggregate broadcast back — retrieval-style
+    //    scoring with zero per-term shuffles (ext.Relevance).
+    "q_bm25" -> ((s, dir) =>
+      Relevance.bm25(Tables.documents(s, dir), "doc_id", "text",
+        terms = Seq("spark", "table", "join"))),
+
+    // ── Gopher-style repetition quality signals: duplicate-word fraction
+    //    + most-frequent-bigram coverage, everything keyed per document
+    //    (codegen array arithmetic + one doc-local histogram; nothing
+    //    corpus-global — ext.Repetition).
+    "q_repetition" -> ((s, dir) =>
+      graft.ext.Repetition.stats(Tables.documents(s, dir), "doc_id", "text")),
+
     // ── Decontamination: n-gram containment of held-out docs in the
     //    training corpus vocabulary (train/test overlap check). Probes =
     //    every 10th doc; corpus = the rest.
@@ -776,6 +791,18 @@ object SparkEntry {
         Tables.lineitem(s, dir).select(col("l_suppkey").as("src"),
           (lit(100000) + col("l_partkey") % 100).as("dst")),
         "src", "dst", iterations = 3)),
+
+    // ── Triangle counting on the part co-purchase graph (parts sharing an
+    //    order): degree-oriented wedge join — hubs emit no wedges from
+    //    their own adjacency, so the join is O(m^1.5) not Θ(Σdeg²)
+    //    (ext.Triangles). Local clustering density for the graph side.
+    "q_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), Seq("l_orderkey"))
+        .where(col("u") < col("v"))
+      graft.ext.Triangles.perNode(edges, "u", "v")
+    }),
 
     // ── The full keep-one-representative dedup POLICY: clusters ranked by
     //    quality score, highest-quality member keeps (ties → smallest id),
@@ -1452,6 +1479,71 @@ object SparkEntry {
                 len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens
          FROM documents""",
 
+    // expression tree mirrors Relevance.bm25 verbatim (same association
+    // order — double + and * are order-sensitive); ln args are exact
+    // integer-derived doubles, round(,4) absorbs sub-ulp libm drift
+    "q_bm25" ->
+      """WITH w AS (SELECT doc_id,
+                string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents),
+         base AS (SELECT doc_id, len(ws) AS dl,
+                len(list_filter(ws, x -> x = 'spark')) AS tf_0,
+                len(list_filter(ws, x -> x = 'table')) AS tf_1,
+                len(list_filter(ws, x -> x = 'join'))  AS tf_2
+              FROM w),
+         stats AS (SELECT
+                CAST(count(*) AS DOUBLE) AS n_docs,
+                CAST(sum(dl) AS DOUBLE) AS sum_dl,
+                CAST(count(CASE WHEN tf_0 > 0 THEN 1 END) AS DOUBLE) AS df_0,
+                CAST(count(CASE WHEN tf_1 > 0 THEN 1 END) AS DOUBLE) AS df_1,
+                CAST(count(CASE WHEN tf_2 > 0 THEN 1 END) AS DOUBLE) AS df_2
+              FROM base)
+         SELECT doc_id, dl, tf_0, tf_1, tf_2,
+                round(
+                  ln((n_docs - df_0 + 0.5) / (df_0 + 0.5) + 1.0)
+                    * (CAST(tf_0 AS DOUBLE) * 2.2)
+                    / (CAST(tf_0 AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs))))
+                + ln((n_docs - df_1 + 0.5) / (df_1 + 0.5) + 1.0)
+                    * (CAST(tf_1 AS DOUBLE) * 2.2)
+                    / (CAST(tf_1 AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs))))
+                + ln((n_docs - df_2 + 0.5) / (df_2 + 0.5) + 1.0)
+                    * (CAST(tf_2 AS DOUBLE) * 2.2)
+                    / (CAST(tf_2 AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))),
+                4) AS bm25
+         FROM base, stats""",
+
+    // bigram = word || lead(word) over doc position (unnest zips with
+    // generate_subscripts); fractions use the integer half-up formulation
+    "q_repetition" ->
+      """WITH d AS (SELECT doc_id,
+                string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents),
+         base AS (SELECT doc_id, len(ws) AS n_words,
+                len(list_distinct(ws)) AS n_distinct FROM d),
+         w AS (SELECT doc_id, unnest(ws) AS word,
+                generate_subscripts(ws, 1) AS pos FROM d),
+         b AS (SELECT doc_id, word || ' ' ||
+                lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+              FROM w),
+         c AS (SELECT doc_id, bigram, count(*) AS n_occ FROM b
+              WHERE bigram IS NOT NULL GROUP BY doc_id, bigram),
+         top AS (SELECT doc_id, bigram AS top_bigram, n_occ,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY n_occ DESC, bigram) AS rk
+              FROM c)
+         SELECT base.doc_id,
+                floor((2*(n_words - n_distinct)*10000 + greatest(n_words, 1))
+                      / (2*greatest(n_words, 1))) / 10000.0 AS dup_word_frac,
+                top_bigram,
+                coalesce(floor((2*n_occ*10000 + greatest(n_words - 1, 1))
+                      / (2*greatest(n_words - 1, 1))) / 10000.0, 0.0)
+                  AS top_bigram_frac
+         FROM base LEFT JOIN (SELECT * FROM top WHERE rk = 1) t
+           USING (doc_id)""",
+
     "q_contamination" ->
       """WITH cw AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
                      FROM documents WHERE doc_id % 10 <> 0),
@@ -1624,6 +1716,20 @@ object SparkEntry {
                 string_agg(CAST(node AS VARCHAR), ','
                            ORDER BY CAST(node AS VARCHAR)) AS members
          FROM comp GROUP BY cluster_id""",
+
+    // id-ordered naive enumeration — same triangle set as the operator's
+    // degree-oriented join (each triangle once, as a<b<c)
+    "q_triangles" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+               FROM e e1 JOIN e e2 ON e2.x = e1.y
+                         JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+         n AS (SELECT a AS node FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri)
+         SELECT node, count(*) AS n_tri FROM n GROUP BY node""",
 
     // chained stage CTEs mirror the operator: earliest qualifying event
     // strictly after the previous stage time

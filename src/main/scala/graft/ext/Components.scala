@@ -40,12 +40,18 @@ object Components {
   /** @return (node, component) — component = min node id reachable. */
   def connected(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25, strict: Boolean = true): DataFrame = {
+    // symmetrize in ONE pass over the edge subtree (explode, not union —
+    // a union would evaluate an expensive upstream pair computation twice,
+    // since AQE does not reuse sibling stages), then materialize once:
+    // edges are re-joined every round
     val sym = edges
-      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .union(edges
-        .select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      .select(explode(array(
+        struct(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b")),
+        struct(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b"))))
+        .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
-      .localCheckpoint() // edges are re-joined every round: materialize once
+      .localCheckpoint()
     var labels = sym.select(col("a").as("node"))
       .distinct()
       .withColumn("component", col("node"))
