@@ -12,9 +12,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-loop escape hatch: SPARK_GRAFT_ONLY=q_a,q_b times a subset
+    // (the driver never sets it — full corpus by default)
+    val queries = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(names) =>
+        val keep = names.split(",").map(_.trim).toSet
+        SparkEntry.queries.filter { case (n, _) => keep(n) }
+      case None => SparkEntry.queries
+    }
     // untimed warm-up pass: JIT, codegen caches, parquet footers — the
     // timed passes below measure steady-state per-query cost
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // TWO timed passes, report the per-query MINIMUM: the host shows
@@ -22,13 +30,13 @@ object Bench {
     // apart minutes apart); the minimum is the reproducible steady state
     // while a single pass inherits whatever the box was doing that minute.
     val passes = (1 to 2).map { _ =>
-      SparkEntry.queries.map { case (name, fn) =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
-    val results = SparkEntry.queries.keys
+    val results = queries.keys
       .map(name => name -> passes.map(_(name)).min).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
