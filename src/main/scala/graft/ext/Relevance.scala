@@ -40,10 +40,16 @@ object Relevance {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val ws = TextAnalysis.words(col(textCol))
     val tfCols = terms.indices.map { i =>
-      size(filter(ws, w => w === lit(terms(i)))).cast("long").as(s"tf_$i")
+      // words() lower-cases tokens; match the terms case-insensitively
+      // too, or a capitalized query term would silently score 0 corpus-wide
+      size(filter(ws, w => w === lit(terms(i).toLowerCase))).cast("long").as(s"tf_$i")
     }
+    // materialize the narrow (id, dl, tf...) frame once: it feeds both
+    // the stats aggregate and the probe side, and without the checkpoint
+    // the scan + tokenization would run twice (no AQE sibling-stage reuse)
     val base = docs.select(
       col(idCol) +: size(ws).cast("long").as("dl") +: tfCols: _*)
+      .localCheckpoint()
 
     val statAggs =
       count(lit(1)).cast("double").as("n_docs") +:

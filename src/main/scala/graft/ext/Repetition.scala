@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *   - `top_bigram_frac` — occurrences(top bigram)/(words − 1): how much
   *     of the document is one repeated phrase.
   * Both fractions are exact integer ratios rounded half-up to 4 dp via
-  * the same integer-floor formulation as [[TextAnalysis.qualityScore]]
+  * the shared [[TextAnalysis.halfUp4]] integer-floor formulation
   * (bit-identical in any engine; `round(double, 4)` is not).
   *
   * Shape for 100 TB: word/distinct counts are codegen array arithmetic
@@ -29,10 +29,7 @@ import org.apache.spark.sql.functions._
   * documents have no bigram: frac 0, top_bigram NULL.
   */
 object Repetition {
-
-  private def halfUp4(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
-    floor((lit(2L) * num * lit(10000L) + den) / (lit(2L) * den))
-      .cast("double") / lit(10000.0)
+  import TextAnalysis.halfUp4
 
   def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = TextAnalysis.words(col(textCol))

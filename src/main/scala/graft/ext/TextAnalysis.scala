@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Exact half-up rounding of the integer ratio num/den to 4 dp:
+    * half-up(num/den · 10⁴) = ⌊(2·num·10⁴ + den) / (2·den)⌋, computed in
+    * BIGINT then floored — engine-independent where `round(double, 4)`
+    * is not (see [[qualityScore]]'s docstring for the exactness bound:
+    * requires num·10⁴ ≲ 2⁵³ and quotient ≲ 10⁹). */
+  private[ext] def halfUp4(num: Column, den: Column): Column =
+    floor((lit(2L) * num * lit(10000L) + den) / (lit(2L) * den))
+      .cast("double") / lit(10000.0)
+
   /** Lower-cased whitespace tokens of the trimmed text. */
   def words(text: Column): Column = split(lower(trim(text)), "\\s+")
 
@@ -57,8 +66,7 @@ object TextAnalysis {
     val n = lit(4L) * least(w, lit(50L)) * c * w +
       lit(150L) * (c - p) * w + lit(150L) * m * c
     val d = lit(500L) * c * w
-    floor((lit(2L) * n * lit(10000L) + d) / (lit(2L) * d))
-      .cast("double") / lit(10000.0)
+    halfUp4(n, d)
   }
 
   /** Marker-voting language ID: the language whose marker set matches the

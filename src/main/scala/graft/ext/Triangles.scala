@@ -24,22 +24,24 @@ import org.apache.spark.sql.functions._
   *   - Per-node counts come from ONE explode of the intersection array
   *     (1 per apex w, size(ws) for u and v) into a partial-aggregated
   *     sum — rows produced = 3 × triangle count, the output's own size.
-  *   - The adjacency table has one bounded row per VERTEX (not per
-  *     edge), broadcast by default — see `broadcastAdjacency`.
+  *   - The adjacency table has one orientation-bounded row per vertex,
+  *     broadcast by default — size caveats in `broadcastAdjacency`.
   *
   * Emits (node, n_tri) for every node in at least one triangle.
   */
 object Triangles {
 
-  /** @param broadcastAdjacency broadcast the per-vertex adjacency table
-    *   into both probe joins (default). It has ONE orientation-bounded
-    *   row per vertex — broadcastable far beyond where the edge list
-    *   itself could be — and the hint matters because the table sits on
-    *   a checkpointed frame whose stats AQE can't see: without it both
-    *   joins sort-merge and shuffle every edge row WITH its ~√2m-element
-    *   array payload (measured 2× slower at sf0.1). Pass false for
-    *   billion-vertex graphs where even one row per vertex exceeds the
-    *   broadcast budget; the fallback is a shuffle join keyed by vertex.
+  /** @param broadcastAdjacency broadcast the adjacency table (and the
+    *   degree table) into the probe joins (default). Size honesty: the
+    *   adjacency payload is Σ|outs| = the whole ORIENTED EDGE LIST (m
+    *   ids), not one scalar per vertex — so the default suits graphs
+    *   whose edge list fits an executor (up to ~10⁸ edges); beyond that
+    *   pass false and both lookups become shuffle joins whose rows stay
+    *   bounded by the orientation (~√2m elements each), which is the
+    *   100 TB path. The hint matters at all because the tables sit on
+    *   checkpointed frames whose stats AQE can't see: left to itself it
+    *   sort-merges and shuffles every edge row WITH its array payload
+    *   (measured 2× slower at sf0.1).
     */
   def perNode(edges: DataFrame, srcCol: String, dstCol: String,
       broadcastAdjacency: Boolean = true): DataFrame = {
@@ -58,6 +60,7 @@ object Triangles {
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // consumed by both orientation joins
 
     // deg is per-vertex like the adjacency table — same broadcast contract
     val degA = deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da")
@@ -73,6 +76,7 @@ object Triangles {
 
     val out = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("outs"))
+      .localCheckpoint() // consumed by both probe joins
     val adj = if (broadcastAdjacency) broadcast(out) else out
     val tris = oriented
       .join(adj.select(col("src"), col("outs").as("ou")), Seq("src"))

@@ -29,14 +29,17 @@ object Funnel {
       funnel: Seq[String]
   ): DataFrame = {
     require(funnel.nonEmpty, "funnel needs at least one step")
-    val spark = events.sparkSession
-    import spark.implicits._
 
-    // stage frames: (user, t_i) = earliest step-i event after t_{i-1}
+    // stage frames: (user, t_i) = earliest step-i event after t_{i-1}.
+    // Each stage is materialized once (tiny: one row per converting user)
+    // — stage i feeds both stage i+1 and its own count branch, and
+    // without the checkpoint the k count branches would recompute the
+    // stage chain quadratically (AQE does not reuse sibling stages)
     var stages = List(
       events.filter(col(typeCol) === funnel.head)
         .groupBy(col(userCol))
-        .agg(min(col(tsCol)).as("t")))
+        .agg(min(col(tsCol)).as("t"))
+        .localCheckpoint())
     funnel.drop(1).foreach { step =>
       val prev = stages.head.select(col(userCol), col("t").as("t_prev"))
       stages ::= events.filter(col(typeCol) === step)
@@ -44,6 +47,7 @@ object Funnel {
         .filter(col(tsCol) > col("t_prev"))
         .groupBy(col(userCol))
         .agg(min(col(tsCol)).as("t"))
+        .localCheckpoint()
     }
     val counts = stages.reverse.zipWithIndex.map { case (s, i) =>
       s.agg(count(lit(1)).as("n_users"))
