@@ -619,6 +619,21 @@ object SparkEntry {
       Relevance.bm25(Tables.documents(s, dir), "doc_id", "text",
         terms = Seq("spark", "table", "join"))),
 
+    // ── PII redaction with per-rule audit counts: the corpus is word
+    //    salad, so deterministic contact strings are constructed from
+    //    doc_id first, then scrubbed (ext.Redact — ordered rules, pure
+    //    per-row regex, no shuffle).
+    "q_redact" -> ((s, dir) => {
+      val withPii = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com host 10.0."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") % 97).cast("string"),
+          lit(" tel 555-867-5309")).as("text"))
+      graft.ext.Redact.scrub(withPii, "doc_id", "text")
+    }),
+
     // ── Gopher-style repetition quality signals: duplicate-word fraction
     //    + most-frequent-bigram coverage, everything keyed per document
     //    (codegen array arithmetic + one doc-local histogram; nothing
@@ -1514,6 +1529,33 @@ object SparkEntry {
                        + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))),
                 4) AS bm25
          FROM base, stats""",
+
+    // staged CTEs mirror the ordered-rule contract: each rule counts on
+    // the text as it stood when it ran (t0 → t1 → t2)
+    "q_redact" ->
+      """WITH d0 AS (SELECT doc_id,
+                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example.com host 10.0.'
+                     || CAST(doc_id % 256 AS VARCHAR) || '.'
+                     || CAST(doc_id % 97 AS VARCHAR)
+                     || ' tel 555-867-5309' AS t0
+              FROM documents),
+         d1 AS (SELECT doc_id, t0,
+                regexp_replace(t0, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                               '<EMAIL>', 'g') AS t1 FROM d0),
+         d2 AS (SELECT doc_id, t0, t1,
+                regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                               '<IP>', 'g') AS t2 FROM d1)
+         SELECT doc_id,
+                regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')
+                  AS redacted,
+                len(regexp_extract_all(t0,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+                len(regexp_extract_all(t1,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+                len(regexp_extract_all(t2,
+                  '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone
+         FROM d2""",
 
     // bigram = word || lead(word) over doc position (unnest zips with
     // generate_subscripts); fractions use the integer half-up formulation
