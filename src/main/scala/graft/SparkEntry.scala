@@ -27,6 +27,33 @@ object SparkEntry {
   private def decSum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  // Per-invocation temp index dirs (q_ann_ivf_disk) are deleted at JVM
+  // exit — Bench runs each query 3×, and without cleanup the orphaned
+  // parquet dirs would accumulate in /tmp indefinitely (ADVICE r4). One
+  // hook drains the queue; registration is idempotent via the lazy val.
+  private val tmpIndexDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val tmpIndexHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tmpIndexDirs.forEach { d =>
+        try {
+          import java.nio.file.{Files, Paths, Path}
+          import java.util.Comparator
+          val root = Paths.get(d)
+          if (Files.exists(root))
+            Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+              .forEach(p => Files.deleteIfExists(p))
+        } catch { case _: Exception => () } // best-effort at shutdown
+      }
+    }))
+    true
+  }
+  private def registerTempIndexDir(path: String): String = {
+    tmpIndexHookInstalled
+    tmpIndexDirs.add(path)
+    path
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_flow_rollup")(spark, "/root/testdata/sf0.001")
@@ -891,9 +918,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       // unique per invocation: a fixed shared path would let a concurrent
       // run's overwrite-save delete index files under this run's scan
-      val idxPath = System.getProperty("java.io.tmpdir") +
-        "/graft_ivf_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
-        "_" + ProcessHandle.current().pid() + "_" + System.nanoTime()
+      val idxPath = registerTempIndexDir(
+        System.getProperty("java.io.tmpdir") +
+          "/graft_ivf_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid() + "_" + System.nanoTime())
       graft.ext.IvfIndex.build(emb, "vec_id", "embedding", nLists = 16)
         .save(idxPath)
       val loaded = graft.ext.IvfIndex.load(s, idxPath)
@@ -1541,20 +1569,22 @@ object SparkEntry {
                      || ' tel 555-867-5309' AS t0
               FROM documents),
          d1 AS (SELECT doc_id, t0,
-                regexp_replace(t0, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                regexp_replace(t0, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
                                '<EMAIL>', 'g') AS t1 FROM d0),
          d2 AS (SELECT doc_id, t0, t1,
                 regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
                                '<IP>', 'g') AS t2 FROM d1)
          SELECT doc_id,
-                regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')
-                  AS redacted,
+                regexp_replace(t2,
+                  '(\+?1[-. ])?(\(\d{3}\) ?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b',
+                  '<PHONE>', 'g') AS redacted,
                 len(regexp_extract_all(t0,
-                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+                  '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
                 len(regexp_extract_all(t1,
                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
                 len(regexp_extract_all(t2,
-                  '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone
+                  '(\+?1[-. ])?(\(\d{3}\) ?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b'))
+                  AS n_phone
          FROM d2""",
 
     // bigram = word || lead(word) over doc position (unnest zips with

@@ -20,13 +20,23 @@ import org.apache.spark.sql.functions._
   * iteration per reference (AQE does not reuse sibling stages — PERF.md).
   * Iterations are UNROLLED into one logical plan — no per-iteration
   * driver action, one job at execution.
+  *
+  * Overflow posture at scale: the per-node message m = Σ_{u→v}
+  * ⌊score(u)/out(u)⌋ is bounded only by in-degree · scale, so a hub with
+  * ~10⁷ max-score in-neighbors would exceed BIGINT. The sum and the
+  * damping product are therefore computed in DECIMAL(38,0) — exact to
+  * 10³⁸ — and the cast back to BIGINT is GUARDED: a score that no longer
+  * fits 2⁶³ raises (`raise_error`) instead of wrapping silently. This
+  * mirrors the oracle, where DuckDB sums in HUGEINT and its
+  * `CAST(... AS BIGINT)` raises on overflow.
   */
 object PageRank {
   val Scale: Long = 1000000000000L // 10^12 integer score grid
 
   def scores(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 3, dampNum: Long = 85L): DataFrame = {
-    require(iterations >= 1 && dampNum >= 0 && dampNum <= 100)
+      iterations: Int = 3, dampNum: Long = 85L,
+      scale: Long = Scale): DataFrame = {
+    require(iterations >= 1 && dampNum >= 0 && dampNum <= 100 && scale >= 1)
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -39,20 +49,38 @@ object PageRank {
     val outd = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .localCheckpoint()
     val n = nodes.count() // fixed constant of the graph, computed once
-    if (n == 0) return nodes.withColumn("score", lit(Scale)) // empty graph
-    val base = (Scale * (100L - dampNum)) / (100L * n)
+    if (n == 0) return nodes.withColumn("score", lit(scale)) // empty graph
+    // BigInt: scale*(100-damp) wraps driver-side Long for scale near 2^63;
+    // the quotient itself is always <= scale, so the narrowing is safe
+    val base = (BigInt(scale) * (100L - dampNum) / (BigInt(100L) * n)).toLong
 
-    var s = nodes.withColumn("score", lit(Scale))
+    var s = nodes.withColumn("score", lit(scale))
     (1 to iterations).foreach { _ =>
       val contrib = e
         .join(s, e("src") === s("id"))
         .join(outd, "src")
         .select(col("dst").as("id"), expr("score div od").as("part"))
-        .groupBy(col("id")).agg(sum(col("part")).as("m"))
+        // DECIMAL(38,0) sum: exact for any realistic in-degree; a BIGINT
+        // sum would wrap silently past 2^63 (non-ANSI mode)
+        .groupBy(col("id"))
+        .agg(sum(col("part").cast("decimal(38,0)")).as("m"))
+      // decimal multiply keeps scale 0 (no precision loss below 10^38),
+      // but decimal `div` WRAPS on BIGINT quotient overflow (measured:
+      // Decimal.toLong wraps in non-ANSI mode) — so the bound is checked
+      // on the DECIMAL value BEFORE dividing. A NULL damped product
+      // (decimal overflow past 10^38) coalesces to unsafe and raises too.
+      val dampM = expr(s"$dampNum * coalesce(m, CAST(0 AS DECIMAL(38,0)))")
+      // safe ⟺ base + (dampM div 100) fits 2^63−1
+      val limit = (BigInt(Long.MaxValue) - base) * 100
+      val safe = coalesce(
+        dampM <= expr(s"CAST('$limit' AS DECIMAL(38,0))"), lit(false))
       s = nodes.join(contrib, Seq("id"), "left_outer")
         .select(col("id"),
-          (lit(base) +
-            expr(s"$dampNum * coalesce(m, CAST(0 AS BIGINT)) div 100"))
+          when(safe, lit(base) + expr(
+            s"$dampNum * coalesce(m, CAST(0 AS DECIMAL(38,0))) div 100"))
+            .otherwise(expr("raise_error('PageRank score overflowed " +
+              "BIGINT: in-degree * scale * damp exceeds 2^63; lower the " +
+              "scale grid or partition the graph')").cast("long"))
             .as("score"))
     }
     s

@@ -28,9 +28,18 @@ object Redact {
   /** (name, pattern, replacement) — count column emitted as `n_<name>`. */
   type Rule = (String, String, String)
 
-  val email: Rule = ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>")
+  // Default rules are a practical starting set, not a compliance
+  // guarantee — production scrubbing should supply vetted rules.
+  // email is case-insensitive ((?i) — Java and RE2 both support it);
+  // phone covers NANP shapes: 555-867-5309, 555.867.5309, (555) 867-5309,
+  // +1-555-867-5309. The bare-digits branch anchors on \b so a longer
+  // digit run never yields a partial match.
+  val email: Rule =
+    ("email", "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>")
   val ipv4: Rule = ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
-  val phone: Rule = ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>")
+  val phone: Rule = ("phone",
+    "(\\+?1[-. ])?(\\(\\d{3}\\) ?|\\b\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b",
+    "<PHONE>")
 
   def scrub(
       docs: DataFrame,

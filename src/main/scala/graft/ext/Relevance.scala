@@ -42,7 +42,10 @@ object Relevance {
     val tfCols = terms.indices.map { i =>
       // words() lower-cases tokens; match the terms case-insensitively
       // too, or a capitalized query term would silently score 0 corpus-wide
-      size(filter(ws, w => w === lit(terms(i).toLowerCase))).cast("long").as(s"tf_$i")
+      // Locale.ROOT: Spark's lower() (used by words()) is locale-invariant;
+      // a default-locale fold would break under e.g. tr_TR ('I' -> 'ı')
+      size(filter(ws, w => w === lit(terms(i).toLowerCase(java.util.Locale.ROOT))))
+        .cast("long").as(s"tf_$i")
     }
     // materialize the narrow (id, dl, tf...) frame once: it feeds both
     // the stats aggregate and the probe side, and without the checkpoint

@@ -52,13 +52,16 @@ object GraphStorage {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Every `v=<n>` directory, complete or not — the namespace a new
-    * commit must not collide with. */
+    * commit must not collide with. Only names matching `v=<digits>`
+    * count: a stray `v=3.bak` backup or editor dropping under the root
+    * must not brick the whole store with a NumberFormatException. */
+  private val VersionDir = "^v=(\\d+)$".r
   private def allVersionDirs(spark: SparkSession, root: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(root)
     val f = fs(spark, root)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v=")).map(_.drop(2).toLong).sorted
+      .collect { case VersionDir(n) => n.toLong }.sorted
   }
 
   /** The `_latest` pointer's version, if any commit ever completed. */
@@ -91,7 +94,11 @@ object GraphStorage {
     * one atomic overwrite-rename, so `_latest` always names a complete
     * version and a failed rename raises instead of losing the pointer.
     * Version numbering skips over ANY existing dir (even a crashed
-    * commit's half-written one — never clobber, never reuse a number). */
+    * commit's half-written one — never clobber, never reuse a number).
+    * Atomicity caveat: the overwrite-rename pointer flip is atomic on
+    * HDFS and local filesystems; object stores without atomic rename
+    * (e.g. S3A) do NOT honor this contract — front the pointer with a
+    * consistent store (HDFS/DBFS) or a table format there. */
   def commitSnapshot(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
     val next = allVersionDirs(spark, root).lastOption.getOrElse(-1L) + 1

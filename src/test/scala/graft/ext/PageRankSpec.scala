@@ -27,6 +27,19 @@ class PageRankSpec extends SparkSpec {
     assert(PageRank.scores(empty, "src", "dst").count() == 0)
   }
 
+  test("score overflow raises instead of silently wrapping") {
+    // narrow grid: two max-score in-neighbors push the damped message
+    // past 2^63 on the first iteration — the decimal path must raise,
+    // not wrap (ADVICE r4: silent BIGINT wrap at hub in-degrees ~1e7)
+    val hub = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val ex = intercept[Exception] {
+      PageRank.scores(hub, "src", "dst", iterations = 1,
+        scale = Long.MaxValue / 2).collect()
+    }
+    assert(ex.getMessage.contains("overflowed BIGINT") ||
+      Option(ex.getCause).exists(_.getMessage.contains("overflowed BIGINT")))
+  }
+
   test("matches a hand-rolled integer reference on the same graph") {
     def reference(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
       val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct

@@ -15,6 +15,24 @@ class RedactSpec extends SparkSpec {
     assert((out._3, out._4, out._5) == ((2L, 1L, 1L)))
   }
 
+  test("email matching is case-insensitive") {
+    val out = run("write User@Example.COM today")
+    assert(out._2 == "write <EMAIL> today")
+    assert(out._3 == 1L)
+  }
+
+  test("phone rule covers common NANP formats") {
+    val out = run("call (555) 867-5309 or +1-555-867-5309 or 555.867.5309")
+    assert(out._2 == "call <PHONE> or <PHONE> or <PHONE>")
+    assert(out._5 == 3L)
+  }
+
+  test("phone rule does not partial-match longer digit runs") {
+    val out = run("serial 1234-567-8901 stays")
+    assert(out._2 == "serial 1234-567-8901 stays")
+    assert(out._5 == 0L)
+  }
+
   test("earlier rules consume text before later rules count") {
     // the digits in the email's host would otherwise partly look like an
     // IP; after email redaction the IP rule sees none of them
