@@ -229,19 +229,23 @@ object Dedup {
       bandSize: Int = 4,
       threshold: Double = 0.7
   ): DataFrame = {
-    // no cache here: cache ownership (and its memory budget) belongs to
-    // the caller at scale. The shingle subtree is computed twice (the
-    // signature aggregate and the verification set table) — AQE does not
-    // reuse sibling stages (PERF.md), so the operator minimizes consumers
-    // instead of relying on ReuseExchange.
     val sh = shingles(df, idCol, textCol, shingleN)
-    // signatures AND the doc's set size in ONE HashAggregate — the size
-    // rides along to the final Jaccard denominator for free, so no extra
-    // sizes pass over the shingle subtree is needed.
+    // signatures, the doc's set size, AND its verification shingle set in
+    // ONE HashAggregate over ONE pass of the shingle subtree, materialized
+    // once (localCheckpoint): the band chain and both verify joins read
+    // from it. The earlier two-pass shape (a separate docsets aggregate)
+    // re-ran parse+explode+distinct for the verifier — AQE does not reuse
+    // sibling stages (PERF.md) — and measured slower at sf0.1. The
+    // materialized frame is one row per doc (the same bytes the verify
+    // join shuffles anyway), so the trade is one write for one full
+    // recompute of the corpus scan.
     val sigAggs = (0 until numHashes).map { h =>
       min(md5(concat(lit(h), lit("|"), col("shingle")))).as(s"sig_$h")
-    } :+ count(lit(1)).as("n_sh")
-    val sigs = sh.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
+    } ++ Seq(count(lit(1)).as("n_sh"),
+      collect_list(col("shingle")).as("shset"))
+    val perDoc = sh.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
+      .localCheckpoint()
+    val sigs = perDoc.drop("shset")
     // band signature = md5 of the band's sorted "h:sig" strings (sorted so
     // the value is order-canonical and matches the SQL oracle); bands then
     // unpivot to rows via stack() — pure projection, no extra shuffle
@@ -268,11 +272,11 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b")).distinct()
 
-    // verify candidates with exact jaccard against materialized per-doc
-    // shingle sets (array_intersect, codegen) — candidate-driven, so cost
+    // verify candidates with exact jaccard against the SAME materialized
+    // per-doc frame (array_intersect, codegen) — candidate-driven, so cost
     // is O(candidate pairs × set size), independent of the corpus-wide
     // shingle collision count, with no exploded join intermediate.
-    val docsets = sh.groupBy(col(idCol)).agg(collect_list(col("shingle")).as("shset"))
+    val docsets = perDoc.select(col(idCol), col("shset"))
     val jac = col("n_inter").cast("double") /
       (col("n_a") + col("n_b") - col("n_inter"))
     candidates

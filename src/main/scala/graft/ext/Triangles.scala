@@ -21,11 +21,19 @@ import org.apache.spark.sql.functions._
   *     nothing materializes the Σ C(outdeg,2) wedge set (an earlier
   *     wedge-join formulation did — measured 2.5× slower at sf0.1 even
   *     with the closing side broadcast).
-  *   - Per-node counts come from ONE explode of the intersection array
-  *     (1 per apex w, size(ws) for u and v) into a partial-aggregated
-  *     sum — rows produced = 3 × triangle count, the output's own size.
+  *   - Per-node counts come from ONE posexplode of plain ids
+  *     (apex positions count 1, the two trailing endpoint positions
+  *     count size(ws)) into a partial-aggregated sum — rows produced =
+  *     3 × triangle count, the output's own size. Plain-long posexplode
+  *     stays in codegen; the earlier struct-transform formulation ran
+  *     the interpreted HOF path and measured ~2 s slower at sf0.1.
   *   - The adjacency table has one orientation-bounded row per vertex,
   *     broadcast by default — size caveats in `broadcastAdjacency`.
+  *   - Only canon and oriented are eagerly materialized; the degree and
+  *     adjacency aggregates recompute from those checkpoints per
+  *     consumer — two cheap column aggs beat two more blocking jobs
+  *     (measured; in the non-broadcast path the adjacency IS
+  *     checkpointed, since both shuffle joins consume the full table).
   *
   * Emits (node, n_tri) for every node in at least one triangle.
   */
@@ -57,10 +65,11 @@ object Triangles {
       .distinct()
       .localCheckpoint()
 
+    // recomputed from the canon checkpoint by each consumer — cheaper
+    // than one more blocking checkpoint job (measured at sf0.1)
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint() // consumed by both orientation joins
 
     // deg is per-vertex like the adjacency table — same broadcast contract
     val degA = deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da")
@@ -74,9 +83,12 @@ object Triangles {
       when(aFirst, col("b")).otherwise(col("a")).as("dst"))
       .localCheckpoint() // feeds the adjacency agg AND the edge probe
 
-    val out = oriented.groupBy(col("src"))
+    val outRaw = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("outs"))
-      .localCheckpoint() // consumed by both probe joins
+    // broadcast path: each broadcast build re-aggregates from the
+    // oriented checkpoint (cheap); shuffle path: both probe joins
+    // consume the full table, so materialize it once
+    val out = if (broadcastAdjacency) outRaw else outRaw.localCheckpoint()
     val adj = if (broadcastAdjacency) broadcast(out) else out
     val tris = oriented
       .join(adj.select(col("src"), col("outs").as("ou")), Seq("src"))
@@ -85,16 +97,16 @@ object Triangles {
         array_intersect(col("ou"), col("ov")).as("ws"))
       .where(size(col("ws")) > 0)
 
-    // one explode emits every (node, contribution) of the edge's
-    // triangles: each apex w counts 1; u and v count size(ws) each
+    // one posexplode of plain ids emits every (node, contribution) of the
+    // edge's triangles: apex positions (pos < k) count 1; the two
+    // trailing endpoint positions count k = |ws| each. No structs, no
+    // HOFs — the whole finale stays in whole-stage codegen.
     tris
-      .select(explode(concat(
-        transform(col("ws"), w => struct(w.as("node"), lit(1L).as("c"))),
-        array(
-          struct(col("u").as("node"), size(col("ws")).cast("long").as("c")),
-          struct(col("v").as("node"), size(col("ws")).cast("long").as("c")))))
-        .as("t"))
-      .groupBy(col("t.node").as("node"))
-      .agg(sum(col("t.c")).as("n_tri"))
+      .select(size(col("ws")).cast("long").as("k"),
+        posexplode(concat(col("ws"), array(col("u"), col("v")))))
+      .select(col("col").as("node"),
+        when(col("pos") < col("k"), lit(1L)).otherwise(col("k")).as("c"))
+      .groupBy(col("node"))
+      .agg(sum(col("c")).as("n_tri"))
   }
 }

@@ -71,6 +71,108 @@ object TriProbe {
         .localCheckpoint()
     }
 
+    // edge generation A/B: self-join on orderkey vs posting-list
+    // groupBy + in-row pair expansion (the repo's ngram pattern)
+    def edgesPL: DataFrame = {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            y => struct(x.as("u"), y.as("v")))))).as("p"))
+        .select(col("p.u"), col("p.v"))
+    }
+    time("E1 edges self-join") { edges.select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")).distinct() }
+    time("E2 edges posting-list") { edgesPL.distinct() }
+
+    // full pipeline with posting-list edges + fewer checkpoints:
+    // only canon + oriented are materialized; deg/out recompute from them
+    time("F2 full PL-edges lean-ckpt") {
+      val canon2 = edgesPL.distinct().localCheckpoint()
+        .withColumnRenamed("u", "a").withColumnRenamed("v", "b")
+      val deg2 = canon2.select(col("a").as("node"))
+        .unionAll(canon2.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val withDeg = canon2
+        .join(broadcast(deg2.withColumnRenamed("node", "a").withColumnRenamed("deg", "da")), "a")
+        .join(broadcast(deg2.withColumnRenamed("node", "b").withColumnRenamed("deg", "db")), "b")
+      val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+      val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+        .localCheckpoint()
+      val out = oriented.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("outs"))
+      val tris = oriented
+        .join(broadcast(out.select(col("src"), col("outs").as("ou"))), Seq("src"))
+        .join(broadcast(out.select(col("src").as("dst"), col("outs").as("ov"))), Seq("dst"))
+        .select(col("src").as("u"), col("dst").as("v"),
+          array_intersect(col("ou"), col("ov")).as("ws"))
+        .where(size(col("ws")) > 0)
+      tris.select(explode(concat(
+          transform(col("ws"), w => struct(w.as("node"), lit(1L).as("c"))),
+          array(struct(col("u").as("node"), size(col("ws")).cast("long").as("c")),
+            struct(col("v").as("node"), size(col("ws")).cast("long").as("c")))))
+          .as("t"))
+        .groupBy(col("t.node").as("node")).agg(sum(col("t.c")).as("n_tri"))
+    }
+
+    // variant B5: posexplode of plain longs — c = 1 for apex positions,
+    // size(ws) for the two trailing endpoint positions; zero HOFs
+    time("B5 posexplode-plain") {
+      val oriented = orientedBcast()
+      val out = oriented.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("outs"))
+        .localCheckpoint()
+      val tris = oriented
+        .join(broadcast(out.select(col("src"), col("outs").as("ou"))), Seq("src"))
+        .join(broadcast(out.select(col("src").as("dst"), col("outs").as("ov"))), Seq("dst"))
+        .select(col("src").as("u"), col("dst").as("v"),
+          array_intersect(col("ou"), col("ov")).as("ws"))
+        .where(size(col("ws")) > 0)
+      tris.select(size(col("ws")).cast("long").as("k"),
+          posexplode(concat(col("ws"), array(col("u"), col("v")))))
+        .select(col("col").as("node"),
+          when(col("pos") < col("k"), lit(1L)).otherwise(col("k")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("n_tri"))
+    }
+
+    // F3: full pipeline — PL edges, lean checkpoints, posexplode final
+    time("F3 full PL+lean+posexplode") {
+      val canon2 = edgesPL.distinct().localCheckpoint()
+        .withColumnRenamed("u", "a").withColumnRenamed("v", "b")
+      val deg2 = canon2.select(col("a").as("node"))
+        .unionAll(canon2.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val withDeg = canon2
+        .join(broadcast(deg2.withColumnRenamed("node", "a").withColumnRenamed("deg", "da")), "a")
+        .join(broadcast(deg2.withColumnRenamed("node", "b").withColumnRenamed("deg", "db")), "b")
+      val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+      val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+        .localCheckpoint()
+      val out = oriented.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("outs"))
+      val tris = oriented
+        .join(broadcast(out.select(col("src"), col("outs").as("ou"))), Seq("src"))
+        .join(broadcast(out.select(col("src").as("dst"), col("outs").as("ov"))), Seq("dst"))
+        .select(col("src").as("u"), col("dst").as("v"),
+          array_intersect(col("ou"), col("ov")).as("ws"))
+        .where(size(col("ws")) > 0)
+      tris.select(size(col("ws")).cast("long").as("k"),
+          posexplode(concat(col("ws"), array(col("u"), col("v")))))
+        .select(col("col").as("node"),
+          when(col("pos") < col("k"), lit(1L)).otherwise(col("k")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("n_tri"))
+    }
+
+    // shipped SparkEntry q_triangles, same JVM as F3 for a fair A/B
+    time("S shipped q_triangles") {
+      graft.SparkEntry.queries("q_triangles")(spark, sfDir)
+    }
+
     // variant 0: just the oriented-edge construction (shared prefix cost)
     time("prefix(oriented)") { orientedOf() }
     time("prefix(bcast-deg)") { orientedBcast() }
