@@ -304,19 +304,32 @@ object Dedup {
     val wc = df
       .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("word"))
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("cnt"))
-    val vocabBits = wc.select(col("word")).distinct()
+    // WIDE formulation: 63 ±1 sign COLUMNS per distinct word and one
+    // wide groupBy(doc) of 63 sums — bit votes ride map-side combine and
+    // nothing ever explodes ×63. The earlier per-(word, bit) row shape
+    // shuffled a |tokens|×63-row intermediate into a (doc, j) aggregate;
+    // at a web-scale vocabulary that intermediate dwarfs the corpus.
+    // (Verified bit-identical to the row formulation on the test corpus.)
+    val nibs = (0 until 16).map { p =>
+      (expr(s"instr('0123456789abcdef', substring(hh, ${p + 1}, 1))") - 1)
+        .as(s"nib_$p")
+    }
+    val sgns = (0 until 63).map { j =>
+      ((expr(s"shiftright(nib_${j / 4}, ${3 - j % 4})") % 2) * 2 - 1)
+        .as(s"sgn_$j")
+    }
+    val vocab = wc.select(col("word")).distinct()
       .withColumn("hh", substring(md5(col("word")), 1, 16))
-      .select(col("word"), explode(expr("sequence(0, 62)")).as("j"), col("hh"))
-      .withColumn("nib",
-        expr("instr('0123456789abcdef', substring(hh, 1 + CAST(j / 4 AS INT), 1)) - 1"))
-      .select(col("word"), col("j"),
-        (expr("(nib >> (3 - j % 4)) & 1") * 2 - 1).as("sgn"))
-    wc.join(vocabBits, Seq("word"))
-      .groupBy(col(idCol), col("j"))
-      .agg(sum(col("sgn") * col("cnt")).as("v"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("v") > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
-        .as("simhash"))
+      .select(col("word") +: nibs: _*)
+      .select(col("word") +: sgns: _*)
+    val sums = (0 until 63).map(j =>
+      sum(col("cnt") * col(s"sgn_$j")).as(s"v_$j"))
+    val fp = (0 until 63).map(j =>
+      when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    wc.join(vocab, Seq("word"))
+      .groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(col(idCol), fp.as("simhash"))
   }
 
   /** SimHash near-dup pairs: band the 63-bit fingerprint into four 16-bit
@@ -331,7 +344,11 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = simhash(df, idCol, textCol)
+    // materialize the fingerprints once: the band frame self-joins, and
+    // without the checkpoint the whole simhash subtree (scan + two
+    // aggregates + vocab join) plans TWICE — AQE does not reuse sibling
+    // stages (PERF.md). One row per doc, two fixed-width columns.
+    val fp = simhash(df, idCol, textCol).localCheckpoint()
     val bands = fp.select(col(idCol), col("simhash"),
         explode(expr("sequence(0, 3)")).as("b"))
       .withColumn("chunk", expr("shiftright(simhash, CAST(b * 16 AS INT)) & 65535"))

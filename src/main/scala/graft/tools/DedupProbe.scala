@@ -129,6 +129,40 @@ object DedupProbe {
         .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
     }
 
+    // S1: shipped simhash (per-(word,bit) row explosion)
+    time("S1 simhash shipped") {
+      Dedup.simhash(docs, "doc_id", "text")
+    }
+
+    // S2: wide formulation — 63 sign columns per DISTINCT word, one
+    // wide groupBy(doc) with 63 sums; no ×63 row explosion
+    time("S2 simhash wide") {
+      val wc = docs
+        .select(col("doc_id"),
+          explode(graft.ext.TextAnalysis.words(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      val nibs = (0 until 16).map { p =>
+        (expr(s"instr('0123456789abcdef', substring(hh, ${p + 1}, 1))") - 1)
+          .as(s"nib_$p")
+      }
+      val vocab0 = wc.select(col("word")).distinct()
+        .withColumn("hh", substring(md5(col("word")), 1, 16))
+        .select(col("word") +: nibs: _*)
+      val sgns = (0 until 63).map { j =>
+        ((expr(s"shiftright(nib_${j / 4}, ${3 - j % 4})") % 2) * 2 - 1)
+          .as(s"sgn_$j")
+      }
+      val vocab = vocab0.select(col("word") +: sgns: _*)
+      val sums = (0 until 63).map(j =>
+        sum(col("cnt") * col(s"sgn_$j")).as(s"v_$j"))
+      val perDoc = wc.join(vocab, Seq("word"))
+        .groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      val fp = (0 until 63).map(j =>
+        when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      perDoc.select(col("doc_id"), fp.as("simhash"))
+    }
+
     spark.stop()
   }
 }
