@@ -646,6 +646,35 @@ object SparkEntry {
       Relevance.bm25(Tables.documents(s, dir), "doc_id", "text",
         terms = Seq("spark", "table", "join"))),
 
+    // ── Top-5 TF-IDF keywords per document: one token-histogram
+    //    aggregate (materialized once), df joined back on the word key,
+    //    rank-limit window for the per-doc cut (ext.Relevance). Topic
+    //    tagging for corpus curation.
+    "q_keywords" -> ((s, dir) =>
+      Relevance.tfidfKeywords(Tables.documents(s, dir), "doc_id", "text",
+        k = 5)),
+
+    // ── Bigram collocations by PMI over the document corpus: tokenized
+    //    corpus materialized once, in-row bigram expansion, two
+    //    word-keyed aggregates, stats joined back on the word key
+    //    (ext.Collocations). Multi-word-expression mining for tokenizer
+    //    vocab building.
+    "q_pmi" -> ((s, dir) =>
+      graft.ext.Collocations.pmiBigrams(Tables.documents(s, dir),
+        "doc_id", "text", minCount = 3)),
+
+    // ── Per-group feature scaling (z-score + min-max) of lineitem
+    //    quantities per return flag: ONE unordered window computes all
+    //    five exact-integer group aggregates in a single shuffle; the
+    //    scaled values are per-row IEEE arithmetic (ext.Normalize).
+    //    Emitted for a deterministic order-key slice.
+    "q_zscore" -> ((s, dir) =>
+      graft.ext.Normalize.grouped(
+        Tables.lineitem(s, dir).select(col("l_orderkey"),
+          col("l_linenumber"), col("l_returnflag"), col("l_quantity")),
+        keys = Seq("l_returnflag"), valCol = "l_quantity")
+        .filter(col("l_orderkey") <= 2000)),
+
     // ── PII redaction with per-rule audit counts: the corpus is word
     //    salad, so deterministic contact strings are constructed from
     //    doc_id first, then scrubbed (ext.Redact — ordered rules, pure
@@ -833,6 +862,20 @@ object SparkEntry {
         Tables.lineitem(s, dir).select(col("l_suppkey").as("src"),
           (lit(100000) + col("l_partkey") % 100).as("dst")),
         "src", "dst", iterations = 3)),
+
+    // ── Personalized (topic-sensitive) PageRank: teleport mass pinned to
+    //    a 3-supplier seed set over the BIDIRECTIONAL supplier↔part-bucket
+    //    graph, so proximity diffuses seed → bucket → co-supplier across
+    //    the 3 unrolled iterations. Seed-expansion ranking for curation,
+    //    same integer-exact contract as q_pagerank.
+    "q_ppr" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_suppkey").as("a"),
+        (lit(100000) + col("l_partkey") % 100).as("b"))
+      val edges = li.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(li.select(col("b").as("src"), col("a").as("dst")))
+      graft.ext.PageRank.personalized(edges, "src", "dst",
+        sources = Seq(1L, 2L, 3L), iterations = 3)
+    }),
 
     // ── Triangle counting on the part co-purchase graph (parts sharing an
     //    order): degree-oriented adjacency intersection — hubs emit no
@@ -1565,6 +1608,85 @@ object SparkEntry {
                 4) AS bm25
          FROM base, stats""",
 
+    // rank over the ROUNDED score (+ word tie-break) — both engines round
+    // identically (ln on bit-identical inputs + round-4), so the top-5
+    // selection is total-ordered and identical
+    "q_keywords" ->
+      """WITH w AS (SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+              FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+         df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (SELECT doc_id, word, tf,
+                round(CAST(tf AS DOUBLE) *
+                      ln(CAST((SELECT n_docs FROM n) AS DOUBLE)
+                         / CAST(df AS DOUBLE)), 4) AS tfidf
+              FROM tf JOIN df USING (word)),
+         ranked AS (SELECT doc_id, word, tf, tfidf,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, word) AS rk
+              FROM scored)
+         SELECT doc_id, word, tf, tfidf, rk FROM ranked WHERE rk <= 5""",
+
+    // PMI expression tree mirrored VERBATIM (casts + left-to-right
+    // association) so the IEEE chain and round-4 are bit-identical
+    "q_pmi" ->
+      """WITH d AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+                    FROM documents),
+         tok AS (SELECT unnest(ws) AS word FROM d),
+         uni AS (SELECT word, count(*) AS c FROM tok GROUP BY 1),
+         t AS (SELECT count(*) AS t FROM tok),
+         bg AS (SELECT ws[i] AS x, ws[i + 1] AS y
+                FROM d, UNNEST(range(1, len(ws))) r(i)),
+         b AS (SELECT count(*) AS b FROM bg),
+         bi AS (SELECT x, y, count(*) AS cxy FROM bg
+                GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT bi.x, bi.y, bi.cxy,
+                round(ln((CAST(cxy AS DOUBLE)
+                          * (CAST((SELECT t FROM t) AS DOUBLE)
+                             * CAST((SELECT t FROM t) AS DOUBLE)))
+                         / (CAST((SELECT b FROM b) AS DOUBLE)
+                            * CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE))),
+                      4) + 0 AS pmi
+         FROM bi JOIN uni ux ON bi.x = ux.word
+                 JOIN uni uy ON bi.y = uy.word""",
+
+    // exact BIGINT group sums feed a mirrored IEEE chain; min-max uses
+    // the integer half-up formulation (engine-exact at .xxxx5)
+    "q_zscore" ->
+      """WITH s AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+                l_quantity,
+                CAST(l_quantity AS BIGINT) AS q,
+                CAST(sum(CAST(l_quantity AS BIGINT))
+                  OVER (PARTITION BY l_returnflag) AS BIGINT) AS sx,
+                CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  OVER (PARTITION BY l_returnflag) AS BIGINT) AS sxx,
+                count(*) OVER (PARTITION BY l_returnflag) AS n,
+                min(CAST(l_quantity AS BIGINT))
+                  OVER (PARTITION BY l_returnflag) AS mn,
+                max(CAST(l_quantity AS BIGINT))
+                  OVER (PARTITION BY l_returnflag) AS mx
+              FROM lineitem)
+         SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                CASE WHEN n >= 2 AND
+                          (CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                             / CAST(n AS DOUBLE)) > 0
+                     THEN round((CAST(q AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                                / sqrt((CAST(sxx AS DOUBLE)
+                                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                          / CAST(n AS DOUBLE))
+                                       / CAST(n - 1 AS DOUBLE)), 4) + 0
+                     ELSE NULL END AS z,
+                CASE WHEN mx > mn
+                     THEN CAST(floor((2 * (q - mn) * 10000 + (mx - mn))
+                                     / (2 * (mx - mn))) AS DOUBLE) / 10000.0
+                     ELSE NULL END AS mm
+         FROM s
+         WHERE l_orderkey <= 2000""",
+
     // staged CTEs mirror the ordered-rule contract: each rule counts on
     // the text as it stood when it ran (t0 → t1 → t2)
     "q_redact" ->
@@ -1883,6 +2005,48 @@ object SparkEntry {
                 GROUP BY e.dst),
          s3 AS (SELECT n.id,
                        CAST((SELECT base FROM c) + 85 * COALESCE(m3.m, 0) // 100 AS BIGINT) AS score
+                FROM nodes n LEFT JOIN m3 ON n.id = m3.id)
+         SELECT id, score FROM s3""",
+
+    // same unrolled shape as q_pagerank; teleport pinned to seeds {1,2,3},
+    // edges doubled into both directions before the DISTINCT
+    "q_ppr" ->
+      """WITH d AS (SELECT CAST(l_suppkey AS BIGINT) AS a,
+                           CAST(100000 + l_partkey % 100 AS BIGINT) AS b
+                    FROM lineitem),
+         e AS (SELECT DISTINCT a AS src, b AS dst FROM d
+               UNION SELECT DISTINCT b AS src, a AS dst FROM d),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         outd AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+         s0 AS (SELECT id, CASE WHEN id IN (1, 2, 3)
+                    THEN CAST(1000000000000 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS score FROM nodes),
+         m1 AS (SELECT e.dst AS id, CAST(sum(s0.score // outd.od) AS BIGINT) AS m
+                FROM e JOIN s0 ON e.src = s0.id JOIN outd ON e.src = outd.src
+                GROUP BY e.dst),
+         s1 AS (SELECT n.id,
+                       CAST(CASE WHEN n.id IN (1, 2, 3)
+                              THEN (CAST(1000000000000 AS BIGINT) * 15) // 300
+                              ELSE 0 END
+                            + 85 * COALESCE(m1.m, 0) // 100 AS BIGINT) AS score
+                FROM nodes n LEFT JOIN m1 ON n.id = m1.id),
+         m2 AS (SELECT e.dst AS id, CAST(sum(s1.score // outd.od) AS BIGINT) AS m
+                FROM e JOIN s1 ON e.src = s1.id JOIN outd ON e.src = outd.src
+                GROUP BY e.dst),
+         s2 AS (SELECT n.id,
+                       CAST(CASE WHEN n.id IN (1, 2, 3)
+                              THEN (CAST(1000000000000 AS BIGINT) * 15) // 300
+                              ELSE 0 END
+                            + 85 * COALESCE(m2.m, 0) // 100 AS BIGINT) AS score
+                FROM nodes n LEFT JOIN m2 ON n.id = m2.id),
+         m3 AS (SELECT e.dst AS id, CAST(sum(s2.score // outd.od) AS BIGINT) AS m
+                FROM e JOIN s2 ON e.src = s2.id JOIN outd ON e.src = outd.src
+                GROUP BY e.dst),
+         s3 AS (SELECT n.id,
+                       CAST(CASE WHEN n.id IN (1, 2, 3)
+                              THEN (CAST(1000000000000 AS BIGINT) * 15) // 300
+                              ELSE 0 END
+                            + 85 * COALESCE(m3.m, 0) // 100 AS BIGINT) AS score
                 FROM nodes n LEFT JOIN m3 ON n.id = m3.id)
          SELECT id, score FROM s3""",
 

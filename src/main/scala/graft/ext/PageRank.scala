@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Fixed-iteration PageRank in INTEGER arithmetic — deterministic across
@@ -14,9 +14,16 @@ import org.apache.spark.sql.functions._
   * with d = 85/100. Dangling-node mass is dropped (the usual batch
   * simplification — documented, matched by the oracle).
   *
+  * [[personalized]] is the topic-sensitive variant: the teleport mass
+  * concentrates on a SOURCE set instead of spreading uniformly —
+  * base_v = ⌊S·(1−d)·100⌋/(100·|sources|) for source nodes, 0 elsewhere,
+  * and score₀ is S on sources, 0 elsewhere. Proximity-to-seed ranking
+  * (related-entity discovery, seed-expansion curation) under the same
+  * integer-exact contract.
+  *
   * The edge/node/out-degree frames are localCheckpoint'ed once up front:
   * each unrolled iteration references them again, and without
-  * materialization the lineitem-scan subtree would be re-executed per
+  * materialization the edge-construction subtree would be re-executed per
   * iteration per reference (AQE does not reuse sibling stages — PERF.md).
   * Iterations are UNROLLED into one logical plan — no per-iteration
   * driver action, one job at execution.
@@ -33,10 +40,41 @@ import org.apache.spark.sql.functions._
 object PageRank {
   val Scale: Long = 1000000000000L // 10^12 integer score grid
 
+  /** Uniform-teleport PageRank; see object doc for the exact recurrence. */
   def scores(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, dampNum: Long = 85L,
       scale: Long = Scale): DataFrame = {
     require(iterations >= 1 && dampNum >= 0 && dampNum <= 100 && scale >= 1)
+    val (e, nodes, n) = prepare(edges, srcCol, dstCol)
+    if (n == 0) return nodes.withColumn("score", lit(scale)) // empty graph
+    // BigInt: scale*(100-damp) wraps driver-side Long for scale near 2^63;
+    // the quotient itself is always <= scale, so the narrowing is safe
+    val base = (BigInt(scale) * (100L - dampNum) / (BigInt(100L) * n)).toLong
+    iterate(e, nodes, lit(scale), lit(base), base, iterations, dampNum)
+  }
+
+  /** Personalized (topic-sensitive) PageRank: teleport only to `sources`.
+    * Scores rank every node by proximity to the seed set; nodes unreached
+    * within `iterations` hops score 0. */
+  def personalized(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Seq[Long], iterations: Int = 3, dampNum: Long = 85L,
+      scale: Long = Scale): DataFrame = {
+    require(sources.nonEmpty, "personalized PageRank needs a seed set")
+    require(iterations >= 1 && dampNum >= 0 && dampNum <= 100 && scale >= 1)
+    val (e, nodes, n) = prepare(edges, srcCol, dstCol)
+    if (n == 0) return nodes.withColumn("score", lit(scale))
+    val isSrc = col("id").isin(sources.map(Long.box): _*)
+    val base =
+      (BigInt(scale) * (100L - dampNum) / (BigInt(100L) * sources.size)).toLong
+    iterate(e, nodes,
+      when(isSrc, lit(scale)).otherwise(lit(0L)),
+      when(isSrc, lit(base)).otherwise(lit(0L)),
+      base, iterations, dampNum)
+  }
+
+  /** Canonical (src, dst) edges + node table, both materialized once. */
+  private def prepare(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame, Long) = {
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -46,15 +84,18 @@ object PageRank {
       .union(e.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint()
+    (e, nodes, nodes.count()) // node count: fixed constant, computed once
+  }
+
+  /** The unrolled integer power iteration; `initScore`/`baseScore` are
+    * per-node expressions over the node table's `id` column, `maxBase`
+    * their driver-side maximum (for the overflow bound). */
+  private def iterate(e: DataFrame, nodes: DataFrame, initScore: Column,
+      baseScore: Column, maxBase: Long, iterations: Int,
+      dampNum: Long): DataFrame = {
     val outd = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .localCheckpoint()
-    val n = nodes.count() // fixed constant of the graph, computed once
-    if (n == 0) return nodes.withColumn("score", lit(scale)) // empty graph
-    // BigInt: scale*(100-damp) wraps driver-side Long for scale near 2^63;
-    // the quotient itself is always <= scale, so the narrowing is safe
-    val base = (BigInt(scale) * (100L - dampNum) / (BigInt(100L) * n)).toLong
-
-    var s = nodes.withColumn("score", lit(scale))
+    var s = nodes.withColumn("score", initScore)
     (1 to iterations).foreach { _ =>
       val contrib = e
         .join(s, e("src") === s("id"))
@@ -70,13 +111,13 @@ object PageRank {
       // on the DECIMAL value BEFORE dividing. A NULL damped product
       // (decimal overflow past 10^38) coalesces to unsafe and raises too.
       val dampM = expr(s"$dampNum * coalesce(m, CAST(0 AS DECIMAL(38,0)))")
-      // safe ⟺ base + (dampM div 100) fits 2^63−1
-      val limit = (BigInt(Long.MaxValue) - base) * 100
+      // safe ⟺ base + (dampM div 100) fits 2^63−1 for every possible base
+      val limit = (BigInt(Long.MaxValue) - maxBase) * 100
       val safe = coalesce(
         dampM <= expr(s"CAST('$limit' AS DECIMAL(38,0))"), lit(false))
       s = nodes.join(contrib, Seq("id"), "left_outer")
         .select(col("id"),
-          when(safe, lit(base) + expr(
+          when(safe, baseScore + expr(
             s"$dampNum * coalesce(m, CAST(0 AS DECIMAL(38,0))) div 100"))
             .otherwise(expr("raise_error('PageRank score overflowed " +
               "BIGINT: in-degree * scale * damp exceeds 2^63; lower the " +

@@ -77,4 +77,44 @@ object Relevance {
       (col(idCol) +: col("dl") +: terms.indices.map(i => col(s"tf_$i"))) :+
         round(score, 4).as("bm25"): _*)
   }
+
+  /** Top-k TF-IDF keywords per document — the classic "what is this doc
+    * about" signal a curation pipeline uses for topic tagging and
+    * per-topic mixing. Emits (id, word, tf, tfidf, rk), rk ≤ k.
+    *
+    * score(d, w) = tf(d, w) · ln(N / df(w)), rounded to 4 dp; ranking
+    * uses the ROUNDED score (+ word as the total-order tie-break) so an
+    * oracle ranking over the same rounded values selects identical rows.
+    *
+    * Shape for 100 TB: one explode + one (doc, word) aggregate — the
+    * token histogram — materialized ONCE (it feeds both the document
+    * frequency aggregate and the scoring join; AQE does not reuse
+    * sibling stages). df joins back on the word key (vocabulary-sized,
+    * so a shuffle join, NOT a broadcast); the per-doc top-k is a
+    * rank-limit window (WindowGroupLimit pushes the k cut before the
+    * final sort). Nothing pairs up; cost is O(tokens).
+    */
+  def tfidfKeywords(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, "tfidfKeywords needs k >= 1")
+    val n = docs.count() // corpus constant, one action
+    val tf = docs
+      .select(col(idCol), explode(TextAnalysis.words(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("word"))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") *
+          log(lit(n.toDouble) / col("df").cast("double")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("word"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("word"), col("tf"), col("tfidf"), col("rk"))
+  }
 }

@@ -40,6 +40,20 @@ class PageRankSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("overflowed BIGINT")))
   }
 
+  test("personalized: exact integer diffusion on a chain; no leak to a " +
+      "disconnected component") {
+    // chain 1→2→3→4 plus far pair 9→10; seed = {1}, 3 iterations.
+    // Hand-rolled: base = 0.15·10¹² on the seed only; the initial pulse
+    // decays ×0.85 per hop, so s3 = {1: base, 2: 0.85·base,
+    // 3: 0.85²·base, 4: 0.85³·10¹²} and the 9→10 component stays 0.
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L)).toDF("src", "dst")
+    val out = PageRank.personalized(es, "src", "dst", sources = Seq(1L),
+      iterations = 3).as[(Long, Long)].collect().toMap
+    assert(out == Map(
+      1L -> 150000000000L, 2L -> 127500000000L, 3L -> 108375000000L,
+      4L -> 614125000000L, 9L -> 0L, 10L -> 0L))
+  }
+
   test("matches a hand-rolled integer reference on the same graph") {
     def reference(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
       val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct

@@ -40,6 +40,22 @@ class RelevanceSpec extends SparkSpec {
     assert(scores("join")(2L) == expected)
   }
 
+  test("tfidfKeywords ranks distinctive words first and caps at k") {
+    val out = Relevance.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Double, Int)].collect()
+    assert(out.count(_._1 == 1L) == 2)
+    // doc 1's top keyword is 'spark' (tf 3, df 2) over 'table' (tf 1, df 3)
+    val d1 = out.filter(_._1 == 1L).sortBy(_._5)
+    assert(d1.head._2 == "spark" && d1.head._3 == 3L)
+    // doc 4's words are unique to it (df 1) → tfidf = ln(4) each, and the
+    // word tie-break makes the selection deterministic
+    val d4 = out.filter(_._1 == 4L).sortBy(_._5).map(_._2)
+    assert(d4.toSeq == Seq("filter", "row"))
+    val lnN = BigDecimal(math.log(4.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.filter(_._1 == 4L).forall(_._4 == lnN))
+  }
+
   test("tf and dl columns ride along for downstream filtering") {
     val row = Relevance.bm25(docs, "doc_id", "text", Seq("spark"))
       .where($"doc_id" === 1L).select("dl", "tf_0").as[(Long, Long)].head()
