@@ -114,37 +114,50 @@ object Dedup {
       threshold: Double,
       maxShingleDF: Option[Long] = None
   ): DataFrame = {
-    // NOT checkpointed: materializing the exploded shingles to avoid the
-    // second parse+distinct (the verification set table below) was
-    // measured at sf0.1 — the checkpoint write costs more than the saved
-    // recompute (4.1 s vs 3.9 s warm). Recompute wins here because the
-    // subtree is cheap relative to its materialized size; see PERF.md's
-    // exchange-vs-recompute note.
     val sh = shingles(df, idCol, textCol, n)
-    // Global rarity + per-doc rank + per-doc size in ONE windowed chain
-    // (two shuffles — shingle, then doc id) instead of groupBy+join passes:
-    // every derived stat the operator needs rides this single frame.
+    // Global rarity df stays a WINDOW count (one shuffle+sort on the
+    // shingle key): a per-shingle collect_list would materialize a
+    // stop-shingle's whole posting set in ONE row — an OOM at corpus
+    // scale that the windowed count structurally cannot hit.
     val withDf = sh.withColumn("df",
       count(lit(1)).over(Window.partitionBy(col("shingle"))))
-    val perDoc = Window.partitionBy(col(idCol))
-    val ranked = withDf
-      .withColumn("rk", row_number().over(perDoc.orderBy(col("df"), col("shingle"))))
-      .withColumn("n_doc", count(lit(1)).over(perDoc))
-    val guarded = maxShingleDF match {
+    val observed = maxShingleDF match {
       case Some(cap) =>
         ensureGuardListener(df.sparkSession)
-        ranked.observe(GuardPrefix + guardSeq.incrementAndGet(),
-            sum(when(col("df") > cap, 1L)).as("n_dropped"))
-          .filter(col("df") <= cap)
-      case None => ranked
+        withDf.observe(GuardPrefix + guardSeq.incrementAndGet(),
+          sum(when(col("df") > cap, 1L)).as("n_dropped"))
+      case None => withDf
     }
+    // Per-doc rank and size come from ONE aggregate with an IN-ROW sort
+    // (arrays bounded by the doc's own shingle count), replacing two
+    // window passes over the exploded frame — and the materialized
+    // per-doc frame doubles as the verification set table, so the
+    // shingle subtree is parsed ONCE (the earlier second
+    // parse+distinct+groupBy pass measured slower at sf0.1; same
+    // trade as minhashLshPairs). sort_array on struct(df, shingle) is
+    // exactly the (df, shingle) total order the prefix filter needs.
+    val perDoc = observed.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+        .as("shs"))
+      .select(col(idCol), col("shs"),
+        size(col("shs")).cast("long").as("n_doc"))
+      .localCheckpoint()
     // Prefix selection: keep each doc's ⌊(1−t)·|d|⌋+1 globally-rarest
     // shingles (epsilon guards float rounding so the prefix can only err
-    // LONGER — never lossy).
-    val prefix = guarded
-      .filter(col("rk") <=
-        floor(lit(1.0 - threshold) * col("n_doc") + lit(1e-9)) + 1)
-      .select(col(idCol), col("shingle"), col("n_doc"), col("rk"))
+    // LONGER — never lossy). rk = 1-based position in the full sorted
+    // set; the df cap (if any) filters AFTER rank assignment, so capped
+    // shingles still consume their rank slots and verification below
+    // still sees FULL sets — identical semantics to the windowed shape.
+    val prefixRaw = perDoc
+      .select(col(idCol), col("n_doc"),
+        posexplode(expr("slice(shs, 1, " +
+          s"CAST(floor((1.0 - $threshold) * n_doc + 1e-9) AS INT) + 1)")))
+      .select(col(idCol), col("n_doc"), (col("pos") + 1).as("rk"),
+        col("col.shingle").as("shingle"), col("col.df").as("df"))
+    val prefix = (maxShingleDF match {
+      case Some(cap) => prefixRaw.filter(col("df") <= cap)
+      case None => prefixRaw
+    }).select(col(idCol), col("shingle"), col("n_doc"), col("rk"))
     // Candidate pairs from POSTING LISTS, not a self-join: group the prefix
     // index by shingle and expand id pairs in-row. A self-join would plan
     // the whole windowed chain twice (Spark 4.1 AQE does not reuse
@@ -180,14 +193,15 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .distinct()
 
-    // exact verify against MATERIALIZED per-doc shingle sets (the PPJoin
-    // verification shape): two joins against a one-row-per-doc set table
-    // and a codegen'd array_intersect, instead of re-exploding the full
-    // inverted index into a candidates × shingles/doc intermediate. Cost
-    // is O(candidates × set size) compute with no wide shuffle; the
-    // Jaccard denominator uses the full (pre-cap) set sizes carried on
-    // the candidate rows.
-    val docsets = sh.groupBy(col(idCol)).agg(collect_list(col("shingle")).as("shset"))
+    // exact verify against the SAME materialized per-doc frame (the
+    // PPJoin verification shape): two joins against a one-row-per-doc
+    // set table and a codegen'd array_intersect, instead of re-exploding
+    // the full inverted index into a candidates × shingles/doc
+    // intermediate. Cost is O(candidates × set size) compute with no
+    // wide shuffle; sets and the Jaccard denominator are the full
+    // (pre-cap) sets/sizes, riding the candidate rows.
+    val docsets = perDoc.select(col(idCol),
+      expr("transform(shs, x -> x.shingle)").as("shset"))
     val jac = col("n_inter").cast("double") /
       (col("n_a") + col("n_b") - col("n_inter"))
     candidates
