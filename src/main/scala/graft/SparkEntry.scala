@@ -869,8 +869,12 @@ object SparkEntry {
     //    the 3 unrolled iterations. Seed-expansion ranking for curation,
     //    same integer-exact contract as q_pagerank.
     "q_ppr" -> ((s, dir) => {
+      // narrow (a, b) frame materialized before the two-direction union —
+      // both unionAll branches would otherwise re-scan lineitem (no AQE
+      // sibling-stage reuse)
       val li = Tables.lineitem(s, dir).select(col("l_suppkey").as("a"),
         (lit(100000) + col("l_partkey") % 100).as("b"))
+        .localCheckpoint()
       val edges = li.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(li.select(col("b").as("src"), col("a").as("dst")))
       graft.ext.PageRank.personalized(edges, "src", "dst",
@@ -1608,9 +1612,11 @@ object SparkEntry {
                 4) AS bm25
          FROM base, stats""",
 
-    // rank over the ROUNDED score (+ word tie-break) — both engines round
-    // identically (ln on bit-identical inputs + round-4), so the top-5
-    // selection is total-ordered and identical
+    // rank over the ROUNDED score (+ word tie-break). Residual parity
+    // risk, accepted with eyes open: ln may differ by an ulp between
+    // libms, which flips the 4th decimal only within an ulp of a .xxxx5
+    // boundary (same accepted class as q_bm25); verified hash-identical
+    // at all three SFs on this corpus
     "q_keywords" ->
       """WITH w AS (SELECT doc_id,
                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS word

@@ -42,7 +42,10 @@ object Normalize {
     val x = col(valCol).cast("long")
     val sx = sum(x).over(w)
     val sxx = sum(x * x).over(w)
-    val n = count(lit(1)).over(w)
+    // count(x), not count(*): null-valued rows must not inflate the
+    // denominator the mean/variance divide by (they contribute nothing
+    // to the sums, and their own z/mm are null via null propagation)
+    val n = count(x).over(w)
     val mn = min(x).over(w)
     val mx = max(x).over(w)
 

@@ -33,7 +33,11 @@ object DedupProbe {
       }
     }
 
-    // M1: shipped minhashLshPairs (shingle subtree computed twice)
+    // M1: CURRENT shipped minhashLshPairs. NOTE (post-switch): the
+    // library now uses the one-agg-checkpoint shape, so M1 vs M2 is a
+    // shipped-vs-inlined sanity check. Historical baseline (two-pass
+    // shingle subtree, r5 pre-switch): 2.3-3.0 s warm at sf0.1 vs
+    // M2's 2.1-2.3 s.
     time("M1 minhash shipped") {
       Dedup.minhashLshPairs(docs, "doc_id", "text",
         shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5)
@@ -78,7 +82,11 @@ object DedupProbe {
         .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
     }
 
-    // N1: shipped ngramJaccardPairs
+    // N1: CURRENT shipped ngramJaccardPairs. NOTE (post-switch): now
+    // the in-row-rank-sort shape, so N1 vs N3 is shipped-vs-inlined.
+    // Historical baselines at sf0.1 warm: windowed two-parse shape
+    // 2.2-2.4 s (N1 pre-switch); ranked-checkpoint variant 2.2-2.6 s
+    // (N2, rejected as a wash); in-row sort 2.0-2.6 s (N3, shipped).
     time("N1 ngram shipped") {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
     }
@@ -182,7 +190,11 @@ object DedupProbe {
         .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
     }
 
-    // S1: shipped simhash (per-(word,bit) row explosion)
+    // S1: CURRENT shipped simhash. NOTE (post-switch): now the wide
+    // 63-column shape, so S1 vs S2 is shipped-vs-inlined. Historical
+    // baseline (per-(word, bit) row explosion): 0.56 s warm at sf0.1 —
+    // equal HERE because the fixture vocabulary is tiny; the wide shape
+    // wins at web-scale vocabularies (no x63 row intermediate).
     time("S1 simhash shipped") {
       Dedup.simhash(docs, "doc_id", "text")
     }

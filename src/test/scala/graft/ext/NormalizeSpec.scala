@@ -25,6 +25,19 @@ class NormalizeSpec extends SparkSpec {
     assert(out(6L) == ((None, None)))
   }
 
+  test("null values neither skew the group stats nor score themselves") {
+    val df = Seq(("a", 1L, Some(10)), ("a", 2L, Some(20)),
+      ("a", 3L, Some(30)), ("a", 4L, None))
+      .toDF("grp", "id", "v")
+    val out = Normalize.grouped(df, Seq("grp"), "v")
+      .as[(String, Long, Option[Int], Option[Double], Option[Double])]
+      .collect().map(r => r._2 -> (r._4, r._5)).toMap
+    // stats over the 3 non-null rows only: mean 20, sd 10
+    assert(out(1L) == ((Some(-1.0), Some(0.0))))
+    assert(out(3L) == ((Some(1.0), Some(1.0))))
+    assert(out(4L) == ((None, None))) // the null row scores null
+  }
+
   test("mm lands exactly on the half-up grid for power-of-two ranges") {
     // range 32: v=1 gives 1/32 = 0.03125 — an exact .xxxx5 where
     // round(double) is engine-dependent; half-up must give 0.0313
