@@ -727,6 +727,19 @@ object SparkEntry {
           "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))),
 
+    // ── Split-leakage audit (ext.Splits.leakageAudit): a simulated
+    //    re-crawl (every doc duplicated under a shifted id) is split by
+    //    id hash; fingerprints spanning ≥2 splits are the leaked groups —
+    //    the train/val contamination check run after any id-keyed split.
+    "q_split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .localCheckpoint() // both union branches read it
+      val corpus = docs.unionAll(docs.select(
+        (col("doc_id") + 100000L).as("doc_id"), col("text")))
+      graft.ext.Splits.leakageAudit(corpus, "doc_id", "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    }),
+
     // ── Deterministic stratified sampling: per-stratum keep rates decided
     //    by the id's md5 bucket (same scheme as q_split) — a reproducible
     //    "data recipe" filter, not a rand() draw.
@@ -1794,6 +1807,29 @@ object SparkEntry {
                      WHEN bucket < 58982 THEN 'val'
                      ELSE 'test' END AS split
          FROM b""",
+
+    // same bucket arithmetic as q_split over the doubled corpus;
+    // string_agg(DISTINCT ... ORDER BY) == array_join(array_sort(collect_set))
+    "q_split_leakage" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+         b AS (SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS bucket
+              FROM corpus),
+         s AS (SELECT doc_id, fp,
+                CASE WHEN bucket < 52428 THEN 'train'
+                     WHEN bucket < 58982 THEN 'val'
+                     ELSE 'test' END AS split
+              FROM b)
+         SELECT fp, count(*) AS n_docs,
+                count(DISTINCT split) AS n_splits,
+                string_agg(DISTINCT split, ',' ORDER BY split) AS splits,
+                min(doc_id) AS first_id
+         FROM s GROUP BY fp HAVING count(DISTINCT split) >= 2""",
 
     // same md5-nibble bucket as q_split; en keeps bucket<32768 (0.5),
     // de bucket<16384 (0.25), other strata keep everything

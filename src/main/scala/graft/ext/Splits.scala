@@ -21,6 +21,31 @@ object Splits {
   def hashBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
 
+  /** Split-leakage audit: the train/val contamination check a pipeline
+    * runs after splitting — find normalized-content fingerprints
+    * ([[TextAnalysis.fingerprint]]) that appear in MORE THAN ONE split
+    * (a re-crawled or near-exact duplicate whose copies hash to
+    * different splits leaks evaluation data into training).
+    *
+    * Emits (fp, n_docs, n_splits, splits, first_id), leaked groups only.
+    * Shape: split assignment and fingerprint are per-row codegen; the
+    * audit is ONE fingerprint-keyed aggregate — no pairing, no join,
+    * O(corpus) at any scale. (Splitting on a CONTENT hash instead of the
+    * id would prevent this class of leak — this operator is the audit
+    * for pipelines that split by id.)
+    */
+  def leakageAudit(df: DataFrame, idCol: String, textCol: String,
+      weights: Seq[(String, Double)]): DataFrame =
+    hashSplit(df, idCol, weights)
+      .select(col(idCol), col("split"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        array_join(array_sort(collect_set(col("split"))), ",").as("splits"),
+        min(col(idCol)).as("first_id"))
+      .filter(col("n_splits") >= 2)
+
   /** Assign each row a split label by cumulative weight. Weights need not
     * sum to 1 — they are normalized; boundaries are `floor(cum · 65536)`
     * so the assignment is exact integer arithmetic.

@@ -29,6 +29,30 @@ class SplitsSpec extends SparkSpec {
     assert(once == shuffled)
   }
 
+  test("leakageAudit reports only fingerprints spanning multiple splits") {
+    // ids 1 and 2 land in different halves of a 50/50 carve for this
+    // hash (verified below); give them identical text → leaked group
+    val w = Seq("a" -> 0.5, "b" -> 0.5)
+    val probe = (1L to 10L).toSeq
+    val splitOf = Splits.hashSplit(probe.toDF("id"), "id", w)
+      .as[(Long, String)].collect().toMap
+    val crossPair = probe.combinations(2)
+      .find { case Seq(x, y) => splitOf(x) != splitOf(y) }.get
+    val samePair = probe.combinations(2)
+      .find { case Seq(x, y) => splitOf(x) == splitOf(y) }.get
+    val docs = Seq(
+      (crossPair(0), "dup text"), (crossPair(1), "dup  text"), // same fp
+      (samePair(0), "same split dup"), (samePair(1), "same split dup"),
+      (99L, "unique text")
+    ).toDF("id", "text")
+    val out = Splits.leakageAudit(docs, "id", "text", w)
+      .as[(String, Long, Long, String, Long)].collect()
+    assert(out.length == 1) // only the cross-split dup leaks
+    val r = out.head
+    assert(r._2 == 2L && r._3 == 2L && r._4 == "a,b"
+      && r._5 == crossPair.min)
+  }
+
   test("weights normalize; unnormalized input gives the same carve") {
     val a = Splits.hashSplit(ids, "id", Seq("x" -> 0.8, "y" -> 0.2))
       .as[(Long, String)].collect().toMap
