@@ -740,6 +740,16 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
     }),
 
+    // ── Vocabulary drift (ext.Drift.vocabKl): per-word smoothed-KL
+    //    contributions between the full corpus and its en-slice — the
+    //    "did this filter shift the distribution?" check before shipping
+    //    a dataset revision. Σ contrib = KL in micro-nats.
+    "q_vocab_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ext.Drift.vocabKl(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+    }),
+
     // ── Deterministic stratified sampling: per-stratum keep rates decided
     //    by the id's md5 bucket (same scheme as q_split) — a reproducible
     //    "data recipe" filter, not a rand() draw.
@@ -1807,6 +1817,29 @@ object SparkEntry {
                      WHEN bucket < 58982 THEN 'val'
                      ELSE 'test' END AS split
          FROM b""",
+
+    // smoothed-KL contribution tree mirrored verbatim; HUGEINT totals
+    // cast to double match Spark's driver-side literals exactly
+    "q_vocab_drift" ->
+      """WITH a AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+                    FROM documents),
+         ca AS (SELECT word, count(*) AS c_a FROM a GROUP BY 1),
+         b AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+               FROM documents WHERE lang = 'en'),
+         cb AS (SELECT word, count(*) AS c_b FROM b GROUP BY 1),
+         j AS (SELECT COALESCE(ca.word, cb.word) AS word,
+                      COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+               FROM ca FULL OUTER JOIN cb ON ca.word = cb.word),
+         t AS (SELECT sum(c_a) AS ta, sum(c_b) AS tb, count(*) AS v FROM j)
+         SELECT word, c_a, c_b,
+                round(((CAST(c_a + 1 AS DOUBLE)
+                        / CAST((SELECT ta + v FROM t) AS DOUBLE))
+                       * ln((CAST(c_a + 1 AS DOUBLE)
+                             / CAST((SELECT ta + v FROM t) AS DOUBLE))
+                            / (CAST(c_b + 1 AS DOUBLE)
+                               / CAST((SELECT tb + v FROM t) AS DOUBLE))))
+                      * 1000000.0, 4) + 0 AS contrib_unats
+         FROM j""",
 
     // same bucket arithmetic as q_split over the doubled corpus;
     // string_agg(DISTINCT ... ORDER BY) == array_join(array_sort(collect_set))
