@@ -923,6 +923,21 @@ object SparkEntry {
       graft.ext.Triangles.perNode(edges, "u", "v")
     }),
 
+    // ── k-core decomposition of the part co-purchase graph: 3 fixed
+    //    peeling rounds at k=60 (ext.KCore) — per round ONE degree
+    //    aggregate + two semi joins against the shrinking keep set.
+    //    Density filtering for the graph side.
+    "q_kcore" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            y => struct(x.as("u"), y.as("v")))))).as("p"))
+        .select(col("p.u"), col("p.v"))
+      graft.ext.KCore.survivors(edges, "u", "v", k = 60, rounds = 3)
+    }),
+
     // ── The full keep-one-representative dedup POLICY: clusters ranked by
     //    quality score, highest-quality member keeps (ties → smallest id),
     //    the rest are the drop list — what a curation pipeline actually
@@ -2082,6 +2097,32 @@ object SparkEntry {
                        CAST((SELECT base FROM c) + 85 * COALESCE(m3.m, 0) // 100 AS BIGINT) AS score
                 FROM nodes n LEFT JOIN m3 ON n.id = m3.id)
          SELECT id, score FROM s3""",
+
+    // 3 unrolled peel rounds; keep-set filtering via inner joins on the
+    // distinct keep list (= left-semi, DuckDB-efficient)
+    "q_kcore" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS x,
+                       greatest(a.l_partkey, b.l_partkey) AS y
+                FROM li a JOIN li b USING (l_orderkey)
+                WHERE a.l_partkey < b.l_partkey),
+         d1 AS (SELECT n, count(*) AS c FROM
+                (SELECT x AS n FROM e0 UNION ALL SELECT y FROM e0) GROUP BY 1),
+         k1 AS (SELECT n FROM d1 WHERE c >= 60),
+         e1 AS (SELECT x, y FROM e0 JOIN k1 ka ON e0.x = ka.n
+                                    JOIN k1 kb ON e0.y = kb.n),
+         d2 AS (SELECT n, count(*) AS c FROM
+                (SELECT x AS n FROM e1 UNION ALL SELECT y FROM e1) GROUP BY 1),
+         k2 AS (SELECT n FROM d2 WHERE c >= 60),
+         e2 AS (SELECT x, y FROM e1 JOIN k2 ka ON e1.x = ka.n
+                                    JOIN k2 kb ON e1.y = kb.n),
+         d3 AS (SELECT n, count(*) AS c FROM
+                (SELECT x AS n FROM e2 UNION ALL SELECT y FROM e2) GROUP BY 1),
+         k3 AS (SELECT n FROM d3 WHERE c >= 60),
+         e3 AS (SELECT x, y FROM e2 JOIN k3 ka ON e2.x = ka.n
+                                    JOIN k3 kb ON e2.y = kb.n)
+         SELECT n AS node, count(*) AS core_deg FROM
+         (SELECT x AS n FROM e3 UNION ALL SELECT y FROM e3) GROUP BY 1""",
 
     // same unrolled shape as q_pagerank; teleport pinned to seeds {1,2,3},
     // edges doubled into both directions before the DISTINCT
