@@ -28,8 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
+  /** @param broadcastKeep broadcast the per-round keep set into the two
+    *   semi joins (default). One scalar per surviving VERTEX — fine up
+    *   to ~10⁸ nodes; beyond that pass false and the joins shuffle on
+    *   the node key (the 100 TB path), same contract as
+    *   [[Triangles.perNode]]'s adjacency hint. */
   def survivors(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, rounds: Int): DataFrame = {
+      k: Int, rounds: Int, broadcastKeep: Boolean = true): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
     val u = col(srcCol)
     val v = col(dstCol)
@@ -44,7 +49,8 @@ object KCore {
       .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
 
     (1 to rounds).foreach { _ =>
-      val keep = degrees(e).filter(col("core_deg") >= k).select(col("node"))
+      val keepRaw = degrees(e).filter(col("core_deg") >= k).select(col("node"))
+      val keep = if (broadcastKeep) broadcast(keepRaw) else keepRaw
       e = e
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
