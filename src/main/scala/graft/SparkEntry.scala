@@ -675,6 +675,42 @@ object SparkEntry {
         keys = Seq("l_returnflag"), valCol = "l_quantity")
         .filter(col("l_orderkey") <= 2000)),
 
+    // ── Robust clipping (winsorization) of event values at the group's
+    //    [p05, p95]: ONE unordered window per group computes both exact
+    //    interpolated percentile bounds in a single shuffle, then the
+    //    clip is per-row codegen arithmetic (ext.Binning). The outlier
+    //    tail-taming pass before feature scaling. Emitted for a
+    //    deterministic event-id slice (bounds computed over ALL rows).
+    "q_winsorize" -> ((s, dir) =>
+      graft.ext.Binning.winsorize(
+        Tables.events(s, dir).select(col("event_id"), col("event_type"),
+          col("value")),
+        keys = Seq("event_type"), valCol = "value", pLo = 0.05, pHi = 0.95)
+        .filter(col("event_id") <= 2000)),
+
+    // ── Equi-depth quantile binning: ntile(8) per event type ordered by
+    //    (value, event_id) — the total order makes the bucket assignment
+    //    deterministic (ext.Binning). Feature bucketization for
+    //    gradient-boosted / embedding-table training.
+    "q_bin_depth" -> ((s, dir) =>
+      graft.ext.Binning.equiDepth(
+        Tables.events(s, dir).select(col("event_id"), col("event_type"),
+          col("value")),
+        keys = Seq("event_type"), valCol = "value", tieCol = "event_id",
+        nBins = 8)
+        .withColumn("bin", col("bin").cast("long"))
+        .filter(col("event_id") <= 2000)),
+
+    // ── Equal-width histogram of event values per type, 20 bins over
+    //    [0, 500) with edge-bin clamping: pure map-side bin arithmetic +
+    //    one partial-aggregated count — the cheapest distribution sketch
+    //    at any scale (ext.Binning).
+    "q_histogram" -> ((s, dir) =>
+      graft.ext.Binning.histogram(
+        Tables.events(s, dir).select(col("event_type"), col("value")),
+        keys = Seq("event_type"), valCol = "value",
+        lo = 0.0, hi = 500.0, bins = 20)),
+
     // ── PII redaction with per-rule audit counts: the corpus is word
     //    salad, so deterministic contact strings are constructed from
     //    doc_id first, then scrubbed (ext.Redact — ordered rules, pure
@@ -936,6 +972,24 @@ object SparkEntry {
             y => struct(x.as("u"), y.as("v")))))).as("p"))
         .select(col("p.u"), col("p.v"))
       graft.ext.KCore.survivors(edges, "u", "v", k = 60, rounds = 3)
+    }),
+
+    // ── Community detection by synchronous label propagation (2 rounds)
+    //    on a quarter-sample of the part co-purchase graph: per round ONE
+    //    edge⋈label join and TWO hash aggregates — the per-node argmax is
+    //    a single max(struct(cnt, −label)), partial-aggregatable, so no
+    //    window sort and no hot-node partition (ext.LabelProp).
+    "q_label_prop" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .filter(col("l_partkey") % 4 === 0)
+      val edges = li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            y => struct(x.as("u"), y.as("v")))))).as("p"))
+        .select(col("p.u"), col("p.v"))
+      graft.ext.LabelProp.propagate(edges, "u", "v", rounds = 2)
     }),
 
     // ── The full keep-one-representative dedup POLICY: clusters ranked by
@@ -1731,6 +1785,41 @@ object SparkEntry {
          FROM s
          WHERE l_orderkey <= 2000""",
 
+    // quantile_cont ≡ Spark's percentile (linear interpolation); bounds
+    // rounded to 4 dp BEFORE the clip so the comparison runs on doubles
+    // both engines hold bit-identically
+    "q_winsorize" ->
+      """WITH s AS (SELECT event_id, event_type, value,
+             round(quantile_cont(value, 0.05)
+                   OVER (PARTITION BY event_type), 4) AS p_lo,
+             round(quantile_cont(value, 0.95)
+                   OVER (PARTITION BY event_type), 4) AS p_hi
+           FROM events)
+         SELECT event_id, event_type, value, p_lo, p_hi,
+                least(greatest(value, p_lo), p_hi) AS v_clip
+         FROM s WHERE event_id <= 2000""",
+
+    // ANSI ntile under the same (value, event_id) total order; the slice
+    // filter applies AFTER the window, as in the operator
+    "q_bin_depth" ->
+      """WITH s AS (SELECT event_id, event_type, value,
+             CAST(ntile(8) OVER (PARTITION BY event_type
+                                 ORDER BY value, event_id) AS BIGINT) AS bin
+           FROM events)
+         SELECT event_id, event_type, value, bin
+         FROM s WHERE event_id <= 2000""",
+
+    // same clamp-into-edge-bins arithmetic: floor on doubles, cast, clamp
+    "q_histogram" ->
+      """WITH b AS (SELECT event_type,
+             least(19, greatest(0,
+               CAST(floor((value - 0.0) / 25.0) AS INTEGER))) AS bin
+           FROM events)
+         SELECT event_type, bin, count(*) AS n,
+                CAST(0.0 + bin * 25.0 AS DOUBLE) AS bin_lo,
+                CAST(0.0 + (bin + 1) * 25.0 AS DOUBLE) AS bin_hi
+         FROM b GROUP BY event_type, bin""",
+
     // staged CTEs mirror the ordered-rule contract: each rule counts on
     // the text as it stood when it ran (t0 → t1 → t2)
     "q_redact" ->
@@ -2123,6 +2212,34 @@ object SparkEntry {
                                     JOIN k3 kb ON e2.y = kb.n)
          SELECT n AS node, count(*) AS core_deg FROM
          (SELECT x AS n FROM e3 UNION ALL SELECT y FROM e3) GROUP BY 1""",
+
+    // two unrolled synchronous rounds; per round the argmax (max count,
+    // tie → min label) is a row_number under (c DESC, label) — the same
+    // semantics the operator folds into one max(struct(c, −label)) agg
+    "q_label_prop" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                     WHERE l_partkey % 4 = 0),
+         e0 AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+                FROM li a JOIN li b USING (l_orderkey)
+                WHERE a.l_partkey < b.l_partkey),
+         e AS (SELECT x AS a, y AS b FROM e0
+               UNION SELECT y, x FROM e0),
+         l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+         c1 AS (SELECT e.a AS node, l.label, count(*) AS c
+                FROM e JOIN l0 l ON e.b = l.node GROUP BY 1, 2),
+         r1 AS (SELECT node, label FROM (
+                  SELECT node, label,
+                         row_number() OVER (PARTITION BY node
+                                            ORDER BY c DESC, label) AS rn
+                  FROM c1) WHERE rn = 1),
+         c2 AS (SELECT e.a AS node, l.label, count(*) AS c
+                FROM e JOIN r1 l ON e.b = l.node GROUP BY 1, 2),
+         r2 AS (SELECT node, label FROM (
+                  SELECT node, label,
+                         row_number() OVER (PARTITION BY node
+                                            ORDER BY c DESC, label) AS rn
+                  FROM c2) WHERE rn = 1)
+         SELECT node, label FROM r2""",
 
     // same unrolled shape as q_pagerank; teleport pinned to seeds {1,2,3},
     // edges doubled into both directions before the DISTINCT
