@@ -120,4 +120,36 @@ class PlanContractSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(rows("q_ann_ivf") == rows("q_ann_ivf_disk"))
   }
+
+  test("runtime bloom filter prunes the fact scan of a selective shuffle join") {
+    // At cluster scale a selective dim filter should reach the fact side
+    // BEFORE the shuffle: Spark's runtime row-level filtering injects a
+    // bloom might_contain built from the filtered dim into the fact scan.
+    // The default thresholds (10 GB application side) are sized for real
+    // clusters, so this contract pins the MECHANISM at test scale by
+    // lowering them — the same plan shape a 100 TB join produces.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the shuffle join
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val part = spark.read.parquet(s"$sfDir/part.parquet")
+        .filter(col("p_size") === 1)
+      val j = li.join(part, li("l_partkey") === part("p_partkey"))
+        .groupBy(col("p_type")).agg(sum(col("l_quantity")).as("q"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("might_contain"),
+        s"no bloom filter on the fact scan:\n${p.take(600)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
