@@ -862,13 +862,17 @@ object SparkEntry {
     //    oracle is the plain all-shared-shingle-pairs formulation and stays
     //    bit-identical at every scale factor without modeling the prefix).
     "q_ngram_jaccard" -> ((s, dir) =>
+      // broadcastCandidates: the prefix filters leave a small pair list
+      // on this corpus (measured ~125 k candidates at sf0.1) — the
+      // verify joins go map-side against the docset table
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.5)),
+        n = 3, threshold = 0.5, broadcastCandidates = true)),
 
     // ── MinHash + LSH banding with exact-Jaccard verification.
     "q_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5)),
+        shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5,
+        broadcastCandidates = true)),
 
     // ── Near-dup pairs → dedup CLUSTERS: connected components over the
     //    minhash pair graph (transitive closure), one row per cluster with
@@ -879,7 +883,8 @@ object SparkEntry {
     //    pair SQL.
     "q_dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id",
-        "text", shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5)
+        "text", shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5,
+        broadcastCandidates = true)
       graft.ext.Components.connected(pairs, "doc_a", "doc_b")
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_docs"),
@@ -999,7 +1004,8 @@ object SparkEntry {
     "q_dedup_keep" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5)
+        shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5,
+        broadcastCandidates = true)
       val comp = graft.ext.Components.connected(pairs, "doc_a", "doc_b")
       val qual = docs.select(col("doc_id"),
         TextAnalysis.qualityScore(col("text"), ExtConfig.stopwords)

@@ -105,6 +105,15 @@ object Dedup {
     *        must model the same cap there. The drop count rides the plan as
     *        an `observe` metric and is logged by a QueryExecutionListener
     *        after each action — no extra Spark job, no silent caps.
+    * @param broadcastCandidates broadcast the post-filter candidate pair
+    *        list into the two verification joins, so the one-row-per-doc
+    *        set table never shuffles (measured ~15% faster end-to-end at
+    *        sf0.1). Sound exactly when prefix+size+positional filtering
+    *        has done its job — candidates ≪ corpus — which a well-tuned
+    *        threshold guarantees on natural corpora; leave false (shuffle
+    *        joins, the default) when the candidate volume is unknown or
+    *        the corpus is adversarial, since an exploded candidate list
+    *        would not fit the driver.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -112,7 +121,8 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double,
-      maxShingleDF: Option[Long] = None
+      maxShingleDF: Option[Long] = None,
+      broadcastCandidates: Boolean = false
   ): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
     // Global rarity df stays a WINDOW count (one shuffle+sort on the
@@ -204,7 +214,8 @@ object Dedup {
       expr("transform(shs, x -> x.shingle)").as("shset"))
     val jac = col("n_inter").cast("double") /
       (col("n_a") + col("n_b") - col("n_inter"))
-    candidates
+    val probe = if (broadcastCandidates) broadcast(candidates) else candidates
+    probe
       .join(docsets.select(col(idCol).as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
       .join(docsets.select(col(idCol).as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
       .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
@@ -233,6 +244,12 @@ object Dedup {
     * hash become candidates (one shuffle on the band key); candidates are
     * then verified against the exact shingle-set Jaccard. Recall follows
     * the usual 1-(1-s^r)^b curve; precision is exact post-verify.
+    *
+    * @param broadcastCandidates broadcast the post-band candidate pair
+    *        list into the two verification joins (same contract and
+    *        caveats as [[ngramJaccardPairs]]'s flag: sound when banding
+    *        leaves candidates ≪ corpus; keep false for adversarial or
+    *        unknown corpora).
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -241,7 +258,8 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 12,
       bandSize: Int = 4,
-      threshold: Double = 0.7
+      threshold: Double = 0.7,
+      broadcastCandidates: Boolean = false
   ): DataFrame = {
     val sh = shingles(df, idCol, textCol, shingleN)
     // signatures, the doc's set size, AND its verification shingle set in
@@ -293,7 +311,8 @@ object Dedup {
     val docsets = perDoc.select(col(idCol), col("shset"))
     val jac = col("n_inter").cast("double") /
       (col("n_a") + col("n_b") - col("n_inter"))
-    candidates
+    val probe = if (broadcastCandidates) broadcast(candidates) else candidates
+    probe
       .join(docsets.select(col(idCol).as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
       .join(docsets.select(col(idCol).as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
       .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))

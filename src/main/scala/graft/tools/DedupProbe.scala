@@ -190,6 +190,163 @@ object DedupProbe {
         .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
     }
 
+    // N4: df via hash AGGREGATE + broadcast join-back instead of the
+    // window count — kills the full sort of the exploded shingle frame.
+    // Only valid when the distinct-shingle table fits an executor
+    // (bounded vocab domains); the window stays the unbounded-scale path.
+    time("N4 ngram agg-bcast-df") {
+      val t = 0.8
+      val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+      val dfTable = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val dfed = sh.join(broadcast(dfTable), Seq("shingle"))
+      val perDoc = dfed.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+          .as("shs"))
+        .select(col("doc_id"), col("shs"),
+          size(col("shs")).cast("long").as("n_doc"))
+        .localCheckpoint()
+      val prefix = perDoc
+        .select(col("doc_id"), col("n_doc"),
+          posexplode(expr(s"slice(shs, 1, " +
+            s"CAST(floor((1.0 - $t) * n_doc + 1e-9) AS INT) + 1)")))
+        .select(col("doc_id"), col("n_doc"),
+          (col("pos") + 1).as("rk"), col("col.shingle").as("shingle"))
+      val postings = prefix
+        .groupBy(col("shingle"))
+        .agg(sort_array(collect_list(struct(col("doc_id").as("id"),
+          col("n_doc").as("n"), col("rk").as("rk")))).as("docs"))
+        .filter(size(col("docs")) >= 2)
+      val candidates = postings
+        .select(explode(expr(
+          """flatten(transform(docs, (x, i) ->
+            |  transform(slice(docs, i + 2, size(docs)), y -> struct(x, y))))"""
+            .stripMargin)).as("p"))
+        .select(col("p.x.id").as("doc_a"), col("p.y.id").as("doc_b"),
+          col("p.x.n").as("n_a"), col("p.y.n").as("n_b"),
+          col("p.x.rk").as("rk_a"), col("p.y.rk").as("rk_b"))
+        .filter(col("n_b") >= col("n_a") * t - lit(1e-9) &&
+          col("n_a") >= col("n_b") * t - lit(1e-9))
+        .filter(lit(1) + least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b"))
+          >= lit(t / (1.0 + t)) * (col("n_a") + col("n_b")) - lit(1e-9))
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+        .distinct()
+      val docsets = perDoc.select(col("doc_id"),
+        expr("transform(shs, x -> x.shingle)").as("shset"))
+      val jac = col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter"))
+      candidates
+        .join(docsets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
+        .join(docsets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
+        .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+        .filter(jac >= t)
+        .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+    }
+
+    // N5: N4 + the two verify joins broadcast the CANDIDATE side (tiny
+    // post-filter pair list) so the docset table never shuffles
+    time("N5 ngram bcast-candidates") {
+      val t = 0.8
+      val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+      val dfTable = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val dfed = sh.join(broadcast(dfTable), Seq("shingle"))
+      val perDoc = dfed.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+          .as("shs"))
+        .select(col("doc_id"), col("shs"),
+          size(col("shs")).cast("long").as("n_doc"))
+        .localCheckpoint()
+      val prefix = perDoc
+        .select(col("doc_id"), col("n_doc"),
+          posexplode(expr(s"slice(shs, 1, " +
+            s"CAST(floor((1.0 - $t) * n_doc + 1e-9) AS INT) + 1)")))
+        .select(col("doc_id"), col("n_doc"),
+          (col("pos") + 1).as("rk"), col("col.shingle").as("shingle"))
+      val postings = prefix
+        .groupBy(col("shingle"))
+        .agg(sort_array(collect_list(struct(col("doc_id").as("id"),
+          col("n_doc").as("n"), col("rk").as("rk")))).as("docs"))
+        .filter(size(col("docs")) >= 2)
+      val candidates = postings
+        .select(explode(expr(
+          """flatten(transform(docs, (x, i) ->
+            |  transform(slice(docs, i + 2, size(docs)), y -> struct(x, y))))"""
+            .stripMargin)).as("p"))
+        .select(col("p.x.id").as("doc_a"), col("p.y.id").as("doc_b"),
+          col("p.x.n").as("n_a"), col("p.y.n").as("n_b"),
+          col("p.x.rk").as("rk_a"), col("p.y.rk").as("rk_b"))
+        .filter(col("n_b") >= col("n_a") * t - lit(1e-9) &&
+          col("n_a") >= col("n_b") * t - lit(1e-9))
+        .filter(lit(1) + least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b"))
+          >= lit(t / (1.0 + t)) * (col("n_a") + col("n_b")) - lit(1e-9))
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+        .distinct()
+      val docsets = perDoc.select(col("doc_id"),
+        expr("transform(shs, x -> x.shingle)").as("shset"))
+      val jac = col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter"))
+      broadcast(candidates)
+        .join(docsets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
+        .join(docsets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
+        .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+        .filter(jac >= t)
+        .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+    }
+
+    // N6/N7: the BENCH threshold (0.5 — weak prefix filtering by
+    // design). N6 = shipped (window df + broadcast candidates); N7 =
+    // df via agg + broadcast join-back on top of N6.
+    time("N6 t0.5 shipped") {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, broadcastCandidates = true)
+    }
+    time("N7 t0.5 agg-bcast-df") {
+      val t = 0.5
+      val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+      val dfTable = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val dfed = sh.join(broadcast(dfTable), Seq("shingle"))
+      val perDoc = dfed.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+          .as("shs"))
+        .select(col("doc_id"), col("shs"),
+          size(col("shs")).cast("long").as("n_doc"))
+        .localCheckpoint()
+      val prefix = perDoc
+        .select(col("doc_id"), col("n_doc"),
+          posexplode(expr(s"slice(shs, 1, " +
+            s"CAST(floor((1.0 - $t) * n_doc + 1e-9) AS INT) + 1)")))
+        .select(col("doc_id"), col("n_doc"),
+          (col("pos") + 1).as("rk"), col("col.shingle").as("shingle"))
+      val postings = prefix
+        .groupBy(col("shingle"))
+        .agg(sort_array(collect_list(struct(col("doc_id").as("id"),
+          col("n_doc").as("n"), col("rk").as("rk")))).as("docs"))
+        .filter(size(col("docs")) >= 2)
+      val candidates = postings
+        .select(explode(expr(
+          """flatten(transform(docs, (x, i) ->
+            |  transform(slice(docs, i + 2, size(docs)), y -> struct(x, y))))"""
+            .stripMargin)).as("p"))
+        .select(col("p.x.id").as("doc_a"), col("p.y.id").as("doc_b"),
+          col("p.x.n").as("n_a"), col("p.y.n").as("n_b"),
+          col("p.x.rk").as("rk_a"), col("p.y.rk").as("rk_b"))
+        .filter(col("n_b") >= col("n_a") * t - lit(1e-9) &&
+          col("n_a") >= col("n_b") * t - lit(1e-9))
+        .filter(lit(1) + least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b"))
+          >= lit(t / (1.0 + t)) * (col("n_a") + col("n_b")) - lit(1e-9))
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+        .distinct()
+      val docsets = perDoc.select(col("doc_id"),
+        expr("transform(shs, x -> x.shingle)").as("shset"))
+      val jac = col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter"))
+      broadcast(candidates)
+        .join(docsets.select(col("doc_id").as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
+        .join(docsets.select(col("doc_id").as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
+        .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+        .filter(jac >= t)
+        .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+    }
+
     // S1: CURRENT shipped simhash. NOTE (post-switch): now the wide
     // 63-column shape, so S1 vs S2 is shipped-vs-inlined. Historical
     // baseline (per-(word, bit) row explosion): 0.56 s warm at sf0.1 —

@@ -292,6 +292,61 @@ object TriProbe {
         .groupBy(col("t.node").as("node")).agg(sum(col("t.c")).as("n_tri"))
     }
 
+    // V-ID: id-orientation — canon (a < b) IS the orientation, so the
+    // degree aggregate + two deg joins + second checkpoint all vanish.
+    // Valid bound only for degree-uniform graphs (no celebrity hubs):
+    // out-lists are bounded by max degree, not √2m.
+    time("V-ID id-orient full") {
+      val oriented = edgesPL.distinct().localCheckpoint()
+        .withColumnRenamed("u", "src").withColumnRenamed("v", "dst")
+      val out = oriented.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("outs"))
+      val tris = oriented
+        .join(broadcast(out.select(col("src"), col("outs").as("ou"))), Seq("src"))
+        .join(broadcast(out.select(col("src").as("dst"), col("outs").as("ov"))), Seq("dst"))
+        .select(col("src").as("u"), col("dst").as("v"),
+          array_intersect(col("ou"), col("ov")).as("ws"))
+        .where(size(col("ws")) > 0)
+      tris.select(size(col("ws")).cast("long").as("k"),
+          posexplode(concat(col("ws"), array(col("u"), col("v")))))
+        .select(col("col").as("node"),
+          when(col("pos") < col("k"), lit(1L)).otherwise(col("k")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("n_tri"))
+    }
+
+    // V-DEG1: shipped shape but the degree table is checkpointed ONCE and
+    // broadcast twice from materialized blocks (vs re-aggregating per
+    // broadcast build)
+    time("V-DEG1 deg-ckpt-once") {
+      val canon2 = edgesPL.distinct().localCheckpoint()
+        .withColumnRenamed("u", "a").withColumnRenamed("v", "b")
+      val deg2 = canon2.select(col("a").as("node"))
+        .unionAll(canon2.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val withDeg = canon2
+        .join(broadcast(deg2.withColumnRenamed("node", "a").withColumnRenamed("deg", "da")), "a")
+        .join(broadcast(deg2.withColumnRenamed("node", "b").withColumnRenamed("deg", "db")), "b")
+      val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+      val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+        .localCheckpoint()
+      val out = oriented.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("outs"))
+      val tris = oriented
+        .join(broadcast(out.select(col("src"), col("outs").as("ou"))), Seq("src"))
+        .join(broadcast(out.select(col("src").as("dst"), col("outs").as("ov"))), Seq("dst"))
+        .select(col("src").as("u"), col("dst").as("v"),
+          array_intersect(col("ou"), col("ov")).as("ws"))
+        .where(size(col("ws")) > 0)
+      tris.select(size(col("ws")).cast("long").as("k"),
+          posexplode(concat(col("ws"), array(col("u"), col("v")))))
+        .select(col("col").as("node"),
+          when(col("pos") < col("k"), lit(1L)).otherwise(col("k")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("n_tri"))
+    }
+
     spark.stop()
   }
 }
