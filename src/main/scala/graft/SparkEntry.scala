@@ -711,6 +711,53 @@ object SparkEntry {
         keys = Seq("event_type"), valCol = "value",
         lo = 0.0, hi = 500.0, bins = 20)),
 
+    // ── Per-user temporal features (lag / delta / trailing rolling
+    //    mean+max): ONE ordered window per user computes every feature —
+    //    the sequence-model feature pass (ext.TimeFeatures). Rolling sum
+    //    rides decimal(18,2) for cross-engine exactness.
+    "q_time_features" -> ((s, dir) =>
+      graft.ext.TimeFeatures.derive(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("ts"), col("value")),
+        keys = Seq("user_id"), tsCol = "ts", valCol = "value",
+        tieCol = "event_id", frameRows = 6)
+        .filter(col("event_id") <= 2000)
+        // epoch seconds, not the raw ns-precision timestamp — the
+        // cross-engine identity q_time_math established
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("epoch_s"), col("value"),
+          col("prev_value"), col("delta_ts"), col("roll_mean"),
+          col("roll_max"))),
+
+    // ── Unicode NFC canonicalization via the native codegen expression
+    //    (functions.NfcNormalize ≡ DuckDB nfc_normalize): decomposed
+    //    sequences injected per-row, then composed — without this pass,
+    //    visually identical docs hash as distinct and escape dedup.
+    "q_nfc" -> ((s, dir) => {
+      graft.functions.NfcNormalize.register(s)
+      // the prefix is DECOMPOSED in source (e + U+0301 combining acute,
+      // twice) — the normalizer composes it, so len_norm = len_raw − 2
+      Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("résumé "), col("text")).as("dirty"))
+        .select(col("doc_id"),
+          call_function("nfc_normalize", col("dirty")).as("norm_text"),
+          length(col("dirty")).as("len_raw"),
+          length(call_function("nfc_normalize", col("dirty"))).as("len_norm"))
+    }),
+
+    // ── Deterministic uniform negative sampling for contrastive
+    //    training: k=3 hash-derived negatives per (order, part) positive,
+    //    item domain broadcast as a one-row aggregate — per-row codegen
+    //    arithmetic, no shuffle of the positives (ext.NegativeSampling).
+    "q_neg_sample" -> ((s, dir) => {
+      val pos = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") <= 6000)
+        .select(col("l_orderkey").as("entity"), col("l_partkey").as("item"))
+      graft.ext.NegativeSampling.uniformNegatives(
+        pos, "entity", "item", Tables.part(s, dir), "p_partkey", k = 3)
+        .withColumn("j", col("j").cast("long"))
+    }),
+
     // ── PII redaction with per-rule audit counts: the corpus is word
     //    salad, so deterministic contact strings are constructed from
     //    doc_id first, then scrubbed (ext.Redact — ordered rules, pure
@@ -1825,6 +1872,59 @@ object SparkEntry {
                 CAST(0.0 + bin * 25.0 AS DOUBLE) AS bin_lo,
                 CAST(0.0 + (bin + 1) * 25.0 AS DOUBLE) AS bin_hi
          FROM b GROUP BY event_type, bin""",
+
+    // one named window per user under the (ts, event_id) total order;
+    // rolling sum through DECIMAL(18,2), epoch seconds via the
+    // floor(epoch(ts)) ≡ unix_timestamp identity
+    "q_time_features" ->
+      """WITH s AS (SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, value,
+             lag(value, 1) OVER w AS prev_value,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) AS delta_ts,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE)
+               / count(*) OVER f AS roll_mean,
+             max(value) OVER f AS roll_max
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                  f AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, epoch_s, value, prev_value, delta_ts,
+                roll_mean, roll_max
+         FROM s WHERE event_id <= 2000""",
+
+    // chr(769) = U+0301 COMBINING ACUTE — the same decomposed prefix the
+    // Spark side carries as a source literal; nfc_normalize composes it
+    "q_nfc" ->
+      """WITH d AS (SELECT doc_id,
+             're' || chr(769) || 'sume' || chr(769) || ' ' || text AS dirty
+           FROM documents)
+         SELECT doc_id, nfc_normalize(dirty) AS norm_text,
+                length(dirty) AS len_raw,
+                length(nfc_normalize(dirty)) AS len_norm
+         FROM d""",
+
+    // same 8-nibble md5 bucket arithmetic as q_split (4 nibbles), item
+    // domain from the part table, self-collisions dropped
+    "q_neg_sample" ->
+      """WITH mx AS (SELECT max(p_partkey) AS m FROM part),
+         p AS (SELECT l_orderkey AS entity, l_partkey AS item
+               FROM lineitem WHERE l_orderkey <= 6000),
+         x AS (SELECT entity, item, j,
+                      md5(concat_ws(':', entity, item, j)) AS h
+               FROM p, (SELECT unnest(range(3)) AS j)),
+         b AS (SELECT entity, item, j,
+                 (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+               + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+               + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+               + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+               + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) AS bucket
+               FROM x)
+         SELECT entity, item, j, bucket % (SELECT m FROM mx) + 1 AS neg_item
+         FROM b WHERE bucket % (SELECT m FROM mx) + 1 <> item""",
 
     // staged CTEs mirror the ordered-rule contract: each rule counts on
     // the text as it stood when it ran (t0 → t1 → t2)

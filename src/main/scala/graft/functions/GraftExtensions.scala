@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("decimal_dot"),
       DecimalDot.info,
       (children: Seq[Expression]) => DecimalDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      NfcNormalize.info,
+      (children: Seq[Expression]) => NfcNormalize.build(children)))
   }
 }
