@@ -963,6 +963,35 @@ object SparkEntry {
         keys = Seq("user_id"), startCol = "start_us", endCol = "end_us",
         tieBreak = Seq("event_id"))),
 
+    // ── The complement report: UNCOVERED spans between activity islands
+    //    per user — downtime/blind-spot detection from the same single
+    //    window pass as the merge (ops.Intervals.gaps, one shuffle).
+    "q_interval_gaps" -> ((s, dir) =>
+      graft.ops.Intervals.gaps(
+        Tables.events(s, dir).select(
+          col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) +
+            (floor(col("value")).cast("long") + 1L) * 60000000L).as("end_us")),
+        keys = Seq("user_id"), startCol = "start_us", endCol = "end_us",
+        tieBreak = Seq("event_id"))),
+
+    // ── Skew-resistant equi join: the hot event-type key is salted into
+    //    8 deterministic sub-keys and the per-type dim replicated per
+    //    bucket (ops.SkewJoin) — semantics proven ≡ the plain join by the
+    //    oracle. The static fallback where AQE skew splitting can't fire.
+    "q_skew_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val dim = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_type"))
+      graft.ops.SkewJoin.saltedJoin(ev, dim, Seq("event_type"),
+        distributor = col("event_id"), saltBuckets = 8)
+        .filter(col("event_id") <= 2000)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("n_type"))
+    }),
+
     // ── Fixed-iteration PageRank over the supplier→part-bucket graph in
     //    INTEGER arithmetic (10¹² score grid, BIGINT floor division):
     //    bit-exact against the SQL oracle — a float PageRank never is.
@@ -2261,6 +2290,32 @@ object SparkEntry {
          SELECT user_id, min(start_us) AS start_us, max(end_us) AS end_us,
                 count(*) AS n_merged
          FROM i GROUP BY user_id, island""",
+
+    // same interval construction and running-max window as
+    // q_interval_merge; a gap is an island break with an earlier end
+    "q_interval_gaps" ->
+      """WITH iv AS (SELECT user_id, event_id,
+                CAST(epoch_us(ts) AS BIGINT) AS start_us,
+                CAST(epoch_us(ts) AS BIGINT)
+                  + (CAST(floor(value) AS BIGINT) + 1) * 60000000 AS end_us
+              FROM events),
+         m AS (SELECT user_id, start_us,
+                max(end_us) OVER (PARTITION BY user_id
+                  ORDER BY start_us, end_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+               FROM iv)
+         SELECT user_id, pm AS gap_start, start_us AS gap_end,
+                start_us - pm AS gap_len
+         FROM m WHERE pm IS NOT NULL AND start_us > pm""",
+
+    // the PLAIN inner join — the salted formulation must be
+    // indistinguishable from it
+    "q_skew_join" ->
+      """WITH d AS (SELECT event_type, count(*) AS n_type
+                    FROM events GROUP BY 1)
+         SELECT event_id, event_type, value, n_type
+         FROM events JOIN d USING (event_type)
+         WHERE event_id <= 2000""",
 
     // 3 unrolled integer iterations; every sum CAST back to BIGINT
     // (DuckDB sum() yields HUGEINT — the q_pack type-hash trap)

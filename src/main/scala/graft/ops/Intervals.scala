@@ -41,4 +41,30 @@ object Intervals {
       .select(keys.map(col) ++
         Seq(col(startCol), col(endCol), col("n_merged")): _*)
   }
+
+  /** The complement of [[mergeOverlapping]]: the UNCOVERED spans between
+    * islands per key — downtime windows, monitoring blind spots, SLA
+    * gaps. A gap opens at the running max of all earlier `end`s and
+    * closes at the first `start` strictly beyond it, so gaps fall out of
+    * the SAME single window pass (one shuffle, no island aggregation
+    * needed): every island-break row (except a key's first) IS a gap.
+    * Emits (keys, gap_start, gap_end, gap_len). */
+  def gaps(
+      df: DataFrame,
+      keys: Seq[String],
+      startCol: String,
+      endCol: String,
+      tieBreak: Seq[String] = Nil
+  ): DataFrame = {
+    val ord = (Seq(startCol, endCol) ++ tieBreak).map(c => col(c).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("__pm", prevMax)
+      .filter(col("__pm").isNotNull && col(startCol) > col("__pm"))
+      .select(keys.map(col) ++ Seq(
+        col("__pm").as("gap_start"),
+        col(startCol).as("gap_end"),
+        (col(startCol) - col("__pm")).as("gap_len")): _*)
+  }
 }

@@ -35,4 +35,23 @@ class IntervalsSpec extends SparkSpec {
     val empty = Seq.empty[(String, Long, Long)].toDF("k", "s", "e")
     assert(Intervals.mergeOverlapping(empty, Seq("k"), "s", "e").count() == 0)
   }
+
+  test("gaps are the exact complement of the merged islands") {
+    val iv = Seq(
+      ("k1", 0L, 10L), ("k1", 5L, 15L), ("k1", 15L, 20L),
+      ("k1", 25L, 30L), ("k1", 50L, 60L),
+      ("k2", 0L, 1L) // single island → no gap
+    ).toDF("k", "s", "e")
+    val out = Intervals.gaps(iv, Seq("k"), "s", "e")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(("k1", 20L, 25L, 5L), ("k1", 30L, 50L, 20L)))
+  }
+
+  test("nested intervals never open a phantom gap (running max, not lag)") {
+    val iv = Seq(("k", 0L, 100L), ("k", 10L, 20L), ("k", 150L, 160L))
+      .toDF("k", "s", "e")
+    val out = Intervals.gaps(iv, Seq("k"), "s", "e")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(("k", 100L, 150L, 50L)))
+  }
 }
