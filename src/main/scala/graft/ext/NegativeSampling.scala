@@ -27,11 +27,6 @@ import org.apache.spark.sql.functions._
   */
 object NegativeSampling {
 
-  /** Uniform 32-bit bucket from the first 8 hex chars of md5 —
-    * SQL-reproducible via per-nibble strpos arithmetic. */
-  private def bucket32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
-
   /** @param positives one row per observed (entity, item) pair
     * @param items     the item dimension; its `itemIdCol` defines the
     *                  dense 1..max sampling domain
@@ -45,9 +40,21 @@ object NegativeSampling {
       .crossJoin(broadcast(maxId))
       .select(col(entityCol), col(itemCol), col("__max_item"),
         explode(sequence(lit(0), lit(k - 1))).as("j"))
+      // an empty/filtered-away item dimension yields a NULL max, which
+      // would null every neg_item and SILENTLY drop all positives at the
+      // collision filter — raise instead, fused INTO the value so no
+      // filter reordering can bypass the check (a standalone assert row
+      // filter measured exactly that: the collision filter ran first and
+      // discarded the null rows before the assert ever evaluated)
       .withColumn("neg_item",
-        bucket32(concat_ws(":", col(entityCol), col(itemCol), col("j")))
-          % col("__max_item") + 1)
+        when(col("__max_item").isNull || col("__max_item") < 1,
+          raise_error(lit(
+            "NegativeSampling: item dimension is empty or max id < 1"))
+            .cast("long"))
+          // 8-nibble (32-bit) variant of the Splits md5-bucket contract
+          .otherwise(Splits.hashBucket(
+            concat_ws(":", col(entityCol), col(itemCol), col("j")), nibbles = 8)
+            % col("__max_item") + 1))
       .filter(col("neg_item") =!= col(itemCol))
       .drop("__max_item")
   }

@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object Splits {
 
-  /** Uniform [0, 65536) bucket from the id's md5 (first 4 hex chars via
-    * base conversion) — SQL-reproducible: engines without `conv` rebuild
-    * it with per-nibble strpos arithmetic, same value. */
-  def hashBucket(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
+  /** Uniform [0, 16^nibbles) bucket from the id's md5 prefix via base
+    * conversion — SQL-reproducible: engines without `conv` rebuild it
+    * with per-nibble strpos arithmetic, same value. 4 nibbles (the split
+    * default) gives 65 536 buckets; [[NegativeSampling]] widens to 8 for
+    * a 32-bit domain. Capped at 15 so the value fits a signed long. */
+  def hashBucket(id: Column, nibbles: Int = 4): Column = {
+    require(nibbles >= 1 && nibbles <= 15, "nibbles must be in [1, 15]")
+    conv(substring(md5(id.cast("string")), 1, nibbles), 16, 10).cast("long")
+  }
 
   /** Split-leakage audit: the train/val contamination check a pipeline
     * runs after splitting — find normalized-content fingerprints

@@ -2,6 +2,7 @@ package graft.functions
 
 import java.text.Normalizer
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -30,6 +31,15 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "nfc_normalize"
 
+  // SQL-registered, so arbitrary user types can reach it: fail analysis
+  // with a named error instead of a runtime ClassCastException (the same
+  // contract as DecimalDot in this package)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.catalogString)
+
   override protected def nullSafeEval(input: Any): Any =
     NfcNormalize.normalize(input.asInstanceOf[UTF8String])
 
@@ -51,8 +61,11 @@ object NfcNormalize {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[NfcNormalize].getName, "nfc_normalize")
 
-  def build(children: Seq[Expression]): NfcNormalize =
+  def build(children: Seq[Expression]): NfcNormalize = {
+    if (children.size != 1) throw new IllegalArgumentException(
+      s"nfc_normalize expects exactly 1 argument, got ${children.size}")
     NfcNormalize(children.head)
+  }
 
   /** Imperative registration (tests, ad-hoc sessions). */
   def register(spark: SparkSession): Unit =

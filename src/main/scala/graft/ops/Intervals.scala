@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   * order keeps the plan deterministic for oracle comparison.
   */
 object Intervals {
+
+  /** The shared total order and running max-of-earlier-ends — ONE
+    * definition so the merge and its gap complement can never
+    * de-synchronize on tie-break or frame semantics. */
+  private def prevEndMax(keys: Seq[String], startCol: String,
+      endCol: String, tieBreak: Seq[String]) = {
+    val ord = (Seq(startCol, endCol) ++ tieBreak).map(c => col(c).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    (w, max(col(endCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+  }
+
   def mergeOverlapping(
       df: DataFrame,
       keys: Seq[String],
@@ -27,10 +38,7 @@ object Intervals {
       endCol: String,
       tieBreak: Seq[String] = Nil
   ): DataFrame = {
-    val ord = (Seq(startCol, endCol) ++ tieBreak).map(c => col(c).asc)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
-    val prevMax = max(col(endCol))
-      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val (w, prevMax) = prevEndMax(keys, startCol, endCol, tieBreak)
     df.withColumn("__brk",
         when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
       .withColumn("__island", sum(col("__brk")).over(
@@ -56,10 +64,7 @@ object Intervals {
       endCol: String,
       tieBreak: Seq[String] = Nil
   ): DataFrame = {
-    val ord = (Seq(startCol, endCol) ++ tieBreak).map(c => col(c).asc)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
-    val prevMax = max(col(endCol))
-      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val (_, prevMax) = prevEndMax(keys, startCol, endCol, tieBreak)
     df.withColumn("__pm", prevMax)
       .filter(col("__pm").isNotNull && col(startCol) > col("__pm"))
       .select(keys.map(col) ++ Seq(

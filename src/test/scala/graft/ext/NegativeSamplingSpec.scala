@@ -23,6 +23,16 @@ class NegativeSamplingSpec extends SparkSpec {
       again.sortBy(r => (r._1, r._2, r._3)).toSeq)
   }
 
+  test("an empty item dimension fails loudly instead of silently dropping rows") {
+    val err = intercept[Exception] {
+      NegativeSampling.uniformNegatives(
+        positives, "user", "item",
+        items.filter($"item_id" > 100), "item_id", k = 2).collect()
+    }
+    assert(err.getMessage.contains("item dimension is empty") ||
+      Option(err.getCause).exists(_.getMessage.contains("item dimension is empty")))
+  }
+
   test("never emits the positive itself; different (user, item, j) differ") {
     val out = NegativeSampling.uniformNegatives(
       positives, "user", "item", items, "item_id", k = 5)

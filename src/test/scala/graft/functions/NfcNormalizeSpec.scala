@@ -30,6 +30,18 @@ class NfcNormalizeSpec extends SparkSpec {
     assert(distinctRaw == 2 && distinctNorm == 1)
   }
 
+  test("non-string input fails analysis with a named error, wrong arity throws") {
+    NfcNormalize.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT nfc_normalize(123)").collect()
+    }
+    assert(err.getMessage.contains("nfc_normalize"))
+    val arity = intercept[Exception] {
+      spark.sql("SELECT nfc_normalize('a', 'b')").collect()
+    }
+    assert(arity.getMessage.contains("1 argument"))
+  }
+
   test("SQL-visible and null-safe") {
     NfcNormalize.register(spark)
     val out = spark.sql(
