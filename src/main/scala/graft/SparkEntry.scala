@@ -745,6 +745,14 @@ object SparkEntry {
           length(call_function("nfc_normalize", col("dirty"))).as("len_norm"))
     }),
 
+    // ── Per-document Shannon word entropy (bits/token): one explode +
+    //    two map-side-combinable aggregates; the transcendental sum is
+    //    quantized to exact BIGINTs so distributed addition order cannot
+    //    flip a bit (ext.TextAnalysis.entropy). Diversity quality signal.
+    "q_entropy" -> ((s, dir) =>
+      graft.ext.TextAnalysis.entropy(Tables.documents(s, dir),
+        "doc_id", "text")),
+
     // ── Deterministic uniform negative sampling for contrastive
     //    training: k=3 hash-derived negatives per (order, part) positive,
     //    item domain broadcast as a one-row aggregate — per-row codegen
@@ -1932,6 +1940,25 @@ object SparkEntry {
                 length(dirty) AS len_raw,
                 length(nfc_normalize(dirty)) AS len_norm
          FROM d""",
+
+    // same 1e-6 quantization before the sum: per-word log2 terms floor
+    // to BIGINTs, so the Σ is exact in both engines regardless of order
+    "q_entropy" ->
+      """WITH w AS (SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+              FROM documents),
+         c AS (SELECT doc_id, w, count(*) AS c FROM w
+               WHERE w <> '' GROUP BY 1, 2),
+         s AS (SELECT doc_id,
+                CAST(sum(CAST(floor(c * log2(c) * 1000000) AS BIGINT))
+                  AS BIGINT) AS sq,
+                CAST(sum(c) AS BIGINT) AS n_tokens
+               FROM c GROUP BY 1)
+         SELECT doc_id, n_tokens,
+                round(log2(n_tokens)
+                      - (CAST(sq AS DOUBLE) / 1000000.0) / n_tokens, 4) + 0
+                  AS entropy
+         FROM s""",
 
     // same 8-nibble md5 bucket arithmetic as q_split (4 nibbles), item
     // domain from the part table, self-collisions dropped

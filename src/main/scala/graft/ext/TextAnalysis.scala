@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -89,4 +89,36 @@ object TextAnalysis {
     * whitespace-collapsed text. Equal fingerprints ⇔ same normalized text. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Per-document Shannon word entropy (bits/token) — the diversity
+    * quality signal: near-zero entropy flags degenerate repetition, the
+    * ceiling log2(n_tokens) flags all-unique noise.
+    *
+    *   H = log2(n) − (Σ_w c_w · log2(c_w)) / n
+    *
+    * Determinism: `log2` runs on exact integer counts (deterministic
+    * per word, the BM25 transcendental argument) — but the Σ is a
+    * distributed SUM whose float addition order varies per run, so each
+    * term is QUANTIZED to the 1e-6 grid first (`floor(x · 1e6)`, exact
+    * on bit-identical doubles) and the sum runs in exact BIGINTs,
+    * order-independent. The grid error is ≤ vocab/1e6 bits — far below
+    * the 4-dp output rounding for any real document. Docs with no words
+    * emit no row (same contract as shingles).
+    *
+    * Shape: one explode + two hash aggregates, all map-side combinable;
+    * no window, no join. Σ quantized terms needs n_distinct·20·1e6 < 2⁶³
+    * — holds to ~4·10¹¹ occurrences of a single word per doc.
+    */
+  def entropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(floor(col("c") * log2(col("c")) * lit(1000000L)).cast("long"))
+        .as("sq"),
+        sum(col("c")).as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        (round(log2(col("n_tokens")) -
+          (col("sq").cast("double") / 1000000.0) / col("n_tokens"), 4)
+          + lit(0.0)).as("entropy"))
 }

@@ -54,4 +54,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q(1L) > q(2L))
     assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("entropy: 0 for degenerate repetition, log2(n) for all-unique") {
+    val df = Seq(
+      (1L, "x x x x"),         // H = 0
+      (2L, "a a b b"),         // counts 2,2 of n=4 → H = 1
+      (3L, "a b c d"),         // all unique → H = log2(4) = 2
+      (4L, "")                 // no words → no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.entropy(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((4L, 0.0)))
+    assert(out(2L) == ((4L, 1.0)))
+    assert(out(3L) == ((4L, 2.0)))
+    assert(!out.contains(4L))
+  }
 }
