@@ -745,6 +745,30 @@ object SparkEntry {
           length(call_function("nfc_normalize", col("dirty"))).as("len_norm"))
     }),
 
+    // ── Rank (quantile) normalization: ANSI percent_rank per event type
+    //    under the (value, event_id) total order — outlier-immune scaling
+    //    from exact integer rank division (ext.Normalize.rankNormalize).
+    "q_rank_norm" -> ((s, dir) =>
+      graft.ext.Normalize.rankNormalize(
+        Tables.events(s, dir).select(col("event_id"), col("event_type"),
+          col("value")),
+        keys = Seq("event_type"), valCol = "value", tieCol = "event_id")
+        .filter(col("event_id") <= 2000)),
+
+    // ── Nucleus (top-p) coverage: per source, the smallest word set
+    //    covering ≥ 90% of tokens — EXACT integer threshold compare
+    //    (10·(cum−w) < 9·total), so no float boundary can flip
+    //    membership (ext.Coverage.nucleus over an aggregated table).
+    "q_top_share" -> ((s, dir) => {
+      val wc = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.ext.TextAnalysis.words(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+      graft.ext.Coverage.nucleus(wc, Seq("source"), "word", "cnt",
+        pNum = 9, pDen = 10)
+    }),
+
     // ── Per-document Shannon word entropy (bits/token): one explode +
     //    two map-side-combinable aggregates; the transcendental sum is
     //    quantized to exact BIGINTs so distributed addition order cannot
@@ -1940,6 +1964,35 @@ object SparkEntry {
                 length(dirty) AS len_raw,
                 length(nfc_normalize(dirty)) AS len_norm
          FROM d""",
+
+    // ANSI percent_rank under the same total order; filter after window
+    "q_rank_norm" ->
+      """WITH s AS (SELECT event_id, event_type, value,
+             percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS pr
+           FROM events)
+         SELECT event_id, event_type, value, pr
+         FROM s WHERE event_id <= 2000""",
+
+    // the exact-integer nucleus rule: kept iff 10*(cum - cnt) < 9*total
+    // under (cnt DESC, word) — plus the half-up share like quality_score
+    "q_top_share" ->
+      """WITH w AS (SELECT source,
+                unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+              FROM documents),
+         cw AS (SELECT source, word, count(*) AS cnt FROM w
+                WHERE word <> '' GROUP BY 1, 2),
+         x AS (SELECT source, word, cnt,
+                CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS total,
+                CAST(sum(cnt) OVER (PARTITION BY source
+                  ORDER BY cnt DESC, word
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+               FROM cw)
+         SELECT source, word, cnt, total, cum,
+                CAST(floor((2*cnt*10000 + total) / (2*total)) AS DOUBLE)
+                  / 10000 AS share_4dp
+         FROM x WHERE 10 * (cum - cnt) < 9 * total""",
 
     // same 1e-6 quantization before the sum: per-word log2 terms floor
     // to BIGINTs, so the Σ is exact in both engines regardless of order

@@ -64,4 +64,21 @@ object Normalize {
       .withColumn("mm",
         when(mx > mn, mm).otherwise(lit(null)))
   }
+
+  /** Rank (quantile) normalization: adds `pr` = ANSI percent_rank under
+    * the (valCol, tieCol) total order per group — the distribution-free
+    * scaling that is immune to outliers entirely (rank depends only on
+    * order). The tie column makes ranks — and therefore the output —
+    * deterministic under equal values; percent_rank's (rank−1)/(n−1) is
+    * a division of exact integers, bit-identical in any engine.
+    * Singleton groups emit 0.0 (the ANSI convention). Same one-shuffle
+    * ordered-window shape as [[TimeFeatures.derive]]. */
+  def rankNormalize(df: DataFrame, keys: Seq[String], valCol: String,
+      tieCol: String): DataFrame = {
+    require(keys.nonEmpty, "rank normalization needs at least one key")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(valCol), col(tieCol))
+    df.withColumn("pr", percent_rank().over(w))
+  }
 }

@@ -121,6 +121,41 @@ class PlanContractSpec extends SparkSpec {
     assert(rows("q_ann_ivf") == rows("q_ann_ivf_disk"))
   }
 
+  test("histogram is one aggregate pass: a single shuffle, no sort, no join") {
+    val p = plan("q_histogram")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(400))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(400))
+  }
+
+  test("temporal features run in ONE ordered window: one shuffle, no join") {
+    val p = plan("q_time_features")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(400))
+    assert("Window".r.findAllIn(p).nonEmpty && !p.contains("Join"), p.take(400))
+  }
+
+  test("negative sampling never shuffles the positives (broadcast domain only)") {
+    val p = plan("q_neg_sample")
+    assert(!p.contains("hashpartitioning"), p.take(600))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(400))
+  }
+
+  test("salted join shuffles on (key, salt) when it cannot broadcast") {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = plan("q_skew_join")
+      val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+      assert(exchanges.exists(_.contains("__salt")), exchanges.mkString("; "))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter prunes the fact scan of a selective shuffle join") {
     // At cluster scale a selective dim filter should reach the fact side
     // BEFORE the shuffle: Spark's runtime row-level filtering injects a

@@ -38,6 +38,15 @@ class NormalizeSpec extends SparkSpec {
     assert(out(4L) == ((None, None))) // the null row scores null
   }
 
+  test("rankNormalize: percent_rank under the total order, 0.0 singleton") {
+    val df = Seq(("a", 1L, 30), ("a", 2L, 10), ("a", 3L, 20), ("b", 4L, 7))
+      .toDF("grp", "id", "v")
+    val out = Normalize.rankNormalize(df, Seq("grp"), "v", "id")
+      .as[(String, Long, Int, Double)].collect().map(r => r._2 -> r._4).toMap
+    assert(out(2L) == 0.0 && out(3L) == 0.5 && out(1L) == 1.0)
+    assert(out(4L) == 0.0)
+  }
+
   test("mm lands exactly on the half-up grid for power-of-two ranges") {
     // range 32: v=1 gives 1/32 = 0.03125 — an exact .xxxx5 where
     // round(double) is engine-dependent; half-up must give 0.0313
