@@ -745,6 +745,31 @@ object SparkEntry {
           length(call_function("nfc_normalize", col("dirty"))).as("len_norm"))
     }),
 
+    // ── Embedding compression for serving: exact-decimal L2 norm +
+    //    symmetric absmax int8 quantization with an EXPLICIT ⌊x+0.5⌋
+    //    half-way rule (ext.Similarity) — pure map work, no shuffle.
+    "q_embed_quant" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("abs_max", graft.ext.Similarity.absMax(col("embedding")))
+      e.select(col("vec_id"),
+        round(graft.ext.Similarity.l2Norm(col("embedding")), 4).as("l2"),
+        col("abs_max"),
+        when(col("abs_max") > 0,
+          graft.ext.Similarity.int8Quantize(col("embedding"), col("abs_max")))
+          .as("qv"))
+    }),
+
+    // ── Exactly-50-per-type deterministic sample: rank by the 32-bit id
+    //    hash inside each group (ext.Sampling.fixedSizePerGroup) — the
+    //    fixed-size eval-set draw, exact counts where stratified's coin
+    //    flip gives rates.
+    "q_sample_n" -> ((s, dir) =>
+      graft.ext.Sampling.fixedSizePerGroup(
+        Tables.events(s, dir).select(col("event_id"), col("event_type")),
+        keys = Seq("event_type"), idCol = "event_id", n = 50)
+        .withColumn("rk", col("rk").cast("long"))),
+
     // ── Rank (quantile) normalization: ANSI percent_rank per event type
     //    under the (value, event_id) total order — outlier-immune scaling
     //    from exact integer rank division (ext.Normalize.rankNormalize).
@@ -1964,6 +1989,44 @@ object SparkEntry {
                 length(dirty) AS len_raw,
                 length(nfc_normalize(dirty)) AS len_norm
          FROM d""",
+
+    // the same decimal-accumulated norm as q_ann_brute; the quantizer's
+    // half-way rule is the explicit floor(x + 0.5), not round()
+    "q_embed_quant" ->
+      """WITH e AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) AS am
+           FROM embeddings),
+         n AS (SELECT vec_id,
+             CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+                           * CAST(embedding[i] AS DOUBLE)
+                           AS DECIMAL(30,15))) AS DOUBLE) AS nq
+           FROM e, UNNEST(range(1, len(embedding) + 1)) t(i)
+           GROUP BY 1)
+         SELECT e.vec_id, round(sqrt(nq), 4) AS l2, am AS abs_max,
+                CASE WHEN am > 0 THEN list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) / am * 127.0 + 0.5)
+                            AS INTEGER)) END AS qv
+         FROM e JOIN n ON e.vec_id = n.vec_id""",
+
+    // same 8-nibble md5 rank order as the operator; row_number under a
+    // total order, exact top-50 per type
+    "q_sample_n" ->
+      """WITH b AS (SELECT event_id, event_type,
+                 (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 268435456
+               + (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1) * 16777216
+               + (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 3, 1)) - 1) * 1048576
+               + (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 4, 1)) - 1) * 65536
+               + (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 5, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 6, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 7, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 8, 1)) - 1) AS bucket
+               FROM events),
+         r AS (SELECT event_id, event_type,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY bucket, event_id) AS rk
+               FROM b)
+         SELECT event_id, event_type, rk FROM r WHERE rk <= 50""",
 
     // ANSI percent_rank under the same total order; filter after window
     "q_rank_norm" ->

@@ -59,4 +59,21 @@ object Sampling {
       .withColumn("copy_idx", explode(expr("sequence(0, __n - 1)")))
       .drop("__n")
   }
+
+  /** EXACTLY-n-per-group sampling (fixed-size eval sets, per-domain
+    * probes): rank rows inside each group by their 32-bit id hash (id as
+    * the tie-break — a total order, so the selection is deterministic)
+    * and keep rank ≤ n. Unlike [[stratified]]'s per-row coin flip this
+    * guarantees the exact count (or the whole group when smaller), at
+    * the cost of one ordered window shuffle on the group key — the
+    * rate-vs-exactness trade both shapes exist for. Adds `rk`. */
+  def fixedSizePerGroup(df: DataFrame, keys: Seq[String], idCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(keys.nonEmpty, "need at least one group key")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(Splits.hashBucket(col(idCol), nibbles = 8), col(idCol))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+  }
 }

@@ -42,6 +42,26 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** L2 norm via the exact decimal dot — bit-identical across engines. */
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Largest |component| as a double — the symmetric int8 scale base. */
+  def absMax(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double"))))
+
+  /** Symmetric absmax int8 quantization: q_i = ⌊x_i/absMax·127 + 0.5⌋ —
+    * the serving-time compression pass for embedding tables (4× smaller,
+    * dot products in integer SIMD). `floor(x + 0.5)` is written out
+    * instead of `round` so the half-way rule (toward +∞) is EXPLICIT and
+    * engine-exact — `round(double)` half-way behavior differs between
+    * engines (the q_quality_score trap). Callers guard absMax > 0 (a
+    * zero vector has no scale). Range is [−127, 127]: x = −absMax gives
+    * ⌊−127 + 0.5⌋ = ⌊−126.5⌋ = −127, x = +absMax gives ⌊127.5⌋ = 127.
+    */
+  def int8Quantize(v: Column, absMaxCol: Column): Column =
+    transform(v, x =>
+      floor(x.cast("double") / absMaxCol * lit(127.0) + lit(0.5)).cast("int"))
+
   /** Random-hyperplane LSH bucket with axis-aligned planes: an integer in
     * [0, 2^bits) from the sign pattern of the first `bits` dimensions.
     * Sign tests on floats are exact, so bucketing is deterministic. */

@@ -57,4 +57,16 @@ class SamplingSpec extends SparkSpec {
       .as[Long].collect().sorted
     assert(strat.toSeq == up.toSeq)
   }
+
+  test("fixedSizePerGroup: exact n per group, whole group when smaller") {
+    val df = (1L to 100L).map(i => (i, if (i <= 90) "big" else "small"))
+      .toDF("id", "grp")
+    val out = Sampling.fixedSizePerGroup(df, Seq("grp"), "id", n = 20)
+    val counts = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("big" -> 20L, "small" -> 10L))
+    // deterministic: the same 20 ids every run
+    val again = Sampling.fixedSizePerGroup(df, Seq("grp"), "id", n = 20)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == out.select("id").as[Long].collect().sorted.toSeq)
+  }
 }

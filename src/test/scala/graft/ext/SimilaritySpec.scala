@@ -96,4 +96,15 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.subsetOf(brute))
     assert(lsh.nonEmpty) // 0 and 1 share the (+,·,·) bucket
   }
+
+  test("int8 quantization: endpoints hit ±127, zero stays zero") {
+    val df = Seq((1L, Seq(2.0f, -2.0f, 0.0f, 1.0f))).toDF("id", "v")
+      .withColumn("am", Similarity.absMax($"v"))
+      .withColumn("q", Similarity.int8Quantize($"v", $"am"))
+    val (am, q) = df.select("am", "q").as[(Double, Seq[Int])].collect().head
+    assert(am == 2.0)
+    assert(q == Seq(127, -127, 0, 64)) // 1.0/2*127 + 0.5 = 64.0 → 64
+    val n = df.select(Similarity.l2Norm($"v")).as[Double].collect().head
+    assert(n == 3.0) // sqrt(4 + 4 + 0 + 1)
+  }
 }
