@@ -745,6 +745,25 @@ object SparkEntry {
           length(call_function("nfc_normalize", col("dirty"))).as("len_norm"))
     }),
 
+    // ── Market-basket lift over part co-purchases (quarter sample):
+    //    posting-list pair expansion (never a fact self-join), supports
+    //    broadcast, lift via exact half-up integer division
+    //    (ext.Basket.pairLift). The "bought together" association op.
+    "q_lift" -> ((s, dir) =>
+      graft.ext.Basket.pairLift(
+        Tables.lineitem(s, dir)
+          .filter(col("l_partkey") % 4 === 0)
+          .select(col("l_orderkey"), col("l_partkey")),
+        basketCol = "l_orderkey", itemCol = "l_partkey", minSupport = 2)),
+
+    // ── Empirical Markov transition matrix of user event sequences:
+    //    one ordered window + one pair aggregate; conditional
+    //    probabilities as exact half-up division (ops.Transitions).
+    "q_transitions" -> ((s, dir) =>
+      graft.ops.Transitions.matrix(Tables.events(s, dir),
+        entityCol = "user_id", stateCol = "event_type",
+        tsCol = "ts", tieCol = "event_id")),
+
     // ── Embedding compression for serving: exact-decimal L2 norm +
     //    symmetric absmax int8 quantization with an EXPLICIT ⌊x+0.5⌋
     //    half-way rule (ext.Similarity) — pure map work, no shuffle.
@@ -1989,6 +2008,41 @@ object SparkEntry {
                 length(dirty) AS len_raw,
                 length(nfc_normalize(dirty)) AS len_norm
          FROM d""",
+
+    // DISTINCT baskets first (duplicate items count once), id-ordered
+    // pair join, halfUp4 lift like quality_score
+    "q_lift" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                     FROM lineitem WHERE l_partkey % 4 = 0),
+         p AS (SELECT a.i AS item_a, b2.i AS item_b, count(*) AS n_ab
+               FROM li a JOIN li b2 ON a.b = b2.b AND a.i < b2.i
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         s AS (SELECT i, count(*) AS n FROM li GROUP BY 1),
+         t AS (SELECT count(DISTINCT b) AS nb FROM li)
+         SELECT item_a, item_b,
+                CAST(n_ab AS BIGINT) AS n_ab,
+                CAST(sa.n AS BIGINT) AS n_a,
+                CAST(sb.n AS BIGINT) AS n_b,
+                CAST(floor((2*n_ab*(SELECT nb FROM t)*10000 + sa.n*sb.n)
+                           / (2*sa.n*sb.n)) AS DOUBLE) / 10000 AS lift
+         FROM p JOIN s sa ON p.item_a = sa.i
+                JOIN s sb ON p.item_b = sb.i""",
+
+    // lag under the (ts, event_id) total order; halfUp4 probabilities
+    "q_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS from_state
+              FROM events),
+         c AS (SELECT from_state, event_type AS to_state, count(*) AS n
+               FROM t WHERE from_state IS NOT NULL GROUP BY 1, 2),
+         s AS (SELECT from_state, to_state, n,
+                CAST(sum(n) OVER (PARTITION BY from_state) AS BIGINT) AS tot
+               FROM c)
+         SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+                CAST(floor((2*n*10000 + tot) / (2*tot)) AS DOUBLE) / 10000
+                  AS p_4dp
+         FROM s""",
 
     // the same decimal-accumulated norm as q_ann_brute; the quantizer's
     // half-way rule is the explicit floor(x + 0.5), not round()

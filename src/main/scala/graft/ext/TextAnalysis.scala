@@ -19,7 +19,7 @@ object TextAnalysis {
     * BIGINT then floored — engine-independent where `round(double, 4)`
     * is not (see [[qualityScore]]'s docstring for the exactness bound:
     * requires num·10⁴ ≲ 2⁵³ and quotient ≲ 10⁹). */
-  private[ext] def halfUp4(num: Column, den: Column): Column =
+  private[graft] def halfUp4(num: Column, den: Column): Column =
     floor((lit(2L) * num * lit(10000L) + den) / (lit(2L) * den))
       .cast("double") / lit(10000.0)
 
