@@ -745,6 +745,14 @@ object SparkEntry {
           length(call_function("nfc_normalize", col("dirty"))).as("len_norm"))
     }),
 
+    // ── Cohort retention triangle: users grouped by first-activity
+    //    date, distinct-active counts per day offset — co-partitioned
+    //    entity-key aggregates, output bounded by cohorts × horizon
+    //    (ops.Cohort.retention).
+    "q_cohort" -> ((s, dir) =>
+      graft.ops.Cohort.retention(Tables.events(s, dir),
+        entityCol = "user_id", tsCol = "ts")),
+
     // ── Market-basket lift over part co-purchases (quarter sample):
     //    posting-list pair expansion (never a fact self-join), supports
     //    broadcast, lift via exact half-up integer division
@@ -2008,6 +2016,18 @@ object SparkEntry {
                 length(dirty) AS len_raw,
                 length(nfc_normalize(dirty)) AS len_norm
          FROM d""",
+
+    // calendar-date truncation + integer day arithmetic, exact in both
+    // engines (q_asof's DATE identity)
+    "q_cohort" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+                    FROM events GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+         SELECT cohort_date,
+                CAST(date_diff('day', cohort_date, d) AS BIGINT) AS day_offset,
+                count(DISTINCT a.user_id) AS n_users
+         FROM a JOIN f USING (user_id)
+         GROUP BY 1, 2""",
 
     // DISTINCT baskets first (duplicate items count once), id-ordered
     // pair join, halfUp4 lift like quality_score
