@@ -2025,7 +2025,7 @@ object SparkEntry {
          a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
          SELECT cohort_date,
                 CAST(date_diff('day', cohort_date, d) AS BIGINT) AS day_offset,
-                count(DISTINCT a.user_id) AS n_users
+                count(*) AS n_users
          FROM a JOIN f USING (user_id)
          GROUP BY 1, 2""",
 
@@ -2077,11 +2077,14 @@ object SparkEntry {
                            AS DECIMAL(30,15))) AS DOUBLE) AS nq
            FROM e, UNNEST(range(1, len(embedding) + 1)) t(i)
            GROUP BY 1)
-         SELECT e.vec_id, round(sqrt(nq), 4) AS l2, am AS abs_max,
+         SELECT e.vec_id,
+                CASE WHEN embedding IS NULL THEN NULL
+                     ELSE round(sqrt(coalesce(nq, 0)), 4) END AS l2,
+                am AS abs_max,
                 CASE WHEN am > 0 THEN list_transform(embedding,
                   x -> CAST(floor(CAST(x AS DOUBLE) / am * 127.0 + 0.5)
                             AS INTEGER)) END AS qv
-         FROM e JOIN n ON e.vec_id = n.vec_id""",
+         FROM e LEFT JOIN n ON e.vec_id = n.vec_id""",
 
     // same 8-nibble md5 rank order as the operator; row_number under a
     // total order, exact top-50 per type
@@ -2102,11 +2105,13 @@ object SparkEntry {
                FROM b)
          SELECT event_id, event_type, rk FROM r WHERE rk <= 50""",
 
-    // ANSI percent_rank under the same total order; filter after window
+    // ANSI percent_rank under the same total order; NULLS FIRST spelled
+    // out (DuckDB's ASC default is nulls-LAST, Spark's is nulls-first)
     "q_rank_norm" ->
       """WITH s AS (SELECT event_id, event_type, value,
              percent_rank() OVER (PARTITION BY event_type
-                                  ORDER BY value, event_id) AS pr
+                                  ORDER BY value NULLS FIRST,
+                                           event_id NULLS FIRST) AS pr
            FROM events)
          SELECT event_id, event_type, value, pr
          FROM s WHERE event_id <= 2000""",
@@ -2132,7 +2137,11 @@ object SparkEntry {
          FROM x WHERE 10 * (cum - cnt) < 9 * total""",
 
     // same 1e-6 quantization before the sum: per-word log2 terms floor
-    // to BIGINTs, so the Σ is exact in both engines regardless of order
+    // to BIGINTs, so the Σ is exact in both engines regardless of order.
+    // ln(x)/ln(2), NOT log2(): Spark's LOG2 computes Math.log(x)/
+    // Math.log(2) while DuckDB's log2() is libm log2 — measured to
+    // differ by 1 ulp on some integer inputs, which floor() would
+    // amplify into an off-by-one sq. ln ≡ ln is the BM25-proven identity.
     "q_entropy" ->
       """WITH w AS (SELECT doc_id,
                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
@@ -2140,12 +2149,12 @@ object SparkEntry {
          c AS (SELECT doc_id, w, count(*) AS c FROM w
                WHERE w <> '' GROUP BY 1, 2),
          s AS (SELECT doc_id,
-                CAST(sum(CAST(floor(c * log2(c) * 1000000) AS BIGINT))
+                CAST(sum(CAST(floor(c * (ln(c) / ln(2)) * 1000000) AS BIGINT))
                   AS BIGINT) AS sq,
                 CAST(sum(c) AS BIGINT) AS n_tokens
                FROM c GROUP BY 1)
          SELECT doc_id, n_tokens,
-                round(log2(n_tokens)
+                round(ln(n_tokens) / ln(2)
                       - (CAST(sq AS DOUBLE) / 1000000.0) / n_tokens, 4) + 0
                   AS entropy
          FROM s""",

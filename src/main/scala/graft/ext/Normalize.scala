@@ -70,15 +70,18 @@ object Normalize {
     * scaling that is immune to outliers entirely (rank depends only on
     * order). The tie column makes ranks — and therefore the output —
     * deterministic under equal values; percent_rank's (rank−1)/(n−1) is
-    * a division of exact integers, bit-identical in any engine.
-    * Singleton groups emit 0.0 (the ANSI convention). Same one-shuffle
-    * ordered-window shape as [[TimeFeatures.derive]]. */
+    * a division of exact integers, bit-identical in any engine. Null
+    * ordering is pinned NULLS FIRST explicitly — engine DEFAULTS differ
+    * (Spark ASC is nulls-first, DuckDB ASC is nulls-last), so an oracle
+    * must spell out `NULLS FIRST` too. Singleton groups emit 0.0 (the
+    * ANSI convention). Same one-shuffle ordered-window shape as
+    * [[TimeFeatures.derive]]. */
   def rankNormalize(df: DataFrame, keys: Seq[String], valCol: String,
       tieCol: String): DataFrame = {
     require(keys.nonEmpty, "rank normalization needs at least one key")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(valCol), col(tieCol))
+      .orderBy(col(valCol).asc_nulls_first, col(tieCol).asc_nulls_first)
     df.withColumn("pr", percent_rank().over(w))
   }
 }

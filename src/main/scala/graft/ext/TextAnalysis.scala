@@ -103,7 +103,11 @@ object TextAnalysis {
     * on bit-identical doubles) and the sum runs in exact BIGINTs,
     * order-independent. The grid error is ≤ vocab/1e6 bits — far below
     * the 4-dp output rounding for any real document. Docs with no words
-    * emit no row (same contract as shingles).
+    * emit no row (same contract as shingles). Oracle caveat: Spark's
+    * LOG2 computes ln(x)/ln(2) — an oracle must mirror that FORMULA
+    * (`ln(c)/ln(2)`), not call its own log2(), which is a different
+    * libm routine measured to differ by 1 ulp on some integers (and
+    * floor() amplifies 1 ulp into an off-by-one quantized term).
     *
     * Shape: one explode + two hash aggregates, all map-side combinable;
     * no window, no join. Σ quantized terms needs n_distinct·20·1e6 < 2⁶³

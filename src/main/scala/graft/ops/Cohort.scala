@@ -31,6 +31,10 @@ object Cohort {
     active.join(firstDay, Seq(entityCol))
       .groupBy(col("cohort_date"),
         datediff(col("d"), col("cohort_date")).cast("long").as("day_offset"))
-      .agg(countDistinct(e).as("n_users"))
+      // plain count, not countDistinct: `active` is already distinct on
+      // (entity, day) and offset is a bijection of day per entity, so
+      // each entity appears at most once per group — a distinct
+      // aggregate here would pay the two-phase expansion for nothing
+      .agg(count(lit(1)).as("n_users"))
   }
 }
