@@ -745,6 +745,19 @@ object SparkEntry {
           length(call_function("nfc_normalize", col("dirty"))).as("len_norm"))
     }),
 
+    // ── Data-quality expectations: row rules in ONE conditional
+    //    aggregate, uniqueness one keyed aggregate, referential
+    //    integrity one anti join — the per-batch validation gate
+    //    (ops.Expectations).
+    "q_expectations" -> ((s, dir) =>
+      graft.ops.Expectations.audit(Tables.lineitem(s, dir),
+        rowRules = Seq(
+          graft.ops.Expectations.notNull("l_quantity"),
+          graft.ops.Expectations.inRange("l_quantity", 1.0, 50.0),
+          graft.ops.Expectations.inRange("l_discount", 0.0, 0.1)),
+        unique = Seq("l_orderkey", "l_linenumber"),
+        foreignKey = Some(("l_orderkey", Tables.orders(s, dir), "o_orderkey")))),
+
     // ── Cohort retention triangle: users grouped by first-activity
     //    date, distinct-active counts per day offset — co-partitioned
     //    entity-key aggregates, output bounded by cohorts × horizon
@@ -2016,6 +2029,35 @@ object SparkEntry {
                 length(dirty) AS len_raw,
                 length(nfc_normalize(dirty)) AS len_norm
          FROM d""",
+
+    // rule names mirror the operator's generated labels verbatim
+    "q_expectations" ->
+      """WITH r AS (
+           SELECT 'not_null(l_quantity)' AS rule,
+                  CAST(count(*) FILTER (WHERE l_quantity IS NULL)
+                       AS BIGINT) AS violations
+           FROM lineitem
+           UNION ALL
+           SELECT 'in_range(l_quantity,1.0,50.0)',
+                  CAST(count(*) FILTER (WHERE l_quantity IS NULL
+                        OR l_quantity < 1.0 OR l_quantity > 50.0) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'in_range(l_discount,0.0,0.1)',
+                  CAST(count(*) FILTER (WHERE l_discount IS NULL
+                        OR l_discount < 0.0 OR l_discount > 0.1) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'unique(l_orderkey,l_linenumber)',
+                  CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+           FROM (SELECT count(*) AS n FROM lineitem
+                 GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+           UNION ALL
+           SELECT 'foreign_key(l_orderkey->o_orderkey)',
+                  CAST(count(*) AS BIGINT)
+           FROM lineitem
+           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+         SELECT rule, violations, violations = 0 AS pass FROM r""",
 
     // calendar-date truncation + integer day arithmetic, exact in both
     // engines (q_asof's DATE identity)
