@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val child = Seq(
+    (1L, Some(10.0), 100L), (2L, Some(60.0), 100L), // 60 out of range
+    (3L, None, 200L),                               // null value
+    (3L, Some(5.0), 999L)                           // dup id 3, orphan 999
+  ).toDF("id", "v", "fk")
+  private val dim = Seq(100L, 200L).toDF("k")
+
+  test("row, uniqueness and FK rules audit into one pass/fail report") {
+    val out = Expectations.audit(child,
+      rowRules = Seq(Expectations.notNull("v"),
+        Expectations.inRange("v", 0.0, 50.0)),
+      unique = Seq("id"),
+      foreignKey = Some(("fk", dim, "k")))
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("not_null(v)") == ((1L, false)))
+    // range: 60 violates, null violates (unparseable is not in range)
+    assert(out("in_range(v,0.0,50.0)") == ((2L, false)))
+    assert(out("unique(id)") == ((1L, false)))   // one extra copy of id 3
+    assert(out("foreign_key(fk->k)") == ((1L, false)))
+    assert(out.size == 4)
+  }
+
+  test("a clean batch passes every rule with zero violations") {
+    val clean = Seq((1L, Some(1.0), 100L)).toDF("id", "v", "fk")
+    val out = Expectations.audit(clean,
+      rowRules = Seq(Expectations.notNull("v")),
+      unique = Seq("id"), foreignKey = Some(("fk", dim, "k")))
+    assert(out.filter(!col("pass")).count() == 0)
+    assert(out.count() == 3)
+  }
+}
