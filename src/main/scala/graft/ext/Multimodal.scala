@@ -171,6 +171,50 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(media_id: Long, width: Int, height: Int,
+      media: Array[Byte])
+
+  /** Real image resize, per-partition: decode via `javax.imageio`,
+    * NEAREST-NEIGHBOR rescale, re-encode PNG. Nearest-neighbor is
+    * deliberate: it is exact integer arithmetic
+    * (`src = (2·dst+1)·srcDim / (2·dstDim)` — pixel-center mapping,
+    * floor division), so the sampled pixels are bit-deterministic on any
+    * JVM/platform, where bilinear/bicubic filtering is implementation-
+    * defined. Undecodable rows yield a 0×0 marker with empty bytes
+    * (loud, never silently dropped). Re-encoded PNG bytes are
+    * deterministic within a JDK; cross-engine checks should compare
+    * DECODED pixels or dimensions, not encoder output. */
+  def resizeImages(media: Dataset[MediaRow], width: Int,
+      height: Int): Dataset[ResizedMedia] = {
+    require(width >= 1 && height >= 1, "target dims must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.media))
+        if (img == null) ResizedMedia(r.media_id, 0, 0, Array.emptyByteArray)
+        else {
+          val out = new java.awt.image.BufferedImage(width, height,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < height) {
+            val sy = ((2 * y + 1) * img.getHeight) / (2 * height)
+            var x = 0
+            while (x < width) {
+              val sx = ((2 * x + 1) * img.getWidth) / (2 * width)
+              out.setRGB(x, y, img.getRGB(sx, sy))
+              x += 1
+            }
+            y += 1
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", buf)
+          ResizedMedia(r.media_id, width, height, buf.toByteArray)
+        }
+      }
+    }
+  }
+
   /** Evenly-spaced frame sampling as pure column logic over the binary:
     * frame i = bytes [i*frameBytes, (i+1)*frameBytes). */
   def frameSample(df: DataFrame, nFrames: Int,

@@ -102,4 +102,42 @@ class MultimodalSpec extends SparkSpec {
     val m = Multimodal.attach(empty, "doc_id", "text", "text/plain")
     assert(Multimodal.frameSample(m, nFrames = 10).count() == 0)
   }
+
+  test("resizeImages: nearest-neighbor downscale picks exact source pixels") {
+    // 4×4 quadrant image: red | green / blue | white
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, (x / 2, y / 2) match {
+        case (0, 0) => 0xff0000
+        case (1, 0) => 0x00ff00
+        case (0, 1) => 0x0000ff
+        case _      => 0xffffff
+      })
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val media = Seq((1L, buf.toByteArray)).toDF("media_id", "bin")
+      .select($"media_id", $"bin".as("media"), lit("png").as("format"),
+        length($"bin").cast("long").as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    val out = Multimodal.resizeImages(media, 2, 2).collect().head
+    assert(out.width == 2 && out.height == 2)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.media))
+    // pixel centers of the 2×2 target map to (1,1),(3,1),(1,3),(3,3) —
+    // one exact pixel from each quadrant, no blending
+    assert((back.getRGB(0, 0) & 0xffffff) == 0xff0000)
+    assert((back.getRGB(1, 0) & 0xffffff) == 0x00ff00)
+    assert((back.getRGB(0, 1) & 0xffffff) == 0x0000ff)
+    assert((back.getRGB(1, 1) & 0xffffff) == 0xffffff)
+  }
+
+  test("resizeImages: undecodable bytes yield the loud 0×0 marker") {
+    val media = Seq((7L, Array[Byte](1, 2, 3))).toDF("media_id", "bin")
+      .select($"media_id", $"bin".as("media"), lit("png").as("format"),
+        lit(3L).as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    val out = Multimodal.resizeImages(media, 8, 8).collect().head
+    assert(out.width == 0 && out.height == 0 && out.media.isEmpty)
+  }
 }
