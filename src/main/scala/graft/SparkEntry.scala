@@ -2056,7 +2056,9 @@ object SparkEntry {
            SELECT 'foreign_key(l_orderkey->o_orderkey)',
                   CAST(count(*) AS BIGINT)
            FROM lineitem
-           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+           WHERE l_orderkey IS NOT NULL
+             AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                    WHERE o_orderkey IS NOT NULL))
          SELECT rule, violations, violations = 0 AS pass FROM r""",
 
     // calendar-date truncation + integer day arithmetic, exact in both

@@ -180,9 +180,11 @@ object Multimodal {
     * (`src = (2·dst+1)·srcDim / (2·dstDim)` — pixel-center mapping,
     * floor division), so the sampled pixels are bit-deterministic on any
     * JVM/platform, where bilinear/bicubic filtering is implementation-
-    * defined. Undecodable rows yield a 0×0 marker with empty bytes
-    * (loud, never silently dropped). Re-encoded PNG bytes are
-    * deterministic within a JDK; cross-engine checks should compare
+    * defined. Undecodable rows — unrecognized bytes (read returns null)
+    * AND recognized-but-corrupt streams (the PNG/JPEG readers THROW on
+    * truncation/bad CRC) — yield a 0×0 marker with empty bytes: loud,
+    * never silently dropped, never a task failure. Re-encoded PNG bytes
+    * are deterministic within a JDK; cross-engine checks should compare
     * DECODED pixels or dimensions, not encoder output. */
   def resizeImages(media: Dataset[MediaRow], width: Int,
       height: Int): Dataset[ResizedMedia] = {
@@ -190,18 +192,22 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.media))
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.media))
+          catch { case _: java.io.IOException | _: RuntimeException => null }
         if (img == null) ResizedMedia(r.media_id, 0, 0, Array.emptyByteArray)
         else {
           val out = new java.awt.image.BufferedImage(width, height,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
           var y = 0
           while (y < height) {
-            val sy = ((2 * y + 1) * img.getHeight) / (2 * height)
+            // Long arithmetic: (2·dst+1)·srcDim overflows Int for large
+            // dimension products (e.g. 40 k × 30 k)
+            val sy = (((2L * y + 1) * img.getHeight) / (2L * height)).toInt
             var x = 0
             while (x < width) {
-              val sx = ((2 * x + 1) * img.getWidth) / (2 * width)
+              val sx = (((2L * x + 1) * img.getWidth) / (2L * width)).toInt
               out.setRGB(x, y, img.getRGB(sx, sy))
               x += 1
             }

@@ -12,14 +12,21 @@ import org.apache.spark.sql.functions._
   * Rule families and their cost shapes:
   *   - ROW rules (not-null, range, custom predicate): ALL audit in a
   *     single conditional aggregate over ONE scan — adding a rule adds
-  *     a column, not a pass.
+  *     a column, not a pass. An empty batch reports 0 violations
+  *     (pass), never NULL.
   *   - `unique`: one groupBy on the key with a HAVING count — the same
   *     shuffle any duplicate check needs; violations = extra copies.
   *   - `foreignKey`: one left-anti join against the dimension's key set
-  *     (broadcast when small) — violations = orphaned rows.
+  *     (broadcast when small) — violations = orphaned rows. NULL child
+  *     keys are NOT counted (a null key is a `notNull` violation, not
+  *     an orphan — and this keeps the operator equivalent to SQL
+  *     `NOT IN` formulations, whose null semantics differ from an
+  *     anti join).
   *
   * Output is a tiny union of per-family reports (rule name, violation
   * count, pass flag), deterministic by construction (exact counts).
+  * Rule names are carried as typed literal columns — never spliced into
+  * SQL text — so any name (quotes, backticks, duplicates) is safe.
   */
 object Expectations {
 
@@ -40,20 +47,24 @@ object Expectations {
       foreignKey: Option[(String, DataFrame, String)] = None): DataFrame = {
     require(rowRules.nonEmpty || unique.nonEmpty || foreignKey.nonEmpty,
       "no rules given")
-    val spark = df.sparkSession
-    import spark.implicits._
     val reports = Seq.newBuilder[DataFrame]
     if (rowRules.nonEmpty) {
-      val aggs = rowRules.map(r =>
-        sum(when(r.violation, 1L).otherwise(0L)).as(r.name))
+      // positional aliases (__r0, __r1, …): rule names stay in typed
+      // lit() columns, immune to quoting and duplicates; coalesce turns
+      // the empty-input NULL sum into the 0 a clean batch reports
+      val aggs = rowRules.zipWithIndex.map { case (r, i) =>
+        coalesce(sum(when(r.violation, 1L).otherwise(0L)), lit(0L))
+          .as(s"__r$i")
+      }
       val wide = df.agg(aggs.head, aggs.tail: _*)
-      // one row → stack to (rule, violations) without a second scan
-      val stackArgs = rowRules.map(r => s"'${r.name}', `${r.name}`")
-        .mkString(", ")
-      reports += wide.select(expr(
-        s"stack(${rowRules.size}, $stackArgs) AS (rule, violations)"))
+      val entries = rowRules.zipWithIndex.map { case (r, i) =>
+        struct(lit(r.name).as("rule"), col(s"__r$i").as("violations"))
+      }
+      reports += wide
+        .select(explode(array(entries: _*)).as("e"))
+        .select(col("e.rule"), col("e.violations"))
     }
-    unique.headOption.foreach { _ =>
+    if (unique.nonEmpty) {
       reports += df.groupBy(unique.map(col): _*)
         .agg(count(lit(1)).as("n"))
         .filter(col("n") > 1)
@@ -63,6 +74,7 @@ object Expectations {
     }
     foreignKey.foreach { case (childKey, dim, dimKey) =>
       reports += df.select(col(childKey))
+        .filter(col(childKey).isNotNull)
         .join(dim.select(col(dimKey).as(childKey)), Seq(childKey), "left_anti")
         .agg(count(lit(1)).as("violations"))
         .select(lit(s"foreign_key($childKey->$dimKey)").as("rule"),

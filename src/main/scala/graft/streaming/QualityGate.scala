@@ -19,28 +19,35 @@ import graft.ops.Expectations
   * with replayed batchIds on recovery — both sinks receive the batchId
   * so an idempotent writer (e.g. [[graft.model.GraphStorage]] snapshot
   * per batchId, or a MERGE) upgrades the gate to effectively-once. The
-  * audit itself is a handful of aggregates per micro-batch, so the gate
-  * adds one pass over each batch and no state between batches.
+  * batch is persisted for the audit + sink actions (one source
+  * materialization per micro-batch, not one per action) and unpersisted
+  * before the next batch.
   */
 object QualityGate {
 
   /** @param publish    (cleanBatch, batchId) sink
-    * @param quarantine (dirtyBatch, batchId, auditReport rows) sink */
+    * @param quarantine (dirtyBatch, batchId, auditReport rows) sink
+    * @param trigger    defaults to AvailableNow (drain-and-stop); pass
+    *                   e.g. `Trigger.ProcessingTime("1 minute")` for a
+    *                   continuous gate */
   def gate(
       stream: DataFrame,
       rowRules: Seq[Expectations.RowRule],
       publish: (DataFrame, Long) => Unit,
-      quarantine: (DataFrame, Long, Seq[Row]) => Unit
+      quarantine: (DataFrame, Long, Seq[Row]) => Unit,
+      trigger: Trigger = Trigger.AvailableNow()
   ): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (batch.isEmpty) ()
-        else {
-          val report = Expectations.audit(batch, rowRules).collect().toSeq
-          if (report.forall(r => r.getAs[Boolean]("pass"))) publish(batch, id)
-          else quarantine(batch, id, report)
-        }
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
+            val report = Expectations.audit(batch, rowRules).collect().toSeq
+            if (report.forall(r => r.getAs[Boolean]("pass"))) publish(batch, id)
+            else quarantine(batch, id, report)
+          }
+        } finally batch.unpersist()
       }
 }

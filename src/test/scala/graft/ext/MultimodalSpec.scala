@@ -140,4 +140,20 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.resizeImages(media, 8, 8).collect().head
     assert(out.width == 0 && out.height == 0 && out.media.isEmpty)
   }
+
+  test("resizeImages: a recognized-but-truncated PNG markers instead of failing") {
+    // valid PNG signature + header start, then cut off: ImageIO.read
+    // THROWS here (not null) — the marker contract must still hold
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val truncated = buf.toByteArray.take(20)
+    val media = Seq((8L, truncated)).toDF("media_id", "bin")
+      .select($"media_id", $"bin".as("media"), lit("png").as("format"),
+        length($"bin").cast("long").as("n_bytes"))
+      .as[Multimodal.MediaRow]
+    val out = Multimodal.resizeImages(media, 8, 8).collect().head
+    assert(out.width == 0 && out.height == 0 && out.media.isEmpty)
+  }
 }

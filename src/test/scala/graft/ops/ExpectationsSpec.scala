@@ -29,6 +29,24 @@ class ExpectationsSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("an empty batch reports 0 violations and passes — never NULL") {
+    val empty = Seq.empty[(Long, Option[Double], Long)].toDF("id", "v", "fk")
+    val out = Expectations.audit(empty,
+      rowRules = Seq(Expectations.notNull("v")),
+      unique = Seq("id"), foreignKey = Some(("fk", dim, "k")))
+      .as[(String, Long, Boolean)].collect()
+    assert(out.length == 3)
+    assert(out.forall { case (_, viol, pass) => viol == 0L && pass })
+  }
+
+  test("rule names with quotes or backticks are safe (typed columns)") {
+    val df = Seq((1L, Some(1.0), 100L)).toDF("id", "v", "fk")
+    val out = Expectations.audit(df, rowRules = Seq(
+      Expectations.RowRule("o'brien`s rule", col("v").isNull)))
+      .as[(String, Long, Boolean)].collect()
+    assert(out.toSeq == Seq(("o'brien`s rule", 0L, true)))
+  }
+
   test("a clean batch passes every rule with zero violations") {
     val clean = Seq((1L, Some(1.0), 100L)).toDF("id", "v", "fk")
     val out = Expectations.audit(clean,
