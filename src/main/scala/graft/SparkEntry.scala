@@ -745,6 +745,17 @@ object SparkEntry {
           length(call_function("nfc_normalize", col("dirty"))).as("len_norm"))
     }),
 
+    // ── Z-order (Morton) key derivation: the layout key that clusters
+    //    BOTH dimensions for scan pruning (ext.ZOrder.zValue — pure
+    //    codegen bit arithmetic; the √P locality property itself is
+    //    spec-gated in ZOrderSpec).
+    "q_zorder" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_id") <= 2000)
+        .select(col("event_id"), col("user_id"),
+          floor(col("value")).cast("long").as("vb"))
+        .withColumn("z", graft.ext.ZOrder.zValue(col("user_id"), col("vb")))),
+
     // ── Data-quality expectations: row rules in ONE conditional
     //    aggregate, uniqueness one keyed aggregate, referential
     //    integrity one anti join — the per-batch validation gate
@@ -2029,6 +2040,31 @@ object SparkEntry {
                 length(dirty) AS len_raw,
                 length(nfc_normalize(dirty)) AS len_norm
          FROM d""",
+
+    // the same 5-step spread-bits magic-mask chain, one CTE per step;
+    // decimal literals are the 0x0000FFFF…/0x5555… masks
+    "q_zorder" ->
+      """WITH s0 AS (SELECT event_id, user_id,
+                CAST(floor(value) AS BIGINT) AS vb,
+                (user_id & 2147483647) AS a,
+                (CAST(floor(value) AS BIGINT) & 2147483647) AS b
+              FROM events WHERE event_id <= 2000),
+         s1 AS (SELECT event_id, user_id, vb,
+                ((a | (a << 16)) & 281470681808895) AS a,
+                ((b | (b << 16)) & 281470681808895) AS b FROM s0),
+         s2 AS (SELECT event_id, user_id, vb,
+                ((a | (a << 8)) & 71777214294589695) AS a,
+                ((b | (b << 8)) & 71777214294589695) AS b FROM s1),
+         s3 AS (SELECT event_id, user_id, vb,
+                ((a | (a << 4)) & 1085102592571150095) AS a,
+                ((b | (b << 4)) & 1085102592571150095) AS b FROM s2),
+         s4 AS (SELECT event_id, user_id, vb,
+                ((a | (a << 2)) & 3689348814741910323) AS a,
+                ((b | (b << 2)) & 3689348814741910323) AS b FROM s3),
+         s5 AS (SELECT event_id, user_id, vb,
+                ((a | (a << 1)) & 6148914691236517205) AS a,
+                ((b | (b << 1)) & 6148914691236517205) AS b FROM s4)
+         SELECT event_id, user_id, vb, (a | (b << 1)) AS z FROM s5""",
 
     // rule names mirror the operator's generated labels verbatim
     "q_expectations" ->
