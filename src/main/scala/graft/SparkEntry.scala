@@ -745,6 +745,33 @@ object SparkEntry {
           length(call_function("nfc_normalize", col("dirty"))).as("len_norm"))
     }),
 
+    // ── Mergeable HLL distinct sketches: per-(type, day) sketch build →
+    //    merge-only rollup to per-type estimates (ext.Sketches). The
+    //    100 TB distinct pattern: rollups read kilobytes of sketches,
+    //    never raw data. No SQL oracle (sketch internals) — union ≡
+    //    direct-sketch identity and 2% accuracy are spec-gated.
+    "q_hll_daily" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("user_id"))
+      graft.ext.Sketches.rollupEstimate(
+        graft.ext.Sketches.distinctSketch(ev,
+          Seq("event_type", "day"), "user_id"),
+        rollupKeys = Seq("event_type"))
+    }),
+
+    // ── Hourly forward-fill resampling of each user's value series onto
+    //    a regular grid (ops.Resample): bounds agg + in-row sequence
+    //    explode + ONE ordered window. Feature-store materialization.
+    "q_resample" -> ((s, dir) =>
+      graft.ops.Resample.forwardFill(
+        Tables.events(s, dir).filter(col("user_id") <= 20)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        keys = Seq("user_id"), tsCol = "ts", valCol = "value",
+        tieCol = "event_id")
+        .select(col("user_id"),
+          unix_timestamp(col("grid_ts")).as("epoch_s"), col("value"))),
+
     // ── Z-order (Morton) key derivation: the layout key that clusters
     //    BOTH dimensions for scan pruning (ext.ZOrder.zValue — pure
     //    codegen bit arithmetic; the √P locality property itself is
@@ -2040,6 +2067,34 @@ object SparkEntry {
                 length(dirty) AS len_raw,
                 length(nfc_normalize(dirty)) AS len_norm
          FROM d""",
+
+    // grid + observations through the SAME (ts, obs DESC, tie) ordered
+    // carry-forward window as the operator; make_timestamp(epoch_us(ts))
+    // reproduces Spark's ns→µs floor conversion exactly
+    "q_resample" ->
+      """WITH o AS (SELECT user_id,
+                make_timestamp(CAST(epoch_us(ts) AS BIGINT)) AS t,
+                value AS v, 1 AS obs, event_id AS tie
+              FROM events WHERE user_id <= 20),
+         b AS (SELECT user_id,
+                date_trunc('hour', min(t)) AS lo,
+                date_trunc('hour', max(t)) AS hi
+               FROM o GROUP BY 1),
+         g AS (SELECT user_id,
+                unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t,
+                CAST(NULL AS DOUBLE) AS v, 0 AS obs,
+                CAST(NULL AS BIGINT) AS tie
+               FROM b),
+         u AS (SELECT * FROM o UNION ALL SELECT * FROM g),
+         f AS (SELECT user_id, t, obs,
+                last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY user_id
+                  ORDER BY t, obs DESC, tie ASC NULLS LAST
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff
+               FROM u)
+         SELECT user_id, CAST(floor(epoch(t)) AS BIGINT) AS epoch_s,
+                ff AS value
+         FROM f WHERE obs = 0""",
 
     // the same 5-step spread-bits magic-mask chain, one CTE per step;
     // decimal literals are the 0x0000FFFF…/0x5555… masks

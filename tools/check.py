@@ -26,7 +26,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # q_ann_ivf: 5 probe vectors x k=3; q_approx_distinct: one row per event
 # type (5). Both are scale-factor-invariant by construction.
 NO_ORACLE_EXPECTED_ROWS = {"q_ann_ivf": 15, "q_ann_ivf_disk": 15,
-                           "q_approx_distinct": 5}
+                           "q_approx_distinct": 5, "q_hll_daily": 5}
 
 
 def norm(v):
