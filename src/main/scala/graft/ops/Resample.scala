@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * Shape for 100 TB: one bounds aggregate + one in-row sequence explode
   * (output ∝ entities × horizon/step) + one ordered window on the
   * entity key — the same single shuffle any sequence derivation pays.
+  * Null-timestamp observations are dropped up front: they carry no
+  * position on the grid, and Spark's ASC-nulls-FIRST default would
+  * otherwise let them poison the leading (documented-NULL) grid points.
+  *
+  * Relationship to [[AsOfJoin]]: this is the same union + tagged-side +
+  * carry-forward window family — specialised here with a generated grid
+  * as the left side and per-timestamp tie-breaking on the observation
+  * side; the two implementations share their ordering/frame contract.
   */
 object Resample {
 
@@ -34,7 +42,8 @@ object Resample {
       valCol: String, tieCol: String, step: String = "INTERVAL 1 HOUR",
       trunc: String = "hour"): DataFrame = {
     require(keys.nonEmpty, "resample needs at least one entity key")
-    val bounds = df.groupBy(keys.map(col): _*)
+    val clean = df.filter(col(tsCol).isNotNull)
+    val bounds = clean.groupBy(keys.map(col): _*)
       .agg(min(date_trunc(trunc, col(tsCol))).as("__lo"),
         max(date_trunc(trunc, col(tsCol))).as("__hi"))
     val grid = bounds.select(keys.map(col) :+
@@ -42,7 +51,7 @@ object Resample {
       .withColumn("__v", lit(null).cast(df.schema(valCol).dataType))
       .withColumn("__obs", lit(0))
       .withColumn("__tie", lit(null).cast(df.schema(tieCol).dataType))
-    val obs = df.select(keys.map(col) :+ col(tsCol).as("__ts") :+
+    val obs = clean.select(keys.map(col) :+ col(tsCol).as("__ts") :+
       col(valCol).as("__v") :+ col(tieCol).as("__tie"): _*)
       .withColumn("__obs", lit(1))
     val w = Window.partitionBy(keys.map(col): _*)

@@ -30,6 +30,19 @@ class ResampleSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("null-timestamp observations are dropped, not carried into the grid") {
+    val obs = Seq(
+      (1L, 1L, Option.empty[Timestamp], 99.0),
+      (1L, 2L, Some(ts("2024-01-01 01:30:00")), 5.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = Resample.forwardFill(obs, Seq("user_id"), "ts", "value",
+      tieCol = "event_id")
+      .as[(Long, Timestamp, Option[Double])].collect()
+    // single grid point 01:00, BEFORE the only positioned obs → null,
+    // never the null-ts row's 99.0
+    assert(out.toSeq == Seq((1L, ts("2024-01-01 01:00:00"), None)))
+  }
+
   test("ties on one timestamp resolve by the tie column (last wins)") {
     val obs = Seq(
       (1L, 2L, ts("2024-01-01 00:10:00"), 8.0),
