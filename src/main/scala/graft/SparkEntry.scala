@@ -745,6 +745,25 @@ object SparkEntry {
           length(call_function("nfc_normalize", col("dirty"))).as("len_norm"))
     }),
 
+    // ── Incremental aggregate maintenance: the first 15 days build the
+    //    state table, the rest folds in as a batch (ONE aggregate + ONE
+    //    full-outer merge — never a history rescan); the oracle
+    //    recomputes from scratch, proving merge ≡ recompute
+    //    (ops.IncrementalAgg).
+    "q_incr_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("ts"), col("value"))
+      val cut = to_date(lit("2024-01-16"))
+      val state = graft.ops.IncrementalAgg.aggregate(
+        ev.filter(to_date(col("ts")) < cut), Seq("event_type"), "value")
+      val merged = graft.ops.IncrementalAgg.merge(state,
+        ev.filter(to_date(col("ts")) >= cut), Seq("event_type"), "value")
+      graft.ops.IncrementalAgg.withDerived(merged)
+        .select(col("event_type"), col("cnt"),
+          col("sum_v").cast("double").as("sum_v"),
+          col("min_v"), col("max_v"), col("avg_v"))
+    }),
+
     // ── Mergeable HLL distinct sketches: per-(type, day) sketch build →
     //    merge-only rollup to per-type estimates (ext.Sketches). The
     //    100 TB distinct pattern: rollups read kilobytes of sketches,
@@ -2067,6 +2086,16 @@ object SparkEntry {
                 length(dirty) AS len_raw,
                 length(nfc_normalize(dirty)) AS len_norm
          FROM d""",
+
+    // ONE from-scratch aggregate — the incremental path must be
+    // indistinguishable from it (the algebraic-merge identity)
+    "q_incr_agg" ->
+      """SELECT event_type, count(value) AS cnt,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+                min(value) AS min_v, max(value) AS max_v,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(value) AS avg_v
+         FROM events GROUP BY 1""",
 
     // grid + observations through the SAME (ts, obs DESC, tie) ordered
     // carry-forward window as the operator; make_timestamp(epoch_us(ts))
