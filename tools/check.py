@@ -20,13 +20,11 @@ import pyarrow.dataset as ds
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-# Expected row counts for queries that intentionally have no SQL oracle —
-# stronger than a blanket rows>0 (a sketch query returning garbage rows
-# should not pass, and a legitimately-small result should not fail).
-# q_ann_ivf: 5 probe vectors x k=3; q_approx_distinct: one row per event
-# type (5). Both are scale-factor-invariant by construction.
-NO_ORACLE_EXPECTED_ROWS = {"q_ann_ivf": 15, "q_ann_ivf_disk": 15,
-                           "q_approx_distinct": 5, "q_hll_daily": 5}
+# Expected row counts for queries that intentionally have no SQL oracle.
+# Round 6 retired the last four (IVF -> exhaustive-probe identity oracle;
+# sketches -> exact-twin + tolerance-boolean oracles); kept as a mechanism
+# in case a future genuinely-oracle-free operator lands.
+NO_ORACLE_EXPECTED_ROWS = {}
 
 
 def norm(v):
