@@ -1214,19 +1214,16 @@ object SparkEntry {
     //    order): degree-oriented adjacency intersection — hubs emit no
     //    wedges from their own adjacency, so the work is O(m^1.5) not
     //    Θ(Σdeg²) (ext.Triangles). Edge generation is the posting-list
-    //    pattern (groupBy order + in-row pair expansion), NOT a self-join
-    //    on the order key: one shuffle of narrow rows instead of two join
-    //    sides, measured ~0.8 s faster at sf0.1 — and per-order in-row
-    //    expansion is bounded by the order's own line count at any scale.
+    //    pattern (ext.Basket.coPairs: groupBy order + in-row pair
+    //    expansion), NOT a self-join on the order key: one shuffle of
+    //    narrow rows instead of two join sides, measured ~0.8 s faster at
+    //    sf0.1. Per-order expansion is bounded by the order's own line
+    //    count — TPC-H caps it at 7, so the coPairs maxBasket guard stays
+    //    off here; a real corpus with hot baskets opts in.
     "q_triangles" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(flatten(transform(col("ps"), (x, i) =>
-          transform(slice(col("ps"), i + 2, size(col("ps"))),
-            y => struct(x.as("u"), y.as("v")))))).as("p"))
-        .select(col("p.u"), col("p.v"))
-      graft.ext.Triangles.perNode(edges, "u", "v")
+      graft.ext.Triangles.perNode(
+        graft.ext.Basket.coPairs(li, "l_orderkey", "l_partkey"), "u", "v")
     }),
 
     // ── k-core decomposition of the part co-purchase graph: 3 fixed
@@ -1235,13 +1232,9 @@ object SparkEntry {
     //    Density filtering for the graph side.
     "q_kcore" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(flatten(transform(col("ps"), (x, i) =>
-          transform(slice(col("ps"), i + 2, size(col("ps"))),
-            y => struct(x.as("u"), y.as("v")))))).as("p"))
-        .select(col("p.u"), col("p.v"))
-      graft.ext.KCore.survivors(edges, "u", "v", k = 60, rounds = 3)
+      graft.ext.KCore.survivors(
+        graft.ext.Basket.coPairs(li, "l_orderkey", "l_partkey"),
+        "u", "v", k = 60, rounds = 3)
     }),
 
     // ── Community detection by synchronous label propagation (2 rounds)
@@ -1253,13 +1246,9 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"))
         .filter(col("l_partkey") % 4 === 0)
-      val edges = li.groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(flatten(transform(col("ps"), (x, i) =>
-          transform(slice(col("ps"), i + 2, size(col("ps"))),
-            y => struct(x.as("u"), y.as("v")))))).as("p"))
-        .select(col("p.u"), col("p.v"))
-      graft.ext.LabelProp.propagate(edges, "u", "v", rounds = 2)
+      graft.ext.LabelProp.propagate(
+        graft.ext.Basket.coPairs(li, "l_orderkey", "l_partkey"),
+        "u", "v", rounds = 2)
     }),
 
     // ── The full keep-one-representative dedup POLICY: clusters ranked by

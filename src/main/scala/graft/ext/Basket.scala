@@ -26,29 +26,72 @@ import org.apache.spark.sql.functions._
   * materialized blocks, so the corpus is scanned and shuffled exactly
   * once (an earlier three-branch formulation re-scanned it for each).
   * Pair expansion is in-row, bounded by each basket's own size — never
-  * a self-join of the fact table; supports and N broadcast. Baskets
-  * with pathological sizes should be capped upstream (a 10⁶-item
-  * basket contributes ~10¹² pairs regardless of engine).
+  * a self-join of the fact table. The bound is only as good as the
+  * data: one 10⁵-item hot basket still materializes C(10⁵,2) ≈ 5·10⁹
+  * pairs in ONE row, so both entry points take an opt-in `maxBasket`
+  * cap that drops whole oversized baskets — LOSSY (their pairs are
+  * never emitted, and in [[pairLift]] they leave N and the supports
+  * too, keeping the lift arithmetic self-consistent), so it is off by
+  * default, and the drop count rides the plan as a [[SkewGuard]]
+  * `observe` audit — no silent caps, no extra Spark job.
   */
 object Basket {
 
-  /** @return (item_a, item_b, n_ab, n_a, n_b, lift) for pairs with
-    *         `n_ab ≥ minSupport`, item_a < item_b. */
-  def pairLift(df: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long = 1L): DataFrame = {
-    require(minSupport >= 1, "minSupport must be >= 1")
-    val baskets = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
-    // ONE corpus shuffle: per-basket deduped sorted sets, materialized —
-    // pairs, supports and N all read the checkpointed blocks
-    val sets = baskets.groupBy(col("b"))
+  /** Per-basket deduped sorted item sets: ONE shuffle on the basket key,
+    * with the optional oversized-basket guard applied (and audited)
+    * before any pair expansion can touch the set. */
+  private def itemSets(df: DataFrame, basketCol: String, itemCol: String,
+      maxBasket: Option[Int], caller: String): DataFrame = {
+    val sets = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .groupBy(col("b"))
       .agg(sort_array(collect_set(col("i"))).as("is"))
+    maxBasket match {
+      case Some(cap) =>
+        require(cap >= 2, "maxBasket must be >= 2")
+        SkewGuard.observeDropCount(sets, "basket",
+          sum(when(size(col("is")) > cap, 1L)),
+          dropped => s"$caller: basket guard dropped $dropped basket(s) " +
+            s"with more than $cap distinct items before pair expansion " +
+            "(a hot basket contributes quadratic pairs and near-zero " +
+            "association signal)")
+          .filter(size(col("is")) <= cap)
+      case None => sets
+    }
+  }
+
+  /** In-row pair expansion of the per-basket sets: each set emits its
+    * C(|set|,2) ordered pairs (u < v — the sets are sorted), one narrow
+    * output row per pair. */
+  private def expandPairs(sets: DataFrame): DataFrame =
+    sets.select(explode(expr(
+      """flatten(transform(is, (x, j) ->
+        |  transform(slice(is, j + 2, size(is)), y -> struct(x AS u, y AS v))))"""
+        .stripMargin)).as("p"))
+      .select(col("p.u"), col("p.v"))
+
+  /** Raw co-occurrence edge list (u, v), u < v, one row per pair per
+    * basket — the edge generator behind the co-purchase graph queries
+    * (triangles, k-core, label propagation). `maxBasket` drops (and
+    * audits) degenerate hot baskets. */
+  def coPairs(df: DataFrame, basketCol: String, itemCol: String,
+      maxBasket: Option[Int] = None): DataFrame =
+    expandPairs(itemSets(df, basketCol, itemCol, maxBasket, "coPairs"))
+
+  /** @return (item_a, item_b, n_ab, n_a, n_b, lift) for pairs with
+    *         `n_ab ≥ minSupport`, item_a < item_b. `maxBasket` drops
+    *         (and audits) oversized baskets from the WHOLE computation —
+    *         pairs, supports, and N — so lift stays self-consistent. */
+  def pairLift(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long = 1L, maxBasket: Option[Int] = None): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    // ONE corpus shuffle: per-basket deduped sorted sets, materialized —
+    // pairs, supports and N all read the checkpointed blocks (the guard
+    // sits upstream of the checkpoint, so its audit logs when the
+    // checkpoint materializes)
+    val sets = itemSets(df, basketCol, itemCol, maxBasket, "pairLift")
       .localCheckpoint()
-    val pairs = sets
-      .select(explode(expr(
-        """flatten(transform(is, (x, j) ->
-          |  transform(slice(is, j + 2, size(is)), y -> struct(x, y))))"""
-          .stripMargin)).as("p"))
-      .groupBy(col("p.x").as("item_a"), col("p.y").as("item_b"))
+    val pairs = expandPairs(sets)
+      .groupBy(col("u").as("item_a"), col("v").as("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
     val support = sets.select(explode(col("is")).as("i"))

@@ -1,12 +1,8 @@
 package graft.ext
 
-import java.util.concurrent.atomic.AtomicLong
-
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Deduplication operators for training-data pipelines, all built on the
   * inverted-index / LSH pattern: NEVER a cross join. Candidate generation
@@ -15,44 +11,6 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * operators alive at 100 TB.
   */
 object Dedup {
-
-  private val log = org.slf4j.LoggerFactory.getLogger("graft.ext.Dedup")
-
-  /** Unique observe-metric names (Spark requires per-plan uniqueness). */
-  private val guardSeq = new AtomicLong(0L)
-  private val GuardPrefix = "ngram_skew_guard_"
-
-  /** Sessions that already carry the skew-guard log listener. */
-  private val guardListenerRegistered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
-
-  /** Register (once per session) a listener that logs the skew-guard drop
-    * count AFTER an action completes — construction stays side-effect-free
-    * and the guard costs zero extra Spark jobs ("no silent caps" without a
-    * synchronous pre-count).
-    */
-  private def ensureGuardListener(spark: SparkSession): Unit =
-    if (guardListenerRegistered.add(spark)) {
-      spark.listenerManager.register(new QueryExecutionListener {
-        override def onSuccess(funcName: String, qe: QueryExecution,
-            durationNs: Long): Unit =
-          qe.observedMetrics.foreach { case (name, row) =>
-            if (name.startsWith(GuardPrefix) && !row.isNullAt(0)) {
-              val dropped = row.getLong(0)
-              // the metric sums exploded (doc, shingle) rows, so one hot
-              // shingle with df=N contributes N — report it as postings
-              if (dropped > 0) log.warn(
-                s"ngramJaccardPairs: skew guard dropped $dropped " +
-                  s"(doc, shingle) posting(s) whose shingle document " +
-                  "frequency exceeds the cap from candidate generation " +
-                  "(scores remain exact Jaccard over full sets)")
-            }
-          }
-        override def onFailure(funcName: String, qe: QueryExecution,
-            exception: Exception): Unit = ()
-      })
-    }
 
   /** Word n-gram shingles, one distinct (id, shingle) row per shingle.
     * Docs with fewer than n words (incl. empty/null text) yield no rows —
@@ -133,9 +91,14 @@ object Dedup {
       count(lit(1)).over(Window.partitionBy(col("shingle"))))
     val observed = maxShingleDF match {
       case Some(cap) =>
-        ensureGuardListener(df.sparkSession)
-        withDf.observe(GuardPrefix + guardSeq.incrementAndGet(),
-          sum(when(col("df") > cap, 1L)).as("n_dropped"))
+        // the metric sums exploded (doc, shingle) rows, so one hot
+        // shingle with df=N contributes N — report it as postings
+        SkewGuard.observeDropCount(withDf, "ngram",
+          sum(when(col("df") > cap, 1L)),
+          dropped => s"ngramJaccardPairs: skew guard dropped $dropped " +
+            "(doc, shingle) posting(s) whose shingle document " +
+            "frequency exceeds the cap from candidate generation " +
+            "(scores remain exact Jaccard over full sets)")
       case None => withDf
     }
     // Per-doc rank and size come from ONE aggregate with an IN-ROW sort

@@ -32,4 +32,35 @@ class BasketSpec extends SparkSpec {
     assert(out.map(r => (r._1, r._2)).toSet == Set(("a", "b")))
     assert(out.head._3 == 2L) // dup did not inflate n_ab
   }
+
+  test("coPairs matches the inline posting-list expansion, u < v") {
+    val out = Basket.coPairs(rows, "basket", "item")
+      .as[(String, String)].collect().toSeq.sorted
+    assert(out == Seq(("a", "b"), ("a", "b"), ("a", "c")))
+  }
+
+  test("maxBasket drops a hot basket's pairs entirely, keeps the rest") {
+    // basket 9 is the hot one: 5 distinct items → C(5,2)=10 pairs if
+    // unguarded; the cap removes all of them, none survive partially
+    val hot = rows.union(
+      (1 to 5).map(i => (9L, s"h$i")).toDF("basket", "item"))
+    val guarded = Basket.coPairs(hot, "basket", "item", maxBasket = Some(4))
+      .as[(String, String)].collect().toSeq.sorted
+    assert(guarded == Seq(("a", "b"), ("a", "b"), ("a", "c")))
+    val unguarded = Basket.coPairs(hot, "basket", "item")
+    assert(unguarded.count() == 13) // 3 + C(5,2)
+  }
+
+  test("pairLift maxBasket removes the hot basket from N and supports") {
+    // hot basket {a, h1..h4}: capped out, so it must not count toward
+    // n_a or N — lift values must equal the 4-basket fixture exactly
+    val hot = rows.union(
+      (Seq((9L, "a")) ++ (1 to 4).map(i => (9L, s"h$i")))
+        .toDF("basket", "item"))
+    val out = Basket.pairLift(hot, "basket", "item", maxBasket = Some(4))
+      .as[(String, String, Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> (r._3, r._4, r._6)).toMap
+    assert(out(("a", "b")) == ((2L, 3L, 1.3333))) // n_a=3 not 4, N=4 not 5
+    assert(!out.keys.exists { case (x, y) => x.startsWith("h") || y.startsWith("h") })
+  }
 }
