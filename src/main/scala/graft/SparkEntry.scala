@@ -250,6 +250,17 @@ object SparkEntry {
         runStamp = 1700000000L)
     }),
 
+    // ── §3.2 run report: per-step counts for the SAME topology run —
+    //    created/matched/GC'd from a full-outer key join of the run's
+    //    output against the prior store, health mix from the output
+    //    itself (Pipelines.topologyStats; the reference's per-step stats
+    //    accumulation, etl_aws:1410,2113, as one audit row).
+    "q_topology_stats" -> ((s, dir) => {
+      val (store, snapshot, alarms) = topologyInputs(s, dir)
+      graft.pipelines.Pipelines.topologyStats(store, snapshot, alarms,
+        runStamp = 1700000000L)
+    }),
+
     // ── Snapshot diff (CDC between store versions): the q_topology run's
     //    output diffed against the prior store state — one row per
     //    added / removed / changed vertex with old+new health side by
@@ -1619,6 +1630,29 @@ object SparkEntry {
     // end-to-end §3.2: snapshot drives the surviving rows (GC); health is
     // reset-then-degrade; first_seen preserved on match, runStamp on create
     "q_topology" -> topologyOracle,
+
+    // the run report recounts the SAME newstate the q_topology oracle
+    // produces, keyed against the prior store
+    "q_topology_stats" ->
+      s"""WITH newstate AS ($topologyOracle),
+         store AS (SELECT 'Account' AS label,
+                          CAST(c_custkey AS VARCHAR) AS name
+                   FROM customer)
+         SELECT
+           (SELECT count(*) FROM store) AS n_store_prior,
+           (SELECT count(*) FROM newstate n LEFT JOIN store s
+              ON n.label = s.label AND n.name = s.name
+              WHERE s.name IS NULL) AS n_created,
+           (SELECT count(*) FROM newstate n JOIN store s
+              ON n.label = s.label AND n.name = s.name) AS n_matched,
+           (SELECT count(*) FROM store s LEFT JOIN newstate n
+              ON n.label = s.label AND n.name = s.name
+              WHERE n.name IS NULL) AS n_gc,
+           (SELECT count(*) FROM newstate
+              WHERE health_status = 'degraded') AS n_degraded,
+           (SELECT count(*) FROM newstate
+              WHERE health_status = 'healthy') AS n_healthy,
+           (SELECT count(*) FROM newstate) AS n_final""",
 
     // the new state's oracle is the SAME topology SQL; old state is the
     // pre-run store (all healthy). Classification mirrors SnapshotDiff.

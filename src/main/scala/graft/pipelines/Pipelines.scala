@@ -80,6 +80,43 @@ object Pipelines {
       Seq("label", "name"))
   }
 
+  /** §3.2 run report: the reference accumulates per-step stats while it
+    * writes (created/merged/degraded/GC'd counters, `etl_aws:1410,2113`)
+    * and fences them into a post-run summary. Here the same report is ONE
+    * audit row derived from the run's actual output — the final state is
+    * full-outer key-joined against the prior store, so every counter is a
+    * fact about THIS run (not a re-derivation that could drift from the
+    * pipeline), nothing collects to the driver, and the report is itself
+    * a DataFrame a monitoring sink can append.
+    *
+    * Columns: n_store_prior, n_created (in final, not in store),
+    * n_matched (in both), n_gc (in store, dropped), n_degraded /
+    * n_healthy (final health mix), n_final.
+    */
+  def topologyStats(
+      vertexStore: DataFrame,
+      snapshot: DataFrame,
+      alarms: DataFrame,
+      runStamp: Long
+  ): DataFrame = {
+    val finalState = topology(vertexStore, snapshot, alarms, runStamp)
+    val st = vertexStore.select(col("label"), col("name"))
+      .withColumn("in_store", lit(true))
+    val fin = finalState
+      .select(col("label"), col("name"), col("health_status"))
+      .withColumn("in_final", lit(true))
+    def countIf(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    st.join(fin, Seq("label", "name"), "full_outer")
+      .agg(
+        countIf(col("in_store")).as("n_store_prior"),
+        countIf(col("in_final") && col("in_store").isNull).as("n_created"),
+        countIf(col("in_final") && col("in_store")).as("n_matched"),
+        countIf(col("in_store") && col("in_final").isNull).as("n_gc"),
+        countIf(col("health_status") === "degraded").as("n_degraded"),
+        countIf(col("health_status") === "healthy").as("n_healthy"),
+        countIf(col("in_final")).as("n_final"))
+  }
+
   /** §3.3 CFN analog: template documents → recursive ref extraction (F7) →
     * logical→physical resolution (J13) → provenance-stamped edges (K6). */
   def declaredDeps(

@@ -71,6 +71,33 @@ class PipelinesSpec extends SparkSpec {
       twice.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("topologyStats counters agree with the run's actual output") {
+    val store = Seq(
+      ("EC2", "i-1", "healthy", 1L),   // matched, alarming → degraded
+      ("EC2", "i-2", "healthy", 1L),   // matched, healthy
+      ("EC2", "i-gone", "healthy", 1L) // ghost → GC'd
+    ).toDF("label", "name", "health_status", "last_updated")
+    val snapshot = Seq(("EC2", "i-1"), ("EC2", "i-2"), ("EC2", "i-new"))
+      .toDF("label", "name")
+    val alarms = Seq(("EC2", "i-1")).toDF("label", "name")
+
+    val stats = Pipelines.topologyStats(store, snapshot, alarms, 2L)
+      .collect().head
+    assert(stats.getAs[Long]("n_store_prior") == 3L)
+    assert(stats.getAs[Long]("n_created") == 1L)   // i-new
+    assert(stats.getAs[Long]("n_matched") == 2L)   // i-1, i-2
+    assert(stats.getAs[Long]("n_gc") == 1L)        // i-gone
+    assert(stats.getAs[Long]("n_degraded") == 1L)  // i-1
+    assert(stats.getAs[Long]("n_healthy") == 2L)   // i-2, i-new
+    assert(stats.getAs[Long]("n_final") == 3L)
+
+    // the counters must be facts about the run: recount the output
+    val out = Pipelines.topology(store, snapshot, alarms, 2L).collect()
+    assert(stats.getAs[Long]("n_final") == out.length)
+    assert(stats.getAs[Long]("n_degraded") ==
+      out.count(_.getAs[String]("health_status") == "degraded"))
+  }
+
   test("declaredDeps: refs resolved to physical ids with provenance (J13/K6)") {
     val templates = Seq(
       ("stackA", "Fn1",
