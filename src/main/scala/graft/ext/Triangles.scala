@@ -66,9 +66,10 @@ object Triangles {
       .localCheckpoint()
 
     // recomputed from the canon checkpoint by each consumer — cheaper
-    // than one more blocking checkpoint job (measured at sf0.1)
-    val deg = canon.select(col("a").as("node"))
-      .unionAll(canon.select(col("b").as("node")))
+    // than one more blocking checkpoint job (measured at sf0.1); one
+    // explode scan, not a unionAll of two projections (the q_kcore A/B,
+    // tools/KCoreProbe, measured the same shape ~12% faster)
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
 
     // deg is per-vertex like the adjacency table — same broadcast contract
