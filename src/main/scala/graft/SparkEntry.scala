@@ -903,6 +903,18 @@ object SparkEntry {
           .as("qv"))
     }),
 
+    // ── Token-budget mixture selection (ext.Sampling.tokenBudget): each
+    //    language keeps hash-ranked docs until its token budget is spent
+    //    — the "recipe in tokens" selector a pretraining mix actually
+    //    specifies. Budgets bite at every SF (en 300 tokens ≈ 10 docs).
+    "q_token_budget" -> ((s, dir) =>
+      graft.ext.Sampling.tokenBudget(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        domainCol = "lang", idCol = "doc_id", tokenCol = "n_tokens",
+        budgets = Map("en" -> 300L, "de" -> 150L, "es" -> 150L,
+          "fr" -> 150L, "zh" -> 100L))),
+
     // ── Exactly-50-per-type deterministic sample: rank by the 32-bit id
     //    hash inside each group (ext.Sampling.fixedSizePerGroup) — the
     //    fixed-size eval-set draw, exact counts where stratified's coin
@@ -1282,6 +1294,15 @@ object SparkEntry {
         .select(col("component").as("cluster_id"), col("node").as("doc_id"),
           col("quality"), (col("rk") === 1).as("is_keeper"))
     }),
+
+    // ── Exact duplicated-span pairs via winnowed fingerprints
+    //    (ext.SpanDedup): every 8-token span md5'd, window-min selection
+    //    thins positions ~2/(W+1)=40%, posting-list pair expansion — the
+    //    substring-level dedup family (license blocks, boilerplate),
+    //    complementing the whole-doc MinHash/SimHash families.
+    "q_span_dedup" -> ((s, dir) =>
+      graft.ext.SpanDedup.sharedSpanPairs(Tables.documents(s, dir),
+        "doc_id", "text", spanTokens = 8, winnowWindow = 4)),
 
     // ── SimHash 32-bit fingerprints (occurrence-weighted md5 bit votes).
     "q_simhash" -> ((s, dir) =>
@@ -2336,6 +2357,28 @@ object SparkEntry {
                FROM b)
          SELECT event_id, event_type, rk FROM r WHERE rk <= 50""",
 
+    // same md5 rank order as the operator — fixed-length lowercase hex
+    // sorts identically to its numeric value, so the 8-nibble prefix
+    // string IS the rank key; same ws-token count as q_token_count
+    "q_token_budget" ->
+      """WITH d AS (SELECT doc_id, lang,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                  AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, lang, n_tokens,
+             COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tokens_before
+           FROM d)
+         SELECT doc_id, lang, n_tokens, tokens_before
+         FROM c
+         WHERE tokens_before < CASE lang WHEN 'en' THEN 300
+                                         WHEN 'de' THEN 150
+                                         WHEN 'es' THEN 150
+                                         WHEN 'fr' THEN 150
+                                         WHEN 'zh' THEN 100 ELSE 0 END""",
+
     // ANSI percent_rank under the same total order; NULLS FIRST spelled
     // out (DuckDB's ASC default is nulls-LAST, Spark's is nulls-first)
     "q_rank_norm" ->
@@ -3047,6 +3090,27 @@ object SparkEntry {
                FROM d)
          SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rk
          FROM r WHERE rk <= 3""",
+
+    // same tokenization, same per-position md5, same window-min winnowing
+    // (ROWS CURRENT..3 FOLLOWING ≡ Spark rowsBetween(0, 3)), same
+    // posting join — md5 hex and its string order agree across engines
+    "q_span_dedup" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         s AS (SELECT doc_id, i AS pos,
+                 md5(array_to_string(w[i:i+7], ' ')) AS fp
+               FROM t, UNNEST(range(1, len(w) - 8 + 2)) u(i)
+               WHERE len(w) >= 8),
+         sel AS (SELECT DISTINCT doc_id,
+                   min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                     AS fp
+                 FROM s)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
 
     // the sketch estimates are engine-specific; the hashable contract is
     // exact values + within-tolerance booleans (see the query comment for

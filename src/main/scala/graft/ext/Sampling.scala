@@ -60,6 +60,40 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Token-BUDGET mixture selection — the pretraining "data recipe"
+    * stated the way recipes are actually written: so many tokens of each
+    * domain, not so many documents or such-and-such a rate. Each domain
+    * keeps its documents in deterministic hash-rank order (32-bit id
+    * md5, id tie-break — same total order as [[fixedSizePerGroup]])
+    * until the domain's token budget is exhausted: a document is kept
+    * iff the tokens consumed BEFORE it are still under budget, so the
+    * selection may overshoot by part of the last document (the standard
+    * greedy-prefix rule; trim in-document if exact budgets matter).
+    * Domains absent from `budgets` get `defaultBudget` (0 = excluded).
+    *
+    * Shape: ONE ordered window per domain (the same shuffle a sort-based
+    * aggregate would pay) — no driver-side iteration, no second pass;
+    * adds `tokens_before`. Budgets larger than a domain's total keep the
+    * whole domain — under-supplied domains surface by comparing
+    * `tokens_before + tokens` of their last kept row to the budget. */
+  def tokenBudget(df: DataFrame, domainCol: String, idCol: String,
+      tokenCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = 0L): DataFrame = {
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
+      "budgets must be non-negative")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(Splits.hashBucket(col(idCol), nibbles = 8), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val budget = budgets.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultBudget): Column) { case ((d, b), elseCol) =>
+        when(col(domainCol) === d, lit(b)).otherwise(elseCol)
+      }
+    df.withColumn("tokens_before",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .filter(col("tokens_before") < budget)
+  }
+
   /** EXACTLY-n-per-group sampling (fixed-size eval sets, per-domain
     * probes): rank rows inside each group by their 32-bit id hash (id as
     * the tie-break — a total order, so the selection is deterministic)

@@ -58,6 +58,31 @@ class SamplingSpec extends SparkSpec {
     assert(strat.toSeq == up.toSeq)
   }
 
+  test("tokenBudget: greedy prefix per domain, deterministic, overshoot rule") {
+    val df = (1L to 50L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", 10L)).toDF("id", "dom", "toks")
+    val out = Sampling.tokenBudget(df, "dom", "id", "toks",
+      Map("en" -> 95L, "de" -> 20L))
+    val counts = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    // 10-token docs: en keeps while tokens_before < 95 → 10 docs (the
+    // tenth starts at 90, overshooting to 100); de: 2 docs (20 not < 20)
+    assert(counts == Map("en" -> 10L, "de" -> 2L))
+    // kept set = the hash-rank prefix: same ids as fixedSizePerGroup
+    val viaRank = Sampling.fixedSizePerGroup(
+      df.filter($"dom" === "en"), Seq("dom"), "id", n = 10)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out.filter($"dom" === "en").select("id")
+      .as[Long].collect().sorted.toSeq == viaRank)
+    // domain not in the budget map → excluded by defaultBudget 0
+    assert(!out.filter($"dom" === "fr").collect().nonEmpty)
+  }
+
+  test("tokenBudget: budget above the domain total keeps the whole domain") {
+    val df = (1L to 6L).map(i => (i, "en", 7L)).toDF("id", "dom", "toks")
+    assert(Sampling.tokenBudget(df, "dom", "id", "toks",
+      Map("en" -> 1000L)).count() == 6)
+  }
+
   test("fixedSizePerGroup: exact n per group, whole group when smaller") {
     val df = (1L to 100L).map(i => (i, if (i <= 90) "big" else "small"))
       .toDF("id", "grp")
