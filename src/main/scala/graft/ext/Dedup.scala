@@ -222,7 +222,8 @@ object Dedup {
       numHashes: Int = 12,
       bandSize: Int = 4,
       threshold: Double = 0.7,
-      broadcastCandidates: Boolean = false
+      broadcastCandidates: Boolean = false,
+      maxBandDF: Option[Long] = None
   ): DataFrame = {
     val sh = shingles(df, idCol, textCol, shingleN)
     // signatures, the doc's set size, AND its verification shingle set in
@@ -252,10 +253,29 @@ object Dedup {
       md5(concat_ws("|", array_sort(array(items: _*)))).as(s"bsig_$b")
     }
     val stackArgs = (0 until nBands).map(b => s"$b, bsig_$b").mkString(", ")
-    val bandsDet = sigs
+    val bandsDet0 = sigs
       .select(col(idCol) +: col("n_sh") +: bandCols: _*)
       .select(col(idCol), col("n_sh"),
         expr(s"stack($nBands, $stackArgs) AS (band, band_sig)"))
+    // opt-in hot-band guard: a flood of byte-identical docs shares every
+    // band, making even true-positive candidates quadratic in the flood
+    // size. LOSSY above the cap (run exact dedup first — that is the
+    // operator that handles identical floods); audited, never silent.
+    val bandsDet = maxBandDF match {
+      case Some(cap) =>
+        require(cap >= 2, "maxBandDF must be >= 2")
+        val withDf = bandsDet0.withColumn("bdf", count(lit(1))
+          .over(Window.partitionBy(col("band"), col("band_sig"))))
+        SkewGuard.observeDropCount(withDf, "minhash_band",
+          sum(when(col("bdf") > cap, 1L)),
+          dropped => s"minhashLshPairs: skew guard dropped $dropped " +
+            s"(doc, band) posting(s) whose band document frequency " +
+            "exceeds the cap from candidate generation (run exact dedup " +
+            "upstream to remove identical-document floods losslessly)")
+          .filter(col("bdf") <= cap)
+          .drop("bdf")
+      case None => bandsDet0
+    }
 
     val ca = bandsDet.select(col(idCol).as("doc_a"), col("band"),
       col("band_sig"), col("n_sh").as("n_a"))
@@ -339,15 +359,32 @@ object Dedup {
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxChunkDF: Option[Long] = None): DataFrame = {
     // materialize the fingerprints once: the band frame self-joins, and
     // without the checkpoint the whole simhash subtree (scan + two
     // aggregates + vocab join) plans TWICE — AQE does not reuse sibling
     // stages (PERF.md). One row per doc, two fixed-width columns.
     val fp = simhash(df, idCol, textCol).localCheckpoint()
-    val bands = fp.select(col(idCol), col("simhash"),
+    val bands0 = fp.select(col(idCol), col("simhash"),
         explode(expr("sequence(0, 3)")).as("b"))
       .withColumn("chunk", expr("shiftright(simhash, CAST(b * 16 AS INT)) & 65535"))
+    // opt-in hot-chunk guard — same contract as minhashLshPairs.maxBandDF
+    // (identical-doc floods share all four 16-bit chunks)
+    val bands = maxChunkDF match {
+      case Some(cap) =>
+        require(cap >= 2, "maxChunkDF must be >= 2")
+        val withDf = bands0.withColumn("cdf", count(lit(1))
+          .over(Window.partitionBy(col("b"), col("chunk"))))
+        SkewGuard.observeDropCount(withDf, "simhash_chunk",
+          sum(when(col("cdf") > cap, 1L)),
+          dropped => s"simhashPairs: skew guard dropped $dropped " +
+            s"(doc, chunk) posting(s) whose chunk document frequency " +
+            "exceeds the cap from candidate generation (run exact dedup " +
+            "upstream to remove identical-document floods losslessly)")
+          .filter(col("cdf") <= cap)
+          .drop("cdf")
+      case None => bands0
+    }
     val ca = bands.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"),
       col("b"), col("chunk"))
     val cb = bands.select(col(idCol).as("doc_b"), col("simhash").as("sh_b"),
@@ -390,10 +427,28 @@ object Dedup {
     * [[Similarity.signBucket]]): approximate recall, exact scores. */
   def embeddingCosinePairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bucketBits: Int = 8): DataFrame = {
-    val withB = df.select(col(idCol), col(vecCol).as("v"))
+      threshold: Double, bucketBits: Int = 8,
+      maxBucketDF: Option[Long] = None): DataFrame = {
+    val withB0 = df.select(col(idCol), col(vecCol).as("v"))
       .withColumn("bucket", Similarity.signBucket(col("v"), bucketBits))
       .withColumn("n", sqrt(Similarity.dot(col("v"), col("v"))))
+    // opt-in hot-bucket guard — identical/near-identical embedding floods
+    // land in one sign bucket; same contract as minhashLshPairs.maxBandDF
+    // (raising bucketBits is the lossless first lever; the cap is for
+    // floods no bucket width can split)
+    val withB = maxBucketDF match {
+      case Some(cap) =>
+        require(cap >= 2, "maxBucketDF must be >= 2")
+        val withDf = withB0.withColumn("bdf", count(lit(1))
+          .over(Window.partitionBy(col("bucket"))))
+        SkewGuard.observeDropCount(withDf, "embed_bucket",
+          sum(when(col("bdf") > cap, 1L)),
+          dropped => s"embeddingCosinePairs: skew guard dropped $dropped " +
+            s"vector(s) whose sign bucket exceeds the cap")
+          .filter(col("bdf") <= cap)
+          .drop("bdf")
+      case None => withB0
+    }
     val a = withB.select(col("bucket"), col(idCol).as("doc_a"),
       col("v").as("va"), col("n").as("na"))
     val b = withB.select(col("bucket"), col(idCol).as("doc_b"),

@@ -113,12 +113,33 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("persisted-index ANN equals the in-memory build (rows-only twin)") {
-    // q_ann_ivf and q_ann_ivf_disk have no SQL oracle (k-means); pin the
-    // on-disk serving path to the in-memory result instead
+  test("persisted-index ANN equals the in-memory build") {
+    // both now hash-check against the brute-force oracle too; this pins
+    // the on-disk serving path DIRECTLY to the in-memory result
     def rows(n: String) = SparkEntry.queries(n)(spark, sfDir)
       .collect().map(_.toString).sorted.toSeq
     assert(rows("q_ann_ivf") == rows("q_ann_ivf_disk"))
+  }
+
+  test("span dedup pairs come from aggregates alone: NO join in the plan") {
+    // winnowing is one doc-keyed window; candidate pairs are posting-list
+    // expansion of a fingerprint-keyed aggregate — a corpus self-join on
+    // the fingerprint would be the shape that dies on hot boilerplate
+    val p = plan("q_span_dedup")
+    assert(!p.contains("Join"), p.take(600))
+    assert("Window".r.findAllIn(p).nonEmpty, p.take(400))
+  }
+
+  test("token-budget mixing is ONE ordered window: one shuffle, no join") {
+    val p = plan("q_token_budget")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(600))
+    assert("Window".r.findAllIn(p).nonEmpty && !p.contains("Join"), p.take(400))
+  }
+
+  test("topology run report: one full-outer count join, never cartesian") {
+    val p = plan("q_topology_stats")
+    assert(p.contains("FullOuter"), p.take(400))
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("histogram is one aggregate pass: a single shuffle, no sort, no join") {

@@ -41,6 +41,38 @@ class DedupSpec extends SparkSpec {
     assert(capped < all)
   }
 
+  test("hot-key caps drop identical-doc floods from all three LSH families") {
+    // 6 byte-identical docs (the flood) + one legit near-dup pair: the
+    // caps remove the flood's quadratic candidates, keep the distinct pair
+    val flood = (10L to 15L).map(i => (i, base))
+    val withFlood = (flood :+ (16L, base.replace("kappa", "changed") + " x"))
+      .toDF("doc_id", "text")
+
+    val mhAll = Dedup.minhashLshPairs(withFlood, "doc_id", "text",
+      threshold = 0.5).count()
+    val mhCap = Dedup.minhashLshPairs(withFlood, "doc_id", "text",
+      threshold = 0.5, maxBandDF = Some(3))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mhAll >= 15) // at least the C(6,2) flood pairs
+    assert(mhCap.forall { case (a, b) => a == 16L || b == 16L },
+      s"flood pairs survived the cap: $mhCap")
+
+    val shCap = Dedup.simhashPairs(withFlood, "doc_id", "text",
+      maxHamming = 10, maxChunkDF = Some(3))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(shCap.forall { case (a, b) => a == 16L || b == 16L }, shCap.toString)
+
+    val vecs = ((10L to 15L).map(i => (i, Array(1.0f, 1.0f, 1.0f))) :+
+      (16L, Array(1.0f, 0.9f, 1.0f)) :+ (17L, Array(0.9f, 1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ecCap = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding",
+      threshold = 0.5, bucketBits = 2, maxBucketDF = Some(3)).count()
+    assert(ecCap == 0) // all 8 vectors share the all-positive sign bucket
+    val ecAll = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding",
+      threshold = 0.5, bucketBits = 2).count()
+    assert(ecAll == 28) // C(8,2) — everything pairs without the cap
+  }
+
   test("prefix/size/positional filters are lossless vs brute-force jaccard") {
     // adversarial corpus: small vocabulary forces heavy shingle sharing,
     // so the filters do real pruning work; brute force is ground truth
