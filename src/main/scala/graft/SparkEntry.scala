@@ -903,6 +903,18 @@ object SparkEntry {
           .as("qv"))
     }),
 
+    // ── Diversity-quota selection (composition: Similarity.signBucket +
+    //    Sampling.fixedSizePerGroup): at most 2 vectors per sign-LSH
+    //    bucket, hash-ranked — the cheap "spread the sample across
+    //    embedding space" curation draw (a bucket = one coarse region;
+    //    the quota stops any dense region from dominating the sample).
+    "q_diverse_sample" -> ((s, dir) =>
+      graft.ext.Sampling.fixedSizePerGroup(
+        Tables.embeddings(s, dir).select(col("vec_id"),
+          graft.ext.Similarity.signBucket(col("embedding"), 8).as("bucket")),
+        keys = Seq("bucket"), idCol = "vec_id", n = 2)
+        .withColumn("rk", col("rk").cast("long"))),
+
     // ── Token-budget mixture selection (ext.Sampling.tokenBudget): each
     //    language keeps hash-ranked docs until its token budget is spent
     //    — the "recipe in tokens" selector a pretraining mix actually
@@ -2356,6 +2368,27 @@ object SparkEntry {
                                     ORDER BY bucket, event_id) AS rk
                FROM b)
          SELECT event_id, event_type, rk FROM r WHERE rk <= 50""",
+
+    // same sign-bucket arithmetic as the q_ann_lsh oracle; same md5 rank
+    // order as q_sample_n (fixed-length lowercase hex sorts identically
+    // to its numeric value, so the 8-char prefix IS the rank key)
+    "q_diverse_sample" ->
+      """WITH b AS (SELECT vec_id,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+           + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+           + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+           + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+           + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+           FROM embeddings),
+         r AS (SELECT vec_id, bucket,
+                 row_number() OVER (PARTITION BY bucket
+                   ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8),
+                            vec_id) AS rk
+               FROM b)
+         SELECT vec_id, bucket, rk FROM r WHERE rk <= 2""",
 
     // same md5 rank order as the operator — fixed-length lowercase hex
     // sorts identically to its numeric value, so the 8-nibble prefix

@@ -74,6 +74,37 @@ class SpanDedupSpec extends SparkSpec {
     assert(uncapped.count() == 15 + 1) // C(6,2) + the (7,8) pair
   }
 
+  test("incremental indexing: new batch vs persisted index == cross-batch pairs") {
+    // fingerprints are doc-local, so a persisted fingerprint table serves
+    // incremental arrival: joining only the NEW batch's fingerprints
+    // against the stored index must find exactly the cross-batch pairs a
+    // full recompute over the union would
+    val shared = words("s", 9)
+    val batch1 = Seq(
+      (1L, words("a", 6) + " " + shared),
+      (2L, words("b", 20))).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (11L, shared + " " + words("c", 5)),
+      (12L, words("b", 20)), // exact dup of doc 2 across batches
+      (13L, words("d", 15))).toDF("doc_id", "text")
+
+    val full = SpanDedup.sharedSpanPairs(batch1.union(batch2),
+      "doc_id", "text", spanTokens = 5, winnowWindow = 3)
+      .filter((col("doc_a") <= 2 && col("doc_b") >= 11) ||
+        (col("doc_a") >= 11 && col("doc_b") <= 2))
+      .select("doc_a", "doc_b", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+
+    val index = SpanDedup.fingerprints(batch1, "doc_id", "text", 5, 3)
+    val fresh = SpanDedup.fingerprints(batch2, "doc_id", "text", 5, 3)
+    val incremental = index.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(fresh.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    assert(full.nonEmpty && incremental == full)
+  }
+
   test("nulls, empties, and short docs yield no fingerprints") {
     val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "),
       (4L, "one two three")).toDF("doc_id", "text")
