@@ -2399,10 +2399,10 @@ object SparkEntry {
                   AS BIGINT) AS n_tokens
            FROM documents),
          c AS (SELECT doc_id, lang, n_tokens,
-             COALESCE(sum(n_tokens) OVER (PARTITION BY lang
+             CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang
                ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS tokens_before
+               AS BIGINT) AS tokens_before
            FROM d)
          SELECT doc_id, lang, n_tokens, tokens_before
          FROM c
