@@ -1388,6 +1388,28 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nProbe = 16)
     }),
 
+    // ── ANN: PRUNED-probe serving over the persisted layout — the
+    //    realistic vector-store read path (probe ≪ lists, scan a strict
+    //    subset of partitions). Uses the deterministic sign-pattern
+    //    quantizer (IvfIndex.buildSign): nProbe = 1 probes exactly the
+    //    query's own sign bucket, so the result is same-bucket brute
+    //    force and hash-checkable in SQL — unlike the k-means pruned
+    //    probe, whose recall has no deterministic floor. 16 lists, ≤5
+    //    probed: the lists scan prunes to the probed partitions (static
+    //    isin; IvfIndexSpec asserts numFiles < total on this path).
+    "q_ann_ivf_pruned" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxPath = registerTempIndexDir(
+        System.getProperty("java.io.tmpdir") +
+          "/graft_ivf_sign_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid() + "_" + System.nanoTime())
+      graft.ext.IvfIndex.buildSign(emb, "vec_id", "embedding", bits = 4)
+        .save(idxPath)
+      val loaded = graft.ext.IvfIndex.load(s, idxPath)
+      graft.ext.IvfIndex.search(loaded, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 3, nProbe = 1)
+    }),
+
     // ── Multimodal plumbing: opaque binary + metadata through the typed
     //    Dataset decode path. text/plain dispatches to the labeled
     //    byte-stats stub (oracle-expressible); real decode paths (imageio
@@ -3110,6 +3132,34 @@ object SparkEntry {
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
          p AS (SELECT query_id, neighbor_id, qv, cv FROM q JOIN c
                ON query_id <> neighbor_id),
+         d AS (SELECT query_id, neighbor_id,
+                 CAST(sum(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS dotv,
+                 CAST(sum(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nq,
+                 CAST(sum(CAST(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nc
+               FROM p, UNNEST(range(1, len(qv) + 1)) t(i)
+               GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id,
+                      dotv/(sqrt(nq)*sqrt(nc)) AS cos,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY dotv/(sqrt(nq)*sqrt(nc)) DESC, neighbor_id) AS rk
+               FROM d)
+         SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rk
+         FROM r WHERE rk <= 3""",
+
+    // pruned probe with the sign quantizer ≡ same-bucket brute force
+    // (4-bit bucket, same decimal-fold cosine as q_ann_lsh)
+    "q_ann_ivf_pruned" ->
+      """WITH b AS (SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+               WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+         p AS (SELECT query_id, neighbor_id, qv, cv FROM q JOIN c USING (bucket)
+               WHERE query_id <> neighbor_id),
          d AS (SELECT query_id, neighbor_id,
                  CAST(sum(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS dotv,
                  CAST(sum(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nq,

@@ -83,6 +83,31 @@ object IvfIndex {
     IvfModel(assigned, centroids)
   }
 
+  /** Deterministic sign-pattern coarse quantizer: list = the `bits`-bit
+    * sign bucket of the vector's leading dims ([[Similarity.signBucket]]),
+    * centroids = the matching ±1 sign patterns over those dims. All
+    * 2^bits centroids share one L2 norm, so the centroid nearest to any
+    * query (max dot = agree with every sign) is the query's OWN bucket —
+    * `search` with nProbe = 1 is then exactly same-bucket brute force,
+    * which IS SQL-expressible. That gives the partition-pruned on-disk
+    * serving path (save → load → probe a strict subset of list
+    * partitions) a hash-exact DuckDB oracle (`q_ann_ivf_pruned`), where
+    * the k-means quantizer's pruned probe has no deterministic floor.
+    * A dim equal to exactly 0 ties the two centroids differing in that
+    * bit; the stable sort keeps the lower list id, which is the bucket
+    * the `> 0` sign test assigns — the tie resolves consistently. */
+  def buildSign(corpus: DataFrame, idCol: String, vecCol: String,
+      bits: Int): IvfModel = {
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        Similarity.signBucket(col(vecCol), bits).cast("int").as("list_id"))
+      .withColumn("cn", sqrt(Similarity.dot(col("cv"), col("cv"))))
+    val centroids = Array.tabulate(1 << bits) { b =>
+      (b, Array.tabulate(bits)(j => if (((b >> j) & 1) == 1) 1.0 else -1.0))
+    }
+    IvfModel(assigned, centroids)
+  }
+
   /** Assign each row its IVF list id (the build half, kept for callers
     * that only need the partitioning column). */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,

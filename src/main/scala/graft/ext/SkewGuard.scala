@@ -24,10 +24,14 @@ object SkewGuard {
   /** metric name → drop-count message renderer. */
   private val messages = new ConcurrentHashMap[String, Long => String]()
 
-  /** Sessions that already carry the audit listener. */
+  /** Sessions that already carry the audit listener — weakly referenced
+    * so a stopped/discarded session can be collected (the listener dies
+    * with the session; only the dedup marker lives here).
+    */
   private val registered =
-    java.util.Collections.newSetFromMap(
-      new ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Attach a drop-count audit to `df`: `dropCount` is summed over the
     * frame as an observed metric, and any action that runs the plan logs
@@ -45,17 +49,22 @@ object SkewGuard {
   private def ensureListener(spark: SparkSession): Unit =
     if (registered.add(spark)) {
       spark.listenerManager.register(new QueryExecutionListener {
+        // render-then-remove: a metric name is unique per plan
+        // construction, so once its plan has executed (or failed) the
+        // renderer is dead weight — dropping it keeps `messages` bounded
+        // in long-lived sessions that build guarded plans repeatedly.
         override def onSuccess(funcName: String, qe: QueryExecution,
             durationNs: Long): Unit =
           qe.observedMetrics.foreach { case (name, row) =>
-            val render = messages.get(name)
+            val render = messages.remove(name)
             if (render != null && !row.isNullAt(0)) {
               val dropped = row.getLong(0)
               if (dropped > 0) log.warn(render(dropped))
             }
           }
         override def onFailure(funcName: String, qe: QueryExecution,
-            exception: Exception): Unit = ()
+            exception: Exception): Unit =
+          qe.observedMetrics.keys.foreach(messages.remove)
       })
     }
 }

@@ -99,6 +99,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("broadcast-candidates variants match the default shuffle joins") {
+    // the flag only changes join strategy on the verification joins —
+    // both pair generators must produce identical rows either way
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val jacShuffle = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val jacBcast = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+      broadcastCandidates = true)
+    assert(rows(jacBcast) == rows(jacShuffle) && rows(jacShuffle).nonEmpty)
+    val mhShuffle = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5)
+    val mhBcast = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5,
+      broadcastCandidates = true)
+    assert(rows(mhBcast) == rows(mhShuffle) && rows(mhShuffle).nonEmpty)
+  }
+
   test("minhash LSH recovers high-jaccard pairs with exact verification") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
       shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5)

@@ -99,4 +99,60 @@ class IvfIndexSpec extends SparkSpec {
     assert(numFiles >= 1 && numFiles < totalFiles,
       s"expected pruned scan, read $numFiles of $totalFiles partitions")
   }
+
+  test("sign quantizer: nProbe=1 search ≡ same-bucket brute force (lshTopK)") {
+    // mixed-sign vectors so the 2-bit bucket space is actually populated
+    val rnd = new Random(11)
+    val data = (0L until 60L).map { i =>
+      (i, Array.fill(4)((rnd.nextFloat() - 0.5f) * 2f))
+    }.toDF("vec_id", "embedding")
+    val queries = data.filter($"vec_id" < 4)
+    val model = IvfIndex.buildSign(data, "vec_id", "embedding", bits = 2)
+    val viaIvf = IvfIndex.search(model, queries, "vec_id", "embedding",
+      k = 3, nProbe = 1)
+      .select("query_id", "neighbor_id", "cosine", "rk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val viaLsh = Similarity.lshTopK(data, queries, "vec_id", "embedding",
+      k = 3, bucketBits = 2)
+      .select("query_id", "neighbor_id", "cosine", "rk")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(viaIvf == viaLsh)
+  }
+
+  test("sign quantizer save/load: pruned probe scans only probed partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val rnd = new Random(13)
+    val data = (0L until 60L).map { i =>
+      (i, Array.fill(4)((rnd.nextFloat() - 0.5f) * 2f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_sign").toString
+    IvfIndex.buildSign(data, "vec_id", "embedding", bits = 2).save(dir)
+    val loaded = IvfIndex.load(spark, dir)
+    val q = IvfIndex.search(loaded, data.filter($"vec_id" === 0L),
+      "vec_id", "embedding", 3, 1)
+    q.collect()
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case qs: QueryStageExec => leaves(qs.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(leaves) ++
+        other.subqueries.flatMap(leaves)
+    }
+    val listScan = leaves(q.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("lists")))
+    assert(listScan.isDefined, "no file scan over the lists layout found")
+    val numFiles = listScan.get.metrics("numFiles").value
+    // multiple writer tasks → several part-files per list dir; compare
+    // against the recursive part-file total, not the dir count
+    val allParts = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("list_id="))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    val probedParts = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("list_id="))
+    assert(probedParts.length > 1)
+    assert(numFiles >= 1 && numFiles < allParts,
+      s"expected pruned scan, read $numFiles of $allParts part-files")
+  }
 }

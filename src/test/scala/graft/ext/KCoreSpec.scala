@@ -24,6 +24,16 @@ class KCoreSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("shuffle fallback (broadcastKeep=false) matches the broadcast path") {
+    // the >10^8-node path: per-round keep set joined by shuffle, not
+    // broadcast — must be result-identical to the default
+    val viaBroadcast = KCore.survivors(edges, "src", "dst", k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val viaShuffle = KCore.survivors(edges, "src", "dst", k = 2, rounds = 3,
+      broadcastKeep = false).as[(Long, Long)].collect().toMap
+    assert(viaShuffle == viaBroadcast)
+  }
+
   test("insufficient rounds report the partially peeled state") {
     // after ONE round only node 6 is gone; 5 survives with deg 1 (4-5)
     val out = KCore.survivors(edges, "src", "dst", k = 2, rounds = 1)

@@ -44,4 +44,17 @@ class TrianglesSpec extends SparkSpec {
   test("triangle-free graph returns no rows") {
     assert(count(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L)).isEmpty)
   }
+
+  test("shuffle fallback (broadcastAdjacency=false) matches broadcast path") {
+    // the >10^8-edge path: degree hints and the oriented adjacency join
+    // by shuffle instead of broadcast — must be result-identical
+    val rnd = new scala.util.Random(7)
+    val edges = (for (i <- 1L to 25L; j <- (i + 1) to 25L
+      if rnd.nextDouble() < 0.25) yield i -> j).toSeq.toDF("u", "v")
+    val viaBroadcast = Triangles.perNode(edges, "u", "v")
+      .as[(Long, Long)].collect().toMap
+    val viaShuffle = Triangles.perNode(edges, "u", "v",
+      broadcastAdjacency = false).as[(Long, Long)].collect().toMap
+    assert(viaShuffle == viaBroadcast)
+  }
 }
