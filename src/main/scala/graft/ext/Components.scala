@@ -19,9 +19,8 @@ import org.apache.spark.sql.functions._
   * storage holds at most two generations. Convergence is detected
   * distributedly (count of changed labels); rounds needed = component
   * diameter, which for near-dup clusters is tiny (chains of a few docs).
-  * For planetary-diameter graphs swap in the large-star/small-star
-  * contraction (same per-round shape, O(log n) rounds) — out of scope
-  * here by design.
+  * For high-diameter graphs (near-dup CHAINS) use [[Components.connectedStar]]
+  * — the large-star/small-star contraction, O(log n) rounds.
   *
   * Hitting `maxIter` without convergence THROWS by default: unconverged
   * labels are silently-wrong cluster assignments (a long chain splits in
@@ -36,6 +35,111 @@ object Components {
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
+
+  /** (node, component) via alternating large-star/small-star contraction
+    * — the high-diameter path. Min-label propagation ([[connected]])
+    * needs `diameter` rounds, and near-dup CHAINS (doc1~doc2~…~docN, the
+    * common web-boilerplate shape) have diameter ∝ N: at corpus scale
+    * that operator fails structurally, not gradually. Star contraction
+    * rewires the graph itself each round instead of forwarding labels
+    * along it, so a chain of length N collapses in O(log N) rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014 — the two-phase L/S algorithm).
+    *
+    * Each round is two ops over the current edge set, both shaped like
+    * one aggregation + one join (no driver-side graph state):
+    *  - large-star: per node u, m = min(Γ(u) ∪ u); every LARGER neighbor
+    *    v > u re-attaches to m — long tails shortcut toward the minimum
+    *    without disconnecting anything;
+    *  - small-star: per node u over its SMALLER neighbors (edges keyed by
+    *    their larger endpoint), all of them and u itself attach to the
+    *    local minimum — stars flatten.
+    * Fixpoint = a star forest rooted at each component's minimum node,
+    * read off directly as (child, root) edges; the per-round
+    * `localCheckpoint` + unpersist discipline matches [[connected]]
+    * (executor storage holds at most two generations).
+    *
+    * Default `maxIter = 30` bounds rounds for any graph a long-lived
+    * pipeline can feed it (2^30 ≫ any node count); `strict` as in
+    * [[connected]]. Measured at sf0.1 (PERF.md): min-label is cheaper on
+    * the shallow dedup-pair graphs the corpus queries build, so
+    * [[connected]] stays the default there and this is the documented
+    * swap-in for unbounded-diameter inputs.
+    */
+  def connectedStar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 30, strict: Boolean = true): DataFrame = {
+    // all nodes of the ORIGINAL graph (self-loop-only and isolated-pair
+    // nodes included) — re-attached to the star labels at the end
+    val nodes = edges
+      .select(explode(array(col(srcCol).cast("long"), col(dstCol).cast("long")))
+        .as("node"))
+      .distinct()
+      .localCheckpoint()
+    var cur = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    var curCount = cur.count()
+    var round = 0
+    var converged = curCount == 0L
+    while (!converged && round < maxIter) {
+      // ── large-star: symmetrize, m(u) = min(u, min Γ(u)); each v > u
+      //    re-attaches to m(u). Emitted pairs always have v > m, so the
+      //    output is already in canonical (larger, smaller) orientation.
+      val sym = cur.select(explode(array(
+          struct(col("a"), col("b").as("nb")),
+          struct(col("b").as("a"), col("a").as("nb")))).as("e"))
+        .select(col("e.a").as("u"), col("e.nb").as("v"))
+      val lsMins = sym.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val afterLarge = sym.join(lsMins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("big"), col("m").as("small"))
+        .distinct()
+      // ── small-star: key each edge by its larger endpoint; u and all
+      //    its smaller neighbors attach to the local minimum. Every
+      //    emitted pair keeps big > small, no self loops possible.
+      val ssMins = afterLarge.groupBy(col("big"))
+        .agg(min(col("small")).as("m"))
+      val next = afterLarge.join(ssMins, Seq("big"))
+        .select(explode(array(
+          struct(col("small").as("x"), col("m")),
+          struct(col("big").as("x"), col("m")))).as("e"))
+        .select(col("e.x").as("b"), col("e.m").as("a"))
+        .filter(col("b") =!= col("a"))
+        .distinct()
+        .localCheckpoint()
+      val nextCount = next.count()
+      // star forest ⇔ one L/S round is the identity on the edge set;
+      // counts match first (free — both frames are materialized), then
+      // one anti-join proves set equality
+      converged = nextCount == curCount &&
+        next.exceptAll(cur.select(col("a"), col("b"))
+          .select(col("b"), col("a"))).limit(1).count() == 0L
+      checkpointRdd(cur).foreach(_.unpersist(false))
+      // canonical (small=a, large=b) orientation for the next round
+      cur = next.select(col("a"), col("b"))
+      curCount = nextCount
+      round += 1
+    }
+    if (!converged) {
+      val msg = "star-contraction components did not converge within " +
+        s"$maxIter rounds — labels are NOT final"
+      if (strict) throw new IllegalStateException(msg)
+      else log.warn(msg)
+    }
+    // at the fixpoint every edge is (root=a, child=b): children label
+    // from their root, roots and isolated nodes label themselves. The
+    // final round's checkpoint (and `nodes`) stay persisted — the
+    // returned frame reads them lazily; the context cleaner frees them
+    // once the caller drops the frame.
+    nodes.join(cur.select(col("b").as("node"), col("a").as("root")),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("root"), col("node")).as("component"))
+  }
 
   /** @return (node, component) — component = min node id reachable. */
   def connected(edges: DataFrame, srcCol: String, dstCol: String,

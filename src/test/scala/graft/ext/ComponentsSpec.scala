@@ -68,6 +68,49 @@ class ComponentsSpec extends SparkSpec {
       val got = Components.connected(es.toDF("a", "b"), "a", "b")
         .as[(Long, Long)].collect().toMap
       assert(got == expected, s"trial $trial: $got != $expected")
+      // the star-contraction variant must agree on the same graphs
+      val star = Components.connectedStar(es.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(star == expected, s"trial $trial (star): $star != $expected")
     }
+  }
+
+  test("connectedStar labels chains, cliques, isolated pairs, self-loops") {
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L), (30L, 30L) // self-loop-only node: own component
+    ).toDF("doc_a", "doc_b")
+    val out = Components.connectedStar(edges, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L))
+  }
+
+  test("high-diameter chain: min-label needs Θ(N) rounds, star needs O(log N)") {
+    // path 0-1-2-...-64: diameter 64. Min-label propagation moves the
+    // label one hop per round — a 10-round budget fails loudly...
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Components.connected(chain, "a", "b", maxIter = 10)
+    }
+    // ...while star contraction collapses the same chain within the
+    // same 10-round budget (halves the chain per L/S round)
+    val star = Components.connectedStar(chain, "a", "b", maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(star.size == 65 && star.values.toSet == Set(0L))
+  }
+
+  test("connectedStar: empty edge set and strict maxIter behavior") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Components.connectedStar(empty, "a", "b").count() == 0L)
+    val chain = (0L until 32L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Components.connectedStar(chain, "a", "b", maxIter = 1)
+    }
+    // best-effort mode reports the partially contracted state
+    assert(Components.connectedStar(chain, "a", "b", maxIter = 1,
+      strict = false).count() == 33L)
   }
 }
