@@ -1410,6 +1410,28 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nProbe = 1)
     }),
 
+    // ── Click→purchase attribution: the BATCH face of the stream-stream
+    //    event-time interval join (streaming/StreamJoin.attribution —
+    //    IDENTICAL transform both modes; StreamJoinSpec proves
+    //    batch≡stream). Same-user purchases within 1 h after a click.
+    //    Scale: equi-join shuffled on the user key; the time-range
+    //    predicate bounds streaming state to O(rate × window).
+    "q_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.streaming.StreamJoin.attribution(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value")),
+        "user_id", within = "1 hour")
+        // epoch µs, not raw timestamps — the harness reprs engine-native
+        // timestamp objects differently and would never hash-match
+        .select(col("user_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          col("purchase_value"))
+    }),
+
     // ── Multimodal plumbing: opaque binary + metadata through the typed
     //    Dataset decode path. text/plain dispatches to the labeled
     //    byte-stats stub (oracle-expressible); real decode paths (imageio
@@ -3145,6 +3167,18 @@ object SparkEntry {
                FROM d)
          SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rk
          FROM r WHERE rk <= 3""",
+
+    // plain interval join — both engines do exact µs timestamp interval
+    // arithmetic, so the window edges agree bit-for-bit
+    "q_attribution" ->
+      """SELECT c.user_id,
+                epoch_us(c.ts) AS click_us,
+                epoch_us(p.ts) AS purchase_us,
+                p.value AS purchase_value
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
 
     // pruned probe with the sign quantizer ≡ same-bucket brute force
     // (4-bit bucket, same decimal-fold cosine as q_ann_lsh)

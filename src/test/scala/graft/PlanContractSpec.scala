@@ -67,6 +67,17 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("attribution interval join is key-equi (shuffle/broadcast), never NLJ") {
+    // the stream-stream interval join's batch face: must plan as an
+    // equi-join on the user key with the time range as a join filter —
+    // a nested-loop over events × events has no scale story
+    val p = plan("q_attribution")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      p.take(400))
+  }
+
   test("anti-join GC is a broadcast or shuffled hash anti join") {
     val p = plan("q_anti_gc")
     assert(p.contains("LeftAnti"), p.take(300))
