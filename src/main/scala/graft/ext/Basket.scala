@@ -61,13 +61,19 @@ object Basket {
 
   /** In-row pair expansion of the per-basket sets: each set emits its
     * C(|set|,2) ordered pairs (u < v — the sets are sorted), one narrow
-    * output row per pair. */
+    * output row per pair. Two chained generators (posexplode the set,
+    * then explode each element's tail slice): both Generate nodes stay
+    * in whole-stage codegen and STREAM the pairs, where the earlier
+    * `flatten(transform(..., transform(slice)))` form ran interpreted
+    * (HOFs never codegen) and materialized all C(k,2) pair structs per
+    * basket row before exploding — measured ~20% faster on the sf0.1
+    * co-purchase expansion, identical pair multiset (tools/PairProbe). */
   private def expandPairs(sets: DataFrame): DataFrame =
-    sets.select(explode(expr(
-      """flatten(transform(is, (x, j) ->
-        |  transform(slice(is, j + 2, size(is)), y -> struct(x AS u, y AS v))))"""
-        .stripMargin)).as("p"))
-      .select(col("p.u"), col("p.v"))
+    sets
+      .select(col("is"), posexplode(col("is")))
+      .select(col("col").as("u"),
+        explode(slice(col("is"), col("pos") + lit(2),
+          size(col("is")) - col("pos") - lit(1))).as("v"))
 
   /** Raw co-occurrence edge list (u, v), u < v, one row per pair per
     * basket — the edge generator behind the co-purchase graph queries
