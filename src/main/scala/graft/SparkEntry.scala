@@ -1149,14 +1149,16 @@ object SparkEntry {
     //    minhash pair graph (transitive closure), one row per cluster with
     //    its min-id label, size, and sorted member list — the form a
     //    keep-one-representative policy actually consumes (a raw pair list
-    //    mishandles chains A-B-C). Distributed min-label propagation
-    //    (ext.Components); oracle = recursive-CTE closure over the SAME
-    //    pair SQL.
+    //    mishandles chains A-B-C). Adaptive components (ext.Components):
+    //    min-label propagation while the graph is shallow, automatic
+    //    large-star/small-star fallback if a boilerplate CHAIN pushes the
+    //    diameter past the budget; oracle = recursive-CTE closure over
+    //    the SAME pair SQL.
     "q_dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id",
         "text", shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5,
         broadcastCandidates = true)
-      graft.ext.Components.connected(pairs, "doc_a", "doc_b")
+      graft.ext.Components.connectedAdaptive(pairs, "doc_a", "doc_b")
         .groupBy(col("component"))
         .agg(count(lit(1)).as("n_docs"),
           array_join(array_sort(collect_set(col("node").cast("string"))), ",")
@@ -1295,7 +1297,7 @@ object SparkEntry {
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5,
         broadcastCandidates = true)
-      val comp = graft.ext.Components.connected(pairs, "doc_a", "doc_b")
+      val comp = graft.ext.Components.connectedAdaptive(pairs, "doc_a", "doc_b")
       val qual = docs.select(col("doc_id"),
         TextAnalysis.qualityScore(col("text"), ExtConfig.stopwords)
           .as("quality"))
@@ -1366,13 +1368,12 @@ object SparkEntry {
     }),
 
     // ── ANN: IVF over the PERSISTED index layout — save partitioned by
-    //    list_id, reload, search. Exercises the on-disk path a vector
-    //    store actually serves from: the probe is a partition-pruned scan
-    //    (static isin filter on the probed lists; see IvfIndexSpec's
-    //    scanned-files assertion). Same probes/seed as q_ann_ivf, and the
-    //    same exhaustive-probe identity oracle — here it additionally
-    //    hash-proves the partitioned save/load round-trip preserves every
-    //    corpus row and float exactly.
+    //    list_id, reload, search. With nProbe = nLists this query reads
+    //    every list BY DESIGN (the exhaustive-probe identity hash-proves
+    //    the partitioned save/load round-trip preserves every corpus row
+    //    and float exactly); the partition-PRUNED serving read path is
+    //    benchmarked and hash-gated separately in q_ann_ivf_pruned, and
+    //    plan-asserted in IvfIndexSpec's scanned-files tests.
     "q_ann_ivf_disk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       // unique per invocation: a fixed shared path would let a concurrent

@@ -141,9 +141,45 @@ object Components {
       .select(col("node"), coalesce(col("root"), col("node")).as("component"))
   }
 
+  /** Min-label with an automatic structural fallback: run [[connected]]
+    * for `minLabelRounds`; if the graph hasn't converged (diameter
+    * exceeds the budget — near-dup chains), discard the partial labels
+    * and run [[connectedStar]], which is O(log N)-round for any shape.
+    * Shallow graphs (the overwhelmingly common near-dup case) pay only
+    * the cheap min-label path plus one distributed convergence check;
+    * deep graphs pay the bounded wasted budget and then terminate where
+    * strict min-label would have thrown. Use when cluster shape is
+    * unknown — i.e. on raw 100 TB corpora.
+    */
+  def connectedAdaptive(edges: DataFrame, srcCol: String, dstCol: String,
+      minLabelRounds: Int = 8, starMaxIter: Int = 30): DataFrame = {
+    val (labels, converged) =
+      propagate(edges, srcCol, dstCol, minLabelRounds)
+    if (converged) labels
+    else {
+      log.info(s"min-label did not converge in $minLabelRounds rounds; " +
+        "switching to large-star/small-star contraction")
+      checkpointRdd(labels).foreach(_.unpersist(false))
+      connectedStar(edges, srcCol, dstCol, starMaxIter)
+    }
+  }
+
   /** @return (node, component) — component = min node id reachable. */
   def connected(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25, strict: Boolean = true): DataFrame = {
+    val (labels, converged) = propagate(edges, srcCol, dstCol, maxIter)
+    if (!converged) {
+      val msg = s"connected components did not converge within $maxIter " +
+        "rounds (graph diameter exceeds the budget) — labels are NOT final"
+      if (strict) throw new IllegalStateException(msg)
+      else log.warn(msg)
+    }
+    labels
+  }
+
+  /** Min-label propagation core: (labels, converged). */
+  private def propagate(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int): (DataFrame, Boolean) = {
     // symmetrize in ONE pass over the edge subtree (explode, not union —
     // a union would evaluate an expensive upstream pair computation twice,
     // since AQE does not reuse sibling stages), then materialize once:
@@ -186,12 +222,6 @@ object Components {
       round += 1
     }
     checkpointRdd(sym).foreach(_.unpersist(false))
-    if (!converged) {
-      val msg = s"connected components did not converge within $maxIter " +
-        "rounds (graph diameter exceeds the budget) — labels are NOT final"
-      if (strict) throw new IllegalStateException(msg)
-      else log.warn(msg)
-    }
-    labels
+    (labels, converged)
   }
 }

@@ -34,9 +34,12 @@ object SkewGuard {
         new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Attach a drop-count audit to `df`: `dropCount` is summed over the
-    * frame as an observed metric, and any action that runs the plan logs
-    * `msg(count)` when the count is positive. Returns the observed frame
-    * — the caller filters/keeps rows itself; this only audits.
+    * frame as an observed metric, and the FIRST action that runs the plan
+    * logs `msg(count)` when the count is positive (the renderer is
+    * dropped after rendering so the registry stays bounded; re-running
+    * the same frame re-observes the metric but logs once — rebuild the
+    * guarded plan to re-arm the audit). Returns the observed frame — the
+    * caller filters/keeps rows itself; this only audits.
     */
   def observeDropCount(df: DataFrame, name: String, dropCount: Column,
       msg: Long => String): DataFrame = {

@@ -102,6 +102,21 @@ class ComponentsSpec extends SparkSpec {
     assert(star.size == 65 && star.values.toSet == Set(0L))
   }
 
+  test("connectedAdaptive: min-label when shallow, star fallback when deep") {
+    // shallow: converges inside the min-label budget, same labels
+    val shallow = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val viaAdaptive = Components.connectedAdaptive(shallow, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(viaAdaptive == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // deep: a 64-hop chain blows a 3-round min-label budget; the star
+    // fallback must still produce final labels instead of throwing
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val deep = Components.connectedAdaptive(chain, "a", "b",
+      minLabelRounds = 3).as[(Long, Long)].collect().toMap
+    assert(deep.size == 65 && deep.values.toSet == Set(0L))
+  }
+
   test("connectedStar: empty edge set and strict maxIter behavior") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Components.connectedStar(empty, "a", "b").count() == 0L)
