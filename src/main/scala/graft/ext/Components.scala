@@ -68,15 +68,28 @@ object Components {
     */
   def connectedStar(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 30, strict: Boolean = true): DataFrame = {
+    // materialize the raw pair projection ONCE: `nodes` and the canonical
+    // edge set below both derive from these blocks, so an expensive
+    // upstream pair computation (minhash-LSH at 100 TB) is evaluated a
+    // single time — AQE does not reuse sibling stages (PERF.md)
+    val base = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .localCheckpoint()
+    starFrom(base, maxIter, strict)
+  }
+
+  /** Core of [[connectedStar]] over a MATERIALIZED (a, b) long-pair
+    * frame; both initial scans read its checkpointed blocks. */
+  private def starFrom(base: DataFrame, maxIter: Int,
+      strict: Boolean): DataFrame = {
     // all nodes of the ORIGINAL graph (self-loop-only and isolated-pair
-    // nodes included) — re-attached to the star labels at the end
-    val nodes = edges
-      .select(explode(array(col(srcCol).cast("long"), col(dstCol).cast("long")))
-        .as("node"))
+    // nodes included) — re-attached to the star labels at the end;
+    // checkpointed so the returned frame survives `base` being freed
+    val nodes = base
+      .select(explode(array(col("a"), col("b"))).as("node"))
       .distinct()
       .localCheckpoint()
-    var cur = edges
-      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+    var cur = base
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
@@ -133,10 +146,13 @@ object Components {
     }
     // at the fixpoint every edge is (root=a, child=b): children label
     // from their root, roots and isolated nodes label themselves. The
-    // final round's checkpoint (and `nodes`) stay persisted — the
-    // returned frame reads them lazily; the context cleaner frees them
-    // once the caller drops the frame.
-    nodes.join(cur.select(col("b").as("node"), col("a").as("root")),
+    // min-aggregate is the identity on a converged star forest (one
+    // parent per child) and, in the strict=false unconverged case, keeps
+    // the one-label-per-node contract instead of emitting a row per
+    // remaining parent. The final round's checkpoint (and `nodes`) stay
+    // persisted — the returned frame reads them lazily; the context
+    // cleaner frees them once the caller drops the frame.
+    nodes.join(cur.groupBy(col("b").as("node")).agg(min(col("a")).as("root")),
         Seq("node"), "left_outer")
       .select(col("node"), coalesce(col("root"), col("node")).as("component"))
   }
@@ -153,21 +169,29 @@ object Components {
     */
   def connectedAdaptive(edges: DataFrame, srcCol: String, dstCol: String,
       minLabelRounds: Int = 8, starMaxIter: Int = 30): DataFrame = {
-    val (labels, converged) =
+    val (labels, converged, sym) =
       propagate(edges, srcCol, dstCol, minLabelRounds)
-    if (converged) labels
-    else {
+    if (converged) {
+      checkpointRdd(sym).foreach(_.unpersist(false))
+      labels
+    } else {
       log.info(s"min-label did not converge in $minLabelRounds rounds; " +
         "switching to large-star/small-star contraction")
       checkpointRdd(labels).foreach(_.unpersist(false))
-      connectedStar(edges, srcCol, dstCol, starMaxIter)
+      // the fallback starts from propagate's already-materialized
+      // symmetrized frame — the expensive upstream pair computation is
+      // NOT evaluated again (same components: sym is the same graph)
+      val out = starFrom(sym, starMaxIter, strict = true)
+      checkpointRdd(sym).foreach(_.unpersist(false))
+      out
     }
   }
 
   /** @return (node, component) — component = min node id reachable. */
   def connected(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25, strict: Boolean = true): DataFrame = {
-    val (labels, converged) = propagate(edges, srcCol, dstCol, maxIter)
+    val (labels, converged, sym) = propagate(edges, srcCol, dstCol, maxIter)
+    checkpointRdd(sym).foreach(_.unpersist(false))
     if (!converged) {
       val msg = s"connected components did not converge within $maxIter " +
         "rounds (graph diameter exceeds the budget) — labels are NOT final"
@@ -177,9 +201,12 @@ object Components {
     labels
   }
 
-  /** Min-label propagation core: (labels, converged). */
+  /** Min-label propagation core: (labels, converged, symmetrized edges).
+    * The returned `sym` frame is still checkpoint-materialized — the
+    * CALLER unpersists it (the adaptive path reuses it as the star
+    * fallback's input first). */
   private def propagate(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int): (DataFrame, Boolean) = {
+      maxIter: Int): (DataFrame, Boolean, DataFrame) = {
     // symmetrize in ONE pass over the edge subtree (explode, not union —
     // a union would evaluate an expensive upstream pair computation twice,
     // since AQE does not reuse sibling stages), then materialize once:
@@ -221,7 +248,6 @@ object Components {
       converged = !anyChanged
       round += 1
     }
-    checkpointRdd(sym).foreach(_.unpersist(false))
-    (labels, converged)
+    (labels, converged, sym)
   }
 }

@@ -134,8 +134,19 @@ object IvfIndex {
         col(vecCol).cast("array<double>").as("qv"))
       .as[(Long, Array[Double])].collect()
       .flatMap { case (qid, qv) =>
+        // a NaN component would poison every centroid distance to NaN and
+        // the stable sort would always pick list 0 — diverging from the
+        // SQL engines' NaN-is-greatest comparison semantics that
+        // signBucket's `> 0` test (and so the bucket the row was indexed
+        // under) follows. A large-but-moderate positive stand-in keeps
+        // the selection consistent: sign-pattern centroids with that bit
+        // SET win, and k-means centroids order by their component size.
+        // 1e6, not 1e30: the stand-in must dominate real coordinates yet
+        // keep (c ± stand-in)² distinguishable in double (at 1e30 the
+        // ±1 centroid difference falls below one ulp and ties).
+        val q = qv.map(x => if (x.isNaN) 1e6 else x)
         model.centroids.map { case (lid, c) =>
-          val d = c.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum
+          val d = c.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum
           (qid, lid, d)
         }.sortBy(_._3).take(nProbe).map { case (qid2, lid, _) => (qid2, lid) }
       }.toSeq

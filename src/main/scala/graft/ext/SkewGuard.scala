@@ -65,9 +65,13 @@ object SkewGuard {
               if (dropped > 0) log.warn(render(dropped))
             }
           }
+        // a FAILED action must not consume the audit: a retry of the
+        // same guarded frame still renders its drop count ("no silent
+        // caps"). A plan that fails and is never retried strands one
+        // small entry — bounded, unlike the per-construction growth the
+        // onSuccess removal prevents.
         override def onFailure(funcName: String, qe: QueryExecution,
-            exception: Exception): Unit =
-          qe.observedMetrics.keys.foreach(messages.remove)
+            exception: Exception): Unit = ()
       })
     }
 }

@@ -79,7 +79,10 @@ object DecimalDot {
       (children: Seq[Expression]) => DecimalDot(children(0), children(1)))
 
   /** Shared by interpreted eval and generated code. Returns null on length
-    * mismatch or null elements (the `zip_with` null-padding semantics). */
+    * mismatch or null elements (the `zip_with` null-padding semantics),
+    * and on NaN/Infinity products (the non-ANSI double→decimal cast the
+    * HOF fold documents — `BigDecimal.valueOf` would otherwise THROW, and
+    * one malformed embedding must not kill a corpus-scale scoring job). */
   def compute(a: ArrayData, b: ArrayData,
       aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
@@ -90,7 +93,10 @@ object DecimalDot {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      acc = acc.add(java.math.BigDecimal.valueOf(x * y)
+      val p = x * y
+      if (java.lang.Double.isNaN(p) || java.lang.Double.isInfinite(p))
+        return null
+      acc = acc.add(java.math.BigDecimal.valueOf(p)
         .setScale(15, java.math.RoundingMode.HALF_UP))
       i += 1
     }

@@ -128,4 +128,14 @@ class ComponentsSpec extends SparkSpec {
     assert(Components.connectedStar(chain, "a", "b", maxIter = 1,
       strict = false).count() == 33L)
   }
+
+  test("connectedStar strict=false keeps ONE label per node when unconverged") {
+    // after one L/S round node 4 still has two remaining parents (2 and
+    // 3); the unconverged readout must not emit a row per parent
+    val edges = Seq((2L, 5L), (4L, 5L), (4L, 6L), (3L, 6L)).toDF("a", "b")
+    val out = Components.connectedStar(edges, "a", "b", maxIter = 1,
+      strict = false).as[(Long, Long)].collect()
+    assert(out.length == 5, s"expected 5 rows (one per node), got ${out.toSeq}")
+    assert(out.map(_._1).distinct.length == 5)
+  }
 }

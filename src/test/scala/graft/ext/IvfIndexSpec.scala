@@ -119,6 +119,28 @@ class IvfIndexSpec extends SparkSpec {
     assert(viaIvf == viaLsh)
   }
 
+  test("NaN query components: probe selection still matches the sign bucket") {
+    // signBucket follows SQL NaN-is-greatest (`NaN > 0` is true); the
+    // driver-side centroid selection must agree, not collapse to list 0
+    val rnd = new Random(17)
+    val data = (0L until 40L).map { i =>
+      (i, Array.fill(4)((rnd.nextFloat() - 0.5f) * 2f))
+    }.toDF("vec_id", "embedding")
+    val nanQuery = Seq((999L, Array(Float.NaN, 0.5f, -0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val model = IvfIndex.buildSign(data.union(nanQuery), "vec_id",
+      "embedding", bits = 2)
+    val ivf = IvfIndex.search(model, nanQuery, "vec_id", "embedding",
+      k = 3, nProbe = 1)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    val lsh = Similarity.lshTopK(data.union(nanQuery), nanQuery, "vec_id",
+      "embedding", k = 3, bucketBits = 2)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivf == lsh && ivf.nonEmpty, s"ivf=$ivf lsh=$lsh")
+  }
+
   test("sign quantizer save/load: pruned probe scans only probed partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
