@@ -1167,6 +1167,24 @@ object SparkEntry {
           col("members"))
     }),
 
+    // ── Same clusters via STAR CONTRACTION (Components.connectedStar):
+    //    hash-proves the O(log N)-round high-diameter algorithm against
+    //    the identical recursive-closure oracle — the q_skew_agg pattern
+    //    (variant algorithm ≡ same oracle), so the 100 TB fallback path
+    //    is driver-verified, not just spec-gated.
+    "q_dedup_clusters_star" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id",
+        "text", shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5,
+        broadcastCandidates = true)
+      graft.ext.Components.connectedStar(pairs, "doc_a", "doc_b")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(array_sort(collect_set(col("node").cast("string"))), ",")
+            .as("members"))
+        .select(col("component").as("cluster_id"), col("n_docs"),
+          col("members"))
+    }),
+
     // ── Ordered funnel: users converting view → click → purchase with
     //    each stage strictly after the previous one (greedy earliest-
     //    first; ops.Funnel — one user-keyed aggregation per step, stages
@@ -2803,6 +2821,16 @@ object SparkEntry {
     // transitive closure of the SAME pair query via a recursive CTE, then
     // per-component min label / size / sorted member list
     "q_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($minhashLshOracle),
+         $closureOracle
+         SELECT cluster_id, count(*) AS n_docs,
+                string_agg(CAST(node AS VARCHAR), ','
+                           ORDER BY CAST(node AS VARCHAR)) AS members
+         FROM comp GROUP BY cluster_id""",
+
+    // identical closure oracle — the star-contraction variant must land
+    // on the same component structure as min-label propagation
+    "q_dedup_clusters_star" ->
       s"""WITH RECURSIVE pairs AS ($minhashLshOracle),
          $closureOracle
          SELECT cluster_id, count(*) AS n_docs,
