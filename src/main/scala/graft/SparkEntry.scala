@@ -1185,6 +1185,25 @@ object SparkEntry {
           col("members"))
     }),
 
+    // ── INCREMENTAL near-dup: dedup a new batch (odd doc_ids) against a
+    //    prebuilt corpus minhash index (even doc_ids) WITHOUT re-reading
+    //    corpus text — the continuous-ingestion shape (persisted index +
+    //    broadcast batch probe). Emits exactly the full-recompute pairs
+    //    that touch the batch; oracle = the full pair SQL filtered to
+    //    ≥1 odd endpoint. Both indexes checkpointed here so each text
+    //    parse happens once (in production the corpus index is parquet).
+    "q_dedup_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpusIdx = Dedup.minhashIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        shingleN = 3, numHashes = 12).localCheckpoint()
+      val batchIdx = Dedup.minhashIndex(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        shingleN = 3, numHashes = 12).localCheckpoint()
+      Dedup.minhashLshPairsIncremental(corpusIdx, batchIdx, "doc_id",
+        bandSize = 4, threshold = 0.5)
+    }),
+
     // ── Ordered funnel: users converting view → click → purchase with
     //    each stage strictly after the previous one (greedy earliest-
     //    first; ops.Funnel — one user-keyed aggregation per step, stages
@@ -2827,6 +2846,13 @@ object SparkEntry {
                 string_agg(CAST(node AS VARCHAR), ','
                            ORDER BY CAST(node AS VARCHAR)) AS members
          FROM comp GROUP BY cluster_id""",
+
+    // the incremental batch-vs-index pairs must equal the full recompute
+    // restricted to pairs touching the batch (odd ids)
+    "q_dedup_incr" ->
+      s"""WITH pairs AS ($minhashLshOracle)
+         SELECT doc_a, doc_b, jaccard FROM pairs
+         WHERE doc_a % 2 = 1 OR doc_b % 2 = 1""",
 
     // identical closure oracle — the star-contraction variant must land
     // on the same component structure as min-label propagation

@@ -214,6 +214,54 @@ object Dedup {
     *        leaves candidates ≪ corpus; keep false for adversarial or
     *        unknown corpora).
     */
+  /** The persistable MinHash INDEX: one row per doc with the signature
+    * columns (`sig_0..sig_{numHashes-1}`), the distinct-shingle count
+    * (`n_sh`) and the verification shingle set (`shset`) — everything the
+    * band chain and the exact-Jaccard verifier need, and nothing that
+    * requires re-reading the document text. At 100 TB this frame is what
+    * gets WRITTEN once per corpus build (parquet, pruned columnarly: a
+    * band probe reads only the sig columns, a verify join only `shset`)
+    * and then served to [[minhashLshPairsIncremental]] for every
+    * subsequent batch — the corpus text is never parsed again. */
+  def minhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 12
+  ): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleN)
+    val sigAggs = (0 until numHashes).map { h =>
+      min(md5(concat(lit(h), lit("|"), col("shingle")))).as(s"sig_$h")
+    } ++ Seq(count(lit(1)).as("n_sh"),
+      collect_list(col("shingle")).as("shset"))
+    sh.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  /** Unpivot an index frame to one row per (doc, band): band signature =
+    * md5 of the band's sorted "h:sig" strings (sorted so the value is
+    * order-canonical and matches the SQL oracle); bands unpivot via
+    * stack() — pure projection, no extra shuffle. `numHashes` is read
+    * off the index schema, so a parquet-persisted index round-trips. */
+  private def bandFrame(index: DataFrame, idCol: String,
+      bandSize: Int): DataFrame = {
+    val numHashes = index.columns.count(_.startsWith("sig_"))
+    require(numHashes > 0 && numHashes % bandSize == 0,
+      s"index has $numHashes sig columns, not divisible into $bandSize-row bands")
+    val nBands = numHashes / bandSize
+    val bandCols = (0 until nBands).map { b =>
+      val items = (b * bandSize until (b + 1) * bandSize).map { h =>
+        concat_ws(":", lit(h), col(s"sig_$h"))
+      }
+      md5(concat_ws("|", array_sort(array(items: _*)))).as(s"bsig_$b")
+    }
+    val stackArgs = (0 until nBands).map(b => s"$b, bsig_$b").mkString(", ")
+    index
+      .select(col(idCol) +: col("n_sh") +: bandCols: _*)
+      .select(col(idCol), col("n_sh"),
+        expr(s"stack($nBands, $stackArgs) AS (band, band_sig)"))
+  }
+
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,
@@ -225,7 +273,6 @@ object Dedup {
       broadcastCandidates: Boolean = false,
       maxBandDF: Option[Long] = None
   ): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleN)
     // signatures, the doc's set size, AND its verification shingle set in
     // ONE HashAggregate over ONE pass of the shingle subtree, materialized
     // once (localCheckpoint): the band chain and both verify joins read
@@ -235,28 +282,9 @@ object Dedup {
     // materialized frame is one row per doc (the same bytes the verify
     // join shuffles anyway), so the trade is one write for one full
     // recompute of the corpus scan.
-    val sigAggs = (0 until numHashes).map { h =>
-      min(md5(concat(lit(h), lit("|"), col("shingle")))).as(s"sig_$h")
-    } ++ Seq(count(lit(1)).as("n_sh"),
-      collect_list(col("shingle")).as("shset"))
-    val perDoc = sh.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
+    val perDoc = minhashIndex(df, idCol, textCol, shingleN, numHashes)
       .localCheckpoint()
-    val sigs = perDoc.drop("shset")
-    // band signature = md5 of the band's sorted "h:sig" strings (sorted so
-    // the value is order-canonical and matches the SQL oracle); bands then
-    // unpivot to rows via stack() — pure projection, no extra shuffle
-    val nBands = numHashes / bandSize
-    val bandCols = (0 until nBands).map { b =>
-      val items = (b * bandSize until (b + 1) * bandSize).map { h =>
-        concat_ws(":", lit(h), col(s"sig_$h"))
-      }
-      md5(concat_ws("|", array_sort(array(items: _*)))).as(s"bsig_$b")
-    }
-    val stackArgs = (0 until nBands).map(b => s"$b, bsig_$b").mkString(", ")
-    val bandsDet0 = sigs
-      .select(col(idCol) +: col("n_sh") +: bandCols: _*)
-      .select(col(idCol), col("n_sh"),
-        expr(s"stack($nBands, $stackArgs) AS (band, band_sig)"))
+    val bandsDet0 = bandFrame(perDoc.drop("shset"), idCol, bandSize)
     // opt-in hot-band guard: a flood of byte-identical docs shares every
     // band, making even true-positive candidates quadratic in the flood
     // size. LOSSY above the cap (run exact dedup first — that is the
@@ -298,6 +326,70 @@ object Dedup {
     probe
       .join(docsets.select(col(idCol).as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
       .join(docsets.select(col(idCol).as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+  }
+
+  /** Incremental MinHash-LSH: near-dup pairs of a NEW batch against a
+    * prebuilt corpus [[minhashIndex]] (plus within-batch pairs), WITHOUT
+    * re-reading or re-shingling the corpus text — the production shape
+    * for continuous ingestion at 100 TB, where the corpus index is a
+    * persisted parquet table and each day's batch probes it.
+    *
+    * Emitted pairs all touch the batch (corpus↔batch and batch↔batch);
+    * corpus↔corpus pairs were the corpus build's job. Results for those
+    * pairs are IDENTICAL to a full [[minhashLshPairs]] recompute over
+    * corpus ∪ batch (same signature family, same bands, same exact
+    * verify) — spec-asserted, and hash-gated against the full-recompute
+    * SQL oracle (q_dedup_incr).
+    *
+    * Scale shape: with `broadcastBatch` (default) the batch band list is
+    * broadcast, so the corpus-side band scan joins map-side — the ONLY
+    * pass over the corpus index is one columnar scan of its sig columns,
+    * plus verify-join lookups of `shset` for the candidate ids. Pass
+    * false when the batch itself is huge (both sides shuffle on the band
+    * key). Indexes must have disjoint id sets and the same signature
+    * family (numHashes is read off the schema and must match).
+    */
+  def minhashLshPairsIncremental(
+      corpusIndex: DataFrame,
+      batchIndex: DataFrame,
+      idCol: String,
+      bandSize: Int = 4,
+      threshold: Double = 0.7,
+      broadcastBatch: Boolean = true,
+      broadcastCandidates: Boolean = false
+  ): DataFrame = {
+    val bandsBatch0 = bandFrame(batchIndex, idCol, bandSize)
+    val bandsAll = bandFrame(corpusIndex, idCol, bandSize)
+      .unionByName(bandsBatch0)
+    val bandsBatch = if (broadcastBatch) broadcast(bandsBatch0) else bandsBatch0
+    val raw = bandsAll
+      .select(col(idCol).as("doc_a"), col("band"), col("band_sig"),
+        col("n_sh").as("n_a"))
+      .join(bandsBatch.select(col(idCol).as("doc_b"), col("band"),
+        col("band_sig"), col("n_sh").as("n_b")), Seq("band", "band_sig"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    // orient a < b (batch-batch collisions arrive in both orientations,
+    // corpus-batch in one); sizes swap with their ids; then dedup
+    val aLtB = col("doc_a") < col("doc_b")
+    val candidates = raw.select(
+        when(aLtB, col("doc_a")).otherwise(col("doc_b")).as("doc_a"),
+        when(aLtB, col("doc_b")).otherwise(col("doc_a")).as("doc_b"),
+        when(aLtB, col("n_a")).otherwise(col("n_b")).as("n_a"),
+        when(aLtB, col("n_b")).otherwise(col("n_a")).as("n_b"))
+      .distinct()
+    val docsets = corpusIndex.select(col(idCol), col("shset"))
+      .unionByName(batchIndex.select(col(idCol), col("shset")))
+    val jac = col("n_inter").cast("double") /
+      (col("n_a") + col("n_b") - col("n_inter"))
+    val probe = if (broadcastCandidates) broadcast(candidates) else candidates
+    probe
+      .join(docsets.select(col(idCol).as("doc_a"), col("shset").as("sa")),
+        Seq("doc_a"))
+      .join(docsets.select(col(idCol).as("doc_b"), col("shset").as("sb")),
+        Seq("doc_b"))
       .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
       .filter(jac >= threshold)
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))

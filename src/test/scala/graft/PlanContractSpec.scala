@@ -78,6 +78,14 @@ class PlanContractSpec extends SparkSpec {
       p.take(400))
   }
 
+  test("incremental dedup broadcasts the batch probe; no cartesian") {
+    // the corpus-index side must never shuffle for the band join — the
+    // batch band list is the broadcast side (the 100 TB serving shape)
+    val p = plan("q_dedup_incr")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
   test("anti-join GC is a broadcast or shuffled hash anti join") {
     val p = plan("q_anti_gc")
     assert(p.contains("LeftAnti"), p.take(300))

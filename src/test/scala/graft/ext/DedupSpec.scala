@@ -116,6 +116,29 @@ class DedupSpec extends SparkSpec {
     assert(rows(mhBcast) == rows(mhShuffle) && rows(mhShuffle).nonEmpty)
   }
 
+  test("incremental LSH ≡ full recompute restricted to batch-touching pairs") {
+    // corpus = docs 1,2,5; batch = docs 3,4 — the incremental path must
+    // find exactly the full-recompute pairs with at least one batch doc,
+    // from the INDEX frames alone (no text column in scope)
+    val corpusIdx = Dedup.minhashIndex(
+      docs.filter($"doc_id".isin(1L, 2L, 5L)), "doc_id", "text", 3, 12)
+    val batchIdx = Dedup.minhashIndex(
+      docs.filter($"doc_id".isin(3L, 4L)), "doc_id", "text", 3, 12)
+    val incr = Dedup.minhashLshPairsIncremental(corpusIdx, batchIdx,
+      "doc_id", bandSize = 4, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val fullAll = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val full = fullAll.filter { case (a, b, _) =>
+      Set(3L, 4L)(a) || Set(3L, 4L)(b) }
+    assert(incr == full && incr.nonEmpty, s"incr=$incr full=$full")
+    // and no corpus-corpus pair leaks through
+    assert(incr.forall { case (a, b, _) => Set(3L, 4L)(a) || Set(3L, 4L)(b) })
+  }
+
   test("minhash LSH recovers high-jaccard pairs with exact verification") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
       shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5)
