@@ -1448,6 +1448,31 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, nProbe = 1)
     }),
 
+    // ── ANN index INSERT path: build the sign-quantizer index on half
+    //    the corpus (even vec_ids), persist, assign the other half to the
+    //    existing lists WITHOUT refitting (IvfIndex.assignTo — the same
+    //    argmin/tie rule as probe selection), append to the on-disk
+    //    layout, reload, and serve a pruned probe over the union. The
+    //    oracle is the same same-bucket brute force over ALL embeddings
+    //    as q_ann_ivf_pruned — hash-proving inserted rows land in exactly
+    //    the lists probes scan, and the disk append preserves every row.
+    "q_ann_ivf_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxPath = registerTempIndexDir(
+        System.getProperty("java.io.tmpdir") +
+          "/graft_ivf_app_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid() + "_" + System.nanoTime())
+      graft.ext.IvfIndex.buildSign(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", bits = 4).save(idxPath)
+      val loaded = graft.ext.IvfIndex.load(s, idxPath)
+      graft.ext.IvfIndex.appendSave(idxPath,
+        graft.ext.IvfIndex.assignTo(loaded,
+          emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding"))
+      graft.ext.IvfIndex.search(graft.ext.IvfIndex.load(s, idxPath),
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 3, nProbe = 1)
+    }),
+
     // ── Click→purchase attribution: the BATCH face of the stream-stream
     //    event-time interval join (streaming/StreamJoin.attribution —
     //    IDENTICAL transform both modes; StreamJoinSpec proves
@@ -3234,6 +3259,34 @@ object SparkEntry {
            ON c.user_id = p.user_id
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
+
+    // insert path: half built + half appended must serve the SAME
+    // same-bucket brute-force results as one full build
+    "q_ann_ivf_append" ->
+      """WITH b AS (SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+               WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+         p AS (SELECT query_id, neighbor_id, qv, cv FROM q JOIN c USING (bucket)
+               WHERE query_id <> neighbor_id),
+         d AS (SELECT query_id, neighbor_id,
+                 CAST(sum(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS dotv,
+                 CAST(sum(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nq,
+                 CAST(sum(CAST(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nc
+               FROM p, UNNEST(range(1, len(qv) + 1)) t(i)
+               GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id,
+                      dotv/(sqrt(nq)*sqrt(nc)) AS cos,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY dotv/(sqrt(nq)*sqrt(nc)) DESC, neighbor_id) AS rk
+               FROM d)
+         SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rk
+         FROM r WHERE rk <= 3""",
 
     // pruned probe with the sign quantizer ≡ same-bucket brute force
     // (4-bit bucket, same decimal-fold cosine as q_ann_lsh)

@@ -108,6 +108,61 @@ object IvfIndex {
     IvfModel(assigned, centroids)
   }
 
+  /** Assign NEW vectors to an EXISTING model's lists WITHOUT refitting
+    * the quantizer — the index INSERT path. Each new row scores against
+    * the (tiny, broadcast) centroid table and keeps its minimum-distance
+    * list, ties broken by the lowest list id — the same rule as
+    * `search`'s driver-side probe selection, so an appended row lands in
+    * exactly the list a probe for it will scan. For a [[buildSign]]
+    * model this reproduces the sign bucket bit-for-bit (equal-norm
+    * centroids: argmin distance = matching sign pattern; an exact-zero
+    * dim ties toward the lower id, which is what the `> 0` test assigns).
+    * Row blowup is bounded by the centroid count — the same budget every
+    * probe pays. Returns the newly assigned rows in the index layout
+    * (`neighbor_id, cv, list_id, cn`); persist with [[appendSave]] or
+    * union into the in-memory model with [[append]].
+    */
+  def assignTo(model: IvfModel, newRows: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val spark = newRows.sparkSession
+    import spark.implicits._
+    val cents = model.centroids.toSeq.toDF("list_id", "centroid")
+    val qs = slice(col("cv").cast("array<double>"), lit(1), size(col("centroid")))
+    // d = |q|² − 2q·c + |c|² over the centroid's dims (zip-truncated,
+    // like the probe selection); each dot is the exact decimal fold, so
+    // ties are exact, not float-accumulation artifacts
+    val d = Similarity.dot(qs, qs) -
+      lit(2.0) * Similarity.dot(qs, col("centroid")) +
+      Similarity.dot(col("centroid"), col("centroid"))
+    val w = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("d"), col("list_id"))
+    newRows
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("neighbor_id"), col("cv"),
+        col("list_id").cast("int").as("list_id"))
+      .withColumn("cn", sqrt(Similarity.dot(col("cv"), col("cv"))))
+      .select(col("neighbor_id"), col("cv"), col("cn"), col("list_id"))
+  }
+
+  /** In-memory insert: the existing model plus newly assigned rows. */
+  def append(model: IvfModel, newRows: DataFrame, idCol: String,
+      vecCol: String): IvfModel =
+    IvfModel(
+      model.assigned.unionByName(
+        assignTo(model, newRows, idCol, vecCol), allowMissingColumns = false),
+      model.centroids)
+
+  /** On-disk insert: append assigned rows (from [[assignTo]]) into an
+    * existing saved layout — new files land only under their `list_id=`
+    * partitions; existing files and the centroid table are untouched. */
+  def appendSave(path: String, assignedRows: DataFrame): Unit =
+    assignedRows.write.mode("append").partitionBy("list_id")
+      .parquet(s"$path/lists")
+
   /** Assign each row its IVF list id (the build half, kept for callers
     * that only need the partitioning column). */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,

@@ -119,6 +119,30 @@ class IvfIndexSpec extends SparkSpec {
     assert(viaIvf == viaLsh)
   }
 
+  test("assignTo/append: half built + half inserted ≡ one full build") {
+    val rnd = new Random(23)
+    val data = (0L until 60L).map { i =>
+      (i, Array.fill(4)((rnd.nextFloat() - 0.5f) * 2f))
+    }.toDF("vec_id", "embedding")
+    val queries = data.filter($"vec_id" < 4)
+    val full = IvfIndex.buildSign(data, "vec_id", "embedding", bits = 2)
+    val half = IvfIndex.buildSign(data.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", bits = 2)
+    val appended = IvfIndex.append(half,
+      data.filter($"vec_id" % 2 =!= 0), "vec_id", "embedding")
+    def run(m: IvfIndex.IvfModel) =
+      IvfIndex.search(m, queries, "vec_id", "embedding", k = 3, nProbe = 1)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(run(appended) == run(full) && run(full).nonEmpty)
+    // inserted rows landed in exactly the lists the full build chooses
+    val fullAssign = full.assigned.select("neighbor_id", "list_id")
+      .as[(Long, Int)].collect().toMap
+    val appAssign = appended.assigned.select("neighbor_id", "list_id")
+      .as[(Long, Int)].collect().toMap
+    assert(appAssign == fullAssign)
+  }
+
   test("NaN query components: probe selection still matches the sign bucket") {
     // signBucket follows SQL NaN-is-greatest (`NaN > 0` is true); the
     // driver-side centroid selection must agree, not collapse to list 0
