@@ -927,6 +927,18 @@ object SparkEntry {
         budgets = Map("en" -> 300L, "de" -> 150L, "es" -> 150L,
           "fr" -> 150L, "zh" -> 100L))),
 
+    // ── DSIR importance selection (ext.Dsir.selectTopK): score raw docs
+    //    by the hashed-ngram log-likelihood ratio against a target corpus
+    //    (every 10th doc plays the target), keep the top 200. Bucket
+    //    distributions broadcast; exact BIGINT quantized sums make the
+    //    ranking total and engine-reproducible; TakeOrderedAndProject.
+    "q_dsir" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      graft.ext.Dsir.selectTopK(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 200, buckets = 256)
+    }),
+
     // ── Exactly-50-per-type deterministic sample: rank by the 32-bit id
     //    hash inside each group (ext.Sampling.fixedSizePerGroup) — the
     //    fixed-size eval-set draw, exact counts where stratified's coin
@@ -2518,6 +2530,49 @@ object SparkEntry {
                                          WHEN 'es' THEN 150
                                          WHEN 'fr' THEN 150
                                          WHEN 'zh' THEN 100 ELSE 0 END""",
+
+    // mirrors Dsir.weights exactly: same 4-nibble md5 bucket arithmetic
+    // as q_split, same ln-term formula SHAPE (left-assoc, integer args),
+    // same floor(·1e6) BIGINT quantization as q_entropy; totals cast out
+    // of HUGEINT before the ln
+    "q_dsir" ->
+      """WITH dw AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         g AS (SELECT doc_id, unnest(w) AS g FROM dw
+               UNION ALL
+               SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+               FROM dw, UNNEST(range(1, len(w))) t(i)),
+         b AS (SELECT doc_id,
+                ((strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(md5(g), 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(g), 4, 1)) - 1)) % 256
+                 AS bucket
+               FROM g),
+         feat AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+         rfeat AS (SELECT * FROM feat WHERE doc_id % 10 <> 0),
+         tfeat AS (SELECT * FROM feat WHERE doc_id % 10 = 0),
+         rdist AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS rc
+                   FROM rfeat GROUP BY 1),
+         tdist AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS tc
+                   FROM tfeat GROUP BY 1),
+         tot AS (SELECT CAST((SELECT sum(rc) FROM rdist) AS BIGINT) AS rtot,
+                        CAST((SELECT sum(tc) FROM tdist) AS BIGINT) AS ttot),
+         terms AS (SELECT doc_id, cnt,
+                CAST(floor(cnt * (ln(COALESCE(tc, 0) + 1)
+                                  - ln(ttot + 256)
+                                  - ln(rc + 1)
+                                  + ln(rtot + 256)) * 1000000) AS BIGINT) AS t
+               FROM rfeat JOIN rdist USING (bucket)
+                          LEFT JOIN tdist USING (bucket), tot),
+         s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feat,
+                      CAST(sum(t) AS BIGINT) AS sq
+               FROM terms GROUP BY 1)
+         SELECT doc_id, n_feat,
+                round(CAST(sq AS DOUBLE) / 1000000.0, 4) + 0.0 AS logw
+         FROM s ORDER BY sq DESC, doc_id LIMIT 200""",
 
     // ANSI percent_rank under the same total order; NULLS FIRST spelled
     // out (DuckDB's ASC default is nulls-LAST, Spark's is nulls-first)
