@@ -939,6 +939,18 @@ object SparkEntry {
         "doc_id", "text", k = 200, buckets = 256)
     }),
 
+    // ── CCNet-style perplexity filter (ext.NgramLm.perplexity): bigram
+    //    LM trained on the clean tenth of the corpus scores the rest by
+    //    per-token NLL. LM tables are reference-sized; exact quantized
+    //    BIGINT sums as everywhere.
+    "q_ngram_lm" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      graft.ext.NgramLm.perplexity(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("nll"))
+    }),
+
     // ── Exactly-50-per-type deterministic sample: rank by the 32-bit id
     //    hash inside each group (ext.Sampling.fixedSizePerGroup) — the
     //    fixed-size eval-set draw, exact counts where stratified's coin
@@ -2530,6 +2542,48 @@ object SparkEntry {
                                          WHEN 'es' THEN 150
                                          WHEN 'fr' THEN 150
                                          WHEN 'zh' THEN 100 ELSE 0 END""",
+
+    // mirrors NgramLm.perplexity: same ln-term shapes (integer args,
+    // left-assoc), floor(·1e6) BIGINT quantization, first token scored
+    // by the unigram model, bigram terms conditioned on w1's count
+    "q_ngram_lm" ->
+      """WITH dw AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         ref AS (SELECT w FROM dw WHERE doc_id % 10 = 0),
+         uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu
+                 FROM (SELECT unnest(w) AS w1 FROM ref) GROUP BY 1),
+         bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS cb
+                FROM (SELECT w[i] || ' ' || w[i+1] AS gram
+                      FROM ref, UNNEST(range(1, len(w))) t(i)) GROUP BY 1),
+         consts AS (SELECT CAST((SELECT count(*) FROM uni) AS BIGINT) AS v,
+                           CAST((SELECT sum(cu) FROM uni) AS BIGINT) AS n),
+         cand AS (SELECT doc_id, w FROM dw
+                  WHERE doc_id % 10 <> 0 AND len(w) >= 1),
+         ft AS (SELECT doc_id, CAST(1 AS BIGINT) AS toks,
+                 CAST(floor((ln(COALESCE(cu, 0) + 1) - ln(n + v)) * 1000000)
+                   AS BIGINT) AS t
+                FROM (SELECT doc_id, w[1] AS w1 FROM cand)
+                LEFT JOIN uni USING (w1), consts),
+         bg AS (SELECT doc_id, w1, gram, CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS gram
+                      FROM cand, UNNEST(range(1, len(w))) t(i))
+                GROUP BY 1, 2, 3),
+         bt AS (SELECT doc_id, cnt AS toks,
+                 CAST(floor(cnt * (ln(COALESCE(cb, 0) + 1)
+                                   - ln(COALESCE(cu, 0) + v)) * 1000000)
+                   AS BIGINT) AS t
+                FROM bg LEFT JOIN bi USING (gram)
+                        LEFT JOIN uni USING (w1), consts),
+         s AS (SELECT doc_id, CAST(sum(toks) AS BIGINT) AS n_tokens,
+                      CAST(sum(t) AS BIGINT) AS sq
+               FROM (SELECT * FROM ft UNION ALL SELECT * FROM bt)
+               GROUP BY 1)
+         SELECT doc_id, n_tokens,
+                round(CAST(-sq AS DOUBLE) / 1000000.0 / n_tokens, 4) + 0.0
+                  AS nll
+         FROM s""",
 
     // mirrors Dsir.weights exactly: same 4-nibble md5 bucket arithmetic
     // as q_split, same ln-term formula SHAPE (left-assoc, integer args),
