@@ -1058,6 +1058,27 @@ object SparkEntry {
           "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))),
 
+    // ── Deterministic training-order shuffle (ext.Splits.shardOrder):
+    //    hash-bucket shard + md5-rank position within it — reproducible
+    //    visit order, one SHARD-partitioned window, no global sort.
+    "q_shuffle_shard" -> ((s, dir) =>
+      graft.ext.Splits.shardOrder(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id", 8)),
+
+    // ── The whole curation funnel as a 6-row audit report
+    //    (ext.CurationFunnel): lang → length → quality → repetition →
+    //    perplexity → exact-dedup, sequential gates, per-stage doc and
+    //    token drop counters — the ingest run report, composed entirely
+    //    from this library's per-doc signals.
+    "q_corpus_funnel" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.ext.CurationFunnel.report(
+        d, d.filter(col("doc_id") % 10 === 0), "doc_id", "text", "lang",
+        keepLangs = Seq("en", "de", "fr"), minTokens = 20L, maxTokens = 90L,
+        minQuality = 0.55, stopwords = ExtConfig.stopwords,
+        maxDupFrac = 0.65, maxNll = 3.6)
+    }),
+
     // ── Split-leakage audit (ext.Splits.leakageAudit): a simulated
     //    re-crawl (every doc duplicated under a shifted id) is split by
     //    id hash; fingerprints spanning ≥2 splits are the leaked groups —
@@ -2804,6 +2825,105 @@ object SparkEntry {
                 CASE WHEN bucket < 52428 THEN 'train'
                      WHEN bucket < 58982 THEN 'val'
                      ELSE 'test' END AS split
+         FROM b""",
+
+    // composes the proven oracle fragments: quality t-CTE + half-up
+    // formula, the q_ngram_lm LM CTEs (candidates = ALL docs here), the
+    // fingerprint normalization, and DuckDB lateral column references
+    // for the sequential gates; HUGEINT sums cast to BIGINT
+    "q_corpus_funnel" ->
+      s"""WITH $qualityTCte,
+         dw AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         ref AS (SELECT w FROM dw WHERE doc_id % 10 = 0),
+         uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu
+                 FROM (SELECT unnest(w) AS w1 FROM ref) GROUP BY 1),
+         bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS cb
+                FROM (SELECT w[i] || ' ' || w[i+1] AS gram
+                      FROM ref, UNNEST(range(1, len(w))) t(i)) GROUP BY 1),
+         consts AS (SELECT CAST((SELECT count(*) FROM uni) AS BIGINT) AS v,
+                           CAST((SELECT sum(cu) FROM uni) AS BIGINT) AS n),
+         cand AS (SELECT doc_id, w FROM dw WHERE len(w) >= 1),
+         ft AS (SELECT doc_id, CAST(1 AS BIGINT) AS toks,
+                 CAST(floor((ln(COALESCE(cu, 0) + 1) - ln(n + v)) * 1000000)
+                   AS BIGINT) AS t2
+                FROM (SELECT doc_id, w[1] AS w1 FROM cand)
+                LEFT JOIN uni USING (w1), consts),
+         bg AS (SELECT doc_id, w1, gram, CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS gram
+                      FROM cand, UNNEST(range(1, len(w))) t(i))
+                GROUP BY 1, 2, 3),
+         bt AS (SELECT doc_id, cnt AS toks,
+                 CAST(floor(cnt * (ln(COALESCE(cb, 0) + 1)
+                                   - ln(COALESCE(cu, 0) + v)) * 1000000)
+                   AS BIGINT) AS t2
+                FROM bg LEFT JOIN bi USING (gram)
+                        LEFT JOIN uni USING (w1), consts),
+         ppl AS (SELECT doc_id,
+                  round(CAST(-CAST(sum(t2) AS BIGINT) AS DOUBLE) / 1000000.0
+                        / CAST(sum(toks) AS BIGINT), 4) + 0.0 AS nll
+                 FROM (SELECT * FROM ft UNION ALL SELECT * FROM bt)
+                 GROUP BY 1),
+         sig AS (SELECT d.doc_id, d.lang, t.w AS toks,
+                  $qualityFormulaSql AS quality,
+                  CAST(floor((2*(len(string_split_regex(lower(trim(d.text)), '\\s+'))
+                       - len(list_distinct(string_split_regex(lower(trim(d.text)), '\\s+'))))*10000
+                       + greatest(len(string_split_regex(lower(trim(d.text)), '\\s+')), 1))
+                      / (2*greatest(len(string_split_regex(lower(trim(d.text)), '\\s+')), 1)))
+                    AS DOUBLE) / 10000 AS dup_frac,
+                  md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp,
+                  ppl.nll
+                 FROM documents d JOIN t ON d.doc_id = t.doc_id
+                 LEFT JOIN ppl ON d.doc_id = ppl.doc_id),
+         flag AS (SELECT *,
+                  (lang IN ('en', 'de', 'fr')) AS p1,
+                  (p1 AND toks BETWEEN 20 AND 90) AS p2,
+                  (p2 AND quality >= 0.55) AS p3,
+                  (p3 AND dup_frac <= 0.65) AS p4,
+                  (p4 AND COALESCE(nll <= 3.6, false)) AS p5
+                 FROM sig),
+         keepmin AS (SELECT fp, min(doc_id) AS keep_id FROM flag
+                     WHERE p5 GROUP BY 1),
+         gated AS (SELECT flag.*,
+                    (p5 AND flag.doc_id = keep_id) AS p6
+                   FROM flag LEFT JOIN keepmin USING (fp)),
+         wide AS (SELECT count(*) AS c0,
+                  count(*) FILTER (WHERE p1) AS c1,
+                  count(*) FILTER (WHERE p2) AS c2,
+                  count(*) FILTER (WHERE p3) AS c3,
+                  count(*) FILTER (WHERE p4) AS c4,
+                  count(*) FILTER (WHERE p5) AS c5,
+                  count(*) FILTER (WHERE COALESCE(p6, false)) AS c6,
+                  CAST(COALESCE(sum(toks) FILTER (WHERE NOT p1), 0) AS BIGINT) AS td1,
+                  CAST(COALESCE(sum(toks) FILTER (WHERE p1 AND NOT p2), 0) AS BIGINT) AS td2,
+                  CAST(COALESCE(sum(toks) FILTER (WHERE p2 AND NOT p3), 0) AS BIGINT) AS td3,
+                  CAST(COALESCE(sum(toks) FILTER (WHERE p3 AND NOT p4), 0) AS BIGINT) AS td4,
+                  CAST(COALESCE(sum(toks) FILTER (WHERE p4 AND NOT p5), 0) AS BIGINT) AS td5,
+                  CAST(COALESCE(sum(toks) FILTER (WHERE p5 AND NOT COALESCE(p6, false)), 0) AS BIGINT) AS td6
+                 FROM gated)
+         SELECT CAST(1 AS BIGINT) AS stage, 'lang' AS gate, c0 AS n_in,
+                c1 AS n_kept, c0 - c1 AS n_dropped, td1 AS tokens_dropped FROM wide
+         UNION ALL SELECT 2, 'length', c1, c2, c1 - c2, td2 FROM wide
+         UNION ALL SELECT 3, 'quality', c2, c3, c2 - c3, td3 FROM wide
+         UNION ALL SELECT 4, 'repetition', c3, c4, c3 - c4, td4 FROM wide
+         UNION ALL SELECT 5, 'perplexity', c4, c5, c4 - c5, td5 FROM wide
+         UNION ALL SELECT 6, 'dedup', c5, c6, c5 - c6, td6 FROM wide""",
+
+    // same 4-nibble bucket arithmetic as q_split; pos ranks by the raw
+    // md5 string (fixed-width lowercase hex = byte order in both engines)
+    "q_shuffle_shard" ->
+      """WITH b AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 8
+                 AS shard
+              FROM documents)
+         SELECT doc_id, shard,
+                CAST(row_number() OVER (PARTITION BY shard
+                                        ORDER BY h, doc_id) AS BIGINT) AS pos
          FROM b""",
 
     // smoothed-KL contribution tree mirrored verbatim; HUGEINT totals

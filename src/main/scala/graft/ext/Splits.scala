@@ -68,4 +68,27 @@ object Splits {
       }
     df.withColumn("split", labeled)
   }
+
+  /** Deterministic training-order shuffle + sharding — the pipeline's
+    * last step before the trainer reads: every row gets a `shard` and a
+    * `pos` within it, together a reproducible global visit order with no
+    * `rand()` and no global sort. Shard = id-hash bucket (map-only, like
+    * [[hashSplit]]); pos = rank within the shard under the md5-string
+    * order (fixed-width lowercase hex compares identically as bytes in
+    * any engine, the q_token_budget trick — adjacent input ids land far
+    * apart, which is the point of shuffling).
+    *
+    * Scale shape: ONE window partitioned BY SHARD — parallelism = shard
+    * count (pick shards ≈ trainer file count, thousands), never a single
+    * global ordering. Writers then `partitionBy(shard)`, sorted by pos.
+    */
+  def shardOrder(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards >= 1 && shards <= 65536, "shards must be in [1, 65536]")
+    import org.apache.spark.sql.expressions.Window
+    val rk = md5(col(idCol).cast("string"))
+    df.withColumn("shard", hashBucket(col(idCol)) % shards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(rk, col(idCol)))
+        .cast("long"))
+  }
 }

@@ -60,4 +60,23 @@ class SplitsSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(a == b)
   }
+
+  test("shardOrder: every shard's positions are 1..n, order decorrelates from id") {
+    val out = Splits.shardOrder(ids, "id", shards = 4)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.length == 2000)
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      assert(0 <= s && s < 4)
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // the visit order must not be the id order: among the first 20 docs
+    // of shard 0, consecutive ids should essentially never be adjacent
+    val firstIds = out.filter(_._2 == 0).sortBy(_._3).take(20).map(_._1)
+    val adjacent = firstIds.sliding(2).count(p => (p(1) - p(0)).abs == 1)
+    assert(adjacent <= 2, firstIds.mkString(","))
+    // determinism
+    val again = Splits.shardOrder(ids, "id", shards = 4)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(out.toSet == again.toSet)
+  }
 }
