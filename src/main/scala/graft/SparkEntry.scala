@@ -1065,6 +1065,30 @@ object SparkEntry {
       graft.ext.Splits.shardOrder(
         Tables.documents(s, dir).select(col("doc_id")), "doc_id", 8)),
 
+    // ── Cross-doc boilerplate scrub (ext.Boilerplate): the C4-style
+    //    line-dedup filter over fixed-width word segments (this corpus
+    //    has no newlines — the segmenter is the only corpus-specific
+    //    knob). Segment df is one hash agg; the boilerplate set is
+    //    BROADCAST back; the corpus shuffles once, for reassembly.
+    "q_boilerplate" -> ((s, dir) =>
+      graft.ext.Boilerplate.scrub(Tables.documents(s, dir), "doc_id",
+        "text", width = 5, minDocs = 2)),
+
+    // ── Mergeable deterministic quantile sketch (ext.Quantiles):
+    //    per-day sketches over events.value, merge-ONLY rollup per
+    //    type, p50/p95 bucket midpoints ×200 as BIGINT. Integer-exact
+    //    DDSketch-style buckets (two leading centi-digits) make the
+    //    estimate a pure function of the data — same answer in any
+    //    engine, any partition order — unlike randomized KLL/t-digest.
+    "q_quantile_sketch" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+      val daily = graft.ext.Quantiles.sketch(
+        ev, Seq("event_type", "day"), "value")
+      val merged = graft.ext.Quantiles.rollup(daily, Seq("event_type"))
+      graft.ext.Quantiles.estimate(merged, Seq("event_type"),
+        Seq(("p50_x200", 1, 2), ("p95_x200", 19, 20)))
+    }),
+
     // ── The whole curation funnel as a 6-row audit report
     //    (ext.CurationFunnel): lang → length → quality → repetition →
     //    perplexity → exact-dedup, sequential gates, per-stage doc and
@@ -2602,8 +2626,8 @@ object SparkEntry {
                FROM (SELECT * FROM ft UNION ALL SELECT * FROM bt)
                GROUP BY 1)
          SELECT doc_id, n_tokens,
-                round(CAST(-sq AS DOUBLE) / 1000000.0 / n_tokens, 4) + 0.0
-                  AS nll
+                CAST((-20000 * sq + 1000000 * n_tokens)
+                     // (2000000 * n_tokens) AS DOUBLE) / 10000.0 AS nll
          FROM s""",
 
     // mirrors Dsir.weights exactly: same 4-nibble md5 bucket arithmetic
@@ -2862,8 +2886,10 @@ object SparkEntry {
                 FROM bg LEFT JOIN bi USING (gram)
                         LEFT JOIN uni USING (w1), consts),
          ppl AS (SELECT doc_id,
-                  round(CAST(-CAST(sum(t2) AS BIGINT) AS DOUBLE) / 1000000.0
-                        / CAST(sum(toks) AS BIGINT), 4) + 0.0 AS nll
+                  CAST((-20000 * CAST(sum(t2) AS BIGINT)
+                        + 1000000 * CAST(sum(toks) AS BIGINT))
+                       // (2000000 * CAST(sum(toks) AS BIGINT))
+                       AS DOUBLE) / 10000.0 AS nll
                  FROM (SELECT * FROM ft UNION ALL SELECT * FROM bt)
                  GROUP BY 1),
          sig AS (SELECT d.doc_id, d.lang, t.w AS toks,
@@ -2925,6 +2951,55 @@ object SparkEntry {
                 CAST(row_number() OVER (PARTITION BY shard
                                         ORDER BY h, doc_id) AS BIGINT) AS pos
          FROM b""",
+
+    // segment / df-count / filter / ordered-reassembly mirrored:
+    // range() is 0-based like Spark's sequence, list slices are 1-based
+    // inclusive and clamp like Spark's slice; string_agg ORDER BY
+    // seg_idx == array_sort(collect_list(struct(seg_idx, seg)))
+    "q_boilerplate" ->
+      """WITH w AS (SELECT doc_id,
+                string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents),
+         seg AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+                   array_to_string(ws[(i*5+1):(i*5+5)], ' ') AS seg
+                 FROM w, UNNEST(range((len(ws) + 4) // 5)) AS t(i)),
+         bl AS (SELECT seg FROM seg GROUP BY seg
+                HAVING count(DISTINCT doc_id) >= 2),
+         m AS (SELECT s.doc_id, s.seg_idx, s.seg,
+                      b.seg IS NOT NULL AS is_bl
+               FROM seg s LEFT JOIN bl b ON s.seg = b.seg)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+                CAST(count(*) FILTER (WHERE NOT is_bl) AS BIGINT) AS n_kept,
+                COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+                         FILTER (WHERE NOT is_bl), '') AS clean_text
+         FROM m GROUP BY doc_id""",
+
+    // the bucket scheme is pure integer/string arithmetic, so the oracle
+    // replays the WHOLE sketch exactly (no tolerance booleans needed);
+    // the daily build stage is elided — bucket counts add, so
+    // rollup-of-daily == direct grouping. Window sums are HUGEINT in
+    // DuckDB: only `n` escapes to output and is cast back to BIGINT.
+    "q_quantile_sketch" ->
+      """WITH b AS (SELECT event_type,
+             CAST(length(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR)) AS BIGINT) AS qd,
+             CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR), 1, 2) AS BIGINT) AS qlead
+           FROM events WHERE value > 0),
+         sk AS (SELECT event_type, qd, qlead, count(*) AS cnt
+                FROM b GROUP BY 1, 2, 3),
+         c AS (SELECT event_type, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type
+                                ORDER BY qd, qlead) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type) AS n,
+                 (2 * qlead + 1) *
+                   CAST('1' || repeat('0', CAST(greatest(qd - 2, 0) AS INT))
+                        AS BIGINT) AS rep_x200
+               FROM sk)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                min(CASE WHEN cum >= (1 * n + 1) // 2
+                         THEN rep_x200 END) AS p50_x200,
+                min(CASE WHEN cum >= (19 * n + 19) // 20
+                         THEN rep_x200 END) AS p95_x200
+         FROM c GROUP BY 1""",
 
     // smoothed-KL contribution tree mirrored verbatim; HUGEINT totals
     // cast to double match Spark's driver-side literals exactly

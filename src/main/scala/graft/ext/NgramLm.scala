@@ -91,7 +91,10 @@ object NgramLm {
       .groupBy(col(idCol))
       .agg(sum(col("toks")).as("n_tokens"), sum(col("t")).as("sq"))
       .select(col(idCol), col("n_tokens"), col("sq"),
-        (round((-col("sq")).cast("double") / 1000000.0 / col("n_tokens"), 4)
-          + lit(0.0)).as("nll"))
+        // exact half-up 4-dp rounding of (−sq)/(1e6·n_tokens) in pure
+        // BIGINT arithmetic: round(double, 4) is engine-dependent when
+        // the quotient lands on a .00005 boundary (observed at sf0.1)
+        (expr("(-20000 * sq + 1000000 * n_tokens) div (2000000 * n_tokens)")
+          .cast("double") / 10000.0).as("nll"))
   }
 }
