@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.ext.Quantiles
+
+/** Streaming maintenance of the deterministic quantile sketch — the
+  * streaming face of [[graft.ext.Quantiles]]: each micro-batch reduces
+  * to its own tiny bucket-count table (one map-side-combinable
+  * aggregate over the batch) and lands it under `batch=<id>`; any later
+  * percentile read merges the persisted counts and NEVER re-reads raw
+  * events. This is how a p95 dashboard stays O(sketch) while the event
+  * stream is unbounded.
+  *
+  * State lives in the sketch parquet, not the Spark state store (the
+  * [[StreamingNearDup]] discipline): the stream restarts from files
+  * alone, and because each batch OVERWRITES its own `batch=<id>` dir,
+  * foreachBatch's at-least-once replay is idempotent — a retried batch
+  * rewrites identical counts (the sketch is a pure function of the
+  * batch), never double-counts.
+  *
+  * Merge-is-exact (bucket counts add) means the stream-maintained
+  * sketch is bit-identical to a batch sketch over all events seen —
+  * spec-asserted, the property that makes the persisted table
+  * trustworthy as THE source for percentile serving.
+  */
+object SketchStream {
+
+  /** Maintain a per-`keys` sketch of `valCol` at `sketchPath`, one
+    * bucket-count partition per micro-batch. */
+  def maintain(
+      stream: DataFrame,
+      keys: Seq[String],
+      valCol: String,
+      sketchPath: String,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          Quantiles.sketch(batch, keys, valCol)
+            .write.mode("overwrite").parquet(s"$sketchPath/batch=$id")
+        }
+      }
+
+  /** Quantiles over everything ingested so far: rollup-merge of the
+    * persisted batch partitions (kilobytes), then the estimate walk. */
+  def quantiles(spark: SparkSession, sketchPath: String, keys: Seq[String],
+      qs: Seq[(String, Int, Int)]): DataFrame =
+    Quantiles.estimate(
+      Quantiles.rollup(spark.read.parquet(sketchPath), keys), keys, qs)
+}

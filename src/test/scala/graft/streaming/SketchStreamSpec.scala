@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ext.Quantiles
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class SketchStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(lo: Int, hi: Int): Seq[(String, Double)] =
+    (lo to hi).map(i => (if (i % 3 == 0) "a" else "b",
+      0.01 + ((i * 2654435761L) & 0x7fffffff) % 50000 / 100.0))
+
+  test("stream-maintained sketch ≡ batch sketch over all events seen") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sketch").toString + "/sk"
+    val mem = MemoryStream[(String, Double)]
+    val q = SketchStream.maintain(mem.toDF().toDF("k", "v"), Seq("k"), "v",
+      dir, trigger = Trigger.ProcessingTime("0 seconds")).start()
+    val (b0, b1) = (rows(1, 800), rows(801, 2000))
+    try {
+      mem.addData(b0: _*)
+      q.processAllAvailable()
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // merged stream state == one batch sketch over the union, bit-exact
+    val streamed = Quantiles.rollup(spark.read.parquet(dir), Seq("k"))
+      .select(col("k"), col("qd"), col("qlead"), col("cnt").cast("long"))
+    val direct = Quantiles.sketch((b0 ++ b1).toDF("k", "v"), Seq("k"), "v")
+      .select(col("k"), col("qd"), col("qlead"), col("cnt").cast("long"))
+    assert(streamed.exceptAll(direct).isEmpty &&
+      direct.exceptAll(streamed).isEmpty)
+
+    // and the serving read agrees with the batch estimate path
+    val est = SketchStream.quantiles(spark, dir, Seq("k"),
+      Seq(("p50_x200", 1, 2), ("p95_x200", 19, 20)))
+    val twin = Quantiles.estimate(
+      Quantiles.sketch((b0 ++ b1).toDF("k", "v"), Seq("k"), "v"),
+      Seq("k"), Seq(("p50_x200", 1, 2), ("p95_x200", 19, 20)))
+    assert(est.exceptAll(twin).isEmpty && twin.exceptAll(est).isEmpty)
+  }
+
+  test("replayed batch overwrites its own partition — no double count") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sketch2").toString + "/sk"
+    val data = rows(1, 500)
+
+    // run batch 0 once via the stream...
+    val mem = MemoryStream[(String, Double)]
+    val q = SketchStream.maintain(mem.toDF().toDF("k", "v"), Seq("k"), "v",
+      dir, trigger = Trigger.ProcessingTime("0 seconds")).start()
+    try { mem.addData(data: _*); q.processAllAvailable() } finally q.stop()
+    val once = Quantiles.rollup(spark.read.parquet(dir), Seq("k"))
+      .orderBy("k", "qd", "qlead").collect()
+
+    // ...then simulate an at-least-once retry of the SAME batch id by a
+    // fresh stream over the same data (its first batch is also id 0)
+    val mem2 = MemoryStream[(String, Double)]
+    val q2 = SketchStream.maintain(mem2.toDF().toDF("k", "v"), Seq("k"), "v",
+      dir, trigger = Trigger.ProcessingTime("0 seconds")).start()
+    try { mem2.addData(data: _*); q2.processAllAvailable() } finally q2.stop()
+    val twice = Quantiles.rollup(spark.read.parquet(dir), Seq("k"))
+      .orderBy("k", "qd", "qlead").collect()
+
+    assert(once.toSeq == twice.toSeq)
+  }
+}
