@@ -173,6 +173,22 @@ class PlanContractSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).nonEmpty && !p.contains("Join"), p.take(400))
   }
 
+  test("boilerplate membership is a broadcast join; corpus not shuffled for it") {
+    val p = plan("q_boilerplate")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+  }
+
+  test("quantile sketch pushes value>0 to the scan; windows only post-agg") {
+    val p = plan("q_quantile_sketch")
+    assert(p.contains("GreaterThan(value,0.0)"), p.take(400))
+    // the window must run over the rolled-up sketch, never the raw
+    // events: an aggregate (the sketch build) appears below it
+    val winAt = p.indexOf("Window")
+    val aggBelow = p.indexOf("HashAggregate", winAt)
+    assert(winAt >= 0 && aggBelow > winAt, p.take(600))
+  }
+
   test("negative sampling never shuffles the positives (broadcast domain only)") {
     val p = plan("q_neg_sample")
     assert(!p.contains("hashpartitioning"), p.take(600))
