@@ -1089,6 +1089,13 @@ object SparkEntry {
         Seq(("p50_x200", 1, 2), ("p95_x200", 19, 20)))
     }),
 
+    // ── BPE merge statistics (ext.BpeStats): adjacent char-pair counts
+    //    computed from the word-frequency table, not the corpus — the
+    //    classic BPE trick that bounds the explode by vocabulary size.
+    //    Top-50 under the (cnt desc, pair asc) total order.
+    "q_bpe_pairs" -> ((s, dir) =>
+      graft.ext.BpeStats.topPairs(Tables.documents(s, dir), "text", 50)),
+
     // ── The whole curation funnel as a 6-row audit report
     //    (ext.CurationFunnel): lang → length → quality → repetition →
     //    perplexity → exact-dedup, sequential gates, per-stage doc and
@@ -2951,6 +2958,21 @@ object SparkEntry {
                 CAST(row_number() OVER (PARTITION BY shard
                                         ORDER BY h, doc_id) AS BIGINT) AS pos
          FROM b""",
+
+    // vocabulary-weighted char-pair counting mirrored: range(1, len) is
+    // 1..len-1, substr by character in both engines; overlapping pairs
+    // count once per position ("aaa" contributes two "aa")
+    "q_bpe_pairs" ->
+      """WITH wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wcnt
+              FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                      AS word FROM documents)
+              WHERE word <> '' GROUP BY 1),
+         p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, wcnt
+               FROM wc, UNNEST(range(1, len(word))) t(i)
+               WHERE len(word) >= 2),
+         pc AS (SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt
+                FROM p GROUP BY 1)
+         SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 50""",
 
     // segment / df-count / filter / ordered-reassembly mirrored:
     // range() is 0-based like Spark's sequence, list slices are 1-based
