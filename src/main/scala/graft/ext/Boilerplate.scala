@@ -25,7 +25,12 @@ import org.apache.spark.sql.functions._
   *     itself is never shuffled for the lookup;
   *   - reassembly is the one corpus-sized exchange (groupBy doc), same
   *     cost class as any per-document re-aggregation, and the collected
-  *     struct list is bounded by the document's own length.
+  *     struct list is bounded by the document's own length;
+  *   - the corpus is deliberately SCANNED twice (df build + membership
+  *     pass) rather than cached or shuffled whole: two cheap columnar
+  *     scans beat materializing the exploded segments, and the
+  *     alternative single-scan formulation (window df over segments)
+  *     would exchange the entire corpus keyed by segment content.
   */
 object Boilerplate {
 
