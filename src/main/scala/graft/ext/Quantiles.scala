@@ -31,6 +31,11 @@ import org.apache.spark.sql.functions._
   * Estimates are emitted ×200 as BIGINT (`rep_x200` = midpoint in
   * half-centi-units): the one representation with no float division
   * anywhere, hence hash-comparable across engines.
+  *
+  * Domain: positive values up to 1e16 (18 centi-digits). Beyond that
+  * `rep_x200` would exceed Long range — and Spark wraps silently where
+  * a SQL engine's int128 keeps going, so the bound matters for parity,
+  * not just overflow. Metric/latency-style columns sit far inside it.
   */
 object Quantiles {
 
