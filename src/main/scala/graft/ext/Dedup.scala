@@ -361,6 +361,16 @@ object Dedup {
       broadcastBatch: Boolean = true,
       broadcastCandidates: Boolean = false
   ): DataFrame = {
+    // same-family check: bandFrame reads numHashes off each index's own
+    // schema, so a 12-hash corpus joined with a 16-hash batch would band
+    // fine per-side yet produce disjoint band signatures — dedup would
+    // silently stop finding corpus duplicates. Fail loudly instead.
+    val nCorpus = corpusIndex.columns.count(_.startsWith("sig_"))
+    val nBatch = batchIndex.columns.count(_.startsWith("sig_"))
+    require(nCorpus == nBatch,
+      s"corpus index has $nCorpus sig_* columns but batch index has " +
+        s"$nBatch — both must come from the same minhashIndex signature " +
+        "family (identical numHashes)")
     val bandsBatch0 = bandFrame(batchIndex, idCol, bandSize)
     val bandsAll = bandFrame(corpusIndex, idCol, bandSize)
       .unionByName(bandsBatch0)

@@ -127,7 +127,17 @@ object IvfIndex {
     val spark = newRows.sparkSession
     import spark.implicits._
     val cents = model.centroids.toSeq.toDF("list_id", "centroid")
-    val qs = slice(col("cv").cast("array<double>"), lit(1), size(col("centroid")))
+    // NaN components get the same 1e6 stand-in `search`'s probe selection
+    // applies: DecimalDot would return null for a NaN operand, making
+    // every centroid distance null and the row_number tie-break assign
+    // list 0 — while signBucket's `> 0` (Spark NaN-is-greatest) and the
+    // search-side guard both pick the bit-SET bucket. Without this, a
+    // NaN vector appended via assignTo would land in a list no probe for
+    // it scans.
+    val qsRaw =
+      slice(col("cv").cast("array<double>"), lit(1), size(col("centroid")))
+    val qs = transform(qsRaw,
+      x => when(isnan(x), lit(1e6)).otherwise(x))
     // d = |q|² − 2q·c + |c|² over the centroid's dims (zip-truncated,
     // like the probe selection); each dot is the exact decimal fold, so
     // ties are exact, not float-accumulation artifacts

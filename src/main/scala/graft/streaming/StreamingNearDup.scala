@@ -1,8 +1,10 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
@@ -25,6 +27,21 @@ import graft.ext.Dedup
   * foreachBatch's at-least-once replay is idempotent (a retried batch
   * rewrites its own dir, never double-appends).
   *
+  * Batch-id collision across RUNS is handled by a run-scoped base
+  * offset: Spark's epoch ids restart at 0 under a fresh checkpoint, so a
+  * second query against the same index would otherwise reuse
+  * `batch=0`, clobber the accumulated survivors, and (because the
+  * corpus filter is `batch < id`) skip dedup against everything already
+  * indexed. [[resolveBase]] maps each streaming QUERY (the stable
+  * `queryId`, which survives checkpoint restarts) to a base recorded in
+  * the `_run_base` marker file inside the index dir: a query seen before
+  * keeps its base (so a checkpoint replay rewrites the same dir), a new
+  * query gets `max(existing batch) + 1` (so its batches dedup against —
+  * and never overwrite — every previously indexed batch). The marker is
+  * underscore-prefixed, so parquet partition discovery ignores it. All
+  * file probing goes through the Hadoop FileSystem API, so an HDFS/S3
+  * index path behaves the same as a local one.
+  *
   * Drop policy (deterministic): a batch doc is dropped iff it near-dup
   * pairs with any INDEXED doc or with a SMALLER-id doc of its own batch.
   * This is the greedy keep-min rule applied per batch — conservative on
@@ -34,12 +51,126 @@ import graft.ext.Dedup
   */
 object StreamingNearDup {
 
+  private val MarkerName = "_run_base"
+  private val BatchDir = "batch=(\\d+)".r
+
+  private def fileSystem(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Batch ids already present in the index (Hadoop FS glob, so HDFS/S3
+    * paths work — a java.nio probe would silently report "no index"
+    * there and disable cross-batch dedup). */
+  private[streaming] def existingBatches(
+      spark: SparkSession, indexPath: String): Seq[Long] = {
+    val (fs, root) = fileSystem(spark, indexPath)
+    if (!fs.exists(root)) Seq.empty
+    else fs.globStatus(new Path(root, "batch=*")) match {
+      case null => Seq.empty
+      case st => st.toSeq.map(_.getPath.getName).collect {
+        case BatchDir(n) => n.toLong
+      }
+    }
+  }
+
+  private def readMarker(fs: FileSystem, marker: Path): Map[String, Long] =
+    if (!fs.exists(marker)) Map.empty
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
+      val in = fs.open(marker)
+      try in.readFully(0, buf)
+      finally in.close()
+      new String(buf, StandardCharsets.UTF_8)
+        .linesIterator.filter(_.nonEmpty).map { line =>
+          val Array(qid, base) = line.split("\t", 2)
+          qid -> base.toLong
+        }.toMap
+    }
+
+  private def writeMarker(fs: FileSystem, marker: Path,
+      entries: Map[String, Long]): Unit = {
+    val out = fs.create(marker, true)
+    try out.write(entries.toSeq.sortBy(_._1)
+      .map { case (q, b) => s"$q\t$b" }.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Resolve the run-scoped base offset for a streaming query: a queryId
+    * already in the marker keeps its recorded base (checkpoint restart —
+    * epoch ids continue / replay correctly); an unseen queryId is
+    * assigned `max(existing batch) + 1` and recorded, so its epoch-0
+    * batch lands AFTER everything already indexed. Single-writer (one
+    * ingest stream per index), like the index itself. */
+  private[streaming] def resolveBase(spark: SparkSession, indexPath: String,
+      queryId: String): Long = {
+    val (fs, root) = fileSystem(spark, indexPath)
+    val marker = new Path(root, MarkerName)
+    val entries = readMarker(fs, marker)
+    entries.getOrElse(queryId, {
+      val base = existingBatches(spark, indexPath)
+        .foldLeft(-1L)(math.max) + 1L
+      writeMarker(fs, marker, entries + (queryId -> base))
+      base
+    })
+  }
+
+  /** One micro-batch of the filter, at its run-scoped EFFECTIVE batch id:
+    * probe the corpus index (batches strictly below `eff`), drop batch
+    * docs per the keep-min policy, overwrite `batch=<eff>` with the
+    * survivors' index rows. Calling this twice with the same `eff` is
+    * idempotent — the at-least-once replay contract. */
+  private[streaming] def processBatch(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      shingleN: Int,
+      numHashes: Int,
+      bandSize: Int,
+      threshold: Double,
+      eff: Long,
+      onSurvivors: (DataFrame, Long) => Unit,
+      onDuplicates: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    val batchIdx = Dedup.minhashIndex(batch, idCol, textCol,
+      shingleN, numHashes).localCheckpoint()
+    // on at-least-once replay a dir for this (or a later) batch may
+    // already exist: ignore those so the retry computes against the
+    // same corpus state as the first attempt
+    val hasIndex = existingBatches(spark, indexPath).exists(_ < eff)
+    val corpusIdx =
+      if (hasIndex) spark.read.parquet(indexPath).filter(col("batch") < eff)
+      else batchIdx.limit(0)
+    val pairs = Dedup.minhashLshPairsIncremental(corpusIdx, batchIdx,
+      idCol, bandSize, threshold).localCheckpoint()
+    // apply the drop policy on the oriented (doc_a < doc_b) pairs:
+    // doc_b drops whenever it is a batch doc (its partner has a
+    // smaller id — indexed or in-batch); doc_a drops only when its
+    // partner doc_b is an INDEXED doc (batch-vs-corpus pair where
+    // the corpus doc happens to have the larger id)
+    val batchIds = batchIdx.select(col(idCol))
+    val dropA = pairs.join(batchIds.withColumnRenamed(idCol, "doc_b"),
+      Seq("doc_b"), "left_anti")
+      .select(col("doc_a").as(idCol))
+    val dropB = pairs.select(col("doc_b").as(idCol))
+      .join(batchIds, Seq(idCol), "left_semi")
+    val dropped = dropA.unionByName(dropB).distinct()
+    val survivors = batch.join(dropped, Seq(idCol), "left_anti")
+    val survivorIdx = batchIdx.join(dropped, Seq(idCol), "left_anti")
+    survivorIdx.write.mode("overwrite")
+      .parquet(s"$indexPath/batch=$eff")
+    onDuplicates(pairs, eff)
+    onSurvivors(survivors, eff)
+  }
+
   /** @param indexPath  corpus index location (parquet; created on first
     *                    batch if absent)
-    * @param onSurvivors (survivingDocs, batchId) sink — receives the
-    *                    batch rows that were NOT near-dups
-    * @param onDuplicates (pairs, batchId) sink — the (doc_a, doc_b,
-    *                    jaccard) evidence for every dropped doc
+    * @param onSurvivors (survivingDocs, effectiveBatchId) sink — receives
+    *                    the batch rows that were NOT near-dups
+    * @param onDuplicates (pairs, effectiveBatchId) sink — the (doc_a,
+    *                    doc_b, jaccard) evidence for every dropped doc
     */
   def filter(
       docs: DataFrame,
@@ -53,48 +184,27 @@ object StreamingNearDup {
       onSurvivors: (DataFrame, Long) => Unit,
       onDuplicates: (DataFrame, Long) => Unit = (_, _) => (),
       trigger: Trigger = Trigger.AvailableNow()
-  ): DataStreamWriter[Row] =
+  ): DataStreamWriter[Row] = {
+    // resolved on the run's first non-empty batch, then cached for the
+    // run: foreachBatch executes serially on the stream's execution
+    // thread, where Spark sets the sql.streaming.queryId local property
+    val baseRef = new AtomicLong(Long.MinValue)
     docs.writeStream
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val batchIdx = Dedup.minhashIndex(batch, idCol, textCol,
-            shingleN, numHashes).localCheckpoint()
-          val indexDir = Paths.get(indexPath)
-          val hasIndex = Files.exists(indexDir) && {
-            val s = Files.list(indexDir)
-            try s.anyMatch(p => p.getFileName.toString.startsWith("batch="))
-            finally s.close()
+          if (baseRef.get == Long.MinValue) {
+            val qid = Option(spark.sparkContext
+              .getLocalProperty("sql.streaming.queryId"))
+              .getOrElse("unkeyed")
+            baseRef.set(resolveBase(spark, indexPath, qid))
           }
-          val corpusIdx =
-            if (hasIndex) {
-              // on at-least-once replay a dir for this (or a later) batch
-              // may already exist: ignore those so the retry computes
-              // against the same corpus state as the first attempt
-              spark.read.parquet(indexPath).filter(col("batch") < id)
-            } else batchIdx.limit(0)
-          val pairs = Dedup.minhashLshPairsIncremental(corpusIdx, batchIdx,
-            idCol, bandSize, threshold).localCheckpoint()
-          // apply the drop policy on the oriented (doc_a < doc_b) pairs:
-          // doc_b drops whenever it is a batch doc (its partner has a
-          // smaller id — indexed or in-batch); doc_a drops only when its
-          // partner doc_b is an INDEXED doc (batch-vs-corpus pair where
-          // the corpus doc happens to have the larger id)
-          val batchIds = batchIdx.select(col(idCol))
-          val dropA = pairs.join(batchIds.withColumnRenamed(idCol, "doc_b"),
-            Seq("doc_b"), "left_anti")
-            .select(col("doc_a").as(idCol))
-          val dropB = pairs.select(col("doc_b").as(idCol))
-            .join(batchIds, Seq(idCol), "left_semi")
-          val dropped = dropA.unionByName(dropB).distinct()
-          val survivors = batch.join(dropped, Seq(idCol), "left_anti")
-          val survivorIdx = batchIdx.join(dropped, Seq(idCol), "left_anti")
-          survivorIdx.write.mode("overwrite")
-            .parquet(s"$indexPath/batch=$id")
-          onDuplicates(pairs, id)
-          onSurvivors(survivors, id)
+          processBatch(batch, idCol, textCol, indexPath, shingleN,
+            numHashes, bandSize, threshold, baseRef.get + id,
+            onSurvivors, onDuplicates)
         }
       }
+  }
 }

@@ -139,6 +139,20 @@ class DedupSpec extends SparkSpec {
     assert(incr.forall { case (a, b, _) => Set(3L, 4L)(a) || Set(3L, 4L)(b) })
   }
 
+  test("incremental LSH rejects mismatched signature families loudly") {
+    // a 12-hash corpus banded against a 16-hash batch would produce
+    // disjoint band signatures and a silently near-empty pair set
+    val corpusIdx = Dedup.minhashIndex(
+      docs.filter($"doc_id".isin(1L, 2L, 5L)), "doc_id", "text", 3, 12)
+    val batchIdx = Dedup.minhashIndex(
+      docs.filter($"doc_id".isin(3L, 4L)), "doc_id", "text", 3, 16)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairsIncremental(corpusIdx, batchIdx,
+        "doc_id", bandSize = 4, threshold = 0.5)
+    }
+    assert(e.getMessage.contains("signature family"))
+  }
+
   test("minhash LSH recovers high-jaccard pairs with exact verification") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
       shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5)

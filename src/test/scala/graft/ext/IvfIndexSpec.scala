@@ -165,6 +165,34 @@ class IvfIndexSpec extends SparkSpec {
     assert(ivf == lsh && ivf.nonEmpty, s"ivf=$ivf lsh=$lsh")
   }
 
+  test("assignTo: a NaN vector lands in the list its probes will scan") {
+    // without the search-matching NaN stand-in, DecimalDot nulls every
+    // centroid distance and the tie-break dumps the row in list 0 —
+    // while signBucket (NaN-is-greatest) and the probe selection pick
+    // the bit-SET bucket, so no probe for the vector would scan it
+    val rnd = new Random(29)
+    val data = (0L until 40L).map { i =>
+      (i, Array.fill(4)((rnd.nextFloat() - 0.5f) * 2f))
+    }.toDF("vec_id", "embedding")
+    val nanRow = Seq((999L, Array(Float.NaN, 0.5f, -0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val full = IvfIndex.buildSign(data.union(nanRow), "vec_id",
+      "embedding", bits = 2)
+    val appended = IvfIndex.append(
+      IvfIndex.buildSign(data, "vec_id", "embedding", bits = 2),
+      nanRow, "vec_id", "embedding")
+    val fullList = full.assigned.filter($"neighbor_id" === 999L)
+      .select("list_id").as[Int].head()
+    val appList = appended.assigned.filter($"neighbor_id" === 999L)
+      .select("list_id").as[Int].head()
+    assert(appList == fullList)
+    def run(m: IvfIndex.IvfModel) =
+      IvfIndex.search(m, nanRow, "vec_id", "embedding", k = 3, nProbe = 1)
+        .select("query_id", "neighbor_id", "rk")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(run(appended) == run(full) && run(full).nonEmpty)
+  }
+
   test("sign quantizer save/load: pruned probe scans only probed partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

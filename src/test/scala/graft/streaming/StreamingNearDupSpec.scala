@@ -65,13 +65,13 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
-  test("replayed batch is idempotent: same corpus state, dir overwritten") {
+  test("fresh-checkpoint second run dedups against the corpus, never clobbers it") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("neardup2").toString + "/idx"
     var calls = Vector.empty[(Long, Vector[Long])]
-    def runOnce(): Unit = {
+    def runOnce(data: Seq[(Long, String)]): Unit = {
       val mem = MemoryStream[(Long, String)]
-      mem.addData(b0: _*)
+      mem.addData(data: _*)
       val q = StreamingNearDup.filter(
         mem.toDF().toDF("doc_id", "text"), "doc_id", "text", dir,
         threshold = 0.5,
@@ -80,15 +80,60 @@ class StreamingNearDupSpec extends SparkSpec {
         .start()
       q.awaitTermination(60000)
     }
-    runOnce()
-    // at-least-once replay: same data re-arrives as batch 0 with the
+    runOnce(b0)
+    // a NEW query (fresh checkpoint) restarts Spark's epoch ids at 0;
+    // the run-scoped base must map its first batch PAST batch=0, so new
+    // docs dedup against the accumulated corpus instead of silently
+    // replacing it
+    runOnce(Seq((10L, base.replace(" ", "   ")), (11L, other)))
+    // run 1 reported at effective batch 0; run 2 at effective batch 1,
+    // where doc 10 dropped against INDEXED doc 1 and doc 11 survived
+    assert(calls == Vector(0L -> Vector(1L, 3L), 1L -> Vector(11L)),
+      calls.toString)
+    // the corpus accumulated across runs — run 1's survivors intact,
+    // run 2's appended under its own batch partition
+    val idx = spark.read.parquet(dir)
+    assert(idx.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 11L))
+    assert(idx.select("batch").as[Int].collect().toSet == Set(0, 1))
+  }
+
+  test("replayed batch id is idempotent: same corpus state, dir overwritten") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup3").toString + "/idx"
+    var calls = Vector.empty[(Long, Vector[Long])]
+    def once(): Unit = StreamingNearDup.processBatch(
+      b0.toDF("doc_id", "text"), "doc_id", "text", dir,
+      shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5,
+      eff = 0L,
+      onSurvivors = (df, id) =>
+        calls :+= id -> df.select("doc_id").as[Long].collect().toVector.sorted,
+      onDuplicates = (_, _) => ())
+    once()
+    // at-least-once replay: the same effective batch re-arrives with its
     // index dir already written by the first attempt
-    runOnce()
+    once()
     // both attempts report the same survivors, and the index holds ONE
     // copy of them (dir overwritten, not double-appended)
     assert(calls == Vector(0L -> Vector(1L, 3L), 0L -> Vector(1L, 3L)),
       calls.toString)
     val idx = spark.read.parquet(dir)
     assert(idx.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("resolveBase: restart keeps a query's base; a new query lands past the index") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup4").toString + "/idx"
+    // empty index: first query starts at base 0
+    assert(StreamingNearDup.resolveBase(spark, dir, "qA") == 0L)
+    // simulate qA having written batches 0..2
+    Seq((1L, base)).toDF("doc_id", "text").write
+      .parquet(s"$dir/batch=2")
+    // checkpoint restart of qA: the recorded base wins, so a replayed
+    // epoch rewrites the SAME dir it wrote before
+    assert(StreamingNearDup.resolveBase(spark, dir, "qA") == 0L)
+    // a different query (fresh checkpoint, epochs from 0) is based past
+    // every existing batch
+    assert(StreamingNearDup.resolveBase(spark, dir, "qB") == 3L)
+    // and that assignment is itself sticky across qB's restarts
+    assert(StreamingNearDup.resolveBase(spark, dir, "qB") == 3L)
   }
 }
