@@ -1549,6 +1549,22 @@ object SparkEntry {
         k = 3, nProbe = 1)
     }),
 
+    // ── ANN: DISTRIBUTED probe selection (IvfIndex.searchDistributed) —
+    //    probe lists come from a broadcast-centroid argmin join, not
+    //    search's driver-side collect, so the query batch can be
+    //    arbitrarily large. Sign quantizer + nProbe = 1 keeps the result
+    //    same-bucket brute force, hash-gated by the SAME SQL oracle as
+    //    q_ann_ivf_pruned — proving the distributed selection probes
+    //    exactly the lists the driver-side rule picks.
+    "q_ann_ivf_dist" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.ext.IvfIndex.buildSign(emb, "vec_id", "embedding",
+        bits = 4)
+      graft.ext.IvfIndex.searchDistributed(model,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 3, nProbe = 1)
+    }),
+
     // ── Click→purchase attribution: the BATCH face of the stream-stream
     //    event-time interval join (streaming/StreamJoin.attribution —
     //    IDENTICAL transform both modes; StreamJoinSpec proves
@@ -3560,6 +3576,34 @@ object SparkEntry {
          c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
          p AS (SELECT query_id, neighbor_id, qv, cv FROM q JOIN c
                ON query_id <> neighbor_id),
+         d AS (SELECT query_id, neighbor_id,
+                 CAST(sum(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS dotv,
+                 CAST(sum(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nq,
+                 CAST(sum(CAST(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nc
+               FROM p, UNNEST(range(1, len(qv) + 1)) t(i)
+               GROUP BY 1, 2),
+         r AS (SELECT query_id, neighbor_id,
+                      dotv/(sqrt(nq)*sqrt(nc)) AS cos,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY dotv/(sqrt(nq)*sqrt(nc)) DESC, neighbor_id) AS rk
+               FROM d)
+         SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rk
+         FROM r WHERE rk <= 3""",
+
+    // distributed probe selection ≡ same-bucket brute force — identical
+    // oracle to q_ann_ivf_pruned (the driver-side selection twin)
+    "q_ann_ivf_dist" ->
+      """WITH b AS (SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+               WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+         p AS (SELECT query_id, neighbor_id, qv, cv FROM q JOIN c USING (bucket)
+               WHERE query_id <> neighbor_id),
          d AS (SELECT query_id, neighbor_id,
                  CAST(sum(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS dotv,
                  CAST(sum(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nq,

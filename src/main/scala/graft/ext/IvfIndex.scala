@@ -240,6 +240,67 @@ object IvfIndex {
         round(col("cos"), 4).as("cosine"), col("rk"))
   }
 
+  /** [[search]] with DISTRIBUTED probe-list selection: the query batch
+    * never touches the driver. Each query row scores against the (tiny,
+    * broadcast) centroid table and keeps its `nProbe` minimum-distance
+    * lists — the same argmin/tie rule (distance, then list id) and the
+    * same NaN stand-in as `search`'s driver-side selection and
+    * [[assignTo]]'s insert path, so the two faces probe identical lists.
+    *
+    * Use this when the probe batch itself is large (bulk re-scoring, an
+    * offline join of one corpus against another): `search`'s bounded
+    * `.collect()` contract assumes a small serving batch, and this is
+    * the only path that removes it. Partition pruning over a persisted
+    * layout is DYNAMIC here (the probed list set is a runtime join
+    * side, not a driver-resident literal) — for small interactive
+    * batches `search`'s static `isin` pruning remains the tighter plan.
+    *
+    * With `broadcastProbes` (default) the probe frame (queries ×
+    * nProbe rows) broadcasts into the corpus join — the corpus never
+    * shuffles. Pass false when the query batch is too big to broadcast;
+    * both sides then shuffle on `list_id`.
+    */
+  def searchDistributed(model: IvfModel, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int,
+      broadcastProbes: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = model.centroids.toSeq.toDF("list_id", "centroid")
+    // same distance form as assignTo: d = |q|² − 2q·c + |c|² over the
+    // centroid's dims (zip-truncated, like the driver-side selection),
+    // exact decimal folds, NaN components replaced by search's 1e6
+    // stand-in so selection matches the bucket the row was indexed under
+    val qsRaw =
+      slice(col("qv").cast("array<double>"), lit(1), size(col("centroid")))
+    val qs = transform(qsRaw, x => when(isnan(x), lit(1e6)).otherwise(x))
+    val d = Similarity.dot(qs, qs) -
+      lit(2.0) * Similarity.dot(qs, col("centroid")) +
+      Similarity.dot(col("centroid"), col("centroid"))
+    val wSel = Window.partitionBy(col("query_id"))
+      .orderBy(col("d"), col("list_id"))
+    val probes0 = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(Similarity.dot(col("qv"), col("qv"))))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", d)
+      .withColumn("rk", row_number().over(wSel))
+      .filter(col("rk") <= nProbe)
+      .select(col("list_id").cast("int").as("list_id"),
+        col("query_id"), col("qv"), col("qn"))
+    val probes = if (broadcastProbes) broadcast(probes0) else probes0
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    model.assigned
+      .join(probes, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 4).as("cosine"), col("rk"))
+  }
+
   /** Convenience: build + search in one call (the quantizer still fits
     * exactly once). Prefer explicit `build`/`search` so one index serves
     * many probe batches. */

@@ -193,6 +193,47 @@ class IvfIndexSpec extends SparkSpec {
     assert(run(appended) == run(full) && run(full).nonEmpty)
   }
 
+  test("searchDistributed ≡ search: k-means, sign, NaN, and loaded models") {
+    // the distributed probe selection (broadcast-centroid argmin join)
+    // must pick the same lists — and so the same results — as search's
+    // driver-side selection, on every model family the fixtures cover
+    // (cosine is Option: a NaN query's cosine is null on BOTH paths)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "cosine", "rk")
+      .as[(Long, Long, Option[Double], Int)].collect().toSet
+
+    val km = IvfIndex.build(vecs, "vec_id", "embedding", nLists = 3)
+    val kmQ = vecs.filter($"vec_id".isin(0L, 100L, 200L))
+    assert(rows(IvfIndex.searchDistributed(km, kmQ, "vec_id", "embedding", 3, 1))
+      == rows(IvfIndex.search(km, kmQ, "vec_id", "embedding", 3, 1)))
+    // exhaustive probe too (covers multi-list probe ranking)
+    assert(rows(IvfIndex.searchDistributed(km, kmQ, "vec_id", "embedding", 3, 3))
+      == rows(IvfIndex.search(km, kmQ, "vec_id", "embedding", 3, 3)))
+
+    val rnd = new Random(31)
+    val data = (0L until 60L).map { i =>
+      (i, Array.fill(4)((rnd.nextFloat() - 0.5f) * 2f))
+    }.toDF("vec_id", "embedding")
+    val nanRow = Seq((999L, Array(Float.NaN, 0.5f, -0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val sign = IvfIndex.buildSign(data.union(nanRow), "vec_id",
+      "embedding", bits = 2)
+    val signQ = data.filter($"vec_id" < 4).union(nanRow)
+    val viaSearch = rows(
+      IvfIndex.search(sign, signQ, "vec_id", "embedding", 3, 1))
+    assert(rows(IvfIndex.searchDistributed(sign, signQ, "vec_id",
+      "embedding", 3, 1)) == viaSearch && viaSearch.nonEmpty)
+    // non-broadcast probe side takes the shuffle join path — same rows
+    assert(rows(IvfIndex.searchDistributed(sign, signQ, "vec_id",
+      "embedding", 3, 1, broadcastProbes = false)) == viaSearch)
+
+    val dir = java.nio.file.Files.createTempDirectory("ivf_dist").toString
+    sign.save(dir)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(rows(IvfIndex.searchDistributed(loaded, signQ, "vec_id",
+      "embedding", 3, 1)) == viaSearch)
+  }
+
   test("sign quantizer save/load: pruned probe scans only probed partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
