@@ -855,6 +855,17 @@ object SparkEntry {
         unique = Seq("l_orderkey", "l_linenumber"),
         foreignKey = Some(("l_orderkey", Tables.orders(s, dir), "o_orderkey")))),
 
+    // ── Quality-gate routing: the BATCH face of the streaming gate
+    //    (streaming/QualityGate) — every event_type group audited as its
+    //    own batch, routed publish iff EVERY rule passes, else the WHOLE
+    //    batch quarantines (ops.Expectations.auditRouted; one scan +
+    //    a window bool_and, no second pass).
+    "q_quality_gate" -> ((s, dir) =>
+      graft.ops.Expectations.auditRouted(Tables.events(s, dir),
+        "event_type", Seq(
+          graft.ops.Expectations.notNull("value"),
+          graft.ops.Expectations.inRange("value", 0.0, 400.0)))),
+
     // ── Cohort retention triangle: users grouped by first-activity
     //    date, distinct-active counts per day offset — co-partitioned
     //    entity-key aggregates, output bounded by cohorts × horizon
@@ -1089,6 +1100,30 @@ object SparkEntry {
         Seq(("p50_x200", 1, 2), ("p95_x200", 19, 20)))
     }),
 
+    // ── Sketch SERVING over a stream-maintained store: per-batch bucket
+    //    counts persisted under batch=<i> partitions (exactly what
+    //    streaming/SketchStream.maintain writes per micro-batch), then
+    //    the read path — SketchStream.quantiles: scan kilobytes of
+    //    counts, merge-only rollup, estimate walk. Merge-is-exact makes
+    //    the answer independent of how events were batched, so the same
+    //    whole-corpus oracle as q_quantile_sketch hash-gates it; the
+    //    foreachBatch twin is spec-gated (SketchStreamSpec).
+    "q_sketch_serve" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val path = registerTempIndexDir(
+        System.getProperty("java.io.tmpdir") +
+          "/graft_sketch_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid() + "_" + System.nanoTime())
+      (0 until 3).foreach { i =>
+        graft.ext.Quantiles.sketch(
+          ev.filter(pmod(col("event_id"), lit(3)) === i),
+          Seq("event_type"), "value")
+          .write.mode("overwrite").parquet(s"$path/batch=$i")
+      }
+      graft.streaming.SketchStream.quantiles(s, path, Seq("event_type"),
+        Seq(("p50_x200", 1, 2), ("p95_x200", 19, 20)))
+    }),
+
     // ── BPE merge statistics (ext.BpeStats): adjacent char-pair counts
     //    computed from the word-frequency table, not the corpus — the
     //    classic BPE trick that bounds the explode by vocabulary size.
@@ -1278,6 +1313,24 @@ object SparkEntry {
         shingleN = 3, numHashes = 12).localCheckpoint()
       Dedup.minhashLshPairsIncremental(corpusIdx, batchIdx, "doc_id",
         bandSize = 4, threshold = 0.5)
+    }),
+
+    // ── Streaming near-dup filter, BATCH face (streaming/StreamingNearDup
+    //    .filterBatch): survivors of a new batch (odd doc_ids) against the
+    //    prebuilt corpus index (even doc_ids) under the stream's keep-min
+    //    drop policy — drop a batch doc iff it pairs with an indexed doc
+    //    or a smaller-id batch doc. Pairs from the same incremental LSH
+    //    as q_dedup_incr; the micro-batch/index-accumulation twin is
+    //    spec-gated (StreamingNearDupSpec).
+    "q_neardup_filter" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpusIdx = Dedup.minhashIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        shingleN = 3, numHashes = 12).localCheckpoint()
+      graft.streaming.StreamingNearDup.filterBatch(corpusIdx,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5)
+        .select(col("doc_id"), col("lang"))
     }),
 
     // ── Ordered funnel: users converting view → click → purchase with
@@ -2480,6 +2533,25 @@ object SparkEntry {
                                     WHERE o_orderkey IS NOT NULL))
          SELECT rule, violations, violations = 0 AS pass FROM r""",
 
+    // per-batch audit + all-or-nothing routing: rule labels verbatim,
+    // decision a window bool_and over the group's rules
+    "q_quality_gate" ->
+      """WITH r AS (
+           SELECT event_type, 'not_null(value)' AS rule,
+                  CAST(count(*) FILTER (WHERE value IS NULL)
+                       AS BIGINT) AS violations
+           FROM events GROUP BY event_type
+           UNION ALL
+           SELECT event_type, 'in_range(value,0.0,400.0)',
+                  CAST(count(*) FILTER (WHERE value IS NULL
+                        OR value < 0.0 OR value > 400.0) AS BIGINT)
+           FROM events GROUP BY event_type)
+         SELECT event_type, rule, violations, violations = 0 AS pass,
+                CASE WHEN bool_and(violations = 0)
+                          OVER (PARTITION BY event_type)
+                     THEN 'publish' ELSE 'quarantine' END AS route
+         FROM r""",
+
     // calendar-date truncation + integer day arithmetic, exact in both
     // engines (q_asof's DATE identity)
     "q_cohort" ->
@@ -3039,6 +3111,31 @@ object SparkEntry {
                          THEN rep_x200 END) AS p95_x200
          FROM c GROUP BY 1""",
 
+    // serving read of the stream-maintained sketch store: merge-is-exact
+    // makes the result batching-independent, so the whole-corpus sketch
+    // oracle (q_quantile_sketch's SQL) gates it unchanged
+    "q_sketch_serve" ->
+      """WITH b AS (SELECT event_type,
+             CAST(length(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR)) AS BIGINT) AS qd,
+             CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR), 1, 2) AS BIGINT) AS qlead
+           FROM events WHERE value > 0),
+         sk AS (SELECT event_type, qd, qlead, count(*) AS cnt
+                FROM b GROUP BY 1, 2, 3),
+         c AS (SELECT event_type, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type
+                                ORDER BY qd, qlead) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type) AS n,
+                 (2 * qlead + 1) *
+                   CAST('1' || repeat('0', CAST(greatest(qd - 2, 0) AS INT))
+                        AS BIGINT) AS rep_x200
+               FROM sk)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                min(CASE WHEN cum >= (1 * n + 1) // 2
+                         THEN rep_x200 END) AS p50_x200,
+                min(CASE WHEN cum >= (19 * n + 19) // 20
+                         THEN rep_x200 END) AS p95_x200
+         FROM c GROUP BY 1""",
+
     // smoothed-KL contribution tree mirrored verbatim; HUGEINT totals
     // cast to double match Spark's driver-side literals exactly
     "q_vocab_drift" ->
@@ -3220,6 +3317,20 @@ object SparkEntry {
       s"""WITH pairs AS ($minhashLshOracle)
          SELECT doc_a, doc_b, jaccard FROM pairs
          WHERE doc_a % 2 = 1 OR doc_b % 2 = 1""",
+
+    // the stream's keep-min drop policy over the incremental pair set:
+    // an odd (batch) doc drops as the larger side of ANY pair, or as
+    // the smaller side of a pair whose larger side is even (indexed)
+    "q_neardup_filter" ->
+      s"""WITH pairs AS ($minhashLshOracle),
+         dropped AS (
+           SELECT doc_b AS doc_id FROM pairs WHERE doc_b % 2 = 1
+           UNION
+           SELECT doc_a FROM pairs
+           WHERE doc_a % 2 = 1 AND doc_b % 2 = 0)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id % 2 = 1
+           AND doc_id NOT IN (SELECT doc_id FROM dropped)""",
 
     // identical closure oracle — the star-contraction variant must land
     // on the same component structure as min-label propagation

@@ -83,4 +83,36 @@ object Expectations {
     reports.result().reduce(_ unionAll _)
       .withColumn("pass", col("violations") === 0L)
   }
+
+  /** The BATCH face of [[graft.streaming.QualityGate]]'s routing: audit
+    * every `batchCol` group as its own batch and attach the gate's
+    * decision — `publish` iff EVERY rule passes for that group, else
+    * `quarantine` (whole batch, same all-or-nothing rule as the
+    * stream's foreachBatch). One scan: per-group conditional aggregates
+    * unpivoted to one (batch, rule) row, the routing decision a window
+    * bool_and over the group — no second pass, no join. Hash-gated by
+    * `q_quality_gate`; the streaming twin is spec-gated
+    * (QualityGateSpec) with this as its oracle face. */
+  def auditRouted(df: DataFrame, batchCol: String,
+      rowRules: Seq[RowRule]): DataFrame = {
+    require(rowRules.nonEmpty, "no rules given")
+    val aggs = rowRules.zipWithIndex.map { case (r, i) =>
+      coalesce(sum(when(r.violation, 1L).otherwise(0L)), lit(0L))
+        .as(s"__r$i")
+    }
+    val wide = df.groupBy(col(batchCol)).agg(aggs.head, aggs.tail: _*)
+    val entries = rowRules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col(s"__r$i").as("violations"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(batchCol))
+    wide
+      .select(col(batchCol), explode(array(entries: _*)).as("e"))
+      .select(col(batchCol), col("e.rule").as("rule"),
+        col("e.violations").as("violations"))
+      .withColumn("pass", col("violations") === 0L)
+      .withColumn("route",
+        when(bool_and(col("pass")).over(w), lit("publish"))
+          .otherwise(lit("quarantine")))
+  }
 }

@@ -15,6 +15,10 @@ import graft.ops.Expectations
   * shipping the "clean remainder" of a corrupt batch publishes data
   * under an unverifiable assumption.
   *
+  * The BATCH face of this routing rule is
+  * [[Expectations.auditRouted]] (every group audited as its own batch,
+  * `publish` iff all rules pass) — hash-gated by `q_quality_gate`.
+  *
   * Exactly-once posture: `foreachBatch` gives at-least-once sink calls
   * with replayed batchIds on recovery — both sinks receive the batchId
   * so an idempotent writer (e.g. [[graft.model.GraphStorage]] snapshot

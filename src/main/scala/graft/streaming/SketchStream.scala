@@ -47,7 +47,10 @@ object SketchStream {
       }
 
   /** Quantiles over everything ingested so far: rollup-merge of the
-    * persisted batch partitions (kilobytes), then the estimate walk. */
+    * persisted batch partitions (kilobytes), then the estimate walk.
+    * Hash-gated by `q_sketch_serve` (a batch-partitioned store read
+    * back against the whole-corpus sketch oracle — merge-is-exact makes
+    * the answer batching-independent). */
   def quantiles(spark: SparkSession, sketchPath: String, keys: Seq[String],
       qs: Seq[(String, Int, Int)]): DataFrame =
     Quantiles.estimate(

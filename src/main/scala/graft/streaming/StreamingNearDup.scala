@@ -116,6 +116,45 @@ object StreamingNearDup {
     })
   }
 
+  /** The drop policy on oriented (doc_a < doc_b) near-dup pairs: a
+    * batch doc drops when it is the LARGER side of any pair (its
+    * partner — indexed or in-batch — has a smaller id), or when it is
+    * the smaller side of a pair whose larger side is an INDEXED doc.
+    * Pure frame logic shared by the stream and the batch face. */
+  private def droppedIds(pairs: DataFrame, batchIds: DataFrame,
+      idCol: String): DataFrame = {
+    val dropA = pairs.join(batchIds.withColumnRenamed(idCol, "doc_b"),
+      Seq("doc_b"), "left_anti")
+      .select(col("doc_a").as(idCol))
+    val dropB = pairs.select(col("doc_b").as(idCol))
+      .join(batchIds, Seq(idCol), "left_semi")
+    dropA.unionByName(dropB).distinct()
+  }
+
+  /** BATCH face of the filter: the rows of `batch` that survive the
+    * SAME drop policy one micro-batch applies against a prebuilt corpus
+    * [[Dedup.minhashIndex]] — near-dup evidence comes from
+    * [[Dedup.minhashLshPairsIncremental]] (corpus text never re-read),
+    * keep-min within the batch. Hash-gated by `q_neardup_filter`; the
+    * streaming twin (micro-batches + persisted index accumulation) is
+    * spec-gated with this as its per-batch semantics. */
+  def filterBatch(
+      corpusIdx: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 12,
+      bandSize: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val batchIdx = Dedup.minhashIndex(batch, idCol, textCol,
+      shingleN, numHashes).localCheckpoint()
+    val pairs = Dedup.minhashLshPairsIncremental(corpusIdx, batchIdx,
+      idCol, bandSize, threshold)
+    batch.join(droppedIds(pairs, batchIdx.select(col(idCol)), idCol),
+      Seq(idCol), "left_anti")
+  }
+
   /** One micro-batch of the filter, at its run-scoped EFFECTIVE batch id:
     * probe the corpus index (batches strictly below `eff`), drop batch
     * docs per the keep-min policy, overwrite `batch=<eff>` with the
@@ -145,18 +184,7 @@ object StreamingNearDup {
       else batchIdx.limit(0)
     val pairs = Dedup.minhashLshPairsIncremental(corpusIdx, batchIdx,
       idCol, bandSize, threshold).localCheckpoint()
-    // apply the drop policy on the oriented (doc_a < doc_b) pairs:
-    // doc_b drops whenever it is a batch doc (its partner has a
-    // smaller id — indexed or in-batch); doc_a drops only when its
-    // partner doc_b is an INDEXED doc (batch-vs-corpus pair where
-    // the corpus doc happens to have the larger id)
-    val batchIds = batchIdx.select(col(idCol))
-    val dropA = pairs.join(batchIds.withColumnRenamed(idCol, "doc_b"),
-      Seq("doc_b"), "left_anti")
-      .select(col("doc_a").as(idCol))
-    val dropB = pairs.select(col("doc_b").as(idCol))
-      .join(batchIds, Seq(idCol), "left_semi")
-    val dropped = dropA.unionByName(dropB).distinct()
+    val dropped = droppedIds(pairs, batchIdx.select(col(idCol)), idCol)
     val survivors = batch.join(dropped, Seq(idCol), "left_anti")
     val survivorIdx = batchIdx.join(dropped, Seq(idCol), "left_anti")
     survivorIdx.write.mode("overwrite")

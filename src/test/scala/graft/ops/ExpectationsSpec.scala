@@ -47,6 +47,27 @@ class ExpectationsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("o'brien`s rule", 0L, true)))
   }
 
+  test("auditRouted: per-batch rules, all-or-nothing routing per group") {
+    // batch a: clean on both rules → publish; batch b: one in_range
+    // violation → the WHOLE batch (both rule rows) quarantines; batch c:
+    // null v violates not_null AND in_range → quarantine, counted once
+    // per rule
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)),
+      ("b", Some(1.0)), ("b", Some(99.0)),
+      ("c", None: Option[Double])).toDF("batch", "v")
+    val out = Expectations.auditRouted(df, "batch", Seq(
+      Expectations.notNull("v"), Expectations.inRange("v", 0.0, 10.0)))
+      .as[(String, String, Long, Boolean, String)].collect().toSet
+    assert(out == Set(
+      ("a", "not_null(v)", 0L, true, "publish"),
+      ("a", "in_range(v,0.0,10.0)", 0L, true, "publish"),
+      ("b", "not_null(v)", 0L, true, "quarantine"),
+      ("b", "in_range(v,0.0,10.0)", 1L, false, "quarantine"),
+      ("c", "not_null(v)", 1L, false, "quarantine"),
+      ("c", "in_range(v,0.0,10.0)", 1L, false, "quarantine")))
+  }
+
   test("a clean batch passes every rule with zero violations") {
     val clean = Seq((1L, Some(1.0), 100L)).toDF("id", "v", "fk")
     val out = Expectations.audit(clean,
