@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-decade scale extension of the heavy query family (VERDICT r7 #4):
+  * synthesizes an sf1-equivalent dataset (10× sf0.1) as TEN DISJOINT
+  * SHARDS and times the five most expensive corpus queries at sf0.1 vs
+  * sf1 in one JVM — the cheapest empirical check that their plans scale
+  * linearly (no superlinear candidate blowup, no spill cliff) before
+  * claiming they would at 100 TB.
+  *
+  * Shard construction keeps the WORK profile linear by design:
+  *   - documents: replica k prefixes every word with `r<k>q` (k=0 kept
+  *     verbatim), so shingle/ngram/minhash universes are disjoint across
+  *     replicas — pair candidates, clusters, and DSIR vocabularies scale
+  *     ×10, never ×100 (naively copying text would make every doc a
+  *     10-way near-dup and measure a skew bomb, not scale). doc_id
+  *     offsets are multiples of 10⁶ so `% 10` splits are preserved.
+  *   - lineitem: order/part keys shift per replica — 10 disjoint
+  *     co-purchase graphs, triangle count ×10.
+  *
+  * This measures the ENGINE's scaling on shard-decomposable work; skew
+  * ROBUSTNESS (hot keys, dense bands) is the SkewGuard/cap tests' job,
+  * not this probe's. Not part of the library surface; run manually:
+  *   sbt "runMain graft.tools.ScaleProbe"           # gen (if absent) + time
+  *   sbt "runMain graft.tools.ScaleProbe regen"     # force regeneration
+  */
+object ScaleProbe {
+  private val Queries =
+    Seq("q_minhash_lsh", "q_ngram_jaccard", "q_dedup_clusters_star",
+      "q_dsir", "q_triangles")
+  private val Replicas = 10
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val marker = new java.io.File(s"$sf1/_GENERATED")
+    if (args.contains("regen") || !marker.exists()) {
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val docShards = (0 until Replicas).map { k =>
+        val text = if (k == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", s"r${k}q$$1")
+        docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+          text.as("text"), col("lang"), col("source"), col("n_chars"))
+      }
+      docShards.reduce(_ unionByName _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$sf1/documents.parquet")
+      (0 until Replicas).map { k =>
+        li.select((col("l_orderkey") + lit(k * 10000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(k * 1000000L)).as("l_partkey"))
+      }.reduce(_ unionByName _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$sf1/lineitem.parquet")
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+      println(s"[scaleprobe] generated $sf1 (${Replicas}x $base)")
+    }
+
+    def run(name: String, dir: String): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, dir).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // per query: warm-up at sf0.1, then min-of-2 at each SF — rows
+    // printed so the ×10 structural expectation is itself checked
+    Queries.foreach { q =>
+      run(q, base)
+      val small = (1 to 2).map(_ => run(q, base))
+      val large = (1 to 2).map(_ => run(q, sf1))
+      val (sMin, lMin) = (small.map(_._2).min, large.map(_._2).min)
+      println(f"[scaleprobe] $q%-22s sf0.1 $sMin%6.2f s (rows=${small.head._1})" +
+        f"  sf1 $lMin%7.2f s (rows=${large.head._1})" +
+        f"  ratio ${lMin / sMin}%5.2f x")
+    }
+    spark.stop()
+  }
+}
