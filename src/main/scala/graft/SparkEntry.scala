@@ -1296,6 +1296,26 @@ object SparkEntry {
           col("members"))
     }),
 
+    // ── ADAPTIVE connected components on a DEEP graph: per-user event
+    //    chains (consecutive-by-time edges, diameter 49–86 at every SF)
+    //    blow the 8-round min-label budget, so connectedAdaptive's
+    //    large-star/small-star fallback fires ON THE CORPUS — gating the
+    //    structural-fallback path's hash behavior per round, where the
+    //    two existing component queries (shallow near-dup graphs) only
+    //    ever take the min-label fast path. Oracle needs no recursive
+    //    CTE: a chain's reachable-min is its user's min event_id.
+    "q_components_adaptive" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val edges = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("nxt", lead(col("event_id"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("event_id").as("src"), col("nxt").as("dst"))
+      graft.ext.Components.connectedAdaptive(edges, "src", "dst",
+        minLabelRounds = 8)
+    }),
+
     // ── INCREMENTAL near-dup: dedup a new batch (odd doc_ids) against a
     //    prebuilt corpus minhash index (even doc_ids) WITHOUT re-reading
     //    corpus text — the continuous-ingestion shape (persisted index +
@@ -3317,6 +3337,22 @@ object SparkEntry {
       s"""WITH pairs AS ($minhashLshOracle)
          SELECT doc_a, doc_b, jaccard FROM pairs
          WHERE doc_a % 2 = 1 OR doc_b % 2 = 1""",
+
+    // chain components: every user's events form one path, so the
+    // operator's reachable-min component is the user's min event_id —
+    // the structure the query was built to stress (deep diameter), and
+    // the reason no recursive closure CTE is needed here
+    "q_components_adaptive" ->
+      """WITH e AS (SELECT user_id, event_id,
+             lead(event_id) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+           FROM events),
+         n AS (SELECT user_id, event_id FROM e WHERE nxt IS NOT NULL
+               UNION
+               SELECT user_id, nxt AS event_id FROM e WHERE nxt IS NOT NULL)
+         SELECT event_id AS node,
+                min(event_id) OVER (PARTITION BY user_id) AS component
+         FROM n""",
 
     // the stream's keep-min drop policy over the incremental pair set:
     // an odd (batch) doc drops as the larger side of ANY pair, or as
