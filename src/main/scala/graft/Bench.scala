@@ -32,24 +32,37 @@ object Bench {
     val passes = (1 to 2).map { _ =>
       queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
     }
+    // a query is ok only if EVERY timed pass succeeded — a failed query's
+    // elapsed time is time-to-exception, not a measurement, so it must be
+    // flagged and excluded from the total (round-8 lesson: six analysis
+    // failures read as 50-65 ms "wins" in BENCH_r08)
+    val okMap = queries.keys.map(n => n -> passes.forall(_(n)._2)).toMap
     val results = queries.keys
-      .map(name => name -> passes.map(_(name)).min).toMap
+      .map(name => name -> passes.map(_(name)._1).min).toMap
     def jmap(m: Map[String, Double]) = m
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failed = okMap.collect { case (n, false) => n }.toSeq.sorted
+    val total = results.collect { case (n, v) if okMap(n) => v }.sum
     // queries == queries_min (per-query minimum over the timed passes);
     // the explicit key lets the judge compare minima across rounds
     // without knowing this file's convention, and per-pass maps expose
     // the host's drift band in the artifact itself
-    val passMaps = passes.map(p => jmap(p.toMap)).mkString("[", ",", "]")
+    val passMaps = passes.map(p => jmap(p.map { case (n, (t, _)) => n -> t }.toMap))
+      .mkString("[", ",", "]")
+    val okJson = okMap.toSeq.sortBy(_._1)
+      .map { case (n, ok) => s"\"$n\":$ok" }.mkString("{", ",", "}")
+    val errJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""queries_min":$qs,"passes":$passMaps,"sf":"$sfDir"}"""
+        s""""queries_min":$qs,"passes":$passMaps,"ok":$okJson,""" +
+        s""""errors":$errJson,"n_ok":${okMap.count(_._2)},""" +
+        s""""n_failed":${failed.size},"sf":"$sfDir"}"""
     println(line)
     // the driver's log capture truncates long stdout tails, so the full
     // per-query map also lands as a committed artifact (overridable for

@@ -27,7 +27,17 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // NO SILENT ABSENCE: a query that fails must still yield a row in
+        // the driver's compare. An output dir holding only an error file
+        // (no parquet) makes the driver's read fail → an err-filled row,
+        // instead of the round-8 failure mode where six broken queries
+        // simply vanished from CORRECTNESS_r08.json.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val d = new java.io.File(s"$outDir/$name")
+        org.apache.commons.io.FileUtils.deleteQuietly(d)
+        d.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_GRAFT_ERROR.txt"),
+          s"$name failed: ${Option(e.getMessage).getOrElse(e.toString)}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -168,9 +168,10 @@ object Components {
     * unknown — i.e. on raw 100 TB corpora.
     */
   def connectedAdaptive(edges: DataFrame, srcCol: String, dstCol: String,
-      minLabelRounds: Int = 8, starMaxIter: Int = 30): DataFrame = {
+      minLabelRounds: Int = 8, starMaxIter: Int = 30,
+      plateauAbort: Boolean = true): DataFrame = {
     val (labels, converged, sym) =
-      propagate(edges, srcCol, dstCol, minLabelRounds)
+      propagate(edges, srcCol, dstCol, minLabelRounds, plateauAbort)
     if (converged) {
       checkpointRdd(sym).foreach(_.unpersist(false))
       labels
@@ -204,9 +205,21 @@ object Components {
   /** Min-label propagation core: (labels, converged, symmetrized edges).
     * The returned `sym` frame is still checkpoint-materialized — the
     * CALLER unpersists it (the adaptive path reuses it as the star
-    * fallback's input first). */
+    * fallback's input first).
+    *
+    * `plateauAbort` (the adaptive path): min-label moves labels ONE hop
+    * per round, so on a deep chain the per-round changed-label count
+    * shrinks arithmetically (≈ constant), while on the shallow graphs
+    * this operator is built for it collapses geometrically. Two
+    * consecutive rounds that keep ≥¾ of the previous round's changes are
+    * the chain signature — abort the remaining budget and let the caller
+    * fall back to star contraction instead of burning ~2 shuffles + a
+    * blocking checkpoint per wasted round. Counting changes reads the
+    * already-materialized checkpoint blocks (no extra shuffle); the
+    * non-adaptive path keeps its cheaper limit-1 existence probe. */
   private def propagate(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int): (DataFrame, Boolean, DataFrame) = {
+      maxIter: Int, plateauAbort: Boolean = false)
+      : (DataFrame, Boolean, DataFrame) = {
     // symmetrize in ONE pass over the edge subtree (explode, not union —
     // a union would evaluate an expensive upstream pair computation twice,
     // since AQE does not reuse sibling stages), then materialize once:
@@ -225,7 +238,10 @@ object Components {
       .localCheckpoint()
     var round = 0
     var converged = false
-    while (!converged && round < maxIter) {
+    var prevChanged = Long.MaxValue
+    var plateauRounds = 0
+    var aborted = false
+    while (!converged && !aborted && round < maxIter) {
       val msgMin = sym
         .join(labels, sym("a") === labels("node"))
         .select(col("b").as("node"), col("component"))
@@ -242,7 +258,20 @@ object Components {
           (coalesce(col("m"), col("component")) < col("component"))
             .as("__chg"))
         .localCheckpoint()
-      val anyChanged = next.filter(col("__chg")).limit(1).count() > 0
+      val anyChanged = if (plateauAbort) {
+        val changed = next.filter(col("__chg")).count()
+        if (changed > 0 && prevChanged != Long.MaxValue &&
+            changed * 4 >= prevChanged * 3) plateauRounds += 1
+        else plateauRounds = 0
+        prevChanged = changed
+        if (plateauRounds >= 2) {
+          aborted = true
+          log.info(s"min-label round ${round + 1}: $changed labels still " +
+            "changing with no geometric shrink — deep-graph signature, " +
+            "aborting the remaining min-label budget")
+        }
+        changed > 0
+      } else next.filter(col("__chg")).limit(1).count() > 0
       checkpointRdd(labels).foreach(_.unpersist(false)) // free prior round
       labels = next.drop("__chg")
       converged = !anyChanged

@@ -2,7 +2,7 @@ package graft.model
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet-backed table loaders for the engine's relational surface.
   *
@@ -28,19 +28,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * vectorized reader doesn't support. With
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a long of
-    * epoch-nanos; convert to a microsecond timestamp (floor division —
-    * exactly what DuckDB does internally, so oracle parity holds).
+  /** `events.parquet` has shipped `ts` in three physical layouts across
+    * testdata generations; all three must yield the SAME µs-UTC `TIMESTAMP`
+    * instants (the oracle's DuckDB `TIMESTAMP` is naive-UTC, so parity
+    * requires a UTC session zone, which every entrypoint sets):
+    *   - parquet TIMESTAMP(NANOS): unsupported by the vectorized reader;
+    *     with `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a
+    *     long of epoch-nanos — floor-divide to µs (DuckDB's own semantics).
+    *   - parquet timestamp[us] isAdjustedToUTC=false → Spark TIMESTAMP_NTZ:
+    *     the wall-clock IS the UTC instant; a cast under the UTC session
+    *     zone is instant-preserving and keeps `unix_micros` et al. legal.
+    *   - parquet timestamp[us] UTC-adjusted → Spark TIMESTAMP: pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
+    raw.schema("ts").dataType match {
       // NB: integer division — epoch-nanos overflow double's 53-bit mantissa,
       // so `col/1000` (double div) would round off by up to ±1 µs.
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Events with the time-window predicate applied BEFORE the ns→µs
@@ -52,10 +62,19 @@ object Tables {
     * @param cutoffSeconds inclusive lower bound, epoch seconds UTC. */
   def eventsSince(s: SparkSession, d: String, cutoffSeconds: Long): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.filter(col("ts") >= cutoffSeconds * 1000000000L)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw.filter(col("ts") >= timestamp_seconds(lit(cutoffSeconds)))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.filter(col("ts") >= cutoffSeconds * 1000000000L)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        // filter BEFORE the cast with an NTZ literal (LocalDateTime) so the
+        // predicate is same-typed against the scan column and pushes as a
+        // parquet row-group filter; filtering the cast column would not.
+        raw.filter(col("ts") >= lit(java.time.LocalDateTime
+            .ofEpochSecond(cutoffSeconds, 0, java.time.ZoneOffset.UTC)))
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw.filter(col("ts") >= timestamp_seconds(lit(cutoffSeconds)))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

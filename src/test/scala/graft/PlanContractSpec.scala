@@ -21,10 +21,17 @@ class PlanContractSpec extends SparkSpec {
     q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
   }
 
-  test("events time-window predicate reaches the parquet scan as int64") {
+  test("events time-window predicate reaches the parquet scan") {
+    // The contract is layout-agnostic: testdata has shipped ts as
+    // nanos-as-long (pushed literal = 1704672000000000000) and as native
+    // timestamp[us] (pushed literal = the 2024-01-08T00:00 instant). What
+    // must NEVER happen is the range predicate failing to reach ANY scan —
+    // that is a full fact-table read at 100 TB (P1, etl_deepflow:641).
     val p = plan("q_flow_rollup")
-    assert(p.contains("PushedFilters:") &&
-      p.contains("GreaterThanOrEqual(ts,1704672000000000000)"), p.take(400))
+    val pushed =
+      "GreaterThanOrEqual\\(ts,(1704672000000000000|2024-01-08T00:00[^)]*)\\)".r
+    assert(p.contains("PushedFilters:") && pushed.findFirstIn(p).isDefined,
+      s"time-window predicate not pushed to the events scan:\n${p.take(600)}")
   }
 
   test("dimension chains broadcast; fact side never shuffles for the join") {
@@ -206,6 +213,56 @@ class PlanContractSpec extends SparkSpec {
       val p = plan("q_skew_join")
       val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
       assert(exchanges.exists(_.contains("__salt")), exchanges.mkString("; "))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("distributed ANN probe join: corpus never shuffles when probes broadcast") {
+    // searchDistributed(broadcastProbes=true) is the serving shape for a
+    // large probe batch against a 100 TB corpus index: probe selection is
+    // a broadcast-centroid argmin, then the probe frame broadcasts into
+    // the corpus join — the ONLY hash exchanges in the plan are the two
+    // query_id windows; the corpus side must never repartition on list_id.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val model = graft.ext.IvfIndex.buildSign(emb, "vec_id", "embedding", bits = 4)
+    val q = graft.ext.IvfIndex.searchDistributed(model,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, nProbe = 1, broadcastProbes = true)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    val exchanges = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(!exchanges.exists(_.contains("list_id")),
+      s"corpus shuffled on list_id: ${exchanges.mkString("; ")}")
+  }
+
+  test("distributed ANN probe join: non-broadcast mode shuffles on list_id only") {
+    // broadcastProbes=false is the corpus×corpus bulk shape: both sides
+    // hash-shuffle on list_id (the posting-list key) and nothing else —
+    // a shuffle on any other key (or a broadcast that AQE sneaks in)
+    // would break the co-location the persisted layout is built around.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val model = graft.ext.IvfIndex.buildSign(emb, "vec_id", "embedding", bits = 4)
+      val q = graft.ext.IvfIndex.searchDistributed(model,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 3, nProbe = 1, broadcastProbes = false)
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(600))
+      val joinExchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+        .findAllMatchIn(p).map(_.group(1)).filter(_.contains("list_id")).toSeq
+      assert(joinExchanges.size >= 2,
+        s"expected both join sides keyed on list_id: ${joinExchanges.mkString("; ")}")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

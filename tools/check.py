@@ -58,6 +58,13 @@ def main():
         if not d.is_dir():
             continue
         name = d.name
+        err = d / "_GRAFT_ERROR.txt"
+        if err.exists():
+            # Verify's no-silent-absence sentinel: the query failed at run
+            # time; surface a red row instead of omitting it (round-8 bug).
+            print(f"  {name}: QUERY-ERROR {err.read_text().strip()}")
+            n_fail += 1
+            continue
         spark_tbl = ds.dataset(str(d)).to_table()
         s_cols = spark_tbl.column_names
         s_rows = [tuple(r[c] for c in s_cols) for r in spark_tbl.to_pylist()]
