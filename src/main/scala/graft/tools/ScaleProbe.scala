@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   private val Queries =
     Seq("q_minhash_lsh", "q_ngram_jaccard", "q_dedup_clusters_star",
-      "q_dsir", "q_triangles")
+      "q_dsir", "q_triangles", "q_components_adaptive")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
@@ -67,6 +67,26 @@ object ScaleProbe {
       marker.getParentFile.mkdirs()
       marker.createNewFile()
       println(s"[scaleprobe] generated $sf1 (${Replicas}x $base)")
+    }
+    // events added to the probe after the marker scheme shipped — generate
+    // it independently so a pre-existing sf1 dir upgrades in place.
+    //   - user_id/event_id shift per replica: 10 disjoint per-user chain
+    //     families, identical diameters (49–86) — the adaptive-CC work
+    //     profile scales ×10 in chains, not in depth, matching how a
+    //     bigger real corpus adds users rather than longer sessions;
+    //   - ts is kept verbatim (the per-user ORDER, not the global range,
+    //     drives the succession edges).
+    if (args.contains("regen") ||
+        !new java.io.File(s"$sf1/events.parquet").exists()) {
+      val ev = graft.model.Tables.events(spark, base)
+      (0 until Replicas).map { k =>
+        ev.select((col("event_id") + lit(k * 10000000L)).as("event_id"),
+          col("ts"), (col("user_id") + lit(k * 1000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$sf1/events.parquet")
+      println(s"[scaleprobe] generated $sf1/events.parquet")
     }
 
     def run(name: String, dir: String): (Long, Double) = {
