@@ -1674,6 +1674,59 @@ object SparkEntry {
         col("features")(0).as("f_len"),
         round(col("features")(1), 4).as("f_mean"),
         col("features")(2).as("f_head"))
+    }),
+
+    // ── S1/S2 text ingest faces: the reference's flow logs arrive as
+    //    JSON/TSV lines, not parquet (SURVEY §1.2). Round-trip contract:
+    //    serialize a deterministic events subset to the text format, read
+    //    it back through the explicit-schema PERMISSIVE reader
+    //    (sources/TextSources — quarantine, never die or drop), and
+    //    aggregate; the oracle computes the same aggregate off the
+    //    parquet table, so any parse loss (rows, ts instants, value
+    //    precision, props bytes) hash-mismatches. n_bad pins the
+    //    quarantine count at zero on clean data.
+    "q_jsonl_scan" -> ((s, dir) => {
+      import graft.sources.TextSources
+      val sub = Tables.events(s, dir).filter(col("user_id") % 100 === 0)
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_jsonl_scan"
+      TextSources.toJsonlColumns(sub).coalesce(4)
+        .write.mode("overwrite").text(path)
+      // a PERMISSIVE-quarantined line yields all-NULL data columns, and
+      // clean lines always carry event_type — so the bad count rides the
+      // data columns alone. (Referencing the corrupt column here would
+      // hit Spark's corrupt-column-only scan restriction once pruning
+      // collapses the projection; the quarantine column itself remains
+      // the dead-letter surface, see TextSources.deadLetter.)
+      val flagged = TextSources.eventsJsonl(s, path)
+        .select(col("event_type"), col("value"), col("ts"), col("props"))
+      val bad = flagged
+        .agg(sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("n_bad"))
+      flagged.filter(col("event_type").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          decSum(col("value")).as("sum_value"),
+          max(unix_micros(col("ts"))).as("max_ts_us"),
+          countDistinct(col("props")).as("n_props"))
+        .crossJoin(bad)
+    }),
+
+    "q_tsv_scan" -> ((s, dir) => {
+      import graft.sources.TextSources
+      val sub = Tables.events(s, dir).filter(col("user_id") % 100 === 1)
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_tsv_scan"
+      TextSources.toTsvColumns(sub).coalesce(4)
+        .write.mode("overwrite").text(path)
+      val flagged = TextSources.eventsTsv(s, path)
+        .select(col("event_type"), col("value"), col("ts"), col("props"))
+      val bad = flagged
+        .agg(sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("n_bad"))
+      flagged.filter(col("event_type").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          decSum(col("value")).as("sum_value"),
+          max(unix_micros(col("ts"))).as("max_ts_us"),
+          countDistinct(col("props")).as("n_props"))
+        .crossJoin(bad)
     })
   )
 
@@ -3910,6 +3963,26 @@ object SparkEntry {
                         i -> unicode(substr(text, CAST(i AS INT), 1)))) AS DOUBLE)
                       / CAST(strlen(text) AS DOUBLE), 4) AS f_mean,
                 CAST(unicode(substr(text, 1, 1)) AS DOUBLE) AS f_head
-         FROM documents"""
+         FROM documents""",
+
+    // text-face round trips: the oracle reads the PARQUET table — equality
+    // proves the serialize → PERMISSIVE-read cycle is lossless
+    "q_jsonl_scan" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                epoch_us(max(ts)) AS max_ts_us,
+                count(DISTINCT props) AS n_props,
+                CAST(0 AS BIGINT) AS n_bad
+         FROM events WHERE user_id % 100 = 0
+         GROUP BY event_type""",
+
+    "q_tsv_scan" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                epoch_us(max(ts)) AS max_ts_us,
+                count(DISTINCT props) AS n_props,
+                CAST(0 AS BIGINT) AS n_bad
+         FROM events WHERE user_id % 100 = 1
+         GROUP BY event_type"""
   )
 }
