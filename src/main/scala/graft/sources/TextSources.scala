@@ -109,6 +109,11 @@ object TextSources {
       col("user_id"), col("event_type"), col("value"), col("props")))
       .as("line"))
 
+  /** PRECONDITION (inherent to unescaped delimited text, matching real
+    * flow-log emitters): no field may contain the delimiter or a newline.
+    * Fields that can — free text, raw payloads — belong on the JSONL
+    * face, which escapes everything (TextSourcesPropertySpec proves the
+    * hostile-content round trip there). */
   def toTsvColumns(df: DataFrame): DataFrame =
     df.select(concat_ws("\t",
       col("event_id").cast("string"),
