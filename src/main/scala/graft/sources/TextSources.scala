@@ -77,6 +77,37 @@ object TextSources {
       .option("header", header.toString)
       .csv(path)
 
+  /** Continuous ingest face: the same explicit-schema PERMISSIVE JSONL
+    * read as [[eventsJsonl]], as a file-source STREAM — new files under
+    * `path` become micro-batches, the checkpoint tracks which files are
+    * consumed (restart-safe, no reprocessing), and every downstream
+    * transform is the same trigger-agnostic DataFrame code as batch
+    * (§2.10 discipline). `maxFilesPerTrigger` bounds a catch-up batch so
+    * a backlog drains in controlled slices instead of one giant batch. */
+  def eventsJsonlStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .schema(withQuarantine(eventsSchema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", QuarantineCol)
+      .option("timestampFormat", TsFormat)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+
+  /** Streaming TSV face — see [[eventsTsv]] for the delimited-text
+    * semantics and [[eventsJsonlStream]] for the file-stream contract. */
+  def eventsTsvStream(spark: SparkSession, path: String, sep: String = "\t",
+      header: Boolean = false, maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .schema(withQuarantine(eventsSchema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", QuarantineCol)
+      .option("timestampFormat", TsFormat)
+      .option("sep", sep)
+      .option("header", header.toString)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(path)
+
   /** Rows the reader could not parse — route these to a dead-letter sink.
     * NB: Spark disallows scans whose referenced columns are ONLY the
     * corrupt-record column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD
