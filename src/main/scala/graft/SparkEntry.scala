@@ -1727,6 +1727,29 @@ object SparkEntry {
           max(unix_micros(col("ts"))).as("max_ts_us"),
           countDistinct(col("props")).as("n_props"))
         .crossJoin(bad)
+    }),
+
+    // ── Sink face: the curated-corpus layout writer round-tripped through
+    //    its own partition-pruned slice read (sources/CorpusLayout — hive
+    //    split/lang partitions, shard-ordered files, record caps; the
+    //    physical-layout contracts are CorpusLayoutSpec's). The oracle
+    //    recomputes the slice aggregate off the parquet table, so any row
+    //    loss or partition misrouting in the write→prune→read cycle
+    //    hash-mismatches.
+    "q_corpus_export" -> ((s, dir) => {
+      import graft.sources.CorpusLayout
+      val docs = Tables.documents(s, dir)
+        .withColumn("split",
+          when(col("doc_id") % 10 === 0, "heldout").otherwise("train"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_corpus_export"
+      CorpusLayout.write(docs, path, partitionCols = Seq("split", "lang"),
+        sortCols = Seq("source", "doc_id"), maxRecordsPerFile = 100000L)
+      CorpusLayout.readSlice(s, path, "split" -> "train")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
     })
   )
 
@@ -3983,6 +4006,13 @@ object SparkEntry {
                 count(DISTINCT props) AS n_props,
                 CAST(0 AS BIGINT) AS n_bad
          FROM events WHERE user_id % 100 = 1
-         GROUP BY event_type"""
+         GROUP BY event_type""",
+
+    "q_corpus_export" ->
+      """SELECT lang, count(*) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents WHERE doc_id % 10 <> 0
+         GROUP BY lang"""
   )
 }
