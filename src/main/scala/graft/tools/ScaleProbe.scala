@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   private val Queries =
     Seq("q_minhash_lsh", "q_ngram_jaccard", "q_dedup_clusters_star",
-      "q_dsir", "q_triangles", "q_components_adaptive")
+      "q_dsir", "q_triangles", "q_components_adaptive",
+      "q_dedup_incr", "q_neardup_filter")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
