@@ -1449,6 +1449,40 @@ object SparkEntry {
         graft.ext.Basket.coPairs(li, "l_orderkey", "l_partkey"), "u", "v")
     }),
 
+    // ── APPROXIMATE triangle counting (ext.Triangles.approxPerNode,
+    //    DOULION deterministic md5-bucket edge sampling at p=1/2): the
+    //    100× path for the corpus's one WORK-bound superlinear scaler —
+    //    the exact triangle count itself grows 6.24×/decade (PERF.md),
+    //    so at scale the only lever is counting fewer of them; sampling
+    //    keeps ~p² of the intersect work and ~p³ of the output. Sketch
+    //    estimates have no SQL oracle, so the driver-hashable contract
+    //    is the q_hll_daily twin pattern: exact count + a
+    //    within-tolerance boolean. Tolerance 15% ≈ 7× the worst
+    //    measured relerr on this graph across the three SFs (2.1% /
+    //    0.45% / 0.27% at sf0.001/0.01/0.1 — tools/ApproxTriProbe); the
+    //    estimate is DETERMINISTIC (pure function of the input), so the
+    //    margin only guards testdata re-rolls, not run-to-run noise.
+    //    Even-part subgraph (the q_label_prop sampling practice) keeps
+    //    the twin's exact side lean in the bench; the full-graph
+    //    accuracy + wall-time A/B lives in PERF.md.
+    "q_triangles_approx" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .filter(col("l_partkey") % 2 === 0)
+      // both the exact twin and the sample read the same edge list —
+      // materialize it once (AQE does not reuse sibling stages)
+      val edges = graft.ext.Basket.coPairs(li, "l_orderkey", "l_partkey")
+        .localCheckpoint()
+      val exact = graft.ext.Triangles.perNode(edges, "u", "v")
+        .agg((sum(col("n_tri")) / 3).cast("long").as("n_tri_exact"))
+      val est = graft.ext.Triangles.approxPerNode(edges, "u", "v")
+        .agg((sum(col("n_tri_est")) / 3).as("t_est"))
+      // single-row × single-row attach
+      exact.crossJoin(est).select(col("n_tri_exact"),
+        (abs(col("t_est") - col("n_tri_exact"))
+          <= col("n_tri_exact") * 0.15).as("approx_ok"))
+    }),
+
     // ── k-core decomposition of the part co-purchase graph: 3 fixed
     //    peeling rounds at k=60 (ext.KCore) — per round ONE degree
     //    aggregate + two semi joins against the shrinking keep set.
@@ -3467,6 +3501,19 @@ object SparkEntry {
                UNION ALL SELECT b FROM tri
                UNION ALL SELECT c FROM tri)
          SELECT node, count(*) AS n_tri FROM n GROUP BY node""",
+
+    // the sampled estimate is engine-specific; the hashable contract is
+    // the exact global count + a within-tolerance boolean (see the query
+    // comment for the measured margins)
+    "q_triangles_approx" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               WHERE a.l_partkey % 2 = 0 AND b.l_partkey % 2 = 0),
+         tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+               FROM e e1 JOIN e e2 ON e2.x = e1.y
+                         JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y)
+         SELECT count(*) AS n_tri_exact, TRUE AS approx_ok FROM tri""",
 
     // chained stage CTEs mirror the operator: earliest qualifying event
     // strictly after the previous stage time

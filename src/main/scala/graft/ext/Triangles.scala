@@ -110,4 +110,53 @@ object Triangles {
       .groupBy(col("node"))
       .agg(sum(col("c")).as("n_tri"))
   }
+
+  /** DOULION-style approximate per-node triangle counts by deterministic
+    * edge sampling (Tsourakakis et al., KDD'09: keep each edge with
+    * probability p, count triangles on the sample, scale by 1/p³).
+    *
+    * Why it exists: exact counting is WORK-bound, not plan-bound — the
+    * true triangle count itself grows superlinearly on dense corpora
+    * (measured 6.24×/decade on the co-purchase graph, PERF.md), so at
+    * 100× the only lever is counting fewer of them. Sampling at p keeps
+    * ~p² of the per-edge intersection work and ~p³ of the output rows.
+    *
+    * Determinism (the repo-wide no-`rand()` discipline, same scheme as
+    * [[Splits.hashBucket]]): the coin for an undirected edge is an md5
+    * bucket of its CANONICAL "a:b" key — both directions of the same
+    * edge draw the same coin, every run and every engine lands on the
+    * same sample, so the estimate is a pure function of the input.
+    *
+    * Estimator honesty: per-node estimates are unbiased but NOISY for
+    * nodes with few triangles (a node whose triangles were all sampled
+    * away reports no row at all); the estimator is meant for aggregate /
+    * heavy-node readings. Global-sum relative error shrinks as
+    * ~√((1/p³−1)/T) for T true triangles — see ApproxTrianglesSpec for
+    * the measured bounds and `SparkEntry.q_triangles_approx` for the
+    * estimate-vs-exact tolerance gate.
+    *
+    * @param keepBuckets edges kept ⇔ md5 bucket ∈ [0, keepBuckets) of
+    *   [0, buckets), i.e. p = keepBuckets/buckets (default 8/16 = ½,
+    *   scale 8×). Counts are scaled by (buckets/keepBuckets)³.
+    * @return (node, n_tri_est double) for nodes in ≥1 SAMPLED triangle
+    */
+  def approxPerNode(edges: DataFrame, srcCol: String, dstCol: String,
+      keepBuckets: Int = 8, buckets: Int = 16,
+      broadcastAdjacency: Boolean = true): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536,
+      "buckets must be in [2, 65536] (bucket space is 4 md5 nibbles)")
+    require(keepBuckets >= 1 && keepBuckets <= buckets,
+      "keepBuckets must be in [1, buckets]")
+    val u = col(srcCol)
+    val v = col(dstCol)
+    // canonicalize BEFORE sampling so both directions of one undirected
+    // edge share a coin; dedup inside perNode makes re-canon a no-op
+    val canon = edges.where(u =!= v)
+      .select(least(u, v).as("a"), greatest(u, v).as("b"))
+    val bucket =
+      Splits.hashBucket(concat_ws(":", col("a"), col("b"))) % buckets
+    val scale = math.pow(buckets.toDouble / keepBuckets.toDouble, 3)
+    perNode(canon.where(bucket < keepBuckets), "a", "b", broadcastAdjacency)
+      .select(col("node"), (col("n_tri") * scale).as("n_tri_est"))
+  }
 }
