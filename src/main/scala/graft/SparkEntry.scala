@@ -54,6 +54,24 @@ object SparkEntry {
     path
   }
 
+  /** Per-run-unique scratch dir for the queries that stage data on local
+    * disk (q_jsonl_scan / q_tsv_scan / q_corpus_export). The previous
+    * fixed `graft_q_*` paths raced concurrent JVMs on one host (ADVICE
+    * r9): a driver Bench and a builder Verify would overwrite each
+    * other's staging mid-read. applicationId + pid make the root unique
+    * per JVM (local-mode appIds are timestamp-derived, so the pid breaks
+    * a same-millisecond tie); within a JVM the path is STABLE, so
+    * Bench's 3× reruns of one query overwrite in place instead of
+    * accumulating. The whole per-JVM root rides the exit-time cleanup
+    * queue above.
+    */
+  private[graft] def scratchDir(s: SparkSession, name: String): String = {
+    val root = System.getProperty("java.io.tmpdir") +
+      s"/graft_scratch_${s.sparkContext.applicationId}_${ProcessHandle.current().pid()}"
+    registerTempIndexDir(root)
+    s"$root/$name"
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_flow_rollup")(spark, "/root/testdata/sf0.001")
@@ -1722,7 +1740,7 @@ object SparkEntry {
     "q_jsonl_scan" -> ((s, dir) => {
       import graft.sources.TextSources
       val sub = Tables.events(s, dir).filter(col("user_id") % 100 === 0)
-      val path = System.getProperty("java.io.tmpdir") + "/graft_q_jsonl_scan"
+      val path = scratchDir(s, "q_jsonl_scan")
       TextSources.toJsonlColumns(sub).coalesce(4)
         .write.mode("overwrite").text(path)
       // a PERMISSIVE-quarantined line yields all-NULL data columns, and
@@ -1747,7 +1765,7 @@ object SparkEntry {
     "q_tsv_scan" -> ((s, dir) => {
       import graft.sources.TextSources
       val sub = Tables.events(s, dir).filter(col("user_id") % 100 === 1)
-      val path = System.getProperty("java.io.tmpdir") + "/graft_q_tsv_scan"
+      val path = scratchDir(s, "q_tsv_scan")
       TextSources.toTsvColumns(sub).coalesce(4)
         .write.mode("overwrite").text(path)
       val flagged = TextSources.eventsTsv(s, path)
@@ -1775,7 +1793,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
         .withColumn("split",
           when(col("doc_id") % 10 === 0, "heldout").otherwise("train"))
-      val path = System.getProperty("java.io.tmpdir") + "/graft_q_corpus_export"
+      val path = scratchDir(s, "q_corpus_export")
       CorpusLayout.write(docs, path, partitionCols = Seq("split", "lang"),
         sortCols = Seq("source", "doc_id"), maxRecordsPerFile = 100000L)
       CorpusLayout.readSlice(s, path, "split" -> "train")

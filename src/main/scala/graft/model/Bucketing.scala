@@ -27,17 +27,51 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed, bucket-sorted catalog table at `path`.
-    * Overwrites both the table entry and the files. */
+  /** Persist `df` as a bucketed, bucket-sorted catalog table rooted at
+    * `path`. Overwrites both the table entry and the files — by a
+    * STAGE-AND-SWAP, not drop-then-write: the earlier form dropped the
+    * live registration before attempting the write, so a failed rewrite
+    * (bad input, disk full) left readers of [[table]] broken with no
+    * rollback (ADVICE r9). Now the new layout lands in a versioned
+    * subdir under a staging table name; only after the write succeeds is
+    * the live name dropped and the staging entry renamed in — a failure
+    * at any earlier point leaves the previous registration serving
+    * untouched. Older version dirs are best-effort reclaimed after the
+    * swap (queries STARTED against the old version mid-swap can lose
+    * files under themselves — the usual overwrite caveat; bucketed
+    * layouts are rebuilt offline, not under live queries).
+    */
   def writeBucketed(df: DataFrame, table: String, path: String,
       key: String, buckets: Int): Unit = {
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
-    df.write
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .option("path", path)
-      .mode("overwrite")
-      .saveAsTable(table)
+    val spark = df.sparkSession
+    val version = s"v_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    val staging = s"${table}_staging_$version"
+    try {
+      df.write
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", s"$path/$version")
+        .mode("errorifexists")
+        .saveAsTable(staging)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    } catch {
+      case e: Throwable =>
+        try spark.sql(s"DROP TABLE IF EXISTS $staging")
+        catch { case _: Exception => () }
+        throw e
+    }
+    // reclaim superseded version dirs (the fresh one excepted)
+    try {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root))
+        fs.listStatus(root).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith("v_") && n != version)
+            fs.delete(st.getPath, true)
+        }
+    } catch { case _: Exception => () } // stale versions are inert extras
   }
 
   /** The bucketed table, catalog-backed (bucket metadata attached — a

@@ -64,15 +64,30 @@ object CorpusLayout {
     * files whose open() overhead dominates every scan.
     *
     * Mechanics, chosen for the 100 TB failure modes:
-    *   - the rewrite goes to a hidden temp dir then ATOMICALLY swaps in
-    *     (delete + rename) — Spark cannot overwrite a path it is lazily
-    *     reading, and a crash mid-compact must leave either the old or
-    *     the new layout, never a half-deleted mix;
+    *   - the rewrite goes to a hidden temp dir, then swaps in by a
+    *     RENAME-ASIDE protocol (live → .compact_old, tmp → live, drop
+    *     .compact_old): every crash point leaves a COMPLETE copy of the
+    *     slice on disk — untouched live before the first rename, the
+    *     full copy at `.compact_old_*` between the renames (recover by
+    *     renaming it back; a failed second rename rolls back
+    *     automatically), the new layout after. The earlier delete-then-
+    *     rename swap had a window where neither layout existed (ADVICE
+    *     r9); renames of a directory are single metadata ops on
+    *     HDFS-like stores, unlike the recursive delete;
+    *   - the tmp dir is keyed by partition column NAMES and values plus
+    *     pid+nanoTime — concurrent compacts of sibling slices (or
+    *     (split=train) vs (lang=train)) can never share it — and is
+    *     best-effort deleted on ANY failure, so an aborted rewrite
+    *     (disk full, task failure) leaves no orphan;
     *   - `repartitionByRange(k, sortCols)` + in-partition sort keeps the
     *     GLOBAL shard order across the compacted files (file k holds the
     *     k-th key range, files sort lexicographically) while writing with
     *     k-way parallelism — strictly better than a single writer task;
     *   - only the named slice is touched; sibling partitions keep serving.
+    *
+    * Readers racing the swap itself can observe a missing directory for
+    * the instant between the two renames — callers wanting zero-downtime
+    * serve from a catalog pointer they flip after compacting.
     *
     * @return (files before, files after) */
   def compactSlice(spark: SparkSession, path: String,
@@ -89,16 +104,32 @@ object CorpusLayout {
     val slice = spark.read.parquet(sliceDir)
     val k = math.max(1L,
       (slice.count() + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt
-    val tmp = new org.apache.hadoop.fs.Path(
-      path, s".compact_tmp_${partition.map(_._2).mkString("_")}")
-    slice.repartitionByRange(k, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
-      .write.option("maxRecordsPerFile", maxRecordsPerFile)
-      .mode("overwrite").parquet(tmp.toString)
+    val tag = (partition.map { case (c, v) => s"$c=$v" }.mkString("_") +
+      s"_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+      .replaceAll("[^A-Za-z0-9_=.-]", "_")
+    val tmp = new org.apache.hadoop.fs.Path(path, s".compact_tmp_$tag")
+    val old = new org.apache.hadoop.fs.Path(path, s".compact_old_$tag")
+    var swapped = false
+    try {
+      slice.repartitionByRange(k, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.option("maxRecordsPerFile", maxRecordsPerFile)
+        .mode("overwrite").parquet(tmp.toString)
 
-    fs.delete(slicePath, true)
-    require(fs.rename(tmp, slicePath),
-      s"compact swap failed: $tmp -> $slicePath")
+      require(fs.rename(slicePath, old),
+        s"compact swap failed: $slicePath -> $old")
+      if (!fs.rename(tmp, slicePath)) {
+        fs.rename(old, slicePath) // roll the live slice back
+        throw new IllegalStateException(
+          s"compact swap failed: $tmp -> $slicePath (rolled back)")
+      }
+      swapped = true
+      fs.delete(old, true) // post-swap garbage; dot-prefixed if it lingers
+    } finally {
+      // no-op after a successful swap (tmp was renamed away); on any
+      // failure this reclaims the partial rewrite
+      if (!swapped) fs.delete(tmp, true)
+    }
     (before, parquetFiles(slicePath))
   }
 }

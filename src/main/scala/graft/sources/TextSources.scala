@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -144,11 +144,23 @@ object TextSources {
     * flow-log emitters): no field may contain the delimiter or a newline.
     * Fields that can — free text, raw payloads — belong on the JSONL
     * face, which escapes everything (TextSourcesPropertySpec proves the
-    * hostile-content round trip there). */
-  def toTsvColumns(df: DataFrame): DataFrame =
+    * hostile-content round trip there).
+    *
+    * NULL fields serialize as the EMPTY field (`coalesce(_, "")`), which
+    * the CSV reader's default `nullValue=""` parses back to NULL — the
+    * tab count stays fixed at arity−1 for every row. Without the
+    * coalesce, `concat_ws` silently SKIPS null inputs (one fewer tab),
+    * shifting later columns left into the wrong slots — silent
+    * corruption, not quarantine (ADVICE r9). The one lossy corner is
+    * delimited text's own: a genuinely empty STRING field (props = "")
+    * also reads back as NULL; emitters that must distinguish them use
+    * the JSONL face. */
+  def toTsvColumns(df: DataFrame): DataFrame = {
+    def f(c: Column): Column = coalesce(c, lit(""))
     df.select(concat_ws("\t",
-      col("event_id").cast("string"),
-      date_format(col("ts"), TsFormat),
-      col("user_id").cast("string"), col("event_type"),
-      col("value").cast("string"), col("props")).as("line"))
+      f(col("event_id").cast("string")),
+      f(date_format(col("ts"), TsFormat)),
+      f(col("user_id").cast("string")), f(col("event_type")),
+      f(col("value").cast("string")), f(col("props"))).as("line"))
+  }
 }

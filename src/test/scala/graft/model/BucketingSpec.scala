@@ -71,4 +71,47 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS spec_b_lineitem")
     }
   }
+
+  test("failed rewrite leaves the previous registration serving (stage-and-swap)") {
+    // ADVICE r9: the old drop-then-write form lost the live table when
+    // the write failed. Now the write stages under a temp name and only
+    // swaps on success — a failing rewrite must leave readers untouched.
+    val dir = Files.createTempDirectory("bucketing-swap").toString
+    try {
+      Bucketing.writeBucketed(
+        spark.read.parquet(s"$sfDir/region.parquet"),
+        "spec_b_swap", s"$dir/t", "r_regionkey", buckets = 2)
+      val before = Bucketing.table(spark, "spec_b_swap").count()
+      assert(before > 0)
+
+      // evaluation of this frame throws mid-write (division by zero is
+      // ANSI-fatal in Spark 4)
+      val poison = spark.read.parquet(s"$sfDir/region.parquet")
+        .withColumn("boom", expr("r_regionkey / 0"))
+      intercept[Exception] {
+        Bucketing.writeBucketed(poison, "spec_b_swap", s"$dir/t",
+          "r_regionkey", buckets = 2)
+      }
+
+      // live registration still serves the previous layout
+      assert(Bucketing.table(spark, "spec_b_swap").count() == before)
+      // no staging table left behind
+      assert(!spark.catalog.listTables()
+        .collect().exists(_.name.startsWith("spec_b_swap_staging")))
+
+      // a successful rewrite swaps in AND reclaims the superseded version
+      Bucketing.writeBucketed(
+        spark.read.parquet(s"$sfDir/region.parquet").limit(3),
+        "spec_b_swap", s"$dir/t", "r_regionkey", buckets = 2)
+      assert(Bucketing.table(spark, "spec_b_swap").count() == 3)
+      val versions = new java.io.File(s"$dir/t").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+      assert(versions.length == 1, versions.map(_.getName).mkString(","))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spec_b_swap")
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("spec_b_swap_staging"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    }
+  }
 }

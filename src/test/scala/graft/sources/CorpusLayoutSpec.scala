@@ -109,5 +109,43 @@ class CorpusLayoutSpec extends SparkSpec {
     // sibling partition untouched, full corpus still lossless
     assert(files("split=train/lang=en") == sibling)
     assert(spark.read.parquet(path).count() == 500L)
+
+    // no compaction debris: the tmp and rename-aside dirs are gone
+    val debris = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith(".compact_")).map(_.getName)
+    assert(debris.isEmpty, debris.mkString(","))
+  }
+
+  test("aborted compaction leaves the slice intact and no tmp debris") {
+    val path = Files.createTempDirectory("corpus-abort").toString
+    CorpusLayout.write(corpus(), path,
+      partitionCols = Seq("split", "lang"),
+      sortCols = Seq("shard", "doc_id"),
+      maxRecordsPerFile = 40L)
+    def files(sub: String): Seq[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      Files.walk(java.nio.file.Paths.get(s"$path/$sub")).iterator()
+        .forEachRemaining(p =>
+          if (p.toString.endsWith(".parquet")) buf += p.toString)
+      buf.toSeq.sorted
+    }
+    val beforeFiles = files("split=train/lang=de")
+
+    // a sort column that doesn't exist makes the tmp rewrite throw
+    // before any swap step — the failure mode ADVICE r9 flagged
+    intercept[Exception] {
+      CorpusLayout.compactSlice(spark, path,
+        partition = Seq("split" -> "train", "lang" -> "de"),
+        sortCols = Seq("no_such_column"),
+        maxRecordsPerFile = 150L)
+    }
+
+    // live slice untouched, readable, and the failed rewrite reclaimed
+    assert(files("split=train/lang=de") == beforeFiles)
+    assert(CorpusLayout.readSlice(spark, path,
+      "split" -> "train", "lang" -> "de").count() == 300L)
+    val debris = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith(".compact_")).map(_.getName)
+    assert(debris.isEmpty, debris.mkString(","))
   }
 }

@@ -63,4 +63,31 @@ class TextSourcesPropertySpec extends SparkSpec {
       assert(back == rows, s"seed $i")
     }
   }
+
+  test("tsv face: NULL middle fields keep column alignment (no left-shift)") {
+    // ADVICE r9: concat_ws silently SKIPS nulls — a NULL event_type row
+    // used to serialize with one fewer tab, and the CSV reader would
+    // parse the shifted row "successfully" into the wrong columns.
+    // Now NULL serializes as the empty field and reads back as NULL,
+    // with every later column in its right slot.
+    val rows = Seq(
+      (1L, java.sql.Timestamp.from(java.time.Instant.parse("2024-01-02T03:04:05.123456Z")),
+        7L, Option("click"), Option(1.5), Option("""{"k":1}""")),
+      (2L, java.sql.Timestamp.from(java.time.Instant.parse("2024-02-03T04:05:06.654321Z")),
+        8L, Option.empty[String], Option(2.5), Option("""{"k":2}""")),
+      (3L, java.sql.Timestamp.from(java.time.Instant.parse("2024-03-04T05:06:07.000001Z")),
+        9L, Option("view"), Option.empty[Double], Option.empty[String]))
+    val src = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    // fixed tab arity regardless of nulls
+    val lines = TextSources.toTsvColumns(src).as[String].collect()
+    assert(lines.forall(_.count(_ == '\t') == 5), lines.mkString("|"))
+    val dir = Files.createTempDirectory("tsv-null-prop").toString
+    TextSources.toTsvColumns(src).coalesce(1)
+      .write.mode("overwrite").text(dir)
+    val back = TextSources.clean(TextSources.eventsTsv(spark, dir))
+      .as[(Long, java.sql.Timestamp, Long, Option[String], Option[Double], Option[String])]
+      .collect().sortBy(_._1).toList
+    assert(back == rows.toList)
+  }
 }
