@@ -1802,6 +1802,39 @@ object SparkEntry {
           sum(col("n_chars")).as("chars"),
           min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))
+    }),
+
+    // ── X80 compaction, driver-visible: land the corpus with a tiny
+    //    record cap (the streaming landing zone's many-small-files
+    //    shape), compact the train slice, and aggregate the slice read
+    //    AFTER the swap — any row loss/dup in the rewrite, or misrouting
+    //    of the rename-aside swap, hash-mismatches. The file counts ride
+    //    along as columns because both are DETERMINISTIC functions of
+    //    the row count: `write` repartitions by the partition column, so
+    //    one task holds all train rows and emits ceil(n/40) capped
+    //    files; the compact rewrite plans ceil(n/100000) = 1 range, one
+    //    file. The oracle recomputes both from count(*). Physical
+    //    contracts (order, siblings, debris) stay spec-gated
+    //    (CorpusLayoutSpec).
+    "q_compaction" -> ((s, dir) => {
+      import graft.sources.CorpusLayout
+      val docs = Tables.documents(s, dir)
+        .withColumn("split",
+          when(col("doc_id") % 10 === 0, "heldout").otherwise("train"))
+      val path = scratchDir(s, "q_compaction")
+      CorpusLayout.write(docs, path, partitionCols = Seq("split"),
+        sortCols = Seq("lang", "doc_id"), maxRecordsPerFile = 40L)
+      val (before, after) = CorpusLayout.compactSlice(s, path,
+        partition = Seq("split" -> "train"),
+        sortCols = Seq("lang", "doc_id"), maxRecordsPerFile = 100000L)
+      CorpusLayout.readSlice(s, path, "split" -> "train")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .withColumn("n_files_before", lit(before.toLong))
+        .withColumn("n_files_after", lit(after.toLong))
     })
   )
 
@@ -4078,6 +4111,21 @@ object SparkEntry {
                 CAST(sum(n_chars) AS BIGINT) AS chars,
                 min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM documents WHERE doc_id % 10 <> 0
-         GROUP BY lang"""
+         GROUP BY lang""",
+
+    // file counts are deterministic functions of the slice row count
+    // (see the query comment); the slice aggregate proves the compacted
+    // rewrite lost/duplicated nothing
+    "q_compaction" ->
+      """WITH t AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+         f AS (SELECT CAST(ceil(count(*) / 40.0) AS BIGINT) AS n_files_before,
+                      CAST(ceil(count(*) / 100000.0) AS BIGINT) AS n_files_after
+               FROM t)
+         SELECT lang, count(*) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                min(doc_id) AS min_id, max(doc_id) AS max_id,
+                n_files_before, n_files_after
+         FROM t CROSS JOIN f
+         GROUP BY lang, n_files_before, n_files_after"""
   )
 }
