@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * frame-sample are per-partition batch transforms.
   *
   * Decode is REAL for the formats the JVM ships codecs for — PNG / JPEG /
-  * BMP / GIF via `javax.imageio` ([[ImageCodec]]) and PCM WAV via a RIFF
-  * parser ([[WavCodec]]) — and falls back to the loudly-labeled
-  * [[FakeCodec]] byte-statistics stub for formats whose codecs this
-  * container lacks (video etc.). Codec dispatch is per row by format tag;
-  * adding a modality is one [[MediaCodec]] implementation, every plan
-  * shape stays identical.
+  * BMP / GIF via `javax.imageio` ([[ImageCodec]]), PCM WAV via a RIFF
+  * parser ([[WavCodec]]), and MJPEG-in-AVI video via a RIFF walk +
+  * per-frame imageio JPEG decode ([[AviMjpegCodec]]) — and falls back to
+  * the loudly-labeled [[FakeCodec]] byte-statistics stub for formats
+  * whose codecs this container lacks (inter-frame video codecs etc.).
+  * Codec dispatch is per row by format tag; adding a modality is one
+  * [[MediaCodec]] implementation, every plan shape stays identical.
   */
 object Multimodal {
 
@@ -30,10 +31,7 @@ object Multimodal {
   /** Real still-image decode on the JDK's own `javax.imageio` (PNG, JPEG,
     * BMP, GIF). Features: width, height, mean luminance (BT.601). */
   object ImageCodec extends MediaCodec {
-    def decode(media: Array[Byte]): (Int, Array[Double]) = {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(media))
-      if (img == null) return (0, Array(0.0, 0.0, 0.0))
+    private[ext] def meanLuminance(img: java.awt.image.BufferedImage): Double = {
       val (w, h) = (img.getWidth, img.getHeight)
       var lum = 0.0
       var y = 0
@@ -47,7 +45,99 @@ object Multimodal {
         }
         y += 1
       }
-      (1, Array(w.toDouble, h.toDouble, lum / (w.toLong * h)))
+      lum / (w.toLong * h)
+    }
+
+    def decode(media: Array[Byte]): (Int, Array[Double]) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(media))
+      if (img == null) return (0, Array(0.0, 0.0, 0.0))
+      (1, Array(img.getWidth.toDouble, img.getHeight.toDouble,
+        meanLuminance(img)))
+    }
+  }
+
+  /** Real VIDEO decode for the one container a bare JVM can fully parse:
+    * MJPEG-in-AVI — a RIFF walk to the `movi` list, where every `##dc`/
+    * `##db` chunk is a complete JPEG frame `javax.imageio` decodes.
+    * (MJPEG is exactly "a JPEG per frame"; no inter-frame codec state,
+    * which is why it needs no native library.) Other video codecs keep
+    * the labeled [[FakeCodec]] stub.
+    *
+    * Features mirror [[ImageCodec]]: width, height (from the first
+    * decodable frame), mean BT.601 luminance averaged over ALL decodable
+    * frames; `n_frames` is the CONTAINER's video-chunk count, so a
+    * frame whose JPEG payload is corrupt still counts (loud in the
+    * luminance denominator, never silently dropped). Malformed RIFF —
+    * wrong signature, crafted negative lengths, truncation — degrades to
+    * the zero-feature fallback instead of throwing or looping
+    * (the same hostile-bytes posture as [[WavCodec]]).
+    *
+    * Per-row work is linear in frame count × pixels — the mapPartitions
+    * batch shape bounds memory to one video at a time per task; a
+    * 100 TB corpus distributes by rows as usual. */
+  object AviMjpegCodec extends MediaCodec {
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def fourcc(b: Array[Byte], i: Int): String =
+      if (i + 4 <= b.length) new String(b, i, 4, "US-ASCII") else ""
+
+    /** Raw JPEG bytes of every video frame chunk, in container order —
+      * the exact-frame-bytes surface the spec pins. Walks top-level RIFF
+      * chunks to the `movi` LIST, then its sub-chunks (recursing into
+      * `rec ` LISTs, where interleaved AVIs nest frames); `##dc`/`##db`
+      * chunks are video frames, `##wb` audio is skipped. */
+    def frames(media: Array[Byte]): IndexedSeq[Array[Byte]] = {
+      if (media.length < 12 || fourcc(media, 0) != "RIFF" ||
+        fourcc(media, 8) != "AVI ") return Vector.empty
+      val out = Vector.newBuilder[Array[Byte]]
+      def isFrameId(id: String): Boolean =
+        id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          (id.substring(2) == "dc" || id.substring(2) == "db")
+      // walk chunks in [pos, end); returns false on a malformed length
+      // (negative, or failing to advance) so crafted bytes can't loop
+      def walk(start: Int, end: Int, inMovi: Boolean): Boolean = {
+        var pos = start
+        while (pos + 8 <= end) {
+          val id = fourcc(media, pos)
+          val len = le32(media, pos + 4)
+          if (len < 0) return false
+          val body = pos + 8
+          val avail = math.max(0, math.min(len, end - body))
+          if (id == "LIST" && body + 4 <= end) {
+            val listType = fourcc(media, body)
+            if (listType == "movi" || (inMovi && listType == "rec "))
+              walk(body + 4, body + avail, inMovi = true)
+          } else if (inMovi && isFrameId(id)) {
+            out += java.util.Arrays.copyOfRange(media, body, body + avail)
+          }
+          val next = body + len + (len & 1) // chunks are word-aligned
+          if (next <= pos) return false
+          pos = next
+        }
+        true
+      }
+      walk(12, media.length, inMovi = false)
+      out.result()
+    }
+
+    def decode(media: Array[Byte]): (Int, Array[Double]) = {
+      val fs = frames(media)
+      if (fs.isEmpty) return (0, Array(0.0, 0.0, 0.0))
+      var w = 0.0; var h = 0.0
+      var lumSum = 0.0; var decoded = 0
+      fs.foreach { f =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+          catch { case _: java.io.IOException | _: RuntimeException => null }
+        if (img != null) {
+          if (decoded == 0) { w = img.getWidth; h = img.getHeight }
+          lumSum += ImageCodec.meanLuminance(img)
+          decoded += 1
+        }
+      }
+      (fs.length, Array(w, h, lumSum / fs.length))
     }
   }
 
@@ -111,8 +201,9 @@ object Multimodal {
   }
 
   /** ====== STUB ====== deterministic fake decoder standing in for codecs
-    * this container lacks (video, proprietary audio). Features are byte
-    * statistics — stable, engine-independent, and obviously fake. */
+    * this container lacks (non-MJPEG video, proprietary audio). Features
+    * are byte statistics — stable, engine-independent, and obviously
+    * fake. */
   object FakeCodec extends MediaCodec {
     val FrameBytes = 1024
 
@@ -137,6 +228,7 @@ object Multimodal {
   def codecFor(format: String): MediaCodec = format.toLowerCase match {
     case "png" | "jpeg" | "jpg" | "bmp" | "gif" => ImageCodec
     case "wav" => WavCodec
+    case "avi" | "mjpeg" => AviMjpegCodec
     case _ => FakeCodec
   }
 
@@ -216,6 +308,30 @@ object Multimodal {
           val buf = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(out, "png", buf)
           ResizedMedia(r.media_id, width, height, buf.toByteArray)
+        }
+      }
+    }
+  }
+
+  case class VideoFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** REAL evenly-spaced video frame sampling for MJPEG-AVI: extracts k
+    * frames per video as standalone JPEG byte arrays (each is decodable
+    * by [[ImageCodec]] / feedable to [[resizeImages]]). Frame choice is
+    * the same exact pixel-center integer mapping as [[resizeImages]]
+    * (`idx = (2i+1)·n / (2k)`), so the sample is bit-deterministic.
+    * Unparseable containers yield no rows — audit by anti-joining ids,
+    * same posture as the 0×0 resize marker. */
+  def aviFrameSample(media: Dataset[MediaRow], nFrames: Int): Dataset[VideoFrame] = {
+    require(nFrames >= 1, "nFrames must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val fs = AviMjpegCodec.frames(r.media)
+        val k = math.min(nFrames, fs.length)
+        (0 until k).iterator.map { i =>
+          val idx = (((2L * i + 1) * fs.length) / (2L * k)).toInt
+          VideoFrame(r.media_id, idx, fs(idx))
         }
       }
     }

@@ -1,0 +1,121 @@
+package graft.ext
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Real-video contract for the MJPEG-in-AVI codec: the spec BUILDS an
+  * AVI container byte-by-byte around imageio-encoded JPEG frames, then
+  * pins exact frame bytes out of the RIFF walk (the same discipline as
+  * the WAV/PNG fixtures — no golden files, every byte accounted for),
+  * plus decoded features, hostile-bytes degradation, and the
+  * deterministic frame-sampling mapping.
+  */
+class AviVideoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jpegBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", buf)
+    buf.toByteArray
+  }
+
+  // RIFF chunk writer: id + LE32 length + body + word-alignment pad
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + body.length + (body.length & 1))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+    bb.array()
+  }
+  private def list(tpe: String, children: Array[Byte]*): Array[Byte] =
+    chunk("LIST", tpe.getBytes("US-ASCII") ++ children.toArray.flatten)
+  private def avi(moviChildren: Array[Byte]*): Array[Byte] =
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", chunk("avih", new Array[Byte](56)),
+        list("strl", chunk("strh", new Array[Byte](56)),
+          chunk("strf", new Array[Byte](40)))) ++
+      list("movi", moviChildren: _*))
+
+  private val f0 = jpegBytes(6, 4, 40)
+  private val f1 = jpegBytes(6, 4, 120)
+  private val f2 = jpegBytes(6, 4, 200)
+
+  test("frames(): exact JPEG bytes out, audio skipped, rec-list recursed") {
+    // odd-length audio chunk between frames exercises word alignment;
+    // the third frame hides inside an interleave 'rec ' list
+    val bytes = avi(
+      chunk("00dc", f0),
+      chunk("01wb", Array[Byte](1, 2, 3, 4, 5)),
+      chunk("00dc", f1),
+      list("rec ", chunk("00dc", f2)),
+      chunk("idx1", new Array[Byte](16)))
+    val out = Multimodal.AviMjpegCodec.frames(bytes)
+    assert(out.length == 3)
+    assert(out(0).sameElements(f0) && out(1).sameElements(f1) &&
+      out(2).sameElements(f2))
+  }
+
+  test("decode: container frame count, first-frame dims, mean luminance") {
+    val bytes = avi(chunk("00dc", f0), chunk("00dc", f1), chunk("00dc", f2))
+    val media = Seq((1L, bytes)).toDF("media_id", "bin")
+    val f = Multimodal.decodeFeatures(
+      Multimodal.attach(media, "media_id", "bin", "avi")
+        .as[Multimodal.MediaRow]).collect().head
+    assert(f.n_frames == 3)
+    assert(f.features(0) == 6.0 && f.features(1) == 4.0)
+    // solid-gray JPEGs decode within ±2 of the encoded level
+    assert(math.abs(f.features(2) - 120.0) < 2.0, f.features(2))
+  }
+
+  test("hostile bytes degrade, never throw or loop") {
+    // wrong signature
+    val (n0, z) = Multimodal.AviMjpegCodec.decode("not an avi at all".getBytes)
+    assert(n0 == 0 && z.sameElements(Array(0.0, 0.0, 0.0)))
+    assert(Multimodal.AviMjpegCodec.frames(Array.emptyByteArray).isEmpty)
+    // crafted negative chunk length inside movi: stop, keep prior frames
+    val negLen = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++
+      list("movi", chunk("00dc", f0)) ++
+      Array[Byte]('0', '0', 'd', 'c', -1, -1, -1, -1))
+    assert(Multimodal.AviMjpegCodec.frames(negLen).length == 1)
+    // truncated mid-frame: the partial payload surfaces (and imageio's
+    // throw on it lands in the luminance denominator, not a task failure)
+    val whole = avi(chunk("00dc", f0), chunk("00dc", f1))
+    val truncated = whole.take(whole.length - f1.length / 2)
+    val fs = Multimodal.AviMjpegCodec.frames(truncated)
+    assert(fs.length == 2 && fs(0).sameElements(f0) &&
+      fs(1).length < f1.length)
+    val (n, feats) = Multimodal.AviMjpegCodec.decode(truncated)
+    assert(n == 2 && feats(0) == 6.0)
+  }
+
+  test("aviFrameSample: pixel-center mapping, frames decodable standalone") {
+    val all = Vector(f0, f1, f2, jpegBytes(6, 4, 60), jpegBytes(6, 4, 90))
+    val bytes = avi(all.map(chunk("00dc", _)): _*)
+    val media = Seq((5L, bytes)).toDF("media_id", "bin")
+    val ds = Multimodal.attach(media, "media_id", "bin", "avi")
+      .as[Multimodal.MediaRow]
+    // k=2 over 5 frames: idx = (2i+1)*5/4 -> {1, 3}
+    val out = Multimodal.aviFrameSample(ds, 2).collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq == Seq(1, 3))
+    assert(out(0).frame.sameElements(all(1)) &&
+      out(1).frame.sameElements(all(3)))
+    out.foreach { vf =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(vf.frame))
+      assert(img != null && img.getWidth == 6 && img.getHeight == 4)
+    }
+    // k >= n returns every frame once, in order
+    val allOut = Multimodal.aviFrameSample(ds, 99).collect().sortBy(_.frame_idx)
+    assert(allOut.map(_.frame_idx).toSeq == (0 until 5))
+    // unparseable container: no rows, loud by absence
+    val junk = Seq((6L, Array[Byte](9, 9, 9))).toDF("media_id", "bin")
+    assert(Multimodal.aviFrameSample(
+      Multimodal.attach(junk, "media_id", "bin", "avi")
+        .as[Multimodal.MediaRow], 2).count() == 0)
+  }
+}
