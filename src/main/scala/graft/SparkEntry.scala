@@ -1728,6 +1728,42 @@ object SparkEntry {
         col("features")(2).as("f_head"))
     }),
 
+    // ── REAL video decode, driver-visible: per sampled document, MUX a
+    //    deterministic 2-frame MJPEG-AVI in the executor (8×8 solid-gray
+    //    JPEG frames at a doc_id-derived level, Multimodal.muxMjpegAvi)
+    //    and decode it through the SAME AviMjpegCodec path production
+    //    media takes. The oracle states the decoded facts as constants:
+    //    container frame count, first-frame dims, and a luminance-
+    //    within-3 boolean — JPEG DC quantization of a solid 8×8 block
+    //    reproduces the level within ±3 on any JDK (AviVideoSpec sweeps
+    //    every level this query generates and pins the bound; exact
+    //    frame bytes stay spec-gated there too).
+    "q_video" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") % 20 === 0)
+        .as[Long].mapPartitions { it =>
+          it.map { id =>
+            val gray = (id % 200L).toInt + 20
+            val img = new java.awt.image.BufferedImage(8, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (gray << 16) | (gray << 8) | gray
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", buf)
+            val frame = buf.toByteArray
+            val avi = Multimodal.muxMjpegAvi(Seq(frame, frame), 8, 8)
+            val (n, feats) = Multimodal.AviMjpegCodec.decode(avi)
+            (id, n, feats(0), feats(1), math.abs(feats(2) - gray) <= 3.0)
+          }
+        }.toDF("doc_id", "n_frames", "w", "h", "lum_ok")
+    }),
+
     // ── S1/S2 text ingest faces: the reference's flow logs arrive as
     //    JSON/TSV lines, not parquet (SURVEY §1.2). Round-trip contract:
     //    serialize a deterministic events subset to the text format, read
@@ -4112,6 +4148,15 @@ object SparkEntry {
                 min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM documents WHERE doc_id % 10 <> 0
          GROUP BY lang""",
+
+    // the decoded facts of the generated container are constants; the
+    // luminance boolean's ±3 bound is spec-pinned over every generated
+    // level (see the query comment)
+    "q_video" ->
+      """SELECT doc_id, 2 AS n_frames,
+                CAST(8 AS DOUBLE) AS w, CAST(8 AS DOUBLE) AS h,
+                TRUE AS lum_ok
+         FROM documents WHERE doc_id % 20 = 0""",
 
     // file counts are deterministic functions of the slice row count
     // (see the query comment); the slice aggregate proves the compacted

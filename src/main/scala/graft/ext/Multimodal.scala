@@ -315,6 +315,58 @@ object Multimodal {
 
   case class VideoFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
+  /** The WRITE side of the video face: mux JPEG frames into a standard
+    * MJPEG-AVI container (RIFF: hdrl with filled avih/strh/strf, movi
+    * with one `00dc` chunk per frame, and an idx1 keyframe index — a
+    * playable file, not just something [[AviMjpegCodec]] accepts).
+    * Exact inverse of the read path: `AviMjpegCodec.frames(mux(fs)) ≡
+    * fs` byte-for-byte (spec-pinned). Single-video scope — callers mux
+    * per row inside mapPartitions; the container is assembled in one
+    * byte buffer, so keep per-video size within task memory. */
+  def muxMjpegAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+      fps: Int = 25): Array[Byte] = {
+    require(fps >= 1, "fps must be >= 1")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer
+        .allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(tpe: String, children: Array[Byte]*): Array[Byte] =
+      chunk("LIST", tpe.getBytes("US-ASCII") ++ children.toArray.flatten)
+    def le(fields: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(fields.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fields.foreach(bb.putInt)
+      bb.array()
+    }
+    val maxBytes = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = chunk("avih", le(
+      1000000 / fps, maxBytes * fps, 0, 0x10 /*HASINDEX*/, frames.length,
+      0, 1, maxBytes, width, height, 0, 0, 0, 0))
+    val strh = chunk("strh",
+      "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+        le(0, 0, 0, 1 /*scale*/, fps /*rate*/, 0, frames.length, maxBytes,
+          -1 /*quality*/, 0) ++ le(0, 0) /*rcFrame*/)
+    val strf = chunk("strf", le(40, width, height) ++
+      Array[Byte](1, 0, 24, 0) /*planes=1, bitCount=24*/ ++
+      "MJPG".getBytes("US-ASCII") ++
+      le(width * height * 3, 0, 0, 0, 0))
+    val movi = list("movi", frames.map(chunk("00dc", _)): _*)
+    // idx1 offsets are relative to the position of 'movi' (the list's
+    // type fourcc); the first chunk header starts 4 bytes after it
+    val idxEntries = frames.foldLeft((4, Vector.empty[Array[Byte]])) {
+      case ((off, acc), f) =>
+        (off + 8 + f.length + (f.length & 1),
+          acc :+ ("00dc".getBytes("US-ASCII") ++
+            le(0x10 /*KEYFRAME*/, off, f.length)))
+    }._2
+    val idx1 = chunk("idx1", idxEntries.toArray.flatten)
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", avih, list("strl", strh, strf)) ++ movi ++ idx1)
+  }
+
   /** REAL evenly-spaced video frame sampling for MJPEG-AVI: extracts k
     * frames per video as standalone JPEG byte arrays (each is decodable
     * by [[ImageCodec]] / feedable to [[resizeImages]]). Frame choice is

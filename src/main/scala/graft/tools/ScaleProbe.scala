@@ -29,8 +29,13 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   private val Queries =
     Seq("q_minhash_lsh", "q_ngram_jaccard", "q_dedup_clusters_star",
-      "q_dsir", "q_triangles", "q_components_adaptive",
-      "q_dedup_incr", "q_neardup_filter")
+      "q_dsir", "q_triangles", "q_triangles_approx",
+      "q_components_adaptive", "q_dedup_incr", "q_neardup_filter",
+      // r10: the sources faces — staged text round-trips and the
+      // compaction swap are I/O-shaped, so their decade ratio is the
+      // direct check that the landing-zone path has no file-count or
+      // single-writer cliff
+      "q_jsonl_scan", "q_tsv_scan", "q_corpus_export", "q_compaction")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
@@ -96,12 +101,16 @@ object ScaleProbe {
       (n, (System.nanoTime() - t0) / 1e9)
     }
 
-    // per query: warm-up at sf0.1, then min-of-2 at each SF — rows
-    // printed so the ×10 structural expectation is itself checked
-    Queries.foreach { q =>
+    // per query: warm-up at sf0.1, then min-of-3 at each SF (the PERF.md
+    // adjudication standard) — rows printed so the ×10 structural
+    // expectation is itself checked. SPARK_GRAFT_SCALE_QUERIES narrows
+    // the list for a single-family session.
+    val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Queries)
+    queries.foreach { q =>
       run(q, base)
-      val small = (1 to 2).map(_ => run(q, base))
-      val large = (1 to 2).map(_ => run(q, sf1))
+      val small = (1 to 3).map(_ => run(q, base))
+      val large = (1 to 3).map(_ => run(q, sf1))
       val (sMin, lMin) = (small.map(_._2).min, large.map(_._2).min)
       println(f"[scaleprobe] $q%-22s sf0.1 $sMin%6.2f s (rows=${small.head._1})" +
         f"  sf1 $lMin%7.2f s (rows=${large.head._1})" +

@@ -93,6 +93,32 @@ class AviVideoSpec extends SparkSpec {
     assert(n == 2 && feats(0) == 6.0)
   }
 
+  test("muxMjpegAvi round-trips exact frame bytes; container decodes whole") {
+    val fs = Seq(f0, f1, f2)
+    val avi = Multimodal.muxMjpegAvi(fs, 6, 4, fps = 10)
+    val back = Multimodal.AviMjpegCodec.frames(avi)
+    assert(back.length == 3 &&
+      back.zip(fs).forall { case (a, b) => a.sameElements(b) })
+    val (n, feats) = Multimodal.AviMjpegCodec.decode(avi)
+    assert(n == 3 && feats(0) == 6.0 && feats(1) == 4.0)
+    // empty-frame-list container is still well-formed and yields zero
+    val (n0, _) = Multimodal.AviMjpegCodec.decode(
+      Multimodal.muxMjpegAvi(Nil, 6, 4))
+    assert(n0 == 0)
+  }
+
+  test("solid-gray JPEG reproduces its level within q_video's ±3 bound") {
+    // q_video generates 8×8 solid frames at every level in [20, 219] and
+    // asserts |decoded mean luminance − level| <= 3; this sweep pins the
+    // actual worst case so the query tolerance is measured, not hoped
+    val maxErr = (20 to 219).map { g =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jpegBytes(8, 8, g)))
+      math.abs(Multimodal.ImageCodec.meanLuminance(img) - g)
+    }.max
+    assert(maxErr <= 3.0, s"maxErr=$maxErr exceeds the q_video tolerance")
+  }
+
   test("aviFrameSample: pixel-center mapping, frames decodable standalone") {
     val all = Vector(f0, f1, f2, jpegBytes(6, 4, 60), jpegBytes(6, 4, 90))
     val bytes = avi(all.map(chunk("00dc", _)): _*)
