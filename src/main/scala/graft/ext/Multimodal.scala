@@ -122,6 +122,66 @@ object Multimodal {
       out.result()
     }
 
+    /** idx1-seek frame index: (payload offset, length) per video chunk,
+      * WITHOUT touching movi — the O(sampled) path for frame sampling
+      * over long videos (the full [[frames]] walk copies every frame to
+      * sample three). Returns None — callers fall back to the walk —
+      * whenever the index is absent, empty of video entries, or
+      * INCONSISTENT with the actual chunk headers: every entry is
+      * verified against the bytes it points at, so a lying index can
+      * never substitute wrong frames, only cost the fallback.
+      * Handles both offset conventions in the wild (movi-relative per
+      * the spec, absolute from sloppy writers) by probing which base
+      * resolves the first entry to a matching chunk header. */
+    def frameIndex(media: Array[Byte]): Option[IndexedSeq[(Int, Int)]] = {
+      if (media.length < 12 || fourcc(media, 0) != "RIFF" ||
+        fourcc(media, 8) != "AVI ") return None
+      var pos = 12
+      var moviPos = -1 // position of the "movi" type fourcc
+      var idxOff = -1; var idxLen = 0
+      while (pos + 8 <= media.length) {
+        val id = fourcc(media, pos)
+        val len = le32(media, pos + 4)
+        if (len < 0) return None
+        if (id == "LIST" && pos + 12 <= media.length &&
+          fourcc(media, pos + 8) == "movi") moviPos = pos + 8
+        else if (id == "idx1") {
+          idxOff = pos + 8
+          idxLen = math.min(len, media.length - idxOff)
+        }
+        val next = pos + 8 + len + (len & 1)
+        if (next <= pos) return None
+        pos = next
+      }
+      if (moviPos < 0 || idxOff < 0) return None
+      def isFrameId(id: String): Boolean =
+        id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          (id.substring(2) == "dc" || id.substring(2) == "db")
+      val entries = Vector.newBuilder[(Int, Int)]
+      var base = -1
+      var i = idxOff
+      while (i + 16 <= idxOff + idxLen) {
+        val id = fourcc(media, i)
+        if (isFrameId(id)) {
+          val off = le32(media, i + 8)
+          val sz = le32(media, i + 12)
+          if (off < 0 || sz < 0) return None
+          if (base < 0)
+            base = if (fourcc(media, moviPos + off) == id) moviPos
+            else if (fourcc(media, off) == id) 0
+            else return None
+          val hdr = base + off
+          if (hdr + 8 > media.length || fourcc(media, hdr) != id ||
+            le32(media, hdr + 4) != sz || hdr + 8 + sz > media.length)
+            return None
+          entries += ((hdr + 8, sz))
+        }
+        i += 16
+      }
+      val out = entries.result()
+      if (out.isEmpty) None else Some(out)
+    }
+
     def decode(media: Array[Byte]): (Int, Array[Double]) = {
       val fs = frames(media)
       if (fs.isEmpty) return (0, Array(0.0, 0.0, 0.0))
@@ -372,6 +432,13 @@ object Multimodal {
     * by [[ImageCodec]] / feedable to [[resizeImages]]). Frame choice is
     * the same exact pixel-center integer mapping as [[resizeImages]]
     * (`idx = (2i+1)·n / (2k)`), so the sample is bit-deterministic.
+    *
+    * Indexed containers (idx1 present and verified —
+    * [[AviMjpegCodec.frameIndex]]) take the SEEK path: only the k
+    * sampled frames are copied, O(sample) instead of O(video) — the
+    * difference between touching 3 frames and 100 000 on an hour-long
+    * clip. Unindexed or index-inconsistent files fall back to the movi
+    * walk with identical output (spec-pinned equality).
     * Unparseable containers yield no rows — audit by anti-joining ids,
     * same posture as the 0×0 resize marker. */
   def aviFrameSample(media: Dataset[MediaRow], nFrames: Int): Dataset[VideoFrame] = {
@@ -379,11 +446,20 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        val fs = AviMjpegCodec.frames(r.media)
-        val k = math.min(nFrames, fs.length)
-        (0 until k).iterator.map { i =>
-          val idx = (((2L * i + 1) * fs.length) / (2L * k)).toInt
-          VideoFrame(r.media_id, idx, fs(idx))
+        def pick(n: Int): Seq[Int] = {
+          val k = math.min(nFrames, n)
+          (0 until k).map(i => (((2L * i + 1) * n) / (2L * k)).toInt)
+        }
+        AviMjpegCodec.frameIndex(r.media) match {
+          case Some(es) => pick(es.length).iterator.map { idx =>
+            val (off, sz) = es(idx)
+            VideoFrame(r.media_id, idx,
+              java.util.Arrays.copyOfRange(r.media, off, off + sz))
+          }
+          case None =>
+            val fs = AviMjpegCodec.frames(r.media)
+            pick(fs.length).iterator.map(idx =>
+              VideoFrame(r.media_id, idx, fs(idx)))
         }
       }
     }

@@ -119,6 +119,63 @@ class AviVideoSpec extends SparkSpec {
     assert(maxErr <= 3.0, s"maxErr=$maxErr exceeds the q_video tolerance")
   }
 
+  test("frameIndex: seek path verified against bytes; both offset bases; lies refused") {
+    val fs = Seq(f0, f1, f2)
+    val muxed = Multimodal.muxMjpegAvi(fs, 6, 4)
+    // muxer containers are indexed: entries resolve to the exact payloads
+    val idx = Multimodal.AviMjpegCodec.frameIndex(muxed)
+    assert(idx.isDefined && idx.get.length == 3)
+    idx.get.zip(fs).foreach { case ((off, sz), f) =>
+      assert(java.util.Arrays.copyOfRange(muxed, off, off + sz)
+        .sameElements(f))
+    }
+
+    // absolute-offset writer quirk: shift every idx1 offset by moviPos —
+    // the base probe must still resolve (find positions via the fourccs)
+    def find(b: Array[Byte], s: String, from: Int = 0): Int = {
+      val pat = s.getBytes("US-ASCII")
+      (from to b.length - 4).find(i => pat.indices.forall(j => b(i + j) == pat(j))).get
+    }
+    val moviPos = find(muxed, "movi")
+    val idx1Pos = find(muxed, "idx1")
+    val abs = muxed.clone()
+    val bb = java.nio.ByteBuffer.wrap(abs).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 3).foreach { e =>
+      val entry = idx1Pos + 8 + e * 16
+      bb.putInt(entry + 8, bb.getInt(entry + 8) + moviPos)
+    }
+    val absIdx = Multimodal.AviMjpegCodec.frameIndex(abs)
+    assert(absIdx.isDefined && absIdx.get == idx.get)
+
+    // a lying index (size mismatch) is refused, never trusted
+    val lying = muxed.clone()
+    java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(idx1Pos + 8 + 12, f0.length - 1)
+    assert(Multimodal.AviMjpegCodec.frameIndex(lying).isEmpty)
+    // ... and the hand-built container (junk idx1, no video entries)
+    // yields None -> callers take the movi walk
+    assert(Multimodal.AviMjpegCodec.frameIndex(
+      avi(chunk("00dc", f0), chunk("idx1", new Array[Byte](16)))).isEmpty)
+  }
+
+  test("aviFrameSample: seek path ≡ walk path, exact bytes") {
+    val fs = (0 until 5).map(i => jpegBytes(6, 4, 30 + i * 40))
+    val muxed = Multimodal.muxMjpegAvi(fs, 6, 4)   // indexed -> seek
+    val walked = avi(fs.map(chunk("00dc", _)): _*) // no idx1 -> walk
+    assert(Multimodal.AviMjpegCodec.frameIndex(walked).isEmpty)
+    def sample(bytes: Array[Byte]) = {
+      val m = Seq((1L, bytes)).toDF("media_id", "bin")
+      Multimodal.aviFrameSample(
+        Multimodal.attach(m, "media_id", "bin", "avi")
+          .as[Multimodal.MediaRow], 2)
+        .collect().sortBy(_.frame_idx)
+        .map(v => (v.frame_idx, v.frame.toSeq)).toSeq
+    }
+    val (a, b) = (sample(muxed), sample(walked))
+    assert(a == b && a.map(_._1) == Seq(1, 3))
+    assert(a(0)._2 == fs(1).toSeq && a(1)._2 == fs(3).toSeq)
+  }
+
   test("aviFrameSample: pixel-center mapping, frames decodable standalone") {
     val all = Vector(f0, f1, f2, jpegBytes(6, 4, 60), jpegBytes(6, 4, 90))
     val bytes = avi(all.map(chunk("00dc", _)): _*)
