@@ -146,6 +146,43 @@ object SparkEntry {
           Seq("c_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_mktsegment"))),
 
+    // ── Bloom-prefiltered semi join (ops.BloomPrefilter + the codegen
+    //    bloom_might_contain expression): the runtime-filter pattern as
+    //    an explicit operator, for key sets too big to broadcast-hash
+    //    but whose Bloom fits (~1.2 MB/M keys at 1% fpp) — the
+    //    allowlist/blocklist staple at 100 TB. The filter probe prunes
+    //    the fact MAP-SIDE before any exchange; the residual semi join
+    //    over the surviving sliver erases false positives, so the
+    //    result is EXACTLY the plain semi join the oracle states (an
+    //    fpp leak hash-mismatches).
+    "q_bloom_semi" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      graft.ops.BloomPrefilter.semiJoin(li, "l_orderkey", urgent,
+        "o_orderkey", expectedKeys = 40000L, fpp = 0.01)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // ── Bloom-prefiltered ANTI join: contamination-blocklist removal —
+    //    might_contain=false rows are DEFINITELY clean and bypass the
+    //    join entirely; only the sliver pays the residual anti join.
+    //    Result ≡ plain anti join (oracle).
+    "q_bloom_anti" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      graft.ops.BloomPrefilter.antiJoin(li, "l_orderkey", urgent,
+        "o_orderkey", expectedKeys = 40000L, fpp = 0.01)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // ── A14/K9/SO1: anti-join ghost-node GC — etl_aws:1932-2066. "Live" =
     //    keys seen by the latest scan (open orders); everything else is stale.
     "q_anti_gc" -> ((s, dir) =>
@@ -2043,6 +2080,25 @@ object SparkEntry {
     "q_semi_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
+
+    // the Bloom prefilter is an internal pruning detail — exactness is
+    // restored by the residual join, so the oracle is the PLAIN semi/
+    // anti join; any false-positive leak hash-mismatches
+    "q_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT')
+         GROUP BY l_returnflag""",
+
+    "q_bloom_anti" ->
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                  WHERE o_orderpriority = '1-URGENT')
+         GROUP BY l_returnflag""",
 
     "q_anti_gc" ->
       """SELECT c_custkey, c_name FROM customer

@@ -24,5 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       NfcNormalize.info,
       (children: Seq[Expression]) => NfcNormalize.build(children)))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      BloomMightContain.info,
+      (children: Seq[Expression]) => BloomMightContain.build(children)))
   }
 }

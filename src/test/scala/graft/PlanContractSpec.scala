@@ -300,4 +300,19 @@ class PlanContractSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("explicit bloom prefilter probes the fact BELOW the residual join") {
+    // ops.BloomPrefilter is the same mechanism as the contract above but
+    // caller-controlled (key sets too big to broadcast, sizes Spark's
+    // planner thresholds would never fire for). The codegen probe must
+    // sit on the fact side UNDER the residual semi join — plan text
+    // prints parents first, so the probe's offset must be beyond the
+    // join's.
+    val p = plan("q_bloom_semi")
+    val probe = p.indexOf("bloom_might_contain")
+    val join = p.indexOf("LeftSemi")
+    assert(probe >= 0, s"no bloom probe in plan:\n${p.take(600)}")
+    assert(join >= 0 && probe > join,
+      s"probe not below the residual join (probe@$probe, join@$join)")
+  }
 }
