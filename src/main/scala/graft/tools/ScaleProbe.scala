@@ -35,7 +35,10 @@ object ScaleProbe {
       // compaction swap are I/O-shaped, so their decade ratio is the
       // direct check that the landing-zone path has no file-count or
       // single-writer cliff
-      "q_jsonl_scan", "q_tsv_scan", "q_corpus_export", "q_compaction")
+      "q_jsonl_scan", "q_tsv_scan", "q_corpus_export", "q_compaction",
+      // r10: bloom prefilter — the probe is map-side O(fact), the
+      // residual join O(sliver); the decade ratio checks both stay flat
+      "q_bloom_semi", "q_bloom_anti")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
@@ -53,8 +56,11 @@ object ScaleProbe {
     val marker = new java.io.File(s"$sf1/_GENERATED")
     if (args.contains("regen") || !marker.exists()) {
       val docs = spark.read.parquet(s"$base/documents.parquet")
+      // graph queries read (l_orderkey, l_partkey); the bloom family
+      // also reads l_returnflag/l_quantity — carried verbatim
       val li = spark.read.parquet(s"$base/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_partkey"))
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_returnflag"), col("l_quantity"))
       val docShards = (0 until Replicas).map { k =>
         val text = if (k == 0) col("text")
         else regexp_replace(col("text"), "(\\S+)", s"r${k}q$$1")
@@ -66,7 +72,8 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$sf1/documents.parquet")
       (0 until Replicas).map { k =>
         li.select((col("l_orderkey") + lit(k * 10000000L)).as("l_orderkey"),
-          (col("l_partkey") + lit(k * 1000000L)).as("l_partkey"))
+          (col("l_partkey") + lit(k * 1000000L)).as("l_partkey"),
+          col("l_returnflag"), col("l_quantity"))
       }.reduce(_ unionByName _)
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$sf1/lineitem.parquet")
@@ -93,6 +100,24 @@ object ScaleProbe {
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$sf1/events.parquet")
       println(s"[scaleprobe] generated $sf1/events.parquet")
+    }
+
+    // orders joined the probe with the bloom family — shifted per
+    // replica by the SAME offset as lineitem's l_orderkey, so the
+    // order⋈lineitem key relationships hold shard-locally; priorities
+    // kept verbatim (the urgent key-set grows ×10 like everything else)
+    if (args.contains("regen") ||
+        !new java.io.File(s"$sf1/orders.parquet").exists()) {
+      val od = spark.read.parquet(s"$base/orders.parquet")
+      (0 until Replicas).map { k =>
+        od.select((col("o_orderkey") + lit(k * 10000000L)).as("o_orderkey"),
+          (col("o_custkey") + lit(k * 1000000L)).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+      }.reduce(_ unionByName _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$sf1/orders.parquet")
+      println(s"[scaleprobe] generated $sf1/orders.parquet")
     }
 
     def run(name: String, dir: String): (Long, Double) = {
