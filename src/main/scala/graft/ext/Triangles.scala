@@ -114,6 +114,9 @@ object Triangles {
   /** DOULION-style approximate per-node triangle counts by deterministic
     * edge sampling (Tsourakakis et al., KDD'09: keep each edge with
     * probability p, count triangles on the sample, scale by 1/p³).
+    * Extends the reference's A9 per-node degree/density metrics
+    * (`lambda/etl_deepflow/neptune_etl_deepflow.py:536-568`) with the
+    * clustering signal its fused projection cannot express at scale.
     *
     * Why it exists: exact counting is WORK-bound, not plan-bound — the
     * true triangle count itself grows superlinearly on dense corpora

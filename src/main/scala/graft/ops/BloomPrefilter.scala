@@ -13,6 +13,12 @@ import graft.functions.BloomMightContain
   * training-pipeline staples: keep only documents on an allowlist,
   * drop everything on a contamination blocklist.
   *
+  * Reference surface being extended: the J5 availability semi join
+  * (`lambda/etl_aws/neptune_etl_aws.py:1513-1518`) and the A14/K9
+  * anti-join GC (`:1932-2066`) — both membership filters whose key sets
+  * fit memory in the reference's single-node world; this operator is
+  * the same semantics at the scale where they no longer do.
+  *
   * Shape: build the filter DISTRIBUTED (`stat.bloomFilter` tree-
   * aggregates partial filters; the driver holds only the OR of the bit
   * arrays — O(bits), never O(keys)), embed it as a plan literal probed
