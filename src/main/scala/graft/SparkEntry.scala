@@ -1908,6 +1908,64 @@ object SparkEntry {
           max(col("doc_id")).as("max_id"))
         .withColumn("n_files_before", lit(before.toLong))
         .withColumn("n_files_after", lit(after.toLong))
+    }),
+
+    // ── Sketch-guided EXACT heavy hitters over word bigrams
+    //    (ext.FrequentItems + functions.MisraGriesAgg): one mergeable
+    //    Misra–Gries pass finds a guaranteed-superset candidate set
+    //    without shuffling the bigram domain, then a broadcast-semi-join
+    //    re-count makes the surviving counts exact — so the row is
+    //    hash-green against a plain exact GROUP BY oracle with NO
+    //    tolerance. Threshold: ≥1/1000 of all bigrams (shareDen=1000 <
+    //    capacity+1=4097 keeps the sketch guarantee).
+    "q_heavy_hitters" -> ((s, dir) => {
+      val ws = graft.ext.TextAnalysis.words(col("text"))
+      val bg = Tables.documents(s, dir)
+        .select(ws.as("ws"))
+        .select(explode(arrays_zip(
+          slice(col("ws"), lit(1), size(col("ws")) - 1).as("l"),
+          slice(col("ws"), lit(2), size(col("ws")) - 1).as("r"))).as("pr"))
+        .select(concat_ws(" ", col("pr.l"), col("pr.r")).as("bigram"))
+      graft.ext.FrequentItems.exactHeavyHitters(bg, "bigram",
+        shareDen = 1000L, capacity = 4096)
+    }),
+
+    // ── Distributed BPE tokenizer training (ext.Bpe): the corpus is
+    //    reduced to a word histogram once, then each merge round is one
+    //    pair-count aggregate over that vocabulary-sized table plus a
+    //    1-row argmax collect under a TOTAL order (count desc, lhs,
+    //    rhs). The oracle replays the identical 8 rounds as a generated
+    //    CTE chain, so the whole learned merge table is hash-checked —
+    //    training itself, not just a summary statistic.
+    "q_bpe_train" -> ((s, dir) => {
+      val merges = graft.ext.Bpe.learn(
+        Tables.documents(s, dir), "text", rounds = 8)
+      s.createDataFrame(merges)
+        .select(col("rank").as("merge_rank"), col("lhs"), col("rhs"),
+          col("count").as("pair_count"))
+    }),
+
+    // ── BPE encoding with a FIXED merge list (the inference face of
+    //    ext.Bpe): greedy leftmost-non-overlapping application as a
+    //    codegen replace chain over the "(sym)(sym)" encoding; per-doc
+    //    token counts after 5 merges. Same literals on both sides, so
+    //    any deviation in application order or overlap handling
+    //    hash-mismatches.
+    "q_bpe_encode" -> ((s, dir) => {
+      val merges5 = Seq("e" -> "r", "i" -> "n", "o" -> "w",
+        "o" -> "r", "s" -> "t")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.ext.TextAnalysis.words(col("text"))).as("word"))
+        .select(col("doc_id"),
+          regexp_replace(col("word"), "[^a-z0-9]", "").as("word"))
+        .filter(col("word") =!= "")
+        .select(col("doc_id"),
+          graft.ext.Bpe.encodeWith(col("word"), merges5).as("enc"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(graft.ext.Bpe.tokenCountOf(col("enc")).cast("long"))
+            .as("n_tokens"))
     })
   )
 
@@ -4227,6 +4285,72 @@ object SparkEntry {
                 min(doc_id) AS min_id, max(doc_id) AS max_id,
                 n_files_before, n_files_after
          FROM t CROSS JOIN f
-         GROUP BY lang, n_files_before, n_files_after"""
+         GROUP BY lang, n_files_before, n_files_after""",
+
+    // exact heavy hitters: the sketch only prunes the plan, never the
+    // answer, so the oracle is the plain exact GROUP BY + HAVING (pure
+    // integer threshold arithmetic on both sides)
+    "q_heavy_hitters" ->
+      """WITH ws AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+                     FROM documents),
+         bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM ws),
+         t AS (SELECT count(*) AS n FROM bg)
+         SELECT bigram, count(*) AS n_occ
+         FROM bg, t GROUP BY bigram, t.n
+         HAVING count(*) * 1000 >= t.n""",
+
+    "q_bpe_train" -> bpeTrainOracle(rounds = 8),
+
+    "q_bpe_encode" ->
+      """WITH w AS (SELECT doc_id,
+                regexp_replace(unnest(string_split_regex(lower(trim(text)), '\s+')),
+                               '[^a-z0-9]', '', 'g') AS word
+              FROM documents),
+         e0 AS (SELECT doc_id, regexp_replace(word, '(.)', '(\1)', 'g') AS enc
+                FROM w WHERE word <> ''),
+         e1 AS (SELECT doc_id, replace(enc, '(e)(r)', '(er)') AS enc FROM e0),
+         e2 AS (SELECT doc_id, replace(enc, '(i)(n)', '(in)') AS enc FROM e1),
+         e3 AS (SELECT doc_id, replace(enc, '(o)(w)', '(ow)') AS enc FROM e2),
+         e4 AS (SELECT doc_id, replace(enc, '(o)(r)', '(or)') AS enc FROM e3),
+         e5 AS (SELECT doc_id, replace(enc, '(s)(t)', '(st)') AS enc FROM e4)
+         SELECT doc_id, count(*) AS n_words,
+                CAST(sum(len(enc) - len(replace(enc, '(', ''))) AS BIGINT)
+                  AS n_tokens
+         FROM e5 GROUP BY doc_id"""
   )
+
+  /** The BPE-train oracle: the SAME k greedy merge rounds the engine
+    * runs, unrolled as a generated CTE chain (pair counts → total-order
+    * argmax → leftmost-non-overlapping replace, per round). Generated
+    * rather than hand-written so the round count stays in one place. */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val v0 =
+      """v0 AS (
+        SELECT regexp_replace(word, '(.)', '(\1)', 'g') AS enc,
+               count(*) AS wcount
+        FROM (SELECT regexp_replace(
+                unnest(string_split_regex(lower(trim(text)), '\s+')),
+                '[^a-z0-9]', '', 'g') AS word FROM documents)
+        WHERE word <> '' GROUP BY 1)"""
+    val perRound = (1 to rounds).map { n =>
+      s"""p$n AS (
+        SELECT string_split(pr, chr(9))[1] AS l,
+               string_split(pr, chr(9))[2] AS r,
+               CAST(sum(wcount) AS BIGINT) AS cnt
+        FROM (SELECT unnest(list_transform(range(1, len(sym)),
+                  i -> sym[i] || chr(9) || sym[i+1])) AS pr, wcount
+              FROM (SELECT string_split(trim(enc, '()'), ')(') AS sym,
+                           wcount FROM v${n - 1}))
+        GROUP BY 1, 2),
+      w$n AS (SELECT l, r, cnt FROM p$n ORDER BY cnt DESC, l, r LIMIT 1),
+      v$n AS (SELECT replace(enc, '('||l||')('||r||')', '('||l||r||')') AS enc,
+                     wcount FROM v${n - 1}, w$n)"""
+    }
+    val finals = (1 to rounds)
+      .map(n => s"SELECT $n AS merge_rank, l AS lhs, r AS rhs, " +
+        s"cnt AS pair_count FROM w$n")
+      .mkString(" UNION ALL ")
+    (Seq(v0) ++ perRound).mkString("WITH ", ",\n      ", "\n") + finals
+  }
 }

@@ -315,4 +315,20 @@ class PlanContractSpec extends SparkSpec {
     assert(join >= 0 && probe > join,
       s"probe not below the residual join (probe@$probe, join@$join)")
   }
+
+  test("heavy hitters: exact re-count joins broadcast, never sort-merge") {
+    // FrequentItems' whole point is that the item domain is never
+    // exchanged: pass 1 is a partial/final MG aggregate (buffer-sized
+    // exchange), pass 2 keeps candidate rows via a BROADCAST semi join
+    // before the tiny re-count aggregate. A SortMergeJoin here would
+    // mean the corpus shuffled on the item key — the exact failure mode
+    // the operator exists to avoid.
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(600))
+    // (the sketch pass itself is consumed eagerly inside the operator;
+    // this plan is the exact re-count whose join must broadcast)
+    assert(!p.contains("SortMergeJoin"),
+      s"candidate membership fell back to a corpus shuffle:\n${p.take(600)}")
+  }
 }
