@@ -1607,6 +1607,15 @@ object SparkEntry {
       Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), "vec_id",
         "embedding", threshold = 0.3, bucketBits = 8)),
 
+    // ── SemDeDup (ext.SemDedup): the same pair graph closed into
+    //    duplicate groups (distributed components), keeper = group
+    //    minimum — emits the drop list a curation pipeline anti-joins
+    //    against the corpus. Oracle: recursive transitive closure over
+    //    the identical pair SQL.
+    "q_semdedup" -> ((s, dir) =>
+      graft.ext.SemDedup.dropList(Tables.embeddings(s, dir), "vec_id",
+        "embedding", threshold = 0.3, bucketBits = 8)),
+
     // ── ANN: brute-force cosine top-k for a small probe batch (baseline).
     "q_ann_brute" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -2030,6 +2039,31 @@ object SparkEntry {
          FROM snap s
          LEFT JOIN store st ON s.label = st.label AND s.name = st.name
          LEFT JOIN alarms a ON s.label = a.label AND s.name = a.name"""
+
+  /** Sign-bucket embedding pair CTE block (b, p, d — yields
+    * `d(doc_a, doc_b, dotv, na2, nb2)` for same-bucket id-ordered
+    * pairs) — shared by q_embed_dedup and q_semdedup. */
+  private val embedPairCtes: String =
+    """b AS (SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+           + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+           + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+           + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+           + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+           FROM embeddings),
+         p AS (SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b,
+                      a.embedding AS va, b2.embedding AS vb
+               FROM b a JOIN b b2
+               ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+         d AS (SELECT doc_a, doc_b,
+                 CAST(sum(CAST(CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS dotv,
+                 CAST(sum(CAST(CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS na2,
+                 CAST(sum(CAST(CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nb2
+               FROM p, UNNEST(range(1, len(va) + 1)) t(i)
+               GROUP BY 1, 2)"""
 
   /** Transitive-closure CTE block (expects a `pairs(doc_a, doc_b)` CTE in
     * scope; yields `comp(node, cluster_id)`) — shared by q_dedup_clusters
@@ -3973,29 +4007,21 @@ object SparkEntry {
          SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3""",
 
     "q_embed_dedup" ->
-      """WITH b AS (SELECT vec_id, embedding,
-             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
-           + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
-           + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
-           + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
-           + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
-           FROM embeddings),
-         p AS (SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b,
-                      a.embedding AS va, b2.embedding AS vb
-               FROM b a JOIN b b2
-               ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
-         d AS (SELECT doc_a, doc_b,
-                 CAST(sum(CAST(CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS dotv,
-                 CAST(sum(CAST(CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS na2,
-                 CAST(sum(CAST(CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nb2
-               FROM p, UNNEST(range(1, len(va) + 1)) t(i)
-               GROUP BY 1, 2)
+      s"""WITH $embedPairCtes
          SELECT doc_a, doc_b,
                 round(dotv/(sqrt(na2)*sqrt(nb2)), 4) AS cosine
          FROM d WHERE dotv/(sqrt(na2)*sqrt(nb2)) >= 0.3""",
+
+    // SemDeDup = the embed pair graph above, closed transitively; the
+    // keeper is the component minimum, so the drop list is exactly
+    // "every node that is not its own cluster id"
+    "q_semdedup" ->
+      s"""WITH RECURSIVE $embedPairCtes,
+         pairs AS (SELECT doc_a, doc_b FROM d
+                   WHERE dotv/(sqrt(na2)*sqrt(nb2)) >= 0.3),
+         $closureOracle
+         SELECT node AS vec_id, cluster_id AS kept_id
+         FROM comp WHERE node <> cluster_id""",
 
     "q_ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

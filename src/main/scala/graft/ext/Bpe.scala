@@ -69,9 +69,16 @@ object Bpe {
     * no adjacent pair remains (every word fully fused). */
   def learn(docs: DataFrame, textCol: String, rounds: Int): Seq[Merge] = {
     require(rounds >= 1, s"rounds must be positive, got $rounds")
-    val base = wordHistogram(docs, textCol)
+    val hist = wordHistogram(docs, textCol)
       .select(encodeChars(col("word")).as("enc"), col("wcount"))
       .persist()
+    // rounds iterate the HISTOGRAM, not the corpus — right-size its
+    // partitioning to the vocabulary (one task per ~4M words) so the 8
+    // tiny per-round jobs aren't dominated by empty-task scheduling at
+    // bench scale while a billion-word vocab still fans out
+    val nWords = hist.count()
+    // narrow coalesce over the cache — no second materialization
+    val base = hist.coalesce(math.max(1L, nWords / 4000000L).toInt)
     try {
       val merges = Seq.newBuilder[Merge]
       var encCol: Column = col("enc")
@@ -102,7 +109,7 @@ object Bpe {
         }
       }
       merges.result()
-    } finally { base.unpersist(); () }
+    } finally { hist.unpersist(); () }
   }
 
   /** Encoded column after applying a fixed merge list in order. */

@@ -28,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bloom_might_contain"),
       BloomMightContain.info,
       (children: Seq[Expression]) => BloomMightContain.build(children)))
+    ext.injectFunction((
+      FunctionIdentifier("mg_candidates"),
+      MisraGriesAgg.info,
+      (children: Seq[Expression]) => MisraGriesAgg.build(children)))
   }
 }

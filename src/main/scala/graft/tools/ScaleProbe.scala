@@ -38,7 +38,14 @@ object ScaleProbe {
       "q_jsonl_scan", "q_tsv_scan", "q_corpus_export", "q_compaction",
       // r10: bloom prefilter — the probe is map-side O(fact), the
       // residual join O(sliver); the decade ratio checks both stay flat
-      "q_bloom_semi", "q_bloom_anti")
+      "q_bloom_semi", "q_bloom_anti",
+      // r10: MG heavy hitters (two corpus scans, buffer-sized exchange —
+      // note output ROWS shrink at sf1: the share threshold is relative,
+      // so ×10 data with disjoint replica vocabularies raises the bar
+      // 10× per bigram; the time is the contract, not the row count),
+      // BPE train (vocab ×10 via replica prefixes, 8 rounds over the
+      // histogram), BPE encode (scan-shaped replace chain)
+      "q_heavy_hitters", "q_bpe_train", "q_bpe_encode")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
