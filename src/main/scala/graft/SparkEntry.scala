@@ -1939,6 +1939,34 @@ object SparkEntry {
         shareDen = 1000L, capacity = 4096)
     }),
 
+    // ── The persisted-slice path to the SAME answer: per-lang MG
+    //    summaries (the rows a real pipeline would persist per
+    //    day/source), rolled up globally MERGE-ONLY (raw bigrams never
+    //    rescanned for the rollup), then the exact re-count from the
+    //    rolled-up candidates. Conservative one-shot merge bound keeps
+    //    the guarantee: undercount ≤ 2N/(capacity+1) < N/1000. The
+    //    oracle is the same plain GROUP BY — slice→rollup→exact must be
+    //    indistinguishable from the direct path.
+    "q_heavy_rollup" -> ((s, dir) => {
+      val ws = graft.ext.TextAnalysis.words(col("text"))
+      val bg = Tables.documents(s, dir)
+        .select(col("lang"), ws.as("ws"))
+        .select(col("lang"), explode(arrays_zip(
+          slice(col("ws"), lit(1), size(col("ws")) - 1).as("l"),
+          slice(col("ws"), lit(2), size(col("ws")) - 1).as("r"))).as("pr"))
+        .select(col("lang"),
+          concat_ws(" ", col("pr.l"), col("pr.r")).as("bigram"))
+      val slices = graft.ext.FrequentItems.sliceSummaries(
+        bg, Seq("lang"), "bigram", capacity = 4096)
+      val cand = graft.ext.FrequentItems.rollupCandidates(
+        slices, Nil, capacity = 4096)
+      val total = slices.agg(coalesce(sum(col("total")), lit(0L)))
+        .head().getLong(0)
+      graft.ext.FrequentItems.exactFromCandidates(
+        bg.select(col("bigram")), "bigram", shareDen = 1000L, total,
+        cand.select(col("item").as("bigram")))
+    }),
+
     // ── Distributed BPE tokenizer training (ext.Bpe): the corpus is
     //    reduced to a word histogram once, then each merge round is one
     //    pair-count aggregate over that vocabulary-sized table plus a
@@ -2039,6 +2067,19 @@ object SparkEntry {
          FROM snap s
          LEFT JOIN store st ON s.label = st.label AND s.name = st.name
          LEFT JOIN alarms a ON s.label = a.label AND s.name = a.name"""
+
+  /** Plain exact bigram GROUP BY + HAVING — shared by q_heavy_hitters
+    * (live sketch path) and q_heavy_rollup (persisted-slice rollup
+    * path): both must produce the identical exact answer. */
+  private val heavyHittersOracle: String =
+    """WITH ws AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+                     FROM documents),
+         bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM ws),
+         t AS (SELECT count(*) AS n FROM bg)
+         SELECT bigram, count(*) AS n_occ
+         FROM bg, t GROUP BY bigram, t.n
+         HAVING count(*) * 1000 >= t.n"""
 
   /** Sign-bucket embedding pair CTE block (b, p, d — yields
     * `d(doc_a, doc_b, dotv, na2, nb2)` for same-bucket id-ordered
@@ -4316,15 +4357,11 @@ object SparkEntry {
     // exact heavy hitters: the sketch only prunes the plan, never the
     // answer, so the oracle is the plain exact GROUP BY + HAVING (pure
     // integer threshold arithmetic on both sides)
-    "q_heavy_hitters" ->
-      """WITH ws AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
-                     FROM documents),
-         bg AS (SELECT unnest(list_transform(range(1, len(ws)),
-                    i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM ws),
-         t AS (SELECT count(*) AS n FROM bg)
-         SELECT bigram, count(*) AS n_occ
-         FROM bg, t GROUP BY bigram, t.n
-         HAVING count(*) * 1000 >= t.n""",
+    "q_heavy_hitters" -> heavyHittersOracle,
+
+    // the persisted-slice rollup path must be indistinguishable from
+    // the direct path — same oracle
+    "q_heavy_rollup" -> heavyHittersOracle,
 
     "q_bpe_train" -> bpeTrainOracle(rounds = 8),
 

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.MisraGriesAgg
@@ -67,10 +68,74 @@ object FrequentItems {
     }
     val spark = df.sparkSession
     import spark.implicits._
-    val candDf = kept.toDF(itemCol)
-    df.join(broadcast(candDf), Seq(itemCol), "left_semi")
+    exactFromCandidates(df, itemCol, shareDen, total, kept.toDF(itemCol))
+  }
+
+  /** The exact second pass, factored so candidates can come from a live
+    * sketch (exactHeavyHitters) OR a persisted-summary rollup
+    * (rollupCandidates): broadcast-semi keep, tiny re-count, threshold. */
+  def exactFromCandidates(df: DataFrame, itemCol: String, shareDen: Long,
+      total: Long, candidates: DataFrame): DataFrame =
+    df.join(broadcast(candidates.select(col(itemCol))), Seq(itemCol),
+        "left_semi")
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") * shareDen >= lit(total))
+
+  // ── persisted-slice pattern (the HLL-rollup analogue for frequent
+  //    items): build one MG summary per slice (per-day, per-source),
+  //    persist the tiny (keys, total, items) rows, and roll ANY later
+  //    grouping up merge-only — raw data is never rescanned. Mergeable-
+  //    summaries math keeps the candidate guarantee through the rollup:
+  //    undercount ≤ N/(capacity+1) over the merged total.
+
+  /** One MG summary row per `sliceKeys` group:
+    * (sliceKeys..., total, items). */
+  def sliceSummaries(df: DataFrame, sliceKeys: Seq[String],
+      itemCol: String, capacity: Int): DataFrame = {
+    require(sliceKeys.nonEmpty, "slices need at least one key")
+    MisraGriesAgg.register(df.sparkSession)
+    df.groupBy(sliceKeys.map(col): _*)
+      .agg(expr(s"mg_candidates(`$itemCol`, $capacity)").as("sk"))
+      .select(sliceKeys.map(col) ++
+        Seq(col("sk.total").as("total"), col("sk.items").as("items")): _*)
+  }
+
+  /** Merge persisted summaries up to `rollupKeys` (a subset of the
+    * build keys; empty = global) WITHOUT touching raw data: counters
+    * add, then the (capacity+1)-th largest is subtracted per group (the
+    * mergeable-summaries truncation). Returns
+    * (rollupKeys..., item, lb, total). The per-group row count is
+    * bounded by slices×capacity pre-truncation — summary-sized, never
+    * data-sized. */
+  def rollupCandidates(summaries: DataFrame, rollupKeys: Seq[String],
+      capacity: Int): DataFrame = {
+    // a constant key makes the global (no-keys) rollup the same code
+    // path as the grouped one
+    val tagged =
+      if (rollupKeys.nonEmpty) summaries
+      else summaries.withColumn("_g", lit(1))
+    val keyNames = if (rollupKeys.nonEmpty) rollupKeys else Seq("_g")
+    val keys = keyNames.map(col)
+    val totals = tagged.groupBy(keys: _*)
+      .agg(sum(col("total")).as("total"))
+    val counts = tagged
+      .select(keys :+ explode(col("items")).as("it"): _*)
+      .groupBy(keys :+ col("it.item").as("item"): _*)
+      .agg(sum(col("it.lb")).as("lb"))
+    // the (capacity+1)-th largest counter per group, 0 if none: the
+    // mergeable-summaries truncation. Group row counts are bounded by
+    // slices×capacity, so the rank window is summary-sized.
+    val d = counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(col("lb").desc, col("item"))))
+      .filter(col("rk") === capacity + 1)
+      .select(keys :+ col("lb").as("trunc"): _*)
+    counts.join(broadcast(d), keyNames, "left")
+      .withColumn("lb", col("lb") - coalesce(col("trunc"), lit(0L)))
+      .filter(col("lb") > 0)
+      .drop("trunc")
+      .join(broadcast(totals), keyNames, "inner")
+      .drop("_g")
   }
 }

@@ -99,4 +99,66 @@ class FrequentItemsSpec extends SparkSpec {
         capacity = 512)
     }
   }
+
+  test("slice summaries -> merge-only rollup -> exact pass equals brute force") {
+    // three slices with different hot sets; the rollup never sees the
+    // raw items, only the persisted (total, items) summary rows
+    val rows = Seq("s1", "s2", "s3").flatMap { sl =>
+      skewed(nHot = 20, hotBase = 800, nCold = 4000).map(it => (sl, it + sl))
+    } ++ skewed(nHot = 5, hotBase = 3000, nCold = 0)
+      .map(it => ("s1", it)) // cross-slice heavies too
+    val df = rows.toDF("slice", "item").repartition(7)
+    val expected = brute(rows.map(_._2), shareDen = 300)
+    assert(expected.nonEmpty)
+    val slices = FrequentItems.sliceSummaries(df, Seq("slice"), "item",
+      capacity = 1024)
+    val cand = FrequentItems.rollupCandidates(slices, Nil, capacity = 1024)
+    val total = slices.agg(org.apache.spark.sql.functions.sum("total"))
+      .head().getLong(0)
+    assert(total == rows.size.toLong)
+    val got = FrequentItems.exactFromCandidates(
+      df.select($"item"), "item", shareDen = 300, total,
+      cand.select($"item"))
+      .as[(String, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("rollup candidates keep every item above the conservative 2N/(cap+1) bound") {
+    val rows = Seq("a", "b").flatMap { sl =>
+      skewed(nHot = 15, hotBase = 400, nCold = 2500).map(it => (sl, it))
+    }
+    val df = rows.toDF("slice", "item").repartition(5)
+    val slices = FrequentItems.sliceSummaries(df, Seq("slice"), "item",
+      capacity = 128)
+    val cand = FrequentItems.rollupCandidates(slices, Nil, capacity = 128)
+      .as[(String, Long, Long)].collect()
+    val n = rows.size.toLong
+    val candSet = cand.map(_._1).toSet
+    val mustHave = rows.map(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong)
+      .collect { case (it, c) if c * 129 > 2 * n => it }.toSet
+    assert(mustHave.nonEmpty)
+    assert(mustHave.subsetOf(candSet),
+      s"rollup lost guaranteed candidates: ${mustHave -- candSet}")
+    assert(cand.forall(_._3 == n), "rollup total must sum slice totals")
+  }
+
+  test("grouped rollup keeps per-group guarantees independently") {
+    // group g1 heavy on 'x', g2 heavy on 'y' — a rollup keyed on group
+    // must surface each group's own heavy, not blend them
+    val rows =
+      (Seq.fill(500)("x") ++ (1 to 800).map(i => s"u$i")).map(("g1", "d1", _)) ++
+      (Seq.fill(400)("y") ++ (1 to 700).map(i => s"v$i")).map(("g2", "d1", _)) ++
+      (Seq.fill(300)("x") ++ (1 to 600).map(i => s"w$i")).map(("g1", "d2", _))
+    val df = rows.toDF("grp", "day", "item").repartition(6)
+    val slices = FrequentItems.sliceSummaries(df, Seq("grp", "day"),
+      "item", capacity = 256)
+    val cand = FrequentItems.rollupCandidates(slices, Seq("grp"),
+      capacity = 256).as[(String, String, Long, Long)].collect()
+    val g1 = cand.filter(_._1 == "g1")
+    val g2 = cand.filter(_._1 == "g2")
+    assert(g1.exists(_._2 == "x") && g2.exists(_._2 == "y"))
+    assert(g1.forall(_._4 == 500 + 800 + 300 + 600))
+    assert(g2.forall(_._4 == 400 + 700))
+  }
 }
