@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ext.FrequentItems
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming frequent-items contracts: the stream-maintained summary
+  * store must serve the SAME exact heavy hitters as a batch pass over
+  * all events seen, and a replayed batch must not change the answer.
+  */
+class FrequentStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // hot items with harmonic counts + unique tail, deterministic order
+  private def rows(lo: Int, hi: Int): Seq[String] =
+    (lo to hi).map { i =>
+      val h = (i * 2654435761L) & 0x7fffffff
+      if (h % 4 != 0) s"hot${h % 12}" else s"cold$i"
+    }
+
+  private def brute(items: Seq[String], shareDen: Long): Map[String, Long] = {
+    val n = items.size.toLong
+    items.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * shareDen >= n }.toMap
+  }
+
+  test("stream summaries + exact pass == batch heavy hitters over all events") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("mgstream")
+      .toString + "/mg"
+    val mem = MemoryStream[String]
+    val q = FrequentStream.maintain(mem.toDF().toDF("item"), "item", dir,
+      capacity = 256, trigger = Trigger.ProcessingTime("0 seconds")).start()
+    val (b0, b1) = (rows(1, 3000), rows(3001, 8000))
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val all = b0 ++ b1
+    val expected = brute(all, shareDen = 60)
+    assert(expected.nonEmpty)
+    val got = FrequentStream.exactOver(all.toDF("item"), "item",
+        shareDen = 60, spark, dir, capacity = 256)
+      .as[(String, Long)].collect().toMap
+    assert(got == expected)
+    // and the summary store really is summary-sized: one row per batch
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("replaying a batch leaves the exact answer unchanged") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("mgreplay")
+      .toString + "/mg"
+    val data = rows(1, 4000)
+    val mem = MemoryStream[String]
+    val q = FrequentStream.maintain(mem.toDF().toDF("item"), "item", dir,
+      capacity = 256, trigger = Trigger.ProcessingTime("0 seconds")).start()
+    try { mem.addData(data: _*); q.processAllAvailable() } finally q.stop()
+
+    val before = FrequentStream.exactOver(data.toDF("item"), "item",
+        shareDen = 60, spark, dir, capacity = 256)
+      .as[(String, Long)].collect().toMap
+
+    // simulate at-least-once replay: a fresh stream re-lands batch 0
+    // (possibly a different-but-valid MG summary of the same rows)
+    val mem2 = MemoryStream[String]
+    val q2 = FrequentStream.maintain(mem2.toDF().toDF("item"), "item", dir,
+      capacity = 256, trigger = Trigger.ProcessingTime("0 seconds")).start()
+    try { mem2.addData(data: _*); q2.processAllAvailable() } finally q2.stop()
+
+    val after = FrequentStream.exactOver(data.toDF("item"), "item",
+        shareDen = 60, spark, dir, capacity = 256)
+      .as[(String, Long)].collect().toMap
+    assert(after == before)
+    assert(spark.read.parquet(dir).count() == 1,
+      "replay must overwrite batch=0, not append a sibling")
+  }
+
+  test("serving threshold below the cross-batch merge bound is rejected") {
+    intercept[IllegalArgumentException] {
+      FrequentStream.exactOver(Seq("a").toDF("item"), "item",
+        shareDen = 200, spark, "/tmp/nonexistent", capacity = 256)
+    }
+  }
+}
