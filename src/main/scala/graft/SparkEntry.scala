@@ -1563,6 +1563,45 @@ object SparkEntry {
         "u", "v", rounds = 2)
     }),
 
+    // ── Multi-source BFS hop distances (ext.Bfs) on a third-sample of
+    //    the part co-purchase graph, seeds = partkeys ≡ 0 (mod 30),
+    //    depth 3: per round ONE frontier⋈edges join + distinct + anti
+    //    join — each node emitted once at its FIRST depth, no
+    //    min-over-paths aggregate (the oracle's recursive closure
+    //    re-derives it as min(dist)).
+    "q_bfs" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .filter(col("l_partkey") % 3 === 0)
+      graft.ext.Bfs.distances(
+        graft.ext.Basket.coPairs(li, "l_orderkey", "l_partkey"),
+        "u", "v",
+        li.filter(col("l_partkey") % 30 === 0)
+          .select(col("l_partkey")).distinct(),
+        "l_partkey", maxDepth = 3)
+    }),
+
+    // ── Exact edit-distance-1 pairs over supplier names (ext.EditSim):
+    //    FastSS deletion-neighborhood blocking (L+1 in-row variants,
+    //    codegen) + exact levenshtein verify — the oracle is the plain
+    //    O(n²) join, so a single missed candidate hash-mismatches.
+    "q_edit_pairs" -> ((s, dir) =>
+      graft.ext.EditSim.dist1Pairs(
+        Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
+        "s_suppkey", "s_name")
+        .select(col("id_a").as("supp_a"), col("id_b").as("supp_b"),
+          col("dist"))),
+
+    // ── Integer-exact distributed Lloyd k-means over the embeddings
+    //    (ext.KMeans): k=4, two assignment passes, 10⁻⁶-grid BIGINT
+    //    distances and half-up integer centroid means — bit-reproducible
+    //    where float Lloyd's is shuffle-order-dependent. Per round ONE
+    //    broadcast comp⋈centroid join + two partial aggregates; nothing
+    //    collected to the driver.
+    "q_kmeans" -> ((s, dir) =>
+      graft.ext.KMeans.assignments(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 4, rounds = 2)),
+
     // ── The full keep-one-representative dedup POLICY: clusters ranked by
     //    quality score, highest-quality member keeps (ties → smallest id),
     //    the rest are the drop list — what a curation pipeline actually
@@ -3947,6 +3986,27 @@ object SparkEntry {
                   FROM c2) WHERE rn = 1)
          SELECT node, label FROM r2""",
 
+    // depth-bounded recursive closure with a set-semantics UNION (state
+    // bounded at nodes×depth, not path multiplicities), then min(dist) —
+    // the operator's first-settle frontier discipline IS that minimum
+    "q_bfs" ->
+      """WITH RECURSIVE li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                               WHERE l_partkey % 3 = 0),
+         e0 AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+                FROM li a JOIN li b USING (l_orderkey)
+                WHERE a.l_partkey < b.l_partkey),
+         e AS (SELECT x AS a, y AS b FROM e0
+               UNION SELECT y, x FROM e0),
+         seeds AS (SELECT DISTINCT l_partkey AS node FROM li
+                   WHERE l_partkey % 30 = 0),
+         walk(node, dist) AS (
+           SELECT node, 0 FROM seeds
+           UNION
+           SELECT e.b, walk.dist + 1 FROM walk JOIN e ON e.a = walk.node
+           WHERE walk.dist < 3)
+         SELECT node, CAST(min(dist) AS INTEGER) AS dist
+         FROM walk GROUP BY node""",
+
     // same unrolled shape as q_pagerank; teleport pinned to seeds {1,2,3},
     // edges doubled into both directions before the DISTINCT
     "q_ppr" ->
@@ -4365,6 +4425,21 @@ object SparkEntry {
 
     "q_bpe_train" -> bpeTrainOracle(rounds = 8),
 
+    // the deliberately quadratic twin: blocking completeness is proven
+    // by NOT blocking in the oracle
+    "q_edit_pairs" ->
+      """WITH s AS (SELECT s_suppkey AS id, s_name AS name FROM supplier)
+         SELECT a.id AS supp_a, b.id AS supp_b,
+                CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+         FROM s a JOIN s b ON a.id < b.id
+         WHERE levenshtein(a.name, b.name) <= 1""",
+
+    // unrolled Lloyd rounds on the 10⁻⁶ BIGINT grid: identical
+    // quantization, tie rule (d, cid), and half-up centroid division as
+    // the operator — empty clusters drop out of the update aggregate in
+    // both engines, so the semantics need no special-casing
+    "q_kmeans" -> kmeansOracle(k = 4, rounds = 2),
+
     "q_bpe_encode" ->
       """WITH w AS (SELECT doc_id,
                 regexp_replace(unnest(string_split_regex(lower(trim(text)), '\s+')),
@@ -4387,6 +4462,34 @@ object SparkEntry {
     * runs, unrolled as a generated CTE chain (pair counts → total-order
     * argmax → leftmost-non-overlapping replace, per round). Generated
     * rather than hand-written so the round count stays in one place. */
+  private def kmeansOracle(k: Int, rounds: Int): String = {
+    val prelude =
+      s"""comp AS (SELECT vec_id AS vid, i - 1 AS pos,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+         init AS (SELECT vec_id AS vid,
+                    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+                  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+         c0 AS (SELECT cid, pos, q AS cq FROM init JOIN comp USING (vid))"""
+    val perRound = (1 to rounds).map { r =>
+      val update =
+        if (r == rounds) ""
+        else s""",
+         c$r AS (SELECT cid, pos,
+                   CAST(floor((2.0 * sum(q) + count(*)) / (2.0 * count(*))) AS BIGINT) AS cq
+                 FROM a$r JOIN comp USING (vid) GROUP BY cid, pos)"""
+      s"""d$r AS (SELECT vid, cid, sum((q - cq) * (q - cq)) AS d
+               FROM comp JOIN c${r - 1} USING (pos) GROUP BY vid, cid),
+         a$r AS (SELECT vid, cid, d FROM (
+                   SELECT vid, cid, d, row_number() OVER (
+                     PARTITION BY vid ORDER BY d, cid) AS rn
+                   FROM d$r) WHERE rn = 1)$update"""
+    }
+    (Seq(prelude) ++ perRound).mkString("WITH ", ",\n         ", "\n") +
+      s"""SELECT vid AS vec_id, CAST(cid AS INTEGER) AS cluster_id,
+                 CAST(d AS BIGINT) AS sqdist FROM a$rounds"""
+  }
+
   private def bpeTrainOracle(rounds: Int): String = {
     val v0 =
       """v0 AS (
