@@ -45,7 +45,13 @@ object ScaleProbe {
       // 10× per bigram; the time is the contract, not the row count),
       // BPE train (vocab ×10 via replica prefixes, 8 rounds over the
       // histogram), BPE encode (scan-shaped replace chain)
-      "q_heavy_hitters", "q_bpe_train", "q_bpe_encode")
+      "q_heavy_hitters", "q_bpe_train", "q_bpe_encode",
+      // r10b: BFS (10 disjoint co-purchase graphs — frontier work ×10,
+      // depth unchanged), k-means (assignment is N·k — linear in N),
+      // edit-distance pairs (replica-prefixed names keep the variant
+      // universes disjoint: pairs ×10, never the ×55 cross-replica
+      // identical-name bomb verbatim copies would measure)
+      "q_bfs", "q_kmeans", "q_edit_pairs")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
@@ -125,6 +131,44 @@ object ScaleProbe {
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$sf1/orders.parquet")
       println(s"[scaleprobe] generated $sf1/orders.parquet")
+    }
+
+    // embeddings joined the probe with k-means — vec_id shifts per
+    // replica, vectors kept verbatim (k-means has no pair expansion, so
+    // identical vectors can't skew-bomb it; assignment work is N·k).
+    if (args.contains("regen") ||
+        !new java.io.File(s"$sf1/embeddings.parquet").exists()) {
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      (0 until Replicas).map { k =>
+        emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$sf1/embeddings.parquet")
+      println(s"[scaleprobe] generated $sf1/embeddings.parquet")
+    }
+
+    // supplier joined the probe with the edit-distance family — names
+    // are replica-prefixed (k=0 verbatim) so the deletion-variant
+    // universes stay disjoint: verbatim copies would make every name a
+    // 10-way dist-0 clique (+45 pairs each) and measure a pair bomb,
+    // not engine scaling. Same discipline as the document shards.
+    if (args.contains("regen") ||
+        !new java.io.File(s"$sf1/supplier.parquet").exists()) {
+      val sup = spark.read.parquet(s"$base/supplier.parquet")
+      (0 until Replicas).map { k =>
+        // DOUBLED digit: single-digit prefixes (r1q/r2q) differ by one
+        // char — a real dist-1 substitution pair per cross-replica name
+        // twin (measured: rows ×12.7 instead of ×10). r11q vs r22q
+        // differ in two chars, so replicas stay pair-disjoint.
+        val nm = if (k == 0) col("s_name")
+        else concat(lit(s"r$k${k}q"), col("s_name"))
+        sup.select((col("s_suppkey") + lit(k * 1000000L)).as("s_suppkey"),
+          nm.as("s_name"))
+      }.reduce(_ unionByName _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$sf1/supplier.parquet")
+      println(s"[scaleprobe] generated $sf1/supplier.parquet")
     }
 
     def run(name: String, dir: String): (Long, Double) = {

@@ -331,4 +331,40 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"candidate membership fell back to a corpus shuffle:\n${p.take(600)}")
   }
+
+  test("k-means: the centroid join broadcasts; the comp frame never " +
+      "shuffles for it") {
+    // KMeans' per-round distance pass joins the N·dim component frame
+    // against k·dim centroids on pos — centroids must ALWAYS ride a
+    // broadcast (they are bounded by k·dim rows); a SortMergeJoin here
+    // would shuffle the full quantized corpus on a 64-value key, the
+    // worst possible exchange. The final round is un-checkpointed, so
+    // its join is visible in the query's executed plan.
+    val p = plan("q_kmeans")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      s"comp frame shuffled for the centroid join:\n${p.take(600)}")
+  }
+
+  test("edit-distance join: the quadratic shape is structurally absent") {
+    // EditSim's whole point is replacing the O(n²) comparison with an
+    // equi join on the deletion-variant key. Any nested-loop or
+    // cartesian operator in the plan means the blocking collapsed into
+    // the brute force the oracle runs on purpose.
+    val p = plan("q_edit_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join shape in the blocked plan:\n${p.take(600)}")
+  }
+
+  test("BFS output is pre-materialized: consuming it adds no exchange") {
+    // Bfs.distances materializes each frontier round (localCheckpoint);
+    // the returned frame is a union of those blocks. Downstream
+    // consumers must read them as-is — an Exchange in THIS plan would
+    // mean the operator leaks per-round work into every consumer.
+    val p = plan("q_bfs")
+    assert(p.contains("Union"), p.take(600))
+    assert(!p.contains("Exchange"),
+      s"BFS union re-shuffled its materialized rounds:\n${p.take(600)}")
+  }
 }
