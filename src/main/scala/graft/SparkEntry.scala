@@ -1333,6 +1333,23 @@ object SparkEntry {
           col("members"))
     }),
 
+    // ── Incremental cluster maintenance (Components.incrementalUpdate):
+    //    the near-dup pair stream split 3:1 into history and a batch;
+    //    standing labels + batch fold-in must equal the from-scratch
+    //    closure over ALL pairs — history is never re-clustered, only
+    //    label-mapped through a broadcast merge mapping.
+    "q_cc_incr" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id",
+        "text", shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5,
+        broadcastCandidates = true)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val old = pairs.where((col("doc_a") + col("doc_b")) % 4 =!= 0)
+      val batch = pairs.where((col("doc_a") + col("doc_b")) % 4 === 0)
+      graft.ext.Components.incrementalUpdate(
+        graft.ext.Components.connectedAdaptive(old, "doc_a", "doc_b"),
+        batch, "doc_a", "doc_b")
+    }),
+
     // ── Same clusters via STAR CONTRACTION (Components.connectedStar):
     //    hash-proves the O(log N)-round high-diameter algorithm against
     //    the identical recursive-closure oracle — the q_skew_agg pattern
@@ -1579,6 +1596,21 @@ object SparkEntry {
         li.filter(col("l_partkey") % 30 === 0)
           .select(col("l_partkey")).distinct(),
         "l_partkey", maxDepth = 3)
+    }),
+
+    // ── Bounded-round Bellman–Ford (ext.Sssp) over the supplier↔
+    //    part-bucket bipartite graph (q_ppr's shape) with integer
+    //    quantity weights: 4 relax rounds = exact min cost over ≤4-edge
+    //    paths, one shuffle join + one min-agg per round, all BIGINT.
+    "q_sssp" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.ext.Sssp.boundedCosts(
+        li.select(col("l_suppkey").as("src"),
+          (lit(100000L) + col("l_partkey") % 100).as("dst"),
+          col("l_quantity").cast("long").as("w")),
+        "src", "dst", "w",
+        li.sparkSession.range(1, 4).toDF("id"), "id",
+        rounds = 4, undirected = true)
     }),
 
     // ── Exact edit-distance-1 pairs over supplier names (ext.EditSim):
@@ -3756,6 +3788,14 @@ object SparkEntry {
                            ORDER BY CAST(node AS VARCHAR)) AS members
          FROM comp GROUP BY cluster_id""",
 
+    // history + batch fold-in ≡ the closure over ALL pairs: the oracle
+    // has no notion of the split, so any label the incremental path
+    // fails to merge (or merges wrongly) hash-mismatches
+    "q_cc_incr" ->
+      s"""WITH RECURSIVE pairs AS ($minhashLshOracle),
+         $closureOracle
+         SELECT node, cluster_id AS component FROM comp""",
+
     // the incremental batch-vs-index pairs must equal the full recompute
     // restricted to pairs touching the batch (odd ids)
     "q_dedup_incr" ->
@@ -4425,6 +4465,11 @@ object SparkEntry {
 
     "q_bpe_train" -> bpeTrainOracle(rounds = 8),
 
+    // unrolled Bellman–Ford relax rounds — the round-r frame is the
+    // exact min cost over ≤r-edge paths, so the CTE chain IS the
+    // operator's invariant
+    "q_sssp" -> ssspOracle(rounds = 4),
+
     // the deliberately quadratic twin: blocking completeness is proven
     // by NOT blocking in the oracle
     "q_edit_pairs" ->
@@ -4462,6 +4507,28 @@ object SparkEntry {
     * runs, unrolled as a generated CTE chain (pair counts → total-order
     * argmax → leftmost-non-overlapping replace, per round). Generated
     * rather than hand-written so the round count stays in one place. */
+  private def ssspOracle(rounds: Int): String = {
+    val prelude =
+      """raw AS (SELECT CAST(l_suppkey AS BIGINT) AS src,
+                    CAST(100000 + l_partkey % 100 AS BIGINT) AS dst,
+                    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+         sym AS (SELECT src, dst, w FROM raw
+                 UNION ALL SELECT dst, src, w FROM raw),
+         e AS (SELECT src, dst, min(w) AS w FROM sym
+               WHERE src <> dst GROUP BY 1, 2),
+         d0 AS (SELECT CAST(node AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost
+                FROM (VALUES (1), (2), (3)) t(node))"""
+    val relax = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT node, min(cost) AS cost FROM (
+               SELECT node, cost FROM d${r - 1}
+               UNION ALL
+               SELECT e.dst, d${r - 1}.cost + e.w FROM d${r - 1}
+               JOIN e ON e.src = d${r - 1}.node) GROUP BY node)"""
+    }
+    (Seq(prelude) ++ relax).mkString("WITH ", ",\n         ", "\n") +
+      s"SELECT node, cost FROM d$rounds"
+  }
+
   private def kmeansOracle(k: Int, rounds: Int): String = {
     val prelude =
       s"""comp AS (SELECT vec_id AS vid, i - 1 AS pos,

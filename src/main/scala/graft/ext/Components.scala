@@ -188,6 +188,79 @@ object Components {
     }
   }
 
+  /** Fold a batch of NEW edges into existing component labels without
+    * re-reading the historical edge list — the continuous-ingestion
+    * shape for dedup clusters (the [[Dedup.minhashLshPairsIncremental]]
+    * companion: that operator yields the new PAIRS cheaply; this one
+    * folds them into the standing CLUSTER assignment).
+    *
+    * Contract: if `labels` is the min-node-id labeling of some edge set
+    * E (any `connected*` output), the result is the min-node-id
+    * labeling of E ∪ newEdges — EXACTLY, because merging components
+    * takes the min of their labels, each label is already the min node
+    * of its old component, and a min of mins is the global min. Gated
+    * against the full recompute by `q_cc_incr`'s closure oracle.
+    *
+    * Shape for 100 TB: the history is touched exactly twice, and never
+    * shuffled for a join —
+    *  1. RESOLVE: batch endpoints (small) look up their current label
+    *     (one join against `labels`; with the labels table bucketed on
+    *     `node` — [[graft.model.Bucketing]] — the exchange is
+    *     batch-side only);
+    *  2. CONTRACT: batch edges rewritten to label space (two joins
+    *     against the broadcast resolve result), self-edges dropped —
+    *     the contracted graph is bounded by the BATCH size, so the full
+    *     [[connectedAdaptive]] machinery runs on a trivially small
+    *     input;
+    *  3. APPLY: one left join of `labels` against the BROADCAST merge
+    *     mapping (bounded by batch endpoints) — map-side, the history
+    *     never moves.
+    * A from-scratch recompute is one pass over ALL E; this is one pass
+    * over labels plus work proportional to the batch.
+    *
+    * Emits (node, component) for every historical node plus every new
+    * endpoint.
+    */
+  def incrementalUpdate(labels: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val lab = labels.select(col("node").cast("long").as("node"),
+      col("component").cast("long").as("component"))
+    val e = newEdges
+      .select(col(srcCol).cast("long").as("ea"),
+        col(dstCol).cast("long").as("eb"))
+      .where(col("ea") =!= col("eb"))
+      .distinct()
+      .localCheckpoint()
+
+    // 1. resolve: endpoint → current label; an unseen endpoint is its
+    // own (provisional) component. component IS NULL marks new nodes.
+    val ends = e.select(explode(array(col("ea"), col("eb"))).as("node"))
+      .distinct()
+    val resolved = ends.join(lab, Seq("node"), "left_outer")
+      .select(col("node"), col("component").isNull.as("is_new"),
+        coalesce(col("component"), col("node")).as("comp"))
+      .localCheckpoint()
+
+    // 2. contract to label space; the result is batch-bounded
+    val ra = resolved.select(col("node").as("ea"), col("comp").as("ca"))
+    val rb = resolved.select(col("node").as("eb"), col("comp").as("cb"))
+    val contracted = e
+      .join(broadcast(ra), "ea").join(broadcast(rb), "eb")
+      .select(col("ca"), col("cb"))
+      .where(col("ca") =!= col("cb"))
+    val mapping = connectedAdaptive(contracted, "ca", "cb")
+      .select(col("node").as("component"), col("component").as("merged"))
+
+    // 3. apply: history + provisional new-node labels, one broadcast
+    // left join — a label not touched by any merge passes through
+    val allLabels = lab.union(
+      resolved.where(col("is_new"))
+        .select(col("node"), col("comp").as("component")))
+    allLabels.join(broadcast(mapping), Seq("component"), "left_outer")
+      .select(col("node"),
+        coalesce(col("merged"), col("component")).as("component"))
+  }
+
   /** @return (node, component) — component = min node id reachable. */
   def connected(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25, strict: Boolean = true): DataFrame = {
