@@ -1634,6 +1634,16 @@ object SparkEntry {
       graft.ext.KMeans.assignments(Tables.embeddings(s, dir),
         "vec_id", "embedding", k = 4, rounds = 2)),
 
+    // ── Exact second-moment (gram) matrix of the embeddings (ext.Gram):
+    //    the one-pass dim×dim corpus summary PCA eigendecomposes —
+    //    upper-triangle products expand IN-ROW (no self-join, no N·dim
+    //    shuffle), partial aggregation exchanges dim² rows per
+    //    partition. First-moment and count rows ride the same pass as
+    //    i = −1 sentinels.
+    "q_gram" -> ((s, dir) =>
+      graft.ext.Gram.secondMoment(Tables.embeddings(s, dir),
+        "vec_id", "embedding")),
+
     // ── The full keep-one-representative dedup POLICY: clusters ranked by
     //    quality score, highest-quality member keeps (ties → smallest id),
     //    the rest are the drop list — what a curation pipeline actually
@@ -4478,6 +4488,24 @@ object SparkEntry {
                 CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
          FROM s a JOIN s b ON a.id < b.id
          WHERE levenshtein(a.name, b.name) <= 1""",
+
+    // the oracle takes the self-join road the operator's in-row
+    // expansion avoids — identical quantization, identical sums
+    "q_gram" ->
+      """WITH comp AS (SELECT vec_id, i - 1 AS pos,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+         up AS (SELECT a.pos AS i, b.pos AS j, CAST(sum(a.q * b.q) AS BIGINT) AS s
+                FROM comp a JOIN comp b
+                ON a.vec_id = b.vec_id AND a.pos <= b.pos
+                GROUP BY 1, 2),
+         fm AS (SELECT -1 AS i, pos AS j, CAST(sum(q) AS BIGINT) AS s
+                FROM comp GROUP BY 2),
+         cnt AS (SELECT -1 AS i, -1 AS j, CAST(count(*) AS BIGINT) AS s
+                 FROM embeddings)
+         SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, s FROM up
+         UNION ALL SELECT CAST(i AS INTEGER), CAST(j AS INTEGER), s FROM fm
+         UNION ALL SELECT CAST(i AS INTEGER), CAST(j AS INTEGER), s FROM cnt""",
 
     // unrolled Lloyd rounds on the 10⁻⁶ BIGINT grid: identical
     // quantization, tie rule (d, cid), and half-up centroid division as

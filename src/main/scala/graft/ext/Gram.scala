@@ -1,0 +1,174 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact second-moment (gram) matrix over an embedding column, and the
+  * PCA that falls out of it — the dimensionality-reduction face for
+  * embedding analytics (variance auditing, whitening, cheap 2-D corpus
+  * maps): at 100 TB the ONLY tractable PCA is "reduce the corpus to a
+  * dim×dim summary in one pass, eigendecompose the summary" — the
+  * corpus is touched once for the gram and once for the projection,
+  * never materialized per-component.
+  *
+  * [[secondMoment]] is integer-exact on the 10⁻⁶ grid ([[KMeans]]'
+  * quantization): per row the upper-triangle products are expanded
+  * IN-ROW (dim·(dim+1)/2 structs through whole-stage codegen — no
+  * self-join, no N·dim shuffle) and partial aggregation collapses them
+  * to dim² rows per partition before any exchange. Exactness bound:
+  * Σ q_i·q_j over N rows must fit BIGINT — N·(10⁶·|x|)² < 2⁶³, i.e.
+  * ~3·10⁷ rows at |x| ≤ 1 on the 10⁻⁶ grid; rescale the grid (or
+  * pre-aggregate shards) beyond that, same contract as
+  * [[TextAnalysis]]' quantized sums.
+  *
+  * [[fitPca]] collects the dim×dim summary (dim²
+  * scalars — the [[IvfIndex]] k-bounded-collect precedent, NOT a data
+  * collect) and runs a deterministic cyclic Jacobi eigensolver on the
+  * driver: fixed sweep order, fixed sweep count, eigenvalue-descending
+  * order with index tie-break, sign fixed so each vector's
+  * largest-|component| entry is positive — the same inputs give the
+  * same components on any cluster, any partitioning.
+  *
+  * [[project]] applies components as literal arrays: one in-row
+  * dot-product chain (codegen), zero joins, zero shuffles.
+  */
+object Gram {
+
+  private val GRID = 1e6
+
+  /** (i, j, s): upper triangle (i ≤ j) of Σ over rows of q_i·q_j on the
+    * 10⁻⁶ BIGINT grid, plus ("i"=-1, j, s) rows carrying Σ q_j and one
+    * (-1, -1, N) row — everything covariance needs in ONE pass. */
+  def secondMoment(vecs: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val qv = transform(col(vecCol),
+      x => round(x.cast("double") * lit(GRID)).cast("long"))
+    val d = size(col(vecCol))
+    // upper-triangle products + first-moment row (-1, j) + count row
+    // (-1, -1), all through the same explode → ONE aggregate
+    val pairs = concat(
+      flatten(transform(sequence(lit(0), d - 1), i =>
+        transform(sequence(i, d - 1), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(qv, i + 1) * element_at(qv, j + 1)).as("p"))))),
+      transform(sequence(lit(0), d - 1), j =>
+        struct(lit(-1).as("i"), j.as("j"), element_at(qv, j + 1).as("p"))),
+      array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("p"))))
+    vecs.select(explode(pairs).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p")).as("s"))
+  }
+
+  /** Driver-side PCA summary: top-k covariance eigenvectors (rows =
+    * components, descending eigenvalue) + the mean vector — dim·(k+1)
+    * doubles, broadcast-trivial. */
+  final case class PcaModel(components: Array[Array[Double]],
+      means: Array[Double])
+
+  /** Fit a [[PcaModel]] from one [[secondMoment]] pass. */
+  def fitPca(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int): PcaModel = {
+    val rows = secondMoment(vecs, idCol, vecCol).collect()
+    val n = rows.find(r => r.getInt(0) == -1 && r.getInt(1) == -1)
+      .map(_.getLong(2).toDouble)
+      .getOrElse(throw new IllegalArgumentException("empty input"))
+    val dim = rows.iterator.map(_.getInt(1)).max + 1
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim]")
+    val mean = new Array[Double](dim)
+    val cov = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val (i, j, s) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      if (i == -1 && j >= 0) mean(j) = s / n / GRID
+    }
+    rows.foreach { r =>
+      val (i, j, s) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      if (i >= 0) {
+        val c = s / n / (GRID * GRID) - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+      }
+    }
+    PcaModel(jacobiTopK(cov, k), mean)
+  }
+
+  /** (id, pc ARRAY<DOUBLE>[k]): mean-centered projection onto the
+    * model's components — each component's centering folds into ONE
+    * literal bias (Σ v_d·(x_d − μ_d) = Σ v_d·x_d − Σ v_d·μ_d), so the
+    * whole projection is a codegen dot-product chain: no joins, no
+    * shuffles, one corpus pass. */
+  def project(vecs: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel): DataFrame = {
+    val xv = transform(col(vecCol), x => x.cast("double"))
+    val pcs: Column = array(model.components.map { comp =>
+      val bias = comp.zip(model.means).map { case (w, m) => w * m }.sum
+      comp.zipWithIndex.map { case (w, d) =>
+        element_at(xv, d + 1) * lit(w)
+      }.reduce(_ + _) - lit(bias)
+    }: _*)
+    vecs.select(col(idCol).as("id"), pcs.as("pc"))
+  }
+
+  /** Cyclic Jacobi with fixed sweeps — deterministic by construction. */
+  private def jacobiTopK(a0: Array[Array[Double]], k: Int)
+      : Array[Array[Double]] = {
+    val dim = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    val sweeps = 30
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < sweeps && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < dim - 1) {
+        var q = p + 1
+        while (q < dim) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                case x => x
+              }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < dim) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < dim) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      var i = 0
+      while (i < dim) {
+        var j = i + 1
+        while (j < dim) { off += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      sweep += 1
+    }
+    // (eigenvalue desc, index asc) total order; sign: largest-|entry|
+    // component positive (ties at equal |entry| → first index wins)
+    val order = (0 until dim).sortBy(i => (-a(i)(i), i)).take(k)
+    order.map { col =>
+      val vec = Array.tabulate(dim)(r => v(r)(col))
+      val m = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      if (vec(m) < 0) vec.map(-_) else vec
+    }.toArray
+  }
+}
