@@ -1333,6 +1333,20 @@ object SparkEntry {
           col("members"))
     }),
 
+    // ── Deterministic random-walk corpus (ext.Walks) on a fifth-sample
+    //    of the co-purchase graph: 4 steps, neighbor picked by the
+    //    md5("walk:step:neighbor") coin — seedless, engine-reproducible,
+    //    SQL-replayable. Per step ONE join + one partial-aggregatable
+    //    min(struct) per walk (hub-safe).
+    "q_walks" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .filter(col("l_partkey") % 5 === 2)
+      graft.ext.Walks.deterministicWalks(
+        graft.ext.Basket.coPairs(li, "l_orderkey", "l_partkey"),
+        "u", "v", walkLen = 4)
+    }),
+
     // ── Incremental cluster maintenance (Components.incrementalUpdate):
     //    the near-dup pair stream split 3:1 into history and a batch;
     //    standing labels + batch fold-in must equal the from-scratch
@@ -4475,6 +4489,10 @@ object SparkEntry {
 
     "q_bpe_train" -> bpeTrainOracle(rounds = 8),
 
+    // the hash coin is replayed literally: md5 of the same string in
+    // both engines, argmin under the same (h, v) order
+    "q_walks" -> walksOracle(walkLen = 4),
+
     // unrolled Bellman–Ford relax rounds — the round-r frame is the
     // exact min cost over ≤r-edge paths, so the CTE chain IS the
     // operator's invariant
@@ -4535,6 +4553,31 @@ object SparkEntry {
     * runs, unrolled as a generated CTE chain (pair counts → total-order
     * argmax → leftmost-non-overlapping replace, per round). Generated
     * rather than hand-written so the round count stays in one place. */
+  private def walksOracle(walkLen: Int): String = {
+    val prelude =
+      """li AS (SELECT l_orderkey, l_partkey FROM lineitem
+               WHERE l_partkey % 5 = 2),
+         e0 AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+                FROM li a JOIN li b USING (l_orderkey)
+                WHERE a.l_partkey < b.l_partkey),
+         e AS (SELECT x AS a, y AS b FROM e0
+               UNION SELECT y, x FROM e0),
+         w0 AS (SELECT DISTINCT a AS walk_id, a AS node FROM e)"""
+    val steps = (1 to walkLen).map { t =>
+      s"""c$t AS (SELECT w.walk_id, e.b AS v,
+                  md5(w.walk_id || ':' || $t || ':' || e.b) AS h
+               FROM w${t - 1} w JOIN e ON e.a = w.node),
+         w$t AS (SELECT walk_id, v AS node FROM (
+                   SELECT walk_id, v, row_number() OVER (
+                     PARTITION BY walk_id ORDER BY h, v) AS rn
+                   FROM c$t) WHERE rn = 1)"""
+    }
+    val finals = (0 to walkLen)
+      .map(t => s"SELECT walk_id, CAST($t AS INTEGER) AS step, node FROM w$t")
+      .mkString(" UNION ALL ")
+    (Seq(prelude) ++ steps).mkString("WITH ", ",\n         ", "\n") + finals
+  }
+
   private def ssspOracle(rounds: Int): String = {
     val prelude =
       """raw AS (SELECT CAST(l_suppkey AS BIGINT) AS src,

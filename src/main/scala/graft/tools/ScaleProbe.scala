@@ -51,7 +51,11 @@ object ScaleProbe {
       // edit-distance pairs (replica-prefixed names keep the variant
       // universes disjoint: pairs ×10, never the ×55 cross-replica
       // identical-name bomb verbatim copies would measure)
-      "q_bfs", "q_kmeans", "q_edit_pairs")
+      "q_bfs", "q_kmeans", "q_edit_pairs",
+      // r10b: SSSP (hub-connected ×10 graph — see the suppkey upgrade
+      // note), incremental CC (disjoint doc-shard pair stream, batch
+      // fold-in), gram (N·dim²/2 in-row products, dim fixed → pure N)
+      "q_sssp", "q_cc_incr", "q_gram")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
@@ -72,7 +76,7 @@ object ScaleProbe {
       // graph queries read (l_orderkey, l_partkey); the bloom family
       // also reads l_returnflag/l_quantity — carried verbatim
       val li = spark.read.parquet(s"$base/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_partkey"),
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_returnflag"), col("l_quantity"))
       val docShards = (0 until Replicas).map { k =>
         val text = if (k == 0) col("text")
@@ -86,6 +90,7 @@ object ScaleProbe {
       (0 until Replicas).map { k =>
         li.select((col("l_orderkey") + lit(k * 10000000L)).as("l_orderkey"),
           (col("l_partkey") + lit(k * 1000000L)).as("l_partkey"),
+          (col("l_suppkey") + lit(k * 1000000L)).as("l_suppkey"),
           col("l_returnflag"), col("l_quantity"))
       }.reduce(_ unionByName _)
         .repartition(cpus.toInt)
@@ -93,6 +98,36 @@ object ScaleProbe {
       marker.getParentFile.mkdirs()
       marker.createNewFile()
       println(s"[scaleprobe] generated $sf1 (${Replicas}x $base)")
+    }
+    // l_suppkey joined the shard schema with the SSSP family — upgrade a
+    // pre-existing sf1 dir in place (same pattern as events/orders).
+    // NOTE the part-bucket hubs (100000 + l_partkey % 100) are shared
+    // across replicas by construction: replica-shifted partkeys keep
+    // the SAME 100 hub ids, so the sf1 bipartite graph is one
+    // hub-connected graph with 10× suppliers and 10× edges — work ×10
+    // through denser hubs, the realistic many-to-few join shape, not a
+    // disjoint-shard idealization.
+    if (!args.contains("regen") &&
+        new java.io.File(s"$sf1/lineitem.parquet").exists() &&
+        !spark.read.parquet(s"$sf1/lineitem.parquet")
+          .columns.contains("l_suppkey")) {
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_returnflag"), col("l_quantity"))
+      (0 until Replicas).map { k =>
+        li.select((col("l_orderkey") + lit(k * 10000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(k * 1000000L)).as("l_partkey"),
+          (col("l_suppkey") + lit(k * 1000000L)).as("l_suppkey"),
+          col("l_returnflag"), col("l_quantity"))
+      }.reduce(_ unionByName _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$sf1/lineitem.parquet.tmp_upgrade")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$sf1/lineitem.parquet"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$sf1/lineitem.parquet.tmp_upgrade"),
+        new org.apache.hadoop.fs.Path(s"$sf1/lineitem.parquet"))
+      println(s"[scaleprobe] upgraded $sf1/lineitem.parquet (+l_suppkey)")
     }
     // events added to the probe after the marker scheme shipped — generate
     // it independently so a pre-existing sf1 dir upgrades in place.

@@ -357,6 +357,29 @@ class PlanContractSpec extends SparkSpec {
       s"quadratic join shape in the blocked plan:\n${p.take(600)}")
   }
 
+  test("gram matrix: one pass, zero joins — the quadratic road is the " +
+      "oracle's, not the operator's") {
+    // secondMoment expands upper-triangle products IN-ROW; any Join
+    // node would mean the N·dim self-join shape snuck back in. The
+    // whole plan must be scan → generate → aggregate.
+    val p = plan("q_gram")
+    assert(!p.contains("Join"), s"join in the one-pass gram plan:\n${p.take(600)}")
+    assert(p.contains("HashAggregate") && p.contains("Generate"), p.take(600))
+  }
+
+  test("incremental CC: the history-apply join broadcasts the merge map") {
+    // incrementalUpdate's step 3 is the only join the standing labels
+    // ever see — it must be a broadcast left-outer against the
+    // batch-bounded mapping. A SortMergeJoin in the FINAL plan would
+    // mean history shuffles per batch. (The endpoint-resolve join runs
+    // inside a checkpoint materialization, not in this plan.)
+    val p = plan("q_cc_incr")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      s"history shuffled for the label apply:\n${p.take(600)}")
+  }
+
   test("BFS output is pre-materialized: consuming it adds no exchange") {
     // Bfs.distances materializes each frontier round (localCheckpoint);
     // the returned frame is a union of those blocks. Downstream
