@@ -1627,6 +1627,45 @@ object SparkEntry {
         rounds = 4, undirected = true)
     }),
 
+    // ── Robust per-type outlier profile (ext.Robust): median + MAD via
+    //    exact interpolating percentiles in unordered windows, k=3 flag
+    //    count — ONE exchange (windows and the aggregate share the
+    //    group partitioning).
+    "q_mad" -> ((s, dir) =>
+      graft.ext.Robust.madProfile(Tables.events(s, dir),
+        Seq("event_type"), "value", k = 3.0)),
+
+    // ── Entity resolution end-to-end, in the shape that scales: resolve
+    //    the DISTINCT display-name dictionary (EditSim dist-1 pairs →
+    //    Components closure → canonical member), then roll RECORDS up by
+    //    resolved entity — records never enter the pair expansion, so a
+    //    million records sharing one alias cost the dictionary exactly
+    //    one row. Aliases are "lang#digit" over documents: the ten
+    //    digit variants chain per lang, and en#d ~ es#d is a genuine
+    //    cross-label dist-1 bridge the closure must follow (fr/de/zh
+    //    stay separate — raw serial names would degenerate to ONE
+    //    entity through digit chains).
+    "q_entity_groups" -> ((s, dir) => {
+      val recs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("lang"), lit("#"), (col("doc_id") % 10)).as("alias"))
+      val dict = recs.groupBy(col("alias"))
+        .agg(min(col("doc_id")).as("alias_id"), count(lit(1)).as("n_recs"))
+        .localCheckpoint() // feeds pairing, the rollup, and naming
+      val pairs = graft.ext.EditSim.dist1Pairs(dict, "alias_id", "alias")
+      val comp = graft.ext.Components.connectedAdaptive(pairs, "id_a", "id_b")
+      val ent = dict.join(comp, dict("alias_id") === comp("node"), "left_outer")
+        .select(col("alias_id"), col("n_recs"),
+          coalesce(col("component"), col("alias_id")).as("entity_id"))
+      ent.groupBy(col("entity_id"))
+        .agg(sum(col("n_recs")).as("n_members"),
+          count(lit(1)).as("n_aliases"))
+        .join(dict.select(col("alias_id").as("entity_id"),
+          col("alias").as("canonical_name")), "entity_id")
+        .select(col("entity_id"), col("canonical_name"),
+          col("n_aliases"), col("n_members"))
+    }),
+
     // ── Exact edit-distance-1 pairs over supplier names (ext.EditSim):
     //    FastSS deletion-neighborhood blocking (L+1 in-row variants,
     //    codegen) + exact levenshtein verify — the oracle is the plain
@@ -4497,6 +4536,46 @@ object SparkEntry {
     // exact min cost over ≤r-edge paths, so the CTE chain IS the
     // operator's invariant
     "q_sssp" -> ssspOracle(rounds = 4),
+
+    // exact quantile_cont ≡ percentile parity (the q_metric_profile
+    // pair), 4-dp boundary; the outlier comparison replays on the
+    // UNROUNDED medians exactly as the operator computes it
+    "q_mad" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                      FROM events GROUP BY 1),
+         d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+               FROM events e JOIN med m USING (event_type)),
+         mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+                 FROM d GROUP BY 1)
+         SELECT d.event_type, round(max(d.med), 4) AS med,
+                round(max(m2.mad), 4) AS mad,
+                CAST(sum(CASE WHEN d.adev > 3.0 * m2.mad THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_outliers,
+                CAST(count(*) AS BIGINT) AS n
+         FROM d JOIN mad m2 USING (event_type)
+         GROUP BY 1""",
+
+    // dictionary-level dist-1 blocking → closure → record rollup, all
+    // replayed from the unblocked quadratic pair set over the dictionary
+    "q_entity_groups" ->
+      s"""WITH RECURSIVE recs AS (SELECT doc_id,
+                    lang || '#' || CAST(doc_id % 10 AS VARCHAR) AS alias
+                  FROM documents),
+         dict AS (SELECT alias, min(doc_id) AS alias_id,
+                         count(*) AS n_recs
+                  FROM recs GROUP BY alias),
+         pairs AS (SELECT a.alias_id AS doc_a, b.alias_id AS doc_b
+                   FROM dict a JOIN dict b ON a.alias_id < b.alias_id
+                   WHERE levenshtein(a.alias, b.alias) <= 1),
+         $closureOracle,
+         ent AS (SELECT d.alias_id, d.n_recs,
+                        coalesce(c.cluster_id, d.alias_id) AS entity_id
+                 FROM dict d LEFT JOIN comp c ON c.node = d.alias_id)
+         SELECT e.entity_id, d2.alias AS canonical_name,
+                CAST(count(*) AS BIGINT) AS n_aliases,
+                CAST(sum(e.n_recs) AS BIGINT) AS n_members
+         FROM ent e JOIN dict d2 ON d2.alias_id = e.entity_id
+         GROUP BY 1, 2""",
 
     // the deliberately quadratic twin: blocking completeness is proven
     // by NOT blocking in the oracle
