@@ -55,7 +55,14 @@ object ScaleProbe {
       // r10b: SSSP (hub-connected ×10 graph — see the suppkey upgrade
       // note), incremental CC (disjoint doc-shard pair stream, batch
       // fold-in), gram (N·dim²/2 in-row products, dim fixed → pure N)
-      "q_sssp", "q_cc_incr", "q_gram")
+      "q_sssp", "q_cc_incr", "q_gram",
+      // r10b: walks (10 disjoint graphs, ×10 walks at fixed length),
+      // MAD (two window passes + agg on one exchange, pure scan
+      // growth), entity groups (dictionary-shaped: records only feed
+      // the dict aggregate; replica-prefixed doc text does NOT change
+      // the alias column, so the dict stays 50 rows at sf1 — the
+      // rollup, not the pair stage, carries the ×10)
+      "q_walks", "q_mad", "q_entity_groups")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
