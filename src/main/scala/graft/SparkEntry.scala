@@ -1347,6 +1347,21 @@ object SparkEntry {
         "u", "v", walkLen = 4)
     }),
 
+    // ── Skip-gram (center, context) pairs from the walk corpus
+    //    (Walks.skipGramPairs): one shuffle on walk_id, then the window
+    //    pairs explode IN-ROW from the walk-length-bounded path array —
+    //    the word2vec-style co-occurrence table DeepWalk trains on.
+    "q_walk_pairs" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .filter(col("l_partkey") % 5 === 2)
+      graft.ext.Walks.skipGramPairs(
+        graft.ext.Walks.deterministicWalks(
+          graft.ext.Basket.coPairs(li, "l_orderkey", "l_partkey"),
+          "u", "v", walkLen = 4),
+        window = 2)
+    }),
+
     // ── Incremental cluster maintenance (Components.incrementalUpdate):
     //    the near-dup pair stream split 3:1 into history and a batch;
     //    standing labels + batch fold-in must equal the from-scratch
@@ -4532,6 +4547,10 @@ object SparkEntry {
     // both engines, argmin under the same (h, v) order
     "q_walks" -> walksOracle(walkLen = 4),
 
+    // the pair table from the SAME replayed corpus, windowed in SQL by
+    // the step-distance join the operator does in-row
+    "q_walk_pairs" -> walkPairsOracle(walkLen = 4, window = 2),
+
     // unrolled Bellman–Ford relax rounds — the round-r frame is the
     // exact min cost over ≤r-edge paths, so the CTE chain IS the
     // operator's invariant
@@ -4632,7 +4651,9 @@ object SparkEntry {
     * runs, unrolled as a generated CTE chain (pair counts → total-order
     * argmax → leftmost-non-overlapping replace, per round). Generated
     * rather than hand-written so the round count stays in one place. */
-  private def walksOracle(walkLen: Int): String = {
+  /** Shared walk-corpus CTE chain ending in `wa(walk_id, step, node)`
+    * — the q_walks output, reused by the skip-gram pair oracle. */
+  private def walksCtes(walkLen: Int): String = {
     val prelude =
       """li AS (SELECT l_orderkey, l_partkey FROM lineitem
                WHERE l_partkey % 5 = 2),
@@ -4651,11 +4672,22 @@ object SparkEntry {
                      PARTITION BY walk_id ORDER BY h, v) AS rn
                    FROM c$t) WHERE rn = 1)"""
     }
-    val finals = (0 to walkLen)
+    val all = (0 to walkLen)
       .map(t => s"SELECT walk_id, CAST($t AS INTEGER) AS step, node FROM w$t")
-      .mkString(" UNION ALL ")
-    (Seq(prelude) ++ steps).mkString("WITH ", ",\n         ", "\n") + finals
+      .mkString("wa AS (", " UNION ALL ", ")")
+    (Seq(prelude) ++ steps :+ all).mkString("WITH ", ",\n         ", "\n")
   }
+
+  private def walksOracle(walkLen: Int): String =
+    walksCtes(walkLen) + "SELECT walk_id, step, node FROM wa"
+
+  private def walkPairsOracle(walkLen: Int, window: Int): String =
+    walksCtes(walkLen) +
+      s"""SELECT a.node AS center, b.node AS context,
+                 CAST(count(*) AS BIGINT) AS n_pairs
+          FROM wa a JOIN wa b ON a.walk_id = b.walk_id
+            AND a.step <> b.step AND abs(a.step - b.step) <= $window
+          GROUP BY 1, 2"""
 
   private def ssspOracle(rounds: Int): String = {
     val prelude =

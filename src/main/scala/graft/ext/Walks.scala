@@ -69,4 +69,36 @@ object Walks {
     trail.reduce(_ union _)
       .select(col("walk_id"), col("step"), col("node"))
   }
+
+  /** Skip-gram training pairs from a walk corpus — the consumer side of
+    * [[deterministicWalks]] (DeepWalk trains word2vec on these exactly
+    * as text does on token windows): every ordered (center, context)
+    * node pair within `window` steps of each other on the same walk.
+    *
+    * One shuffle on walk_id, then an in-row expansion: each walk's
+    * (step, node) rows collect to a walk-length-bounded array and the
+    * window pairs explode from it — pairs never go through a join, and
+    * the per-walk array is bounded by walkLen+1, not by the corpus.
+    * Emits (center BIGINT, context BIGINT, n_pairs BIGINT) aggregated —
+    * the multiplicity-weighted co-occurrence table embedding trainers
+    * consume (a flat pair list is the same frame before the final
+    * aggregate). */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val perWalk = walks
+      .groupBy(col("walk_id"))
+      .agg(sort_array(collect_list(struct(col("step"), col("node"))))
+        .as("path"))
+    val n = size(col("path"))
+    val pairs = flatten(transform(sequence(lit(0), n - 1), i =>
+      transform(sequence(lit(0), n - 1), j =>
+        struct(col("path")(i).getField("node").as("center"),
+          col("path")(j).getField("node").as("context"),
+          (i =!= j && abs(i - j) <= window).as("keep")))))
+    perWalk
+      .select(explode(pairs).as("p"))
+      .where(col("p.keep"))
+      .groupBy(col("p.center").as("center"), col("p.context").as("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }
