@@ -1347,6 +1347,21 @@ object SparkEntry {
         "u", "v", walkLen = 4)
     }),
 
+    // ── node2vec-biased walks (Walks.biasedWalks) on a seventh-sample:
+    //    3 steps, integer bias weights (return 1, common 2, forward 4)
+    //    ≙ (p=4, q=1); the weighted pick is salt-replication over the
+    //    md5 coin — deterministic, exactly weighted, SQL-replayable.
+    //    Per step the frontier join + ONE adjacency probe join (the
+    //    honest cost of second-order bias).
+    "q_biased_walks" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .filter(col("l_partkey") % 7 === 1)
+      graft.ext.Walks.biasedWalks(
+        graft.ext.Basket.coPairs(li, "l_orderkey", "l_partkey"),
+        "u", "v", walkLen = 3, wReturn = 1, wCommon = 2, wForward = 4)
+    }),
+
     // ── Skip-gram (center, context) pairs from the walk corpus
     //    (Walks.skipGramPairs): one shuffle on walk_id, then the window
     //    pairs explode IN-ROW from the walk-length-bounded path array —
@@ -4551,6 +4566,11 @@ object SparkEntry {
     // the step-distance join the operator does in-row
     "q_walk_pairs" -> walkPairsOracle(walkLen = 4, window = 2),
 
+    // second-order bias replayed literally: adjacency left join, CASE
+    // weight, salt replicas via UNNEST(range(0, w)), conditional coin
+    "q_biased_walks" ->
+      biasedWalksOracle(walkLen = 3, wr = 1, wc = 2, wf = 4),
+
     // unrolled Bellman–Ford relax rounds — the round-r frame is the
     // exact min cost over ≤r-edge paths, so the CTE chain IS the
     // operator's invariant
@@ -4676,6 +4696,51 @@ object SparkEntry {
       .map(t => s"SELECT walk_id, CAST($t AS INTEGER) AS step, node FROM w$t")
       .mkString("wa AS (", " UNION ALL ", ")")
     (Seq(prelude) ++ steps :+ all).mkString("WITH ", ",\n         ", "\n")
+  }
+
+  private def biasedWalksOracle(walkLen: Int, wr: Int, wc: Int,
+      wf: Int): String = {
+    val prelude =
+      """li AS (SELECT l_orderkey, l_partkey FROM lineitem
+               WHERE l_partkey % 7 = 1),
+         e0 AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+                FROM li a JOIN li b USING (l_orderkey)
+                WHERE a.l_partkey < b.l_partkey),
+         e AS (SELECT x AS a, y AS b FROM e0
+               UNION SELECT y, x FROM e0),
+         w0 AS (SELECT DISTINCT a AS walk_id, a AS node FROM e),
+         c1 AS (SELECT w.walk_id, e.b AS v,
+                  md5(w.walk_id || ':1:' || e.b) AS h
+                FROM w0 w JOIN e ON e.a = w.node),
+         w1 AS (SELECT walk_id, v AS node, walk_id AS prev FROM (
+                  SELECT walk_id, v, row_number() OVER (
+                    PARTITION BY walk_id ORDER BY h, v) AS rn
+                  FROM c1) WHERE rn = 1)"""
+    val steps = (2 to walkLen).map { t =>
+      s"""c$t AS (SELECT f.walk_id, f.node AS cur, f.prev, e.b AS v
+               FROM w${t - 1} f JOIN e ON e.a = f.node),
+         x$t AS (SELECT c.walk_id, c.v,
+                   CASE WHEN c.v = c.prev THEN $wr
+                        WHEN a2.a IS NOT NULL THEN $wc
+                        ELSE $wf END AS w
+                 FROM c$t c LEFT JOIN e a2
+                   ON a2.a = c.v AND a2.b = c.prev),
+         r$t AS (SELECT walk_id, v,
+                   CASE WHEN r = 0
+                        THEN md5(walk_id || ':' || $t || ':' || v)
+                        ELSE md5(walk_id || ':' || $t || ':' || v
+                                 || ':' || r) END AS h
+                 FROM x$t, UNNEST(range(0, w)) t(r)),
+         w$t AS (SELECT p.walk_id, p.v AS node, f.node AS prev FROM (
+                   SELECT walk_id, v, row_number() OVER (
+                     PARTITION BY walk_id ORDER BY h, v) AS rn
+                   FROM r$t) p JOIN w${t - 1} f USING (walk_id)
+                 WHERE p.rn = 1)"""
+    }
+    val finals = (0 to walkLen)
+      .map(t => s"SELECT walk_id, CAST($t AS INTEGER) AS step, node FROM w$t")
+      .mkString(" UNION ALL ")
+    (Seq(prelude) ++ steps).mkString("WITH ", ",\n         ", "\n") + finals
   }
 
   private def walksOracle(walkLen: Int): String =

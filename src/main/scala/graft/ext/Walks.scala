@@ -70,6 +70,104 @@ object Walks {
       .select(col("walk_id"), col("step"), col("node"))
   }
 
+  /** node2vec-style second-order biased walks with INTEGER bias
+    * weights — [[deterministicWalks]]' (p, q)-biased sibling: from node
+    * u with previous node prev, a candidate neighbor v weighs
+    * `wReturn` if v = prev (the 1/p "go back" knob), `wCommon` if v is
+    * also adjacent to prev (BFS-ish triangle closure), else `wForward`
+    * (the 1/q DFS knob). Rational node2vec (p, q) scale to integers —
+    * (p=2, q=1/2) is (wReturn, wCommon, wForward) = (1, 2, 4).
+    *
+    * The weighted pick stays deterministic AND exactly weighted by
+    * salt replication: candidate v enters the argmin once per weight
+    * unit (md5("walk:t:v:r") for r < w), so P(v) = w_v / Σw under the
+    * uniform-hash argument of [[deterministicWalks]] — no
+    * transcendental key functions (an Efraimidis–Spirakis u^(1/w) key
+    * would hang engine parity on libm ulps; integer replication keeps
+    * the SQL oracle bit-exact).
+    *
+    * Per step: the frontier join as in [[deterministicWalks]], plus ONE
+    * adjacency probe join on (v, prev) against the edge set — the
+    * honest extra cost of second-order bias (node2vec pays it as a
+    * per-edge alias table; here it is a co-partitioned join, no
+    * precomputed per-node state). Replication multiplies candidate
+    * ROWS by ≤ max(w), in-row via explode before the partial-agg
+    * argmin — hub-safe as before. Step 1 has no prev and uses the
+    * first-order coin.
+    *
+    * Emits (walk_id, step, node) — same shape as [[deterministicWalks]]
+    * (and identical output when all three weights are equal, which the
+    * spec pins).
+    */
+  def biasedWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      walkLen: Int, wReturn: Int, wCommon: Int, wForward: Int): DataFrame = {
+    require(walkLen >= 1, "walkLen must be >= 1")
+    require(wReturn >= 1 && wCommon >= 1 && wForward >= 1,
+      "bias weights must be >= 1 (scale rational (p, q) to integers)")
+
+    val sym = edges
+      .select(explode(array(
+        struct(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")),
+        struct(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    // step 1: first-order pick (no prev), same coin as the unbiased walk
+    val start = sym.select(col("src").as("walk_id")).distinct()
+      .select(col("walk_id"), col("walk_id").as("node"))
+      .localCheckpoint()
+    var frontier = sym
+      .join(start, col("src") === col("node"))
+      .groupBy(col("walk_id"))
+      .agg(min(struct(md5(concat_ws(":",
+          col("walk_id").cast("string"), lit("1"),
+          col("dst").cast("string"))).as("h"),
+        col("dst").as("v"))).as("m"))
+      // prev for step 2 is the start node, which IS the walk id
+      .select(col("walk_id"), col("m.v").as("node"),
+        col("walk_id").as("prev"))
+      .localCheckpoint()
+    var trail = List(
+      start.withColumn("step", lit(0)).select(col("walk_id"), col("step"), col("node")),
+      frontier.withColumn("step", lit(1)).select(col("walk_id"), col("step"), col("node")))
+
+    (2 to walkLen).foreach { t =>
+      val cand = sym.join(frontier, col("src") === col("node"))
+        .select(col("walk_id"), col("prev"), col("dst").as("v"))
+      // adjacency probe: is the candidate also a neighbor of prev?
+      val adjProbe = sym.select(col("src").as("v"), col("dst").as("prev"),
+        lit(true).as("is_adj"))
+      val weighted = cand.join(adjProbe, Seq("v", "prev"), "left_outer")
+        .withColumn("w",
+          when(col("v") === col("prev"), lit(wReturn))
+            .when(col("is_adj"), lit(wCommon))
+            .otherwise(lit(wForward)))
+      // replica 0 keeps the UNSALTED first-order coin, so all-equal
+      // weights reproduce deterministicWalks bit-for-bit (spec-pinned);
+      // replicas r ≥ 1 salt with their index — all strings distinct,
+      // the weighted-uniform argument unchanged
+      val base = concat_ws(":",
+        col("walk_id").cast("string"), lit(t).cast("string"),
+        col("v").cast("string"))
+      val coin = when(col("r") === 0, md5(base))
+        .otherwise(md5(concat_ws(":", base, col("r").cast("string"))))
+      frontier = weighted
+        .select(col("walk_id"), col("v"),
+          explode(sequence(lit(0), col("w") - 1)).as("r"))
+        .groupBy(col("walk_id"))
+        .agg(min(struct(coin.as("h"), col("v").as("vv"))).as("m"))
+        .select(col("walk_id"), col("m.vv").as("node"))
+        .join(frontier.select(col("walk_id"), col("node").as("prev")), "walk_id")
+        .localCheckpoint()
+      trail ::= frontier.withColumn("step", lit(t))
+        .select(col("walk_id"), col("step"), col("node"))
+    }
+    trail.reduce(_ union _)
+  }
+
   /** Skip-gram training pairs from a walk corpus — the consumer side of
     * [[deterministicWalks]] (DeepWalk trains word2vec on these exactly
     * as text does on token windows): every ordered (center, context)
