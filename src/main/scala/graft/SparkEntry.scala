@@ -1657,6 +1657,16 @@ object SparkEntry {
         rounds = 4, undirected = true)
     }),
 
+    // ── Exact lexical cosine pairs (ext.LexCosine) on a 1/20 doc
+    //    sample: integer tf vectors over the df≤200-projected
+    //    vocabulary, inverted-index pairing, τ=4/5 decided by integer
+    //    cross-multiplication — the sparse complement to q_embed_dedup
+    //    (and the exact face of what MinHash approximates).
+    "q_lex_cosine" -> ((s, dir) =>
+      graft.ext.LexCosine.tfCosinePairs(
+        Tables.documents(s, dir).filter(col("doc_id") % 20 === 3),
+        "doc_id", "text", tauNum = 4, tauDen = 5, maxTermDF = 200)),
+
     // ── Robust per-type outlier profile (ext.Robust): median + MAD via
     //    exact interpolating percentiles in unordered windows, k=3 flag
     //    count — ONE exchange (windows and the aggregate share the
@@ -4575,6 +4585,33 @@ object SparkEntry {
     // exact min cost over ≤r-edge paths, so the CTE chain IS the
     // operator's invariant
     "q_sssp" -> ssspOracle(rounds = 4),
+
+    // identical vocabulary projection, identical integer threshold —
+    // the ceil-division identity q²·n² ≥ m ⟺ n² ≥ ⌈m/q²⌉ lets both
+    // engines stay inside BIGINT
+    "q_lex_cosine" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id % 20 = 3),
+         tok0 AS (SELECT doc_id, word AS term, count(*) AS tf FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+                  '\s+')) AS word FROM d)
+              WHERE word <> '' GROUP BY 1, 2),
+         dfs AS (SELECT term, count(*) AS df FROM tok0 GROUP BY 1),
+         tok AS (SELECT t.doc_id, t.term, t.tf FROM tok0 t
+                 JOIN dfs USING (term) WHERE dfs.df <= 200),
+         norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS nn
+                   FROM tok GROUP BY 1),
+         num AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        CAST(sum(a.tf * b.tf) AS BIGINT) AS num
+                 FROM tok a JOIN tok b
+                 ON a.term = b.term AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+         SELECT doc_a, doc_b, num, na.nn AS norm_a, nb.nn AS norm_b,
+                round(num / sqrt(CAST(na.nn AS DOUBLE)
+                                 * CAST(nb.nn AS DOUBLE)), 4) AS cos4
+         FROM num JOIN norms na ON na.doc_id = num.doc_a
+                  JOIN norms nb ON nb.doc_id = num.doc_b
+         WHERE num * num >= (16 * na.nn * nb.nn + 24) // 25""",
 
     // exact quantile_cont ≡ percentile parity (the q_metric_profile
     // pair), 4-dp boundary; the outlier comparison replays on the
