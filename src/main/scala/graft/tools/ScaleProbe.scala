@@ -62,7 +62,12 @@ object ScaleProbe {
       // the dict aggregate; replica-prefixed doc text does NOT change
       // the alias column, so the dict stays 50 rows at sf1 — the
       // rollup, not the pair stage, carries the ×10)
-      "q_walks", "q_mad", "q_entity_groups")
+      "q_walks", "q_mad", "q_entity_groups",
+      // r10b: walk consumers + biased walks (same ×10-disjoint-graph
+      // argument; biased adds the per-step adjacency probe), lexical
+      // cosine (replica-prefixed words → 10 disjoint vocabularies, so
+      // posting pairs stay within-replica: ×10, never ×100)
+      "q_walk_pairs", "q_biased_walks", "q_lex_cosine")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
