@@ -1657,6 +1657,22 @@ object SparkEntry {
         rounds = 4, undirected = true)
     }),
 
+    // ── Dictionary phrase tagging (ext.DictTag): whole-token window
+    //    matching via per-length n-gram equi join — one corpus scan,
+    //    candidates bounded by true hits (never doc×phrase), the
+    //    blocklist/entity-tagging curation face.
+    "q_dict_tag" -> ((s, dir) => {
+      val phrases = s.createDataFrame(Seq(
+        ("p_fast", "fast"),
+        ("p_hash_join", "hash join"),
+        ("p_table_scan", "table scan"),
+        ("p_slow_query", "slow query"),
+        ("p_sort_merge", "sort merge"),
+        ("p_big_table_scan", "big table scan"))).toDF("pid", "phrase")
+      graft.ext.DictTag.tagPhrases(Tables.documents(s, dir),
+        "doc_id", "text", phrases, "pid", "phrase")
+    }),
+
     // ── Exact lexical cosine pairs (ext.LexCosine) on a 1/20 doc
     //    sample: integer tf vectors over the df≤200-projected
     //    vocabulary, inverted-index pairing, τ=4/5 decided by integer
@@ -4585,6 +4601,30 @@ object SparkEntry {
     // exact min cost over ≤r-edge paths, so the CTE chain IS the
     // operator's invariant
     "q_sssp" -> ssspOracle(rounds = 4),
+
+    // the same windows from the same tokenization, lengths unrolled;
+    // DuckDB range(1, 0) is empty so short docs need no guard (Spark's
+    // descending sequence() does — handled operator-side)
+    "q_dict_tag" ->
+      """WITH ph(pid, phrase) AS (VALUES
+           ('p_fast', 'fast'), ('p_hash_join', 'hash join'),
+           ('p_table_scan', 'table scan'), ('p_slow_query', 'slow query'),
+           ('p_sort_merge', 'sort merge'),
+           ('p_big_table_scan', 'big table scan')),
+         toks AS (SELECT doc_id, string_split_regex(lower(trim(text)),
+                    '\s+') AS tk FROM documents),
+         g1 AS (SELECT doc_id, tk[i] AS gram
+                FROM toks, UNNEST(range(1, len(tk) + 1)) t(i)),
+         g2 AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS gram
+                FROM toks, UNNEST(range(1, len(tk))) t(i)),
+         g3 AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS gram
+                FROM toks, UNNEST(range(1, len(tk) - 1)) t(i)),
+         g AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+               UNION ALL SELECT * FROM g3)
+         SELECT g.doc_id AS doc, ph.pid AS phrase_id,
+                CAST(count(*) AS BIGINT) AS n_hits
+         FROM g JOIN ph ON g.gram = ph.phrase
+         GROUP BY 1, 2""",
 
     // identical vocabulary projection, identical integer threshold —
     // the ceil-division identity q²·n² ≥ m ⟺ n² ≥ ⌈m/q²⌉ lets both

@@ -380,6 +380,26 @@ class PlanContractSpec extends SparkSpec {
       s"history shuffled for the label apply:\n${p.take(600)}")
   }
 
+  test("walk corpora are pre-materialized: consuming them adds no exchange") {
+    // Walks (and biasedWalks) chain steps through localCheckpoint; the
+    // returned union must read those blocks as-is — the BFS contract.
+    Seq("q_walks", "q_biased_walks").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Union"), s"$q:\n${p.take(400)}")
+      assert(!p.contains("Exchange"),
+        s"$q re-shuffled its materialized steps:\n${p.take(600)}")
+    }
+  }
+
+  test("lexical cosine: inverted-index pairing, no quadratic operator") {
+    // the posting self-join must stay an equi join on the term key; a
+    // nested-loop or cartesian node means the all-pairs shape returned
+    val p = plan("q_lex_cosine")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join in the inverted-index plan:\n${p.take(600)}")
+  }
+
   test("BFS output is pre-materialized: consuming it adds no exchange") {
     // Bfs.distances materializes each frontier round (localCheckpoint);
     // the returned frame is a union of those blocks. Downstream
