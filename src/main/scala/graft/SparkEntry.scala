@@ -1657,6 +1657,20 @@ object SparkEntry {
         rounds = 4, undirected = true)
     }),
 
+    // ── Contiguous event-sequence matches (ops.EventSeq, CEP-lite):
+    //    view→click→purchase as CONSECUTIVE per-user events, 7-day gap
+    //    bound, ONE window pass under the (ts, event_id) total order —
+    //    per-instance matches, not funnel conversion counts.
+    "q_event_seq" -> ((s, dir) =>
+      graft.ops.EventSeq.matchContiguous(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"),
+        maxGapMicros = 7L * 86400L * 1000000L)
+        // micros-as-BIGINT output discipline (raw timestamps don't
+        // norm-compare across the pyarrow/DuckDB readers)
+        .select(col("entity"), unix_micros(col("start_ts")).as("start_us"),
+          unix_micros(col("end_ts")).as("end_us"))),
+
     // ── Dictionary phrase tagging (ext.DictTag): whole-token window
     //    matching via per-length n-gram equi join — one corpus scan,
     //    candidates bounded by true hits (never doc×phrase), the
@@ -4601,6 +4615,23 @@ object SparkEntry {
     // exact min cost over ≤r-edge paths, so the CTE chain IS the
     // operator's invariant
     "q_sssp" -> ssspOracle(rounds = 4),
+
+    // the same lead() conjunction under the same (ts, event_id) total
+    // order; gaps in exact BIGINT micros (epoch_us ≡ unix_micros)
+    "q_event_seq" ->
+      """WITH e AS (SELECT user_id, ts, event_type,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2,
+             lead(ts, 1) OVER w AS ts1,
+             lead(ts, 2) OVER w AS ts2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id AS entity, epoch_us(ts) AS start_us,
+                epoch_us(ts2) AS end_us
+         FROM e WHERE event_type = 'view' AND t1 = 'click'
+           AND t2 = 'purchase'
+           AND epoch_us(ts1) - epoch_us(ts) <= 604800000000
+           AND epoch_us(ts2) - epoch_us(ts1) <= 604800000000""",
 
     // the same windows from the same tokenization, lengths unrolled;
     // DuckDB range(1, 0) is empty so short docs need no guard (Spark's
