@@ -67,7 +67,12 @@ object ScaleProbe {
       // argument; biased adds the per-step adjacency probe), lexical
       // cosine (replica-prefixed words → 10 disjoint vocabularies, so
       // posting pairs stay within-replica: ×10, never ×100)
-      "q_walk_pairs", "q_biased_walks", "q_lex_cosine")
+      "q_walk_pairs", "q_biased_walks", "q_lex_cosine",
+      // r10b: dict tagging (scan+window-gram shaped; replica-prefixed
+      // words mean hits stay ×1 while scan work goes ×10 — the ratio
+      // reads the gram-generation cost), event sequences (one window
+      // sort per entity partition, ×10 disjoint users)
+      "q_dict_tag", "q_event_seq")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
