@@ -400,6 +400,23 @@ class PlanContractSpec extends SparkSpec {
       s"quadratic join in the inverted-index plan:\n${p.take(600)}")
   }
 
+  test("event sequences: one window pass, no joins") {
+    // the lead() conjunction must fold into a single Window over the
+    // entity sort — a Join node would mean a self-join crept in
+    val p = plan("q_event_seq")
+    assert(p.contains("Window"), p.take(400))
+    assert(!p.contains("Join"), s"join in the CEP plan:\n${p.take(600)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"expected exactly the entity exchange:\n${p.take(800)}")
+  }
+
+  test("dict tagging: equi join on the gram key, no quadratic operator") {
+    val p = plan("q_dict_tag")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"doc×phrase shape in the tagging plan:\n${p.take(600)}")
+  }
+
   test("BFS output is pre-materialized: consuming it adds no exchange") {
     // Bfs.distances materializes each frontier round (localCheckpoint);
     // the returned frame is a union of those blocks. Downstream
