@@ -1349,7 +1349,8 @@ object SparkEntry {
 
     // ── node2vec-biased walks (Walks.biasedWalks) on a seventh-sample:
     //    3 steps, integer bias weights (return 1, common 2, forward 4)
-    //    ≙ (p=4, q=1); the weighted pick is salt-replication over the
+    //    ≙ (p=2, q=1/2) after normalizing by the common weight — the
+    //    DFS-leaning regime; the weighted pick is salt-replication over the
     //    md5 coin — deterministic, exactly weighted, SQL-replayable.
     //    Per step the frontier join + ONE adjacency probe join (the
     //    honest cost of second-order bias).
@@ -1765,7 +1766,7 @@ object SparkEntry {
     //    i = −1 sentinels.
     "q_gram" -> ((s, dir) =>
       graft.ext.Gram.secondMoment(Tables.embeddings(s, dir),
-        "vec_id", "embedding")),
+        "embedding")),
 
     // ── The full keep-one-representative dedup POLICY: clusters ranked by
     //    quality score, highest-quality member keeps (ties → smallest id),

@@ -48,19 +48,7 @@ object Bfs {
       broadcastFrontier: Boolean = true): DataFrame = {
     require(maxDepth >= 1, "maxDepth must be >= 1")
 
-    // symmetrize in ONE pass over the edge subtree (explode, not union —
-    // AQE does not reuse sibling stages, so a union would evaluate an
-    // expensive upstream pair computation twice), then materialize: the
-    // edge list is re-joined every round
-    val sym = edges
-      .select(explode(array(
-        struct(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b")),
-        struct(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b"))))
-        .as("e"))
-      .select(col("e.a"), col("e.b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
+    val sym = Graphs.symmetrized(edges, srcCol, dstCol, "a", "b")
 
     def hinted(df: DataFrame): DataFrame =
       if (broadcastFrontier) broadcast(df) else df

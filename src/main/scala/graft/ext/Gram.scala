@@ -39,8 +39,7 @@ object Gram {
   /** (i, j, s): upper triangle (i ≤ j) of Σ over rows of q_i·q_j on the
     * 10⁻⁶ BIGINT grid, plus ("i"=-1, j, s) rows carrying Σ q_j and one
     * (-1, -1, N) row — everything covariance needs in ONE pass. */
-  def secondMoment(vecs: DataFrame, idCol: String, vecCol: String)
-      : DataFrame = {
+  def secondMoment(vecs: DataFrame, vecCol: String): DataFrame = {
     // quantize in its OWN projection: the pair expression below indexes
     // qv ~dim² times, and an inlined transform would be re-evaluated at
     // every element_at (measured 199 s → 2.1 s at sf0.1 — the optimizer
@@ -50,15 +49,24 @@ object Gram {
       x => round(x.cast("double") * lit(GRID)).cast("long")).as("qv"))
     val qv = col("qv")
     val d = size(qv)
+    // guard d = 0: sequence(0, -1) generates DESCENDING [0, -1] and the
+    // spurious i = -1 reaches element_at(qv, 0), which always throws —
+    // the same pitfall [[DictTag]] guards; an empty vector contributes
+    // only its count row
+    val emptyTriple = array().cast("array<struct<i:int,j:int,p:bigint>>")
     // upper-triangle products + first-moment row (-1, j) + count row
     // (-1, -1), all through the same explode → ONE aggregate
     val pairs = concat(
-      flatten(transform(sequence(lit(0), d - 1), i =>
-        transform(sequence(i, d - 1), j =>
-          struct(i.as("i"), j.as("j"),
-            (element_at(qv, i + 1) * element_at(qv, j + 1)).as("p"))))),
-      transform(sequence(lit(0), d - 1), j =>
-        struct(lit(-1).as("i"), j.as("j"), element_at(qv, j + 1).as("p"))),
+      when(d >= 1,
+        flatten(transform(sequence(lit(0), d - 1), i =>
+          transform(sequence(i, d - 1), j =>
+            struct(i.as("i"), j.as("j"),
+              (element_at(qv, i + 1) * element_at(qv, j + 1)).as("p"))))))
+        .otherwise(emptyTriple),
+      when(d >= 1,
+        transform(sequence(lit(0), d - 1), j =>
+          struct(lit(-1).as("i"), j.as("j"), element_at(qv, j + 1).as("p"))))
+        .otherwise(emptyTriple),
       array(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("p"))))
     quant.select(explode(pairs).as("t"))
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
@@ -71,10 +79,11 @@ object Gram {
   final case class PcaModel(components: Array[Array[Double]],
       means: Array[Double])
 
-  /** Fit a [[PcaModel]] from one [[secondMoment]] pass. */
-  def fitPca(vecs: DataFrame, idCol: String, vecCol: String,
-      k: Int): PcaModel = {
-    val rows = secondMoment(vecs, idCol, vecCol).collect()
+  /** Fit a [[PcaModel]] from one [[secondMoment]] pass. (No id column:
+    * the moment sums are row-identity-agnostic by construction —
+    * [[project]] is the face that needs ids.) */
+  def fitPca(vecs: DataFrame, vecCol: String, k: Int): PcaModel = {
+    val rows = secondMoment(vecs, vecCol).collect()
     val n = rows.find(r => r.getInt(0) == -1 && r.getInt(1) == -1)
       .map(_.getLong(2).toDouble)
       .getOrElse(throw new IllegalArgumentException("empty input"))

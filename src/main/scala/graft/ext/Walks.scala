@@ -39,15 +39,7 @@ object Walks {
       walkLen: Int): DataFrame = {
     require(walkLen >= 1, "walkLen must be >= 1")
 
-    val sym = edges
-      .select(explode(array(
-        struct(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")),
-        struct(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst"))))
-        .as("e"))
-      .select(col("e.src"), col("e.dst"))
-      .where(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+    val sym = Graphs.symmetrized(edges, srcCol, dstCol)
 
     var frontier = sym.select(col("src").as("walk_id")).distinct()
       .select(col("walk_id"), col("walk_id").as("node"))
@@ -105,15 +97,7 @@ object Walks {
     require(wReturn >= 1 && wCommon >= 1 && wForward >= 1,
       "bias weights must be >= 1 (scale rational (p, q) to integers)")
 
-    val sym = edges
-      .select(explode(array(
-        struct(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")),
-        struct(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst"))))
-        .as("e"))
-      .select(col("e.src"), col("e.dst"))
-      .where(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+    val sym = Graphs.symmetrized(edges, srcCol, dstCol)
 
     // step 1: first-order pick (no prev), same coin as the unbiased walk
     val start = sym.select(col("src").as("walk_id")).distinct()

@@ -140,12 +140,12 @@ object GraphStorage {
     }
   }
 
-  /** Read a pinned version (time travel) or the latest committed one. */
   /** The committed `_latest` pointer, if any — the "does state exist
     * yet" probe stream maintainers need before their first batch. */
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     latestCommitted(spark, root)
 
+  /** Read a pinned version (time travel) or the latest committed one. */
   def readSnapshot(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestCommitted(spark, root)).getOrElse(

@@ -139,11 +139,18 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$sf1/lineitem.parquet.tmp_upgrade")
+      // rename-aside swap (the CorpusLayout.compactSlice discipline): a
+      // crash at any point leaves a complete copy on disk — delete-then-
+      // rename would leave a missing table behind a _GENERATED marker
+      // that blocks self-repair
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$sf1/lineitem.parquet"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$sf1/lineitem.parquet.tmp_upgrade"),
-        new org.apache.hadoop.fs.Path(s"$sf1/lineitem.parquet"))
+      val live = new org.apache.hadoop.fs.Path(s"$sf1/lineitem.parquet")
+      val old = new org.apache.hadoop.fs.Path(s"$sf1/lineitem.parquet.old")
+      fs.delete(old, true)
+      fs.rename(live, old)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$sf1/lineitem.parquet.tmp_upgrade"), live)
+      fs.delete(old, true)
       println(s"[scaleprobe] upgraded $sf1/lineitem.parquet (+l_suppkey)")
     }
     // events added to the probe after the marker scheme shipped — generate

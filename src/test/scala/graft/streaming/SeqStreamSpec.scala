@@ -4,7 +4,6 @@ import java.sql.Timestamp
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming CEP contracts: the stream must emit exactly the batch
   * operator's matches on ordered arrival — including episodes spanning
@@ -22,9 +21,10 @@ class SeqStreamSpec extends SparkSpec {
     val mem = MemoryStream[SeqStream.Ev]
     val out = SeqStream(mem.toDS(), steps, gapUs)
     val qname = s"seqstream_${System.nanoTime()}"
+    // default trigger (the HealthStateSpec pattern): with an event-time
+    // timeout, batches fire on data, so processAllAvailable terminates
     val q = out.writeStream.format("memory").queryName(qname)
-      .outputMode("append")
-      .trigger(Trigger.ProcessingTime("0 seconds")).start()
+      .outputMode("append").start()
     try {
       batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
     } finally q.stop()
