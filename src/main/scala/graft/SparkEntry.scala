@@ -2208,8 +2208,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_words"),
           sum(graft.ext.Bpe.tokenCountOf(col("enc")).cast("long"))
             .as("n_tokens"))
-    })
+    }),
+
+    // ── Per-series CUSUM changepoint (ops.Changepoint): argmax of the
+    //    integer-exact scaled cumulative deviation S_i = n·P_i − i·T
+    //    over each user's (ts, event_id)-ordered values — ONE exchange
+    //    on the series key carries the prefix sum, the series totals,
+    //    and the argmax pick. The "when did this series' level move"
+    //    monitoring face.
+    "q_changepoint" -> ((s, dir) =>
+      graft.ops.Changepoint.cusum(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "value", scale = 1000L)),
+
+    // ── C4-style segment dedup WITH reconstruction (ext.SegmentDedup):
+    //    8-token blocks, global keep-first by (doc_id, bidx), cleaned
+    //    text reassembled — min-struct hash aggregates (map-side
+    //    combined) instead of a hot-key window, two shuffles total.
+    //    The boilerplate-removal pass that REWRITES documents, vs
+    //    q_span_dedup which only detects overlap.
+    "q_segment_dedup" -> ((s, dir) =>
+      graft.ext.SegmentDedup.dedupSegments(Tables.documents(s, dir),
+        "doc_id", "text", blockTokens = 8)),
+
+    // ── Exact pairwise co-moment matrix (ext.Comoments): BIGINT
+    //    (n, Σx, Σy, Σxy) for all 10 feature pairs per return flag —
+    //    in-row products, ONE fully partial-aggregatable hash
+    //    aggregate, groups×pairs rows shuffled. Money at scale 1,
+    //    ratios at 100 (overflow headroom documented in the operator).
+    "q_comoments" -> ((s, dir) =>
+      graft.ext.Comoments.comoments(Tables.lineitem(s, dir),
+        keys = Seq("l_returnflag"), feats = comomentFeats))
   )
+
+  /** The q_comoments feature grid, shared with the generated oracle. */
+  private val comomentFeats: Seq[(String, Long)] = Seq(
+    "l_quantity" -> 1L, "l_extendedprice" -> 1L,
+    "l_discount" -> 100L, "l_tax" -> 100L)
 
   /** Shared ext/ configuration (markers kept tiny and explicit so the SQL
     * oracles can inline them verbatim). */
@@ -4773,8 +4807,88 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_words,
                 CAST(sum(len(enc) - len(replace(enc, '(', ''))) AS BIGINT)
                   AS n_tokens
-         FROM e5 GROUP BY doc_id"""
+         FROM e5 GROUP BY doc_id""",
+
+    // same half-up 10⁻³ quantization, same S_i = n·P_i − i·T in BIGINT
+    // (DuckDB's HUGEINT window sums cast back down), same (|S| desc, i)
+    // argmax tie rule — any disagreement in order or arithmetic
+    // hash-mismatches
+    "q_changepoint" ->
+      """WITH s AS (SELECT user_id, ts, event_id,
+                CAST(floor(value * 1000 + 0.5) AS BIGINT) AS q FROM events),
+         w AS (SELECT user_id, ts, event_id, q,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS i,
+                 CAST(sum(q) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS p,
+                 count(*) OVER (PARTITION BY user_id) AS n,
+                 CAST(sum(q) OVER (PARTITION BY user_id) AS BIGINT) AS t
+               FROM s),
+         d AS (SELECT user_id, n, i, ts,
+                 abs(n * p - i * t) AS s_abs,
+                 row_number() OVER (PARTITION BY user_id
+                    ORDER BY abs(n * p - i * t) DESC, i) AS rn
+               FROM w)
+         SELECT user_id, n, CAST(i AS INTEGER) AS cp_idx,
+                epoch_us(ts) AS cp_us, CAST(s_abs AS BIGINT) AS s_abs
+         FROM d WHERE rn = 1""",
+
+    // same 8-token blocking (DuckDB's 1-based truncating list slice ≡
+    // Spark's slice), keep-first expressed as the row_number twin of the
+    // operator's min-struct aggregate, same ordered reassembly — a
+    // single block kept or dropped differently anywhere in the corpus
+    // hash-mismatches the reconstructed text
+    "q_segment_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         x AS (SELECT doc_id, (len(toks) + 7) // 8 AS n_blocks, toks FROM t),
+         b AS (SELECT doc_id, n_blocks,
+                 unnest(range(0, n_blocks)) AS bidx, toks FROM x),
+         s AS (SELECT doc_id, bidx,
+                 array_to_string(toks[bidx*8+1 : bidx*8+8], ' ') AS block
+               FROM b),
+         k AS (SELECT doc_id, bidx, block,
+                 row_number() OVER (PARTITION BY block
+                                    ORDER BY doc_id, bidx) AS rn
+               FROM s),
+         r AS (SELECT doc_id,
+                 count(*) FILTER (WHERE rn = 1) AS n_kept,
+                 string_agg(block, ' ' ORDER BY bidx)
+                   FILTER (WHERE rn = 1) AS text_kept
+               FROM k GROUP BY doc_id)
+         SELECT x.doc_id, CAST(x.n_blocks AS INTEGER) AS n_blocks,
+                CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+                COALESCE(r.text_kept, '') AS text_kept
+         FROM x LEFT JOIN r ON x.doc_id = r.doc_id""",
+
+    // generated from the SAME feature grid the operator runs
+    // (comomentFeats): one UNION ALL arm per unordered pair, identical
+    // half-up quantization, sums cast from DuckDB's HUGEINT to BIGINT
+    "q_comoments" -> comomentOracle
   )
+
+  /** One SELECT per pair over the shared grid — kept as generated SQL so
+    * the arm list can never drift from the operator's pair loop. */
+  private def comomentOracle: String = {
+    val arms = for {
+      i <- comomentFeats.indices
+      j <- i until comomentFeats.size
+    } yield {
+      val (ci, si) = comomentFeats(i)
+      val (cj, sj) = comomentFeats(j)
+      val qi = s"CAST(floor($ci * $si + 0.5) AS BIGINT)"
+      val qj = s"CAST(floor($cj * $sj + 0.5) AS BIGINT)"
+      s"""SELECT l_returnflag, '$ci' AS fi, '$cj' AS fj,
+         count(*) AS n, CAST(sum($qi) AS BIGINT) AS s_i,
+         CAST(sum($qj) AS BIGINT) AS s_j,
+         CAST(sum($qi * $qj) AS BIGINT) AS s_ij
+         FROM lineitem WHERE $qi IS NOT NULL AND $qj IS NOT NULL
+         GROUP BY l_returnflag"""
+    }
+    arms.mkString("\n UNION ALL \n")
+  }
 
   /** The BPE-train oracle: the SAME k greedy merge rounds the engine
     * runs, unrolled as a generated CTE chain (pair counts → total-order

@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level EXACT segment deduplication with document
+  * reconstruction — the C4/CCNet "drop every line seen elsewhere, keep
+  * the first occurrence, reassemble the document" curation pass,
+  * generalized to fixed-width token blocks (the corpus's documents are
+  * single-line token streams, so the dedup unit is a B-token block
+  * rather than a newline-delimited line; the operator shape — exact
+  * segment key, global keep-first, ordered reassembly — is identical).
+  *
+  * Distinct from [[SpanDedup]] (winnowing FINDS overlapping spans but
+  * rewrites nothing) and [[Dedup.exact]] (whole-document): this is the
+  * pass that REMOVES repeated boilerplate segments and emits the
+  * cleaned text.
+  *
+  * Keep-first rule: for each distinct block text, the lexicographically
+  * smallest (doc_id, block_idx) occurrence survives; every other
+  * occurrence is dropped. Deterministic by construction — no
+  * run-dependent "first seen" ordering.
+  *
+  * Shape for 100 TB, and why it is NOT a window:
+  *   1. blocks are built IN-ROW (`sequence` + `slice` + `array_join`,
+  *      all codegen) — the explode multiplies rows by ⌈tokens/B⌉ only;
+  *   2. the keeper per block is `min(struct(doc_id, bidx))` — a hash
+  *      aggregate with MAP-SIDE COMBINE, so a block repeated a million
+  *      times (exactly the case this operator exists for) collapses to
+  *      one row per input partition BEFORE the shuffle. A
+  *      `row_number() OVER (PARTITION BY block)` window would ship
+  *      every copy of the hot block to one task and sort it;
+  *   3. reassembly is a second hash aggregate on doc_id, and the final
+  *      per-doc join is a co-partitioned long-key join.
+  * Two shuffles total, both partial-aggregatable, no ordered window
+  * anywhere.
+  */
+object SegmentDedup {
+
+  /** @param blockTokens segment width B in tokens (text split on single
+    *                    spaces; empty text yields one empty block, which
+    *                    then deduplicates corpus-wide like any block)
+    * @return (idCol, n_blocks, n_kept, text_kept) — one row per input
+    *         document; documents whose every block lost keep-first come
+    *         back with n_kept=0 and text_kept="". */
+  def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
+                    blockTokens: Int): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1: $blockTokens")
+    val B = blockTokens
+
+    val toked = docs.select(col(idCol),
+      split(col(textCol), " ").as("toks"))
+      .withColumn("n_blocks",
+        ((size(col("toks")) + lit(B - 1)) / lit(B)).cast("int"))
+
+    // in-row block construction, then one explode: (id, bidx, block)
+    val blocks = toked.select(col(idCol), posexplode(
+      expr(s"transform(sequence(0, n_blocks - 1), " +
+        s"i -> array_join(slice(toks, i * $B + 1, $B), ' '))"))
+      .as(Seq("bidx", "block")))
+
+    // global keep-first per distinct block text — min-struct aggregate,
+    // map-side combined (hot blocks collapse before the shuffle)
+    val keepers = blocks
+      .groupBy(col("block"))
+      .agg(min(struct(col(idCol), col("bidx"))).as("k"))
+      .select(col("k")(idCol).as(idCol), col("k")("bidx").as("bidx"),
+        col("block"))
+
+    // ordered reassembly of each survivor set
+    val recon = keepers
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+            array_sort(collect_list(struct(col("bidx"), col("block")))),
+            s => s("block")), " ").as("text_kept"))
+
+    toked.select(col(idCol), col("n_blocks"))
+      .join(recon, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+}
