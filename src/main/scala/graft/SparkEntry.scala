@@ -2237,7 +2237,38 @@ object SparkEntry {
     //    ratios at 100 (overflow headroom documented in the operator).
     "q_comoments" -> ((s, dir) =>
       graft.ext.Comoments.comoments(Tables.lineitem(s, dir),
-        keys = Seq("l_returnflag"), feats = comomentFeats))
+        keys = Seq("l_returnflag"), feats = comomentFeats)),
+
+    // ── HyperBall neighborhood function (ext.HyperBall): HLL registers
+    //    propagated 2 rounds over the q_bfs co-purchase graph — m=128
+    //    max-columns in ONE codegen hash aggregate per round (hub
+    //    register sets collapse map-side), vs the exact d≤2 closure
+    //    twin; per-radius tolerance booleans. The centrality profile
+    //    exact all-pairs BFS cannot afford at 100 TB.
+    "q_hyperball" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .filter(col("l_partkey") % 3 === 0)
+      val pairs = graft.ext.Basket.coPairs(li, "l_orderkey", "l_partkey")
+        .localCheckpoint() // feeds both the sketch and the exact twin
+      val est = graft.ext.HyperBall.neighborhood(pairs, "u", "v",
+        maxRadius = 2, p = 7)
+      val e = graft.ext.Graphs.symmetrized(pairs, "u", "v")
+      val self = e.select(col("src").as("a"), col("src").as("b"))
+      val d1 = e.select(col("src").as("a"), col("dst").as("b"))
+      val d2 = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
+        .select(col("x.src").as("a"), col("y.dst").as("b"))
+      val b1 = self.union(d1).distinct()
+        .agg(count(lit(1)).as("n_exact")).select(lit(1).as("radius"),
+          col("n_exact"))
+      val b2 = self.union(d1).union(d2).distinct()
+        .agg(count(lit(1)).as("n_exact")).select(lit(2).as("radius"),
+          col("n_exact"))
+      b1.union(b2).join(est, "radius")
+        .select(col("radius"), col("n_exact"),
+          (abs(col("est_sum") - col("n_exact"))
+            <= col("n_exact") * 0.15).as("approx_ok"))
+    })
   )
 
   /** The q_comoments feature grid, shared with the generated oracle. */
@@ -4866,7 +4897,29 @@ object SparkEntry {
     // generated from the SAME feature grid the operator runs
     // (comomentFeats): one UNION ALL arm per unordered pair, identical
     // half-up quantization, sums cast from DuckDB's HUGEINT to BIGINT
-    "q_comoments" -> comomentOracle
+    "q_comoments" -> comomentOracle,
+
+    // exact d≤2 closure per radius (self ∪ neighbors ∪ 2-step), with the
+    // tolerance boolean pinned TRUE — the estimate-vs-exact twin pattern
+    // (q_triangles_approx): a sketch drifting past 15% of the exact
+    // neighborhood function hash-mismatches
+    "q_hyperball" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                     WHERE l_partkey % 3 = 0),
+         e0 AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+                FROM li a JOIN li b USING (l_orderkey)
+                WHERE a.l_partkey < b.l_partkey),
+         e AS (SELECT x AS a, y AS b FROM e0 UNION SELECT y, x FROM e0),
+         self AS (SELECT DISTINCT a, a AS b FROM e),
+         d2 AS (SELECT e1.a, e2.b FROM e e1 JOIN e e2 ON e1.b = e2.a),
+         b1 AS (SELECT count(*) AS n FROM
+                  (SELECT a, b FROM self UNION SELECT a, b FROM e)),
+         b2 AS (SELECT count(*) AS n FROM
+                  (SELECT a, b FROM self UNION SELECT a, b FROM e
+                   UNION SELECT a, b FROM d2))
+         SELECT 1 AS radius, (SELECT n FROM b1) AS n_exact, TRUE AS approx_ok
+         UNION ALL
+         SELECT 2, (SELECT n FROM b2), TRUE"""
   )
 
   /** One SELECT per pair over the shared grid — kept as generated SQL so

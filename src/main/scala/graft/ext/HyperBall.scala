@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperBall — approximate per-node neighborhood sizes |B(v, r)| via
+  * HyperLogLog registers propagated along edges (Boldi & Vigna's
+  * centrality algorithm, the scale path where exact ball counting is
+  * Σ_v |B(v,r)| pairs of state). Radius-r ball sizes give the
+  * neighborhood function and, per node, closeness/harmonic centrality
+  * — the "how reachable is this node" profile that exact BFS-from-
+  * every-node cannot afford at 100 TB.
+  *
+  * Register layout is the design decision: each node's m = 2^p HLL
+  * registers are M SEPARATE INT COLUMNS, not an array — the per-round
+  * neighbor merge is then `max(r_i)` × m inside ONE hash aggregate:
+  * whole-stage codegen, partial aggregation (a hub's million incoming
+  * register sets collapse map-side), no custom aggregate, no explode,
+  * no collect_list skew. Per round: one edges⋈registers join + that
+  * aggregate, localCheckpoint'ed so lineage stays bounded.
+  *
+  * Determinism: the only "randomness" is xxhash64(node) (seed 42);
+  * register indices, ranks, merges, and the final estimate are pure
+  * functions of the graph — same input, same estimate, every run. The
+  * per-node estimate is quantized half-up to BIGINT before any
+  * cross-node sum, so no float accumulation order exists anywhere.
+  *
+  * Estimator: standard HLL — α_m·m²/Σ2^(−M_j), small-range corrected
+  * to m·ln(m/V) when the raw estimate ≤ 2.5m and V>0 zero registers
+  * remain (balls ARE small sets at small radii, so the correction is
+  * the common path; σ ≈ 1.04/√m ≈ 9% at the default p=7).
+  */
+object HyperBall {
+
+  /** Per-node estimated ball size after `radius` rounds.
+    * @param edges undirected pair list (one row per unordered pair is
+    *              fine — symmetrized + deduped + self-loop-dropped
+    *              internally via [[Graphs.symmetrized]])
+    * @return (node, est) with est = half-up BIGINT estimate of
+    *         |B(node, radius)| (self included). */
+  def estimateBalls(edges: DataFrame, srcCol: String, dstCol: String,
+                    radius: Int, p: Int = 7): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1: $radius")
+    val e = Graphs.symmetrized(edges, srcCol, dstCol)
+    var regs = init(e, p)
+    for (_ <- 1 to radius) regs = step(e, regs, p)
+    regs.select(col("node"), estimate(p).as("est"))
+  }
+
+  /** The neighborhood function: Σ_v est|B(v, r)| for r = 1..maxRadius,
+    * one row per radius — each round's registers are estimated and
+    * quantized per node, then summed in BIGINT. */
+  def neighborhood(edges: DataFrame, srcCol: String, dstCol: String,
+                   maxRadius: Int, p: Int = 7): DataFrame = {
+    require(maxRadius >= 1, s"maxRadius must be >= 1: $maxRadius")
+    val e = Graphs.symmetrized(edges, srcCol, dstCol)
+    var regs = init(e, p)
+    var out: DataFrame = null
+    for (r <- 1 to maxRadius) {
+      regs = step(e, regs, p)
+      val row = regs.select(estimate(p).as("est"))
+        .agg(sum(col("est")).as("est_sum"))
+        .select(lit(r).as("radius"), col("est_sum"))
+      out = if (out == null) row else out.union(row)
+    }
+    out
+  }
+
+  // ── internals ──────────────────────────────────────────────────────
+
+  private def m(p: Int) = 1 << p
+
+  private def rCols(p: Int): Seq[String] = (0 until m(p)).map(i => s"r$i")
+
+  /** α_m for the raw HLL estimator (Flajolet et al. constants). */
+  private def alpha(p: Int): Double = m(p) match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case mm => 0.7213 / (1.0 + 1.079 / mm)
+  }
+
+  /** One register set per node: index = low p hash bits, rank = leading-
+    * zero count of the remaining 64−p bits + 1 (`bin()` has no leading
+    * zeros, so rank = (64−p) − length(bin(h2)) + 1; h2 = 0 caps it). */
+  private def init(e: DataFrame, p: Int): DataFrame = {
+    val h = xxhash64(col("node"), lit(42))
+    val h2 = shiftrightunsigned(h, p)
+    val j = pmod(h, lit(m(p))).cast("int")
+    val rho = when(h2 === 0, lit(64 - p + 1))
+      .otherwise(lit(64 - p + 1) - length(bin(h2)))
+    val nodes = e.select(col("src").as("node")).distinct()
+    nodes.select(col("node") +: (0 until m(p)).map(i =>
+      when(j === i, rho).otherwise(lit(0)).cast("int").as(s"r$i")): _*)
+      .localCheckpoint()
+  }
+
+  /** regs ∪ neighbor copies → per-node elementwise max, one join + one
+    * codegen hash aggregate. */
+  private def step(e: DataFrame, regs: DataFrame, p: Int): DataFrame = {
+    val msgs = e.join(regs, e("src") === regs("node"))
+      .select(col("dst").as("node") +: rCols(p).map(col): _*)
+    msgs.union(regs)
+      .groupBy(col("node"))
+      .agg(max(col(rCols(p).head)).as(rCols(p).head),
+        rCols(p).tail.map(c => max(col(c)).as(c)): _*)
+      .localCheckpoint()
+  }
+
+  /** In-row HLL estimate over the m register columns, half-up BIGINT. */
+  private def estimate(p: Int): Column = {
+    val mm = m(p)
+    val arr = array(rCols(p).map(col): _*)
+    val powSum = aggregate(arr, lit(0.0),
+      (acc, x) => acc + pow(lit(2.0), -x.cast("double")))
+    val zeros = size(filter(arr, _ === 0))
+    val raw = lit(alpha(p) * mm * mm) / powSum
+    val est = when(raw <= lit(2.5 * mm) && zeros > 0,
+      lit(mm.toDouble) * log(lit(mm).cast("double") / zeros))
+      .otherwise(raw)
+    floor(est + lit(0.5)).cast("long")
+  }
+}
