@@ -43,7 +43,12 @@ object HyperBall {
     require(radius >= 1, s"radius must be >= 1: $radius")
     val e = Graphs.symmetrized(edges, srcCol, dstCol)
     var regs = init(e, p)
-    for (_ <- 1 to radius) regs = step(e, regs, p)
+    // materialize every round EXCEPT the last: intermediate rounds are
+    // re-joined (bounded lineage matters); the final merge is consumed
+    // once, and leaving it live keeps the aggregate shape visible to
+    // the caller's plan (PlanContractSpec pins the partial max there)
+    for (r <- 1 to radius)
+      regs = step(e, regs, p, materialize = r < radius)
     regs.select(col("node"), estimate(p).as("est"))
   }
 
@@ -57,7 +62,9 @@ object HyperBall {
     var regs = init(e, p)
     var out: DataFrame = null
     for (r <- 1 to maxRadius) {
-      regs = step(e, regs, p)
+      // intermediate rounds feed BOTH their estimate row and the next
+      // round — materialize those; the last feeds one estimate only
+      regs = step(e, regs, p, materialize = r < maxRadius)
       val row = regs.select(estimate(p).as("est"))
         .agg(sum(col("est")).as("est_sum"))
         .select(lit(r).as("radius"), col("est_sum"))
@@ -97,14 +104,15 @@ object HyperBall {
 
   /** regs ∪ neighbor copies → per-node elementwise max, one join + one
     * codegen hash aggregate. */
-  private def step(e: DataFrame, regs: DataFrame, p: Int): DataFrame = {
+  private def step(e: DataFrame, regs: DataFrame, p: Int,
+                   materialize: Boolean): DataFrame = {
     val msgs = e.join(regs, e("src") === regs("node"))
       .select(col("dst").as("node") +: rCols(p).map(col): _*)
-    msgs.union(regs)
+    val merged = msgs.union(regs)
       .groupBy(col("node"))
       .agg(max(col(rCols(p).head)).as(rCols(p).head),
         rCols(p).tail.map(c => max(col(c)).as(c)): _*)
-      .localCheckpoint()
+    if (materialize) merged.localCheckpoint() else merged
   }
 
   /** In-row HLL estimate over the m register columns, half-up BIGINT. */

@@ -24,18 +24,26 @@ import org.apache.spark.sql.functions._
   * Shape for 100 TB, and why it is NOT a window:
   *   1. blocks are built IN-ROW (`sequence` + `slice` + `array_join`,
   *      all codegen) — the explode multiplies rows by ⌈tokens/B⌉ only;
-  *   2. the keeper per block is `min(struct(doc_id, bidx))` — a hash
-  *      aggregate with MAP-SIDE COMBINE, so a block repeated a million
-  *      times (exactly the case this operator exists for) collapses to
-  *      one row per input partition BEFORE the shuffle. A
-  *      `row_number() OVER (PARTITION BY block)` window would ship
-  *      every copy of the hot block to one task and sort it;
+  *   2. the keeper per block is `min(doc_id·2²⁰ + bidx)` — (doc_id,
+  *      bidx) packed into ONE long so the aggregate is a primitive
+  *      `min`, which Spark executes as a whole-stage-codegen
+  *      HashAggregate with MAP-SIDE COMBINE (a `min(struct(...))`
+  *      falls back to SortAggregate; a `row_number() OVER (PARTITION
+  *      BY block)` window would ship every copy of a million-times-
+  *      repeated hot block — exactly the case this operator exists
+  *      for — to one sorted task). Packing preserves lexicographic
+  *      order because bidx < 2²⁰; preconditions below;
   *   3. reassembly is a second hash aggregate on doc_id, and the final
   *      per-doc join is a co-partitioned long-key join.
   * Two shuffles total, both partial-aggregatable, no ordered window
   * anywhere.
   */
 object SegmentDedup {
+
+  /** Position bits in the packed (doc_id, bidx) keeper key: documents
+    * may hold up to 2²⁰ blocks (8M+ tokens at B=8) and ids must fit
+    * 43 bits non-negative — both enforced. */
+  private val PosBits = 20
 
   /** @param blockTokens segment width B in tokens (text split on single
     *                    spaces; empty text yields one empty block, which
@@ -51,20 +59,31 @@ object SegmentDedup {
     val toked = docs.select(col(idCol),
       split(col(textCol), " ").as("toks"))
       .withColumn("n_blocks",
-        ((size(col("toks")) + lit(B - 1)) / lit(B)).cast("int"))
+        expr(s"CAST((size(toks) + ${B - 1}) div $B AS INT)"))
 
-    // in-row block construction, then one explode: (id, bidx, block)
+    // in-row block construction, then one explode: (id, bidx, block);
+    // the packed keeper key rides along (guarded — a violation would
+    // otherwise silently misorder keep-first)
+    val guarded = assert_true(
+      col(idCol) >= 0 && col(idCol) < (1L << (63 - PosBits)) &&
+        col("bidx") < (1 << PosBits),
+      lit(s"SegmentDedup: id must be in [0, 2^${63 - PosBits}) and " +
+        s"blocks per doc < 2^$PosBits"))
     val blocks = toked.select(col(idCol), posexplode(
       expr(s"transform(sequence(0, n_blocks - 1), " +
         s"i -> array_join(slice(toks, i * $B + 1, $B), ' '))"))
       .as(Seq("bidx", "block")))
+      .withColumn("pk", when(guarded.isNull,
+        shiftleft(col(idCol).cast("long"), PosBits) + col("bidx")))
 
-    // global keep-first per distinct block text — min-struct aggregate,
-    // map-side combined (hot blocks collapse before the shuffle)
+    // global keep-first per distinct block text — primitive min over the
+    // packed key: codegen HashAggregate, map-side combined (hot blocks
+    // collapse before the shuffle)
     val keepers = blocks
       .groupBy(col("block"))
-      .agg(min(struct(col(idCol), col("bidx"))).as("k"))
-      .select(col("k")(idCol).as(idCol), col("k")("bidx").as("bidx"),
+      .agg(min(col("pk")).as("pk"))
+      .select(shiftrightunsigned(col("pk"), PosBits).as(idCol),
+        (col("pk") % lit(1 << PosBits)).cast("int").as("bidx"),
         col("block"))
 
     // ordered reassembly of each survivor set

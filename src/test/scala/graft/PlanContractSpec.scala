@@ -427,4 +427,57 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"BFS union re-shuffled its materialized rounds:\n${p.take(600)}")
   }
+
+  test("changepoint: one exchange carries prefix, totals, and argmax") {
+    // the three window passes (ordered prefix sum, unbounded series
+    // totals, |S| argmax) must all ride the series-key partitioning —
+    // a second hashpartitioning exchange would mean a window re-keyed
+    val p = plan("q_changepoint")
+    assert(p.contains("Window"), p.take(400))
+    assert(!p.contains("Join"), s"join in the CUSUM plan:\n${p.take(600)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"expected exactly the series-key exchange:\n${p.take(800)}")
+  }
+
+  test("segment dedup: keep-first is an aggregate, never a window") {
+    // the hot-block hazard: a row_number window would ship every copy
+    // of a million-times-repeated block to one sorted task; the
+    // min-struct hash aggregate combines map-side instead
+    val p = plan("q_segment_dedup")
+    assert(!p.contains("Window"),
+      s"window crept into the keep-first path:\n${p.take(600)}")
+    assert(!p.contains("SortAggregate"),
+      s"sort-based aggregate on the block key:\n${p.take(600)}")
+    assert(p.contains("HashAggregate"), p.take(400))
+  }
+
+  test("co-moments: one partial-aggregatable pass, no join, no window") {
+    val p = plan("q_comoments")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(600))
+    // partial_count/partial_sum before the exchange = map-side combine
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"no partial aggregation in the co-moment plan:\n${p.take(800)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"expected exactly the group-key exchange:\n${p.take(800)}")
+  }
+
+  test("hyperball: register merge is a hash aggregate with map-side " +
+      "partial max") {
+    // the whole design premise: hub nodes' incoming register sets must
+    // collapse BEFORE the shuffle — partial_max in the aggregate — and
+    // the merge must never become a sort-based aggregate over m columns
+    val e = (0L until 200L).map(i => (i, (i * 7 + 3) % 200))
+    val df = {
+      import spark.implicits._
+      graft.ext.HyperBall.estimateBalls(e.toDF("u", "v"), "u", "v",
+        radius = 1)
+    }
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("partial_max") || p.contains("max#"),
+      s"no partial max in the register merge:\n${p.take(800)}")
+    assert(!p.contains("SortAggregate"),
+      s"register merge fell back to sort aggregation:\n${p.take(600)}")
+  }
 }
