@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Relevance, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Fusion, Multimodal, Relevance, Similarity, TextAnalysis}
 import graft.model.Tables
 import graft.ops._
 
@@ -2268,6 +2268,26 @@ object SparkEntry {
         .select(col("radius"), col("n_exact"),
           (abs(col("est_sum") - col("n_exact"))
             <= col("n_exact") * 0.15).as("approx_ok"))
+    }),
+
+    // ── Hybrid retrieval (ext.Fusion): BM25 sparse top-50 ⊕ dense
+    //    cosine top-50 (query = embedding 0) fused by reciprocal-rank
+    //    fusion, k=60 — contributions quantized to integer µ-units
+    //    BEFORE the per-doc sum, so the fused ranking is shuffle-order-
+    //    proof. Corpus-sized work stays in the retrievers; fusion
+    //    touches only the pre-cut lists.
+    "q_hybrid_search" -> ((s, dir) => {
+      val sparse = Fusion.rankList(
+        Relevance.bm25(Tables.documents(s, dir), "doc_id", "text",
+          terms = Seq("spark", "table", "join"))
+          .select(col("doc_id"), col("bm25")),
+        "doc_id", "bm25", n = 50)
+      val dense = Similarity.bruteForceTopK(Tables.embeddings(s, dir),
+          Tables.embeddings(s, dir).filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rk"))
+      Fusion.rrfFused(Seq(sparse -> "rank", dense -> "rk"),
+        "doc_id", k = 60, topN = 20)
     })
   )
 
@@ -4919,7 +4939,77 @@ object SparkEntry {
                    UNION SELECT a, b FROM d2))
          SELECT 1 AS radius, (SELECT n FROM b1) AS n_exact, TRUE AS approx_ok
          UNION ALL
-         SELECT 2, (SELECT n FROM b2), TRUE"""
+         SELECT 2, (SELECT n FROM b2), TRUE""",
+
+    // sparse arm = the q_bm25 pipeline ranked over the ROUNDED score
+    // (q_keywords' accepted ulp class); dense arm = the q_ann_brute
+    // decimal-exact cosine ranking for query 0; fusion in integer
+    // µ-units — identical quantization, k=60, and (rrf desc, id) order
+    "q_hybrid_search" ->
+      """WITH w AS (SELECT doc_id,
+                string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents),
+         base AS (SELECT doc_id, len(ws) AS dl,
+                len(list_filter(ws, x -> x = 'spark')) AS tf_0,
+                len(list_filter(ws, x -> x = 'table')) AS tf_1,
+                len(list_filter(ws, x -> x = 'join'))  AS tf_2
+              FROM w),
+         stats AS (SELECT
+                CAST(count(*) AS DOUBLE) AS n_docs,
+                CAST(sum(dl) AS DOUBLE) AS sum_dl,
+                CAST(count(CASE WHEN tf_0 > 0 THEN 1 END) AS DOUBLE) AS df_0,
+                CAST(count(CASE WHEN tf_1 > 0 THEN 1 END) AS DOUBLE) AS df_1,
+                CAST(count(CASE WHEN tf_2 > 0 THEN 1 END) AS DOUBLE) AS df_2
+              FROM base),
+         sc AS (SELECT doc_id,
+                round(
+                  ln((n_docs - df_0 + 0.5) / (df_0 + 0.5) + 1.0)
+                    * (CAST(tf_0 AS DOUBLE) * 2.2)
+                    / (CAST(tf_0 AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs))))
+                + ln((n_docs - df_1 + 0.5) / (df_1 + 0.5) + 1.0)
+                    * (CAST(tf_1 AS DOUBLE) * 2.2)
+                    / (CAST(tf_1 AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs))))
+                + ln((n_docs - df_2 + 0.5) / (df_2 + 0.5) + 1.0)
+                    * (CAST(tf_2 AS DOUBLE) * 2.2)
+                    / (CAST(tf_2 AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))),
+                4) AS bm25
+              FROM base, stats),
+         sr AS (SELECT doc_id, rnk FROM (
+                  SELECT doc_id, row_number()
+                    OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM sc)
+                WHERE rnk <= 50),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+               FROM embeddings WHERE vec_id <> 0),
+         d AS (SELECT neighbor_id,
+                 CAST(sum(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS dotv,
+                 CAST(sum(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nq,
+                 CAST(sum(CAST(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nc
+               FROM c, q, UNNEST(range(1, len(qv) + 1)) t(i)
+               GROUP BY 1),
+         dr AS (SELECT neighbor_id AS doc_id, rnk FROM (
+                  SELECT neighbor_id, row_number()
+                    OVER (ORDER BY dotv/(sqrt(nq)*sqrt(nc)) DESC,
+                          neighbor_id) AS rnk FROM d)
+                WHERE rnk <= 50),
+         contrib AS (
+           SELECT doc_id,
+                  CAST(floor(1e12 / (60 + rnk) + 0.5) AS BIGINT) AS c
+           FROM sr
+           UNION ALL
+           SELECT doc_id,
+                  CAST(floor(1e12 / (60 + rnk) + 0.5) AS BIGINT)
+           FROM dr),
+         f AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_lists,
+                 CAST(sum(c) AS BIGINT) AS rrf_micro
+               FROM contrib GROUP BY doc_id)
+         SELECT doc_id, n_lists, rrf_micro, CAST(rnk AS INTEGER) AS rank
+         FROM (SELECT doc_id, n_lists, rrf_micro, row_number()
+                 OVER (ORDER BY rrf_micro DESC, doc_id) AS rnk FROM f)
+         WHERE rnk <= 20"""
   )
 
   /** One SELECT per pair over the shared grid — kept as generated SQL so

@@ -72,7 +72,17 @@ object ScaleProbe {
       // words mean hits stay ×1 while scan work goes ×10 — the ratio
       // reads the gram-generation cost), event sequences (one window
       // sort per entity partition, ×10 disjoint users)
-      "q_dict_tag", "q_event_seq")
+      "q_dict_tag", "q_event_seq",
+      // r11: changepoint (×10 disjoint user series, same lengths — one
+      // exchange + three windows, pure partition growth), segment dedup
+      // (replica-prefixed words → disjoint block universes: blocks ×10,
+      // zero cross-replica dups — the keep-first aggregate and both
+      // reassembly shuffles carry the ×10), co-moments (pure scan ×10
+      // into a groups×pairs-row aggregate), hyperball (10 disjoint
+      // co-purchase graphs: register rows ×10 at fixed m; the exact
+      // d≤2 closure twin is the cost carrier and is itself ×10 on
+      // disjoint shards)
+      "q_changepoint", "q_segment_dedup", "q_comoments", "q_hyperball")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
@@ -94,7 +104,8 @@ object ScaleProbe {
       // also reads l_returnflag/l_quantity — carried verbatim
       val li = spark.read.parquet(s"$base/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-          col("l_returnflag"), col("l_quantity"))
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
       val docShards = (0 until Replicas).map { k =>
         val text = if (k == 0) col("text")
         else regexp_replace(col("text"), "(\\S+)", s"r${k}q$$1")
@@ -108,7 +119,8 @@ object ScaleProbe {
         li.select((col("l_orderkey") + lit(k * 10000000L)).as("l_orderkey"),
           (col("l_partkey") + lit(k * 1000000L)).as("l_partkey"),
           (col("l_suppkey") + lit(k * 1000000L)).as("l_suppkey"),
-          col("l_returnflag"), col("l_quantity"))
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
       }.reduce(_ unionByName _)
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$sf1/lineitem.parquet")
@@ -126,16 +138,19 @@ object ScaleProbe {
     // disjoint-shard idealization.
     if (!args.contains("regen") &&
         new java.io.File(s"$sf1/lineitem.parquet").exists() &&
-        !spark.read.parquet(s"$sf1/lineitem.parquet")
-          .columns.contains("l_suppkey")) {
+        { val cs = spark.read.parquet(s"$sf1/lineitem.parquet").columns
+          // r11 added the money columns (co-moments) to the shard schema
+          !cs.contains("l_suppkey") || !cs.contains("l_extendedprice") }) {
       val li = spark.read.parquet(s"$base/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-          col("l_returnflag"), col("l_quantity"))
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
       (0 until Replicas).map { k =>
         li.select((col("l_orderkey") + lit(k * 10000000L)).as("l_orderkey"),
           (col("l_partkey") + lit(k * 1000000L)).as("l_partkey"),
           (col("l_suppkey") + lit(k * 1000000L)).as("l_suppkey"),
-          col("l_returnflag"), col("l_quantity"))
+          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
       }.reduce(_ unionByName _)
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$sf1/lineitem.parquet.tmp_upgrade")

@@ -461,6 +461,16 @@ class PlanContractSpec extends SparkSpec {
       s"expected exactly the group-key exchange:\n${p.take(800)}")
   }
 
+  test("hybrid search: list cuts are TakeOrderedAndProject, no cartesian") {
+    // the retriever cuts and the fused top-N must push their limits
+    // into the sort (never a full global sort); the only non-equi join
+    // allowed is the dense arm's broadcast query join
+    val p = plan("q_hybrid_search")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the fusion plan:\n${p.take(600)}")
+  }
+
   test("hyperball: register merge is a hash aggregate with map-side " +
       "partial max") {
     // the whole design premise: hub nodes' incoming register sets must
