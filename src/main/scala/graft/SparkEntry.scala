@@ -2288,7 +2288,27 @@ object SparkEntry {
         .select(col("neighbor_id").as("doc_id"), col("rk"))
       Fusion.rrfFused(Seq(sparse -> "rank", dense -> "rk"),
         "doc_id", k = 60, topN = 20)
-    })
+    }),
+
+    // ── Weighted exactly-25-per-lang draw (ext.Sampling A-ES): rank by
+    //    ln(u)/n_chars over the deterministic 32-bit id coin — length-
+    //    proportional inclusion, seedless and SQL-replayable; one
+    //    ordered window on the group key.
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.ext.Sampling.weightedFixedSize(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        keys = Seq("lang"), idCol = "doc_id", weightCol = "n_chars",
+        n = 25)
+        .withColumn("rk", col("rk").cast("long"))),
+
+    // ── Overlapping 32-token chunks every 24 tokens (ext.Chunking):
+    //    the RAG/embedding document→chunk expansion — in-row slices,
+    //    one explode, ZERO shuffles (narrow map; downstream decides
+    //    partitioning).
+    "q_chunks" -> ((s, dir) =>
+      graft.ext.Chunking.chunk(Tables.documents(s, dir),
+        "doc_id", "text", window = 32, stride = 24))
   )
 
   /** The q_comoments feature grid, shared with the generated oracle. */
@@ -5009,7 +5029,48 @@ object SparkEntry {
          SELECT doc_id, n_lists, rrf_micro, CAST(rnk AS INTEGER) AS rank
          FROM (SELECT doc_id, n_lists, rrf_micro, row_number()
                  OVER (ORDER BY rrf_micro DESC, doc_id) AS rnk FROM f)
-         WHERE rnk <= 20"""
+         WHERE rnk <= 20""",
+
+    // the q_sample_n md5-bucket arithmetic feeding the A-ES key
+    // ln(u)/weight rounded to 10 dp (the accepted ln-ulp class), same
+    // (key desc, id) order and the same weight>0 drop
+    "q_weighted_sample" ->
+      """WITH b AS (SELECT doc_id, lang, n_chars,
+                 (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1) AS bucket
+               FROM documents WHERE n_chars > 0),
+         k AS (SELECT doc_id, lang, n_chars,
+                 round(ln((bucket + 1) / 4294967296.0)
+                       / CAST(n_chars AS DOUBLE), 10) AS ky
+               FROM b),
+         r AS (SELECT doc_id, lang, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY ky DESC, doc_id) AS rk
+               FROM k)
+         SELECT doc_id, lang, n_chars, rk FROM r WHERE rk <= 25""",
+
+    // same non-negative chunk-count arithmetic (Spark div and DuckDB //
+    // agree only on non-negative operands — the greatest() is parity,
+    // not style), same 1-based truncating slice
+    "q_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         x AS (SELECT doc_id, toks,
+                 CAST(1 + (greatest(len(toks) - 32, 0) + 23) // 24 AS INT)
+                   AS n_chunks FROM t),
+         c AS (SELECT doc_id, toks,
+                 unnest(range(0, n_chunks)) AS chunk_idx FROM x),
+         s AS (SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+                 toks[chunk_idx*24+1 : chunk_idx*24+32] AS chunk FROM c)
+         SELECT doc_id, chunk_idx, CAST(len(chunk) AS INTEGER) AS n_tok,
+                array_to_string(chunk, ' ') AS chunk_text
+         FROM s"""
   )
 
   /** One SELECT per pair over the shared grid — kept as generated SQL so

@@ -110,4 +110,35 @@ object Sampling {
       .orderBy(Splits.hashBucket(col(idCol), nibbles = 8), col(idCol))
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
   }
+
+  /** WEIGHTED exactly-n-per-group sampling without replacement —
+    * Efraimidis–Spirakis A-ES with the repo's deterministic coin: each
+    * row draws u = (hash32(id)+1)/2³² ∈ (0,1] and ranks by
+    * ln(u)/weight descending (equivalent to the classical u^(1/w) key;
+    * larger weights pull the key toward 0), so inclusion probability
+    * is weight-proportional while the draw stays an exact pure
+    * function of the ids — seedless, replayable, SQL-mirrorable.
+    * The quality-weighted / length-weighted corpus draw where
+    * [[fixedSizePerGroup]] is the uniform one.
+    *
+    * Rows with weight ≤ 0 are dropped (zero mass — never sampled;
+    * negative is a caller bug surfaced as absence, documented here).
+    * The rank key is rounded to 10 dp before ordering (id tiebreak) —
+    * the q_keywords ulp-parity discipline for `ln`.
+    *
+    * Shape: one ordered window shuffle on the group key, same as the
+    * uniform variant. Adds `rk`. */
+  def weightedFixedSize(df: DataFrame, keys: Seq[String], idCol: String,
+      weightCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(keys.nonEmpty, "need at least one group key")
+    val u = (Splits.hashBucket(col(idCol), nibbles = 8) + lit(1)) /
+      lit(4294967296.0)
+    val key = round(log(u) / col(weightCol).cast("double"), 10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(key.desc, col(idCol).asc)
+    df.filter(col(weightCol) > 0)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+  }
 }
