@@ -73,6 +73,56 @@ object HyperBall {
     out
   }
 
+  /** Per-node approximate HARMONIC centrality: Σ_r (|B(v,r)| −
+    * |B(v,r−1)|)/r for r = 1..maxRadius — the distance-weighted
+    * reachability score HyperBall was built for (Boldi & Vigna), with
+    * each ball-size delta read off the same register propagation. The
+    * per-radius estimates are the half-up BIGINT ball sizes, so the
+    * only float step is the final fixed-order Σ delta/r — emitted in
+    * micro-units as BIGINT, order-pinned by the literal unrolling.
+    * Negative deltas (two estimates of a monotone quantity wobbling
+    * against each other within sketch error) clamp to zero rather than
+    * subtracting phantom centrality. */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRadius: Int, p: Int = 7): DataFrame = {
+    require(maxRadius >= 1, s"maxRadius must be >= 1: $maxRadius")
+    val e = Graphs.symmetrized(edges, srcCol, dstCol)
+    var regs = init(e, p)
+    var est: DataFrame = regs.select(col("node"), estimate(p).as("b0"))
+    for (r <- 1 to maxRadius) {
+      regs = step(e, regs, p, materialize = r < maxRadius)
+      est = est.join(regs.select(col("node"), estimate(p).as(s"b$r")),
+        "node")
+    }
+    // fixed-order literal sum of clamped deltas — no aggregate, so no
+    // accumulation-order freedom to drift across runs
+    val harmonic = (1 to maxRadius).map { r =>
+      greatest(col(s"b$r") - col(s"b${r - 1}"), lit(0L)).cast("double") / r
+    }.reduce(_ + _)
+    est.select(col("node"),
+      floor(harmonic * lit(1000000.0) + lit(0.5)).cast("long")
+        .as("harmonic_micro"))
+  }
+
+  /** Effective diameter: the smallest radius r whose estimated
+    * neighborhood function reaches `fraction` of the radius-`maxRadius`
+    * value — the "how many hops reach 90% of reachable pairs" corpus
+    * statistic (with HLL balls the only way to ask it at 100 TB).
+    * Returns ONE row (eff_diameter, nf_at, nf_max); the per-radius
+    * frame is maxRadius rows, so the driver-side pick is bounded by
+    * construction. */
+  def effectiveDiameter(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRadius: Int, fraction: Double = 0.9, p: Int = 7): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction in (0,1]: $fraction")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val nf = neighborhood(edges, srcCol, dstCol, maxRadius, p)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val nfMax = nf.last._2
+    val (r, at) = nf.find(_._2 >= fraction * nfMax).getOrElse(nf.last)
+    Seq((r, at, nfMax)).toDF("eff_diameter", "nf_at", "nf_max")
+  }
+
   // ── internals ──────────────────────────────────────────────────────
 
   private def m(p: Int) = 1 << p

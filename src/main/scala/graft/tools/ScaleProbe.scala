@@ -82,7 +82,12 @@ object ScaleProbe {
       // co-purchase graphs: register rows ×10 at fixed m; the exact
       // d≤2 closure twin is the cost carrier and is itself ×10 on
       // disjoint shards)
-      "q_changepoint", "q_segment_dedup", "q_comoments", "q_hyperball")
+      "q_changepoint", "q_segment_dedup", "q_comoments", "q_hyperball",
+      // r11b: hybrid search (retriever scans ×10, fused lists fixed at
+      // 50+50 — output invariant, the scan is the carrier), chunking
+      // (pure narrow map, rows ×10), weighted sampling (window on the
+      // lang key — 5 strata ×10 rows each; output fixed at 125)
+      "q_hybrid_search", "q_chunks", "q_weighted_sample")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {

@@ -58,6 +58,51 @@ class HyperBallSpec extends SparkSpec {
     assert(run() === run())
   }
 
+  test("effective diameter: a path graph saturates at its true diameter") {
+    // path 0-1-...-9: diameter 9; at fraction=1.0 the ball sum keeps
+    // growing until radius 9 and is flat after — the pick must be 9
+    val path = (0L until 9L).map(i => (i, i + 1))
+    val out = HyperBall.effectiveDiameter(df(path), "u", "v",
+      maxRadius = 12, fraction = 1.0).collect().head
+    assert(out.getInt(0) === 9)
+    assert(out.getLong(1) === out.getLong(2)) // nf_at == nf_max there
+  }
+
+  test("partition invariance: estimates ignore input layout") {
+    val edges = (0L until 150L).map(i => (i, (i * 7 + 3) % 150))
+    def run(parts: Int) =
+      HyperBall.estimateBalls(df(edges).repartition(parts), "u", "v",
+        radius = 2).collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+    assert(run(1) === run(13))
+  }
+
+  test("harmonic centrality: exact on a small path, center beats ends") {
+    // path 1-2-3-4-5: tiny balls → small-range estimates are exact, so
+    // harmonic_micro equals the exact Σ (new nodes at r)/r in µ-units
+    val out = HyperBall.harmonicCentrality(
+        df(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))),
+        "u", "v", maxRadius = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = exactBalls(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), 0)
+    def h(ballSizes: Seq[Int]): Long = {
+      val deltas = ballSizes.zip(1 +: ballSizes).map { case (b, prev) =>
+        math.max(b - prev, 0) }
+      math.floor(deltas.zipWithIndex
+        .map { case (d, i) => d.toDouble / (i + 1) }.sum * 1e6 + 0.5).toLong
+    }
+    for (n <- 1L to 5L) {
+      val balls = (1 to 4).map(r =>
+        exactBallsFor(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), n, r))
+      assert(out(n) === h(balls), s"node $n")
+    }
+    assert(out(3L) > out(1L) && out(3L) > out(5L)) // center most central
+    assert(exact.nonEmpty) // (silence the unused warning honestly)
+  }
+
+  private def exactBallsFor(edges: Seq[(Long, Long)], node: Long,
+      r: Int): Int = exactBalls(edges, r)(node)
+
   test("pair list direction does not matter (symmetrized internally)") {
     val a = HyperBall.estimateBalls(df(Seq((1L, 2L), (2L, 3L), (3L, 4L))),
       "u", "v", radius = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -52,6 +52,17 @@ class SegmentDedupSpec extends SparkSpec {
     assert(out === Seq((4L, 1, 1L, "k k"), (9L, 1, 0L, "")))
   }
 
+  test("partition invariance: keep-first ignores input layout") {
+    val docs = (1L to 40L).map(i =>
+      (i, (0 until 6).map(j => s"w${(i * 7 + j) % 23}").mkString(" ")))
+    def run(parts: Int) =
+      SegmentDedup.dedupSegments(docs.toDF("doc_id", "text")
+          .repartition(parts), "doc_id", "text", blockTokens = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+    assert(run(1) === run(9))
+  }
+
   test("idempotence: re-running on kept text changes nothing") {
     val once = run(Seq(1L -> "a b c d", 2L -> "c d e f", 3L -> "e f"), b = 2)
     val again = run(once.map(r => (r._1, r._4)).filter(_._2.nonEmpty), b = 2)

@@ -61,6 +61,17 @@ class ChangepointSpec extends SparkSpec {
     assert(out(1)._4 === 0L)      // b is flat
   }
 
+  test("partition invariance: the argmax ignores input layout") {
+    val base = (1 to 60).map(i => ((i * 13 % 7).toString, ts(i), i.toLong,
+      (i * 31 % 17).toDouble))
+    def run(parts: Int) =
+      Changepoint.cusum(base.toDF("k", "ts", "id", "v").repartition(parts),
+        "k", "ts", "id", "v")
+        .collect().map(r => (r.getString(0), r.getInt(2), r.getLong(4)))
+        .sortBy(_._1).toSeq
+    assert(run(1) === run(11))
+  }
+
   test("tie-break order at equal timestamps is the id total order") {
     // both rows at t=0; order must be id asc regardless of input order
     val df = Seq(("k", ts(0), 2L, 9.0), ("k", ts(0), 1L, 1.0),
