@@ -2290,6 +2290,39 @@ object SparkEntry {
         "doc_id", k = 60, topN = 20)
     }),
 
+    // ── Corpus harmonic centrality, estimated vs exact (ext.HyperBall
+    //    .harmonicCentrality on the q_bfs co-purchase graph, radius 2):
+    //    Σ_v [(|B(v,1)|−1)/1 + (|B(v,2)|−|B(v,1)|)/2] — the exact twin
+    //    derives per-node ball sizes from the d≤1/d≤2 closures; the
+    //    sketch total must land within 15%. Per-node HLL noise (~9%)
+    //    partially cancels in the sum; the gate is the corpus statistic.
+    "q_harmonic" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .filter(col("l_partkey") % 3 === 0)
+      val pairs = graft.ext.Basket.coPairs(li, "l_orderkey", "l_partkey")
+        .localCheckpoint()
+      val est = graft.ext.HyperBall.harmonicCentrality(pairs, "u", "v",
+          maxRadius = 2, p = 7)
+        .agg(sum(col("harmonic_micro")).as("h_est"))
+      val e = graft.ext.Graphs.symmetrized(pairs, "u", "v")
+      val b1 = e.groupBy(col("src")).agg(countDistinct(col("dst")).as("d1"))
+      val d2 = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+        .union(e.select(col("src"), col("dst")))
+        .filter(col("src") =!= col("dst"))
+      val b2 = d2.groupBy(col("src")).agg(countDistinct(col("dst")).as("d2"))
+      // exact µ-harmonic is INTEGER: d1·10⁶ + (d2−d1)·5·10⁵ — a float
+      // sum here would hash-drift with accumulation order
+      val exact = b1.join(b2, "src")
+        .select((col("d1") * lit(1000000L)
+          + (col("d2") - col("d1")) * lit(500000L)).as("h"))
+        .agg(sum(col("h")).as("h_exact"))
+      exact.crossJoin(est).select(col("h_exact"),
+        (abs(col("h_est") - col("h_exact"))
+          <= col("h_exact") * 0.15).as("approx_ok"))
+    }),
+
     // ── Weighted exactly-25-per-lang draw (ext.Sampling A-ES): rank by
     //    ln(u)/n_chars over the deterministic 32-bit id coin — length-
     //    proportional inclusion, seedless and SQL-replayable; one
@@ -5030,6 +5063,26 @@ object SparkEntry {
          FROM (SELECT doc_id, n_lists, rrf_micro, row_number()
                  OVER (ORDER BY rrf_micro DESC, doc_id) AS rnk FROM f)
          WHERE rnk <= 20""",
+
+    // exact per-node d≤1/d≤2 ball sizes from the closure, µ-harmonic as
+    // the INTEGER d1·10⁶+(d2−d1)·5·10⁵ (a float sum would hash-drift),
+    // tolerance boolean pinned TRUE — the q_hyperball twin pattern
+    "q_harmonic" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                     WHERE l_partkey % 3 = 0),
+         e0 AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+                FROM li a JOIN li b USING (l_orderkey)
+                WHERE a.l_partkey < b.l_partkey),
+         e AS (SELECT x AS a, y AS b FROM e0 UNION SELECT y, x FROM e0),
+         b1 AS (SELECT a, count(DISTINCT b) AS d1 FROM e GROUP BY a),
+         d2p AS (SELECT e1.a, e2.b FROM e e1 JOIN e e2 ON e1.b = e2.a
+                 UNION SELECT a, b FROM e),
+         b2 AS (SELECT a, count(DISTINCT b) AS d2 FROM d2p
+                WHERE a <> b GROUP BY a)
+         SELECT CAST(sum(d1 * 1000000 + (d2 - d1) * 500000) AS BIGINT)
+                  AS h_exact,
+                TRUE AS approx_ok
+         FROM b1 JOIN b2 USING (a)""",
 
     // the q_sample_n md5-bucket arithmetic feeding the A-ES key
     // ln(u)/weight rounded to 10 dp (the accepted ln-ulp class), same
