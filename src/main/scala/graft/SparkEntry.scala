@@ -2249,11 +2249,12 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"))
         .filter(col("l_partkey") % 3 === 0)
-      val pairs = graft.ext.Basket.coPairs(li, "l_orderkey", "l_partkey")
-        .localCheckpoint() // feeds both the sketch and the exact twin
-      val est = graft.ext.HyperBall.neighborhood(pairs, "u", "v",
+      // symmetrized ONCE (itself checkpointed): feeds the sketch AND
+      // the exact twin — the review-r11 double-explode fix
+      val e = graft.ext.Graphs.symmetrized(
+        graft.ext.Basket.coPairs(li, "l_orderkey", "l_partkey"), "u", "v")
+      val est = graft.ext.HyperBall.neighborhoodOnSymmetrized(e,
         maxRadius = 2, p = 7)
-      val e = graft.ext.Graphs.symmetrized(pairs, "u", "v")
       val self = e.select(col("src").as("a"), col("src").as("b"))
       val d1 = e.select(col("src").as("a"), col("dst").as("b"))
       val d2 = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
@@ -2300,12 +2301,12 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"))
         .filter(col("l_partkey") % 3 === 0)
-      val pairs = graft.ext.Basket.coPairs(li, "l_orderkey", "l_partkey")
-        .localCheckpoint()
-      val est = graft.ext.HyperBall.harmonicCentrality(pairs, "u", "v",
+      // symmetrized ONCE for both the sketch and the exact twin
+      val e = graft.ext.Graphs.symmetrized(
+        graft.ext.Basket.coPairs(li, "l_orderkey", "l_partkey"), "u", "v")
+      val est = graft.ext.HyperBall.harmonicOnSymmetrized(e,
           maxRadius = 2, p = 7)
         .agg(sum(col("harmonic_micro")).as("h_est"))
-      val e = graft.ext.Graphs.symmetrized(pairs, "u", "v")
       val b1 = e.groupBy(col("src")).agg(countDistinct(col("dst")).as("d1"))
       val d2 = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
         .select(col("x.src").as("src"), col("y.dst").as("dst"))
@@ -4919,7 +4920,8 @@ object SparkEntry {
     // hash-mismatches
     "q_changepoint" ->
       """WITH s AS (SELECT user_id, ts, event_id,
-                CAST(floor(value * 1000 + 0.5) AS BIGINT) AS q FROM events),
+                CAST(floor(value * 1000 + 0.5) AS BIGINT) AS q FROM events
+                WHERE value IS NOT NULL),
          w AS (SELECT user_id, ts, event_id, q,
                  row_number() OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) AS i,

@@ -56,17 +56,26 @@ object HyperBall {
     * one row per radius — each round's registers are estimated and
     * quantized per node, then summed in BIGINT. */
   def neighborhood(edges: DataFrame, srcCol: String, dstCol: String,
-                   maxRadius: Int, p: Int = 7): DataFrame = {
+                   maxRadius: Int, p: Int = 7): DataFrame =
+    neighborhoodOnSymmetrized(Graphs.symmetrized(edges, srcCol, dstCol),
+      maxRadius, p)
+
+  /** [[neighborhood]] on an ALREADY-symmetrized (src, dst) edge frame —
+    * for callers that also need the edge set themselves (exact twins,
+    * sibling sketches) and must not pay the explode+distinct twice. */
+  def neighborhoodOnSymmetrized(e: DataFrame, maxRadius: Int,
+                                p: Int = 7): DataFrame = {
     require(maxRadius >= 1, s"maxRadius must be >= 1: $maxRadius")
-    val e = Graphs.symmetrized(edges, srcCol, dstCol)
     var regs = init(e, p)
     var out: DataFrame = null
     for (r <- 1 to maxRadius) {
       // intermediate rounds feed BOTH their estimate row and the next
       // round — materialize those; the last feeds one estimate only
       regs = step(e, regs, p, materialize = r < maxRadius)
+      // coalesce: an EMPTY graph (no usable edges) sums to NULL, which
+      // downstream getLong calls would NPE on — 0 is the true value
       val row = regs.select(estimate(p).as("est"))
-        .agg(sum(col("est")).as("est_sum"))
+        .agg(coalesce(sum(col("est")), lit(0L)).as("est_sum"))
         .select(lit(r).as("radius"), col("est_sum"))
       out = if (out == null) row else out.union(row)
     }
@@ -84,9 +93,15 @@ object HyperBall {
     * against each other within sketch error) clamp to zero rather than
     * subtracting phantom centrality. */
   def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
-      maxRadius: Int, p: Int = 7): DataFrame = {
+      maxRadius: Int, p: Int = 7): DataFrame =
+    harmonicOnSymmetrized(Graphs.symmetrized(edges, srcCol, dstCol),
+      maxRadius, p)
+
+  /** [[harmonicCentrality]] on an already-symmetrized edge frame (see
+    * [[neighborhoodOnSymmetrized]]). */
+  def harmonicOnSymmetrized(e: DataFrame, maxRadius: Int,
+                            p: Int = 7): DataFrame = {
     require(maxRadius >= 1, s"maxRadius must be >= 1: $maxRadius")
-    val e = Graphs.symmetrized(edges, srcCol, dstCol)
     var regs = init(e, p)
     var est: DataFrame = regs.select(col("node"), estimate(p).as("b0"))
     for (r <- 1 to maxRadius) {

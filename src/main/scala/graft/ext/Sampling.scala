@@ -124,7 +124,14 @@ object Sampling {
     * Rows with weight ≤ 0 are dropped (zero mass — never sampled;
     * negative is a caller bug surfaced as absence, documented here).
     * The rank key is rounded to 10 dp before ordering (id tiebreak) —
-    * the q_keywords ulp-parity discipline for `ln`.
+    * the q_keywords ulp-parity discipline for `ln`. That rounding is
+    * ABSOLUTE, so weight MAGNITUDE is a precondition: |ln(u)/w| spans
+    * (0, 22.2/w], and at w ≳ 10⁶ the 10⁻¹⁰ grid starts collapsing
+    * distinct keys into ties decided by id order (at w ≳ 4·10¹¹ every
+    * key rounds to 0 and the draw degenerates to lowest-id). Keep
+    * weights ≲ 10⁶ — rescale upstream (weights are scale-free: only
+    * ratios matter to A-ES, so dividing a group by its max preserves
+    * the distribution exactly).
     *
     * Shape: one ordered window shuffle on the group key, same as the
     * uniform variant. Adds `rk`. */

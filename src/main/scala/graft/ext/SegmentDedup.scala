@@ -56,10 +56,15 @@ object SegmentDedup {
     require(blockTokens >= 1, s"blockTokens must be >= 1: $blockTokens")
     val B = blockTokens
 
+    // materialized once: the tokenized corpus feeds BOTH the block
+    // pipeline and the final (id, n_blocks) join — without the
+    // checkpoint the corpus scan + split would run twice (AQE does not
+    // reuse sibling stages; the Relevance.bm25 discipline)
     val toked = docs.select(col(idCol),
       split(col(textCol), " ").as("toks"))
       .withColumn("n_blocks",
         expr(s"CAST((size(toks) + ${B - 1}) div $B AS INT)"))
+      .localCheckpoint()
 
     // in-row block construction, then one explode: (id, bidx, block);
     // the packed keeper key rides along (guarded — a violation would

@@ -63,7 +63,11 @@ object Changepoint {
     // One Exchange on keyCol: the ordered frame (prefix sum, row index)
     // and the unbounded frame (n, T) share the partitioning; Spark
     // stacks the two Window operators on the same sort.
+    // Null observations are dropped UP FRONT: a null would count in i
+    // and n but vanish from P and T, so S_i = n·P_i − i·T would report
+    // phantom shift evidence on an otherwise flat series.
     val scored = df
+      .filter(col(valCol).isNotNull)
       .select(col(keyCol), col(tsCol), col(idCol), q.as("q"))
       .withColumn("i", row_number().over(ordered))
       .withColumn("p", sum(col("q")).over(

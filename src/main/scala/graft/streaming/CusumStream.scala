@@ -41,8 +41,12 @@ object CusumStream {
   /** One row per alarm, as it fires: `stat` is the S value that crossed
     * (in quantized units), `at_us` the event time that tripped it. */
   final case class Alarm(entity: Long, at_us: Long, side: String, stat: Long)
-  /** Public: the state encoder's generated code must reach it. */
-  final case class Sums(sPos: Long, sNeg: Long)
+  /** Public: the state encoder's generated code must reach it.
+    * `lastMs` rides along so the DATA path can self-detect staleness:
+    * Spark delivers a key's new data INSTEAD of its due timeout when
+    * both land in one trigger, so TTL zeroing cannot rely on the
+    * timeout callback alone. */
+  final case class Sums(sPos: Long, sNeg: Long, lastMs: Long)
 
   private def micros(t: Timestamp): Long =
     t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
@@ -69,7 +73,16 @@ object CusumStream {
             Iterator.empty
           } else {
             val batch = it.toArray.sortBy(o => (micros(o.ts), o.tie))
-            var Sums(sPos, sNeg) = state.getOption.getOrElse(Sums(0L, 0L))
+            // stale-state self-check (the documented TTL contract): when
+            // a sleeper's data and its due timeout land in the SAME
+            // trigger, Spark delivers the data with hasTimedOut=false —
+            // so staleness is decided here, against the watermark, not
+            // only in the timeout callback
+            val prior = state.getOption.getOrElse(Sums(0L, 0L, 0L))
+            val stale = prior.lastMs > 0 &&
+              state.getCurrentWatermarkMs() - prior.lastMs > ttlMicros / 1000L
+            var (sPos, sNeg) =
+              if (stale) (0L, 0L) else (prior.sPos, prior.sNeg)
             val alarms = Seq.newBuilder[Alarm]
             for (o <- batch) {
               val q = math.floor(o.value * scale + 0.5).toLong
@@ -84,8 +97,9 @@ object CusumStream {
                 sNeg = 0L
               }
             }
-            state.update(Sums(sPos, sNeg))
-            state.setTimeoutTimestamp(micros(batch.last.ts) / 1000L + ttlMicros / 1000L)
+            val lastMs = micros(batch.last.ts) / 1000L
+            state.update(Sums(sPos, sNeg, lastMs))
+            state.setTimeoutTimestamp(lastMs + ttlMicros / 1000L)
             alarms.result().iterator
           }
       }

@@ -77,6 +77,19 @@ class HyperBallSpec extends SparkSpec {
     assert(run(1) === run(13))
   }
 
+  test("degenerate graphs: empty and self-loop-only inputs don't crash") {
+    // review r11: the per-radius sum over an empty register frame is
+    // NULL — must coalesce to 0, not NPE in the driver pick
+    for (edges <- Seq(Seq.empty[(Long, Long)], Seq((3L, 3L), (7L, 7L)))) {
+      val out = HyperBall.effectiveDiameter(df(edges), "u", "v",
+        maxRadius = 2).collect().head
+      assert(out.getLong(2) === 0L, s"edges=$edges")
+      val nf = HyperBall.neighborhood(df(edges), "u", "v", maxRadius = 2)
+        .collect().map(_.getLong(1))
+      assert(nf.forall(_ === 0L))
+    }
+  }
+
   test("harmonic centrality: exact on a small path, center beats ends") {
     // path 1-2-3-4-5: tiny balls → small-range estimates are exact, so
     // harmonic_micro equals the exact Σ (new nodes at r)/r in µ-units

@@ -61,6 +61,17 @@ class ChangepointSpec extends SparkSpec {
     assert(out(1)._4 === 0L)      // b is flat
   }
 
+  test("null observations are dropped, not folded as phantom evidence") {
+    // review r11: a null counted in (i, n) but missing from (P, T)
+    // would make a flat series report s_abs > 0
+    val df = Seq(("k", ts(0), 1L, Some(10.0)), ("k", ts(1), 2L, None),
+      ("k", ts(2), 3L, Some(10.0)))
+      .toDF("k", "ts", "id", "v")
+    val out = Changepoint.cusum(df, "k", "ts", "id", "v").collect()
+    assert(out.head.getLong(1) === 2L) // n counts surviving rows only
+    assert(out.head.getLong(4) === 0L) // flat series: zero evidence
+  }
+
   test("partition invariance: the argmax ignores input layout") {
     val base = (1 to 60).map(i => ((i * 13 % 7).toString, ts(i), i.toLong,
       (i * 31 % 17).toDouble))

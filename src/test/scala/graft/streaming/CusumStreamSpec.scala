@@ -97,4 +97,17 @@ class CusumStreamSpec extends SparkSpec {
     val out = runStream(Seq(b1, b2, b2b, b3), ttlMicros = ttl)
     assert(out.isEmpty, s"sleeper state survived the TTL: $out")
   }
+
+  test("same-trigger return: stale sums zero on the DATA path too") {
+    // no helper trigger this time: the sleeper's return and its due
+    // timeout land in the same batch, where Spark delivers the data
+    // with hasTimedOut=false — the state's lastMs watermark check must
+    // zero the sums (regression: review r11 found surviving state here)
+    val ttl = us(100)
+    val b1 = (1 to 4).map(i => CusumStream.Obs(5L, ts(i), i.toLong, 11.2))
+    val b2 = Seq(CusumStream.Obs(6L, ts(5000), 1L, 10.0))
+    val b3 = Seq(CusumStream.Obs(5L, ts(5001), 9L, 11.2))
+    val out = runStream(Seq(b1, b2, b3), ttlMicros = ttl)
+    assert(out.isEmpty, s"stale sums folded a sleeper's return: $out")
+  }
 }
