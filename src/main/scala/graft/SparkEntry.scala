@@ -2336,6 +2336,20 @@ object SparkEntry {
         n = 25)
         .withColumn("rk", col("rk").cast("long"))),
 
+    // ── Persisted BM25 posting index, built then served in one face
+    //    (ext.PostingIndex — the sparse twin of q_ann_ivf_disk): build
+    //    pays the corpus scan once into bucket-partitioned postings +
+    //    doclens + df/stats; the query reads ONLY its terms' buckets
+    //    (partition-pruned, contracted) and must reproduce the scan
+    //    scorer's floats bit-for-bit on every matching doc.
+    "q_bm25_indexed" -> ((s, dir) => {
+      val path = scratchDir(s, "q_bm25_indexed")
+      graft.ext.PostingIndex.build(Tables.documents(s, dir),
+        "doc_id", "text", path, termBuckets = 64)
+      graft.ext.PostingIndex.scoreQuery(s, path,
+        terms = Seq("spark", "table", "join"), termBuckets = 64)
+    }),
+
     // ── Overlapping 32-token chunks every 24 tokens (ext.Chunking):
     //    the RAG/embedding document→chunk expansion — in-row slices,
     //    one explode, ZERO shuffles (narrow map; downstream decides
@@ -2509,6 +2523,41 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Shared between q_bm25 (full corpus) and q_bm25_indexed (matching
+    * docs only — the serving equivalence gate). */
+  private val bm25Oracle: String =
+    """WITH w AS (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\s+') AS ws
+                FROM documents),
+           base AS (SELECT doc_id, len(ws) AS dl,
+                  len(list_filter(ws, x -> x = 'spark')) AS tf_0,
+                  len(list_filter(ws, x -> x = 'table')) AS tf_1,
+                  len(list_filter(ws, x -> x = 'join'))  AS tf_2
+                FROM w),
+           stats AS (SELECT
+                  CAST(count(*) AS DOUBLE) AS n_docs,
+                  CAST(sum(dl) AS DOUBLE) AS sum_dl,
+                  CAST(count(CASE WHEN tf_0 > 0 THEN 1 END) AS DOUBLE) AS df_0,
+                  CAST(count(CASE WHEN tf_1 > 0 THEN 1 END) AS DOUBLE) AS df_1,
+                  CAST(count(CASE WHEN tf_2 > 0 THEN 1 END) AS DOUBLE) AS df_2
+                FROM base)
+           SELECT doc_id, dl, tf_0, tf_1, tf_2,
+                  round(
+                    ln((n_docs - df_0 + 0.5) / (df_0 + 0.5) + 1.0)
+                      * (CAST(tf_0 AS DOUBLE) * 2.2)
+                      / (CAST(tf_0 AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs))))
+                  + ln((n_docs - df_1 + 0.5) / (df_1 + 0.5) + 1.0)
+                      * (CAST(tf_1 AS DOUBLE) * 2.2)
+                      / (CAST(tf_1 AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs))))
+                  + ln((n_docs - df_2 + 0.5) / (df_2 + 0.5) + 1.0)
+                      * (CAST(tf_2 AS DOUBLE) * 2.2)
+                      / (CAST(tf_2 AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))),
+                  4) AS bm25
+           FROM base, stats"""
+
   def oracleSql: Map[String, String] = Map(
     "q_flow_rollup" ->
       """SELECT user_id, event_type,
@@ -3009,38 +3058,14 @@ object SparkEntry {
     // expression tree mirrors Relevance.bm25 verbatim (same association
     // order — double + and * are order-sensitive); ln args are exact
     // integer-derived doubles, round(,4) absorbs sub-ulp libm drift
-    "q_bm25" ->
-      """WITH w AS (SELECT doc_id,
-                string_split_regex(lower(trim(text)), '\s+') AS ws
-              FROM documents),
-         base AS (SELECT doc_id, len(ws) AS dl,
-                len(list_filter(ws, x -> x = 'spark')) AS tf_0,
-                len(list_filter(ws, x -> x = 'table')) AS tf_1,
-                len(list_filter(ws, x -> x = 'join'))  AS tf_2
-              FROM w),
-         stats AS (SELECT
-                CAST(count(*) AS DOUBLE) AS n_docs,
-                CAST(sum(dl) AS DOUBLE) AS sum_dl,
-                CAST(count(CASE WHEN tf_0 > 0 THEN 1 END) AS DOUBLE) AS df_0,
-                CAST(count(CASE WHEN tf_1 > 0 THEN 1 END) AS DOUBLE) AS df_1,
-                CAST(count(CASE WHEN tf_2 > 0 THEN 1 END) AS DOUBLE) AS df_2
-              FROM base)
-         SELECT doc_id, dl, tf_0, tf_1, tf_2,
-                round(
-                  ln((n_docs - df_0 + 0.5) / (df_0 + 0.5) + 1.0)
-                    * (CAST(tf_0 AS DOUBLE) * 2.2)
-                    / (CAST(tf_0 AS DOUBLE)
-                       + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs))))
-                + ln((n_docs - df_1 + 0.5) / (df_1 + 0.5) + 1.0)
-                    * (CAST(tf_1 AS DOUBLE) * 2.2)
-                    / (CAST(tf_1 AS DOUBLE)
-                       + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs))))
-                + ln((n_docs - df_2 + 0.5) / (df_2 + 0.5) + 1.0)
-                    * (CAST(tf_2 AS DOUBLE) * 2.2)
-                    / (CAST(tf_2 AS DOUBLE)
-                       + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (sum_dl / n_docs)))),
-                4) AS bm25
-         FROM base, stats""",
+    "q_bm25" -> bm25Oracle,
+
+    // the indexed serving path must reproduce the scan scorer's exact
+    // floats on every doc a query term touches — same oracle, restricted
+    // to matching docs (the index never reads the rest)
+    "q_bm25_indexed" ->
+      s"""SELECT * FROM ($bm25Oracle)
+         WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0""",
 
     // rank over the ROUNDED score (+ word tie-break). Residual parity
     // risk, accepted with eyes open: ln may differ by an ulp between

@@ -471,6 +471,16 @@ class PlanContractSpec extends SparkSpec {
       s"cartesian in the fusion plan:\n${p.take(600)}")
   }
 
+  test("bm25 index serving: the postings scan is partition-pruned") {
+    // the whole point of the persisted index: a k-term query reads at
+    // most k term buckets, never the full posting set
+    val p = plan("q_bm25_indexed")
+    val scan = p.split("\n").find(l =>
+      l.contains("postings") && l.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("bucket"),
+      s"postings scan not pruned on the bucket key:\n${p.take(800)}")
+  }
+
   test("hyperball: register merge is a hash aggregate with map-side " +
       "partial max") {
     // the whole design premise: hub nodes' incoming register sets must
