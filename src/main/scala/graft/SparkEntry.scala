@@ -2350,6 +2350,22 @@ object SparkEntry {
         terms = Seq("spark", "table", "join"), termBuckets = 64)
     }),
 
+    // ── Incremental index growth (ext.PostingIndex.append): build on
+    //    two-thirds of the corpus, fold the rest in WITHOUT re-reading
+    //    the indexed docs (postings/doclens append; df/stats merge +
+    //    rename-aside swap) — then serve. Must equal build-on-everything
+    //    bit-for-bit: the SAME oracle as q_bm25_indexed.
+    "q_bm25_append" -> ((s, dir) => {
+      val path = scratchDir(s, "q_bm25_append")
+      val docs = Tables.documents(s, dir)
+      graft.ext.PostingIndex.build(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", path, termBuckets = 64)
+      graft.ext.PostingIndex.append(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", path, termBuckets = 64)
+      graft.ext.PostingIndex.scoreQuery(s, path,
+        terms = Seq("spark", "table", "join"), termBuckets = 64)
+    }),
+
     // ── Overlapping 32-token chunks every 24 tokens (ext.Chunking):
     //    the RAG/embedding document→chunk expansion — in-row slices,
     //    one explode, ZERO shuffles (narrow map; downstream decides
@@ -3064,6 +3080,13 @@ object SparkEntry {
     // floats on every doc a query term touches — same oracle, restricted
     // to matching docs (the index never reads the rest)
     "q_bm25_indexed" ->
+      s"""SELECT * FROM ($bm25Oracle)
+         WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0""",
+
+    // append-then-serve ≡ build-on-everything: literally the same oracle
+    // — a doubled posting, stale df, or missed stats delta anywhere in
+    // the incremental path hash-mismatches
+    "q_bm25_append" ->
       s"""SELECT * FROM ($bm25Oracle)
          WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0""",
 

@@ -63,6 +63,72 @@ object PostingIndex {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Incremental index growth — fold a batch of NEW documents in
+    * without re-reading the indexed corpus: postings and doclens
+    * APPEND (bucket layout unchanged, so serving's pruning is
+    * oblivious to which build wave wrote a file); the vocabulary-sized
+    * df table and the 1-row stats merge old+delta and swap in via
+    * rename-aside (every crash point leaves a complete copy — the
+    * CorpusLayout discipline). Precondition, stated honestly (the
+    * minhash-index posture): batch doc ids must be NEW — re-appending
+    * an indexed doc would double its postings; dedup upstream.
+    *
+    * Serve-equivalence is the gate: append(b) after build(a) must
+    * score every query exactly like build(a ∪ b) — spec- and
+    * driver-row-gated. */
+  def append(newDocs: DataFrame, idCol: String, textCol: String,
+             path: String, termBuckets: Int = 64): Unit = {
+    require(termBuckets >= 1, s"termBuckets must be >= 1: $termBuckets")
+    val spark = newDocs.sparkSession
+    val toks = newDocs.select(col(idCol).as("doc_id"),
+      TextAnalysis.words(col(textCol)).as("ws"))
+      .localCheckpoint()
+    toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+      .write.mode("append").parquet(s"$path/doclens")
+    val postings = toks
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("term"), lit(42)), lit(termBuckets)).cast("int"))
+      .localCheckpoint()
+    postings.write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    // df/stats: old + delta, staged then rename-swapped (reading and
+    // overwriting the same dir in one plan is not safe)
+    val dfNew = spark.read.parquet(s"$path/terms")
+      .unionByName(postings.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df")))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    swapIn(spark, dfNew, s"$path/terms")
+    val statsNew = spark.read.parquet(s"$path/stats")
+      .unionByName(toks.agg(count(lit(1)).cast("double").as("n_docs"),
+        sum(size(col("ws"))).cast("double").as("sum_dl")))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    swapIn(spark, statsNew, s"$path/stats")
+  }
+
+  /** Stage `df` beside `live`, then rename live→old, tmp→live, drop
+    * old — a crash at any point leaves a complete copy on disk. */
+  private def swapIn(spark: SparkSession, df: DataFrame,
+                     live: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$live.tmp_swap"
+    val old = s"$live.old"
+    df.localCheckpoint() // sever the read-from-live lineage BEFORE swap
+      .write.mode("overwrite").parquet(tmp)
+    fs.delete(new Path(old), true)
+    require(fs.rename(new Path(live), new Path(old)),
+      s"swapIn: could not move $live aside")
+    if (!fs.rename(new Path(tmp), new Path(live))) {
+      fs.rename(new Path(old), new Path(live)) // roll back
+      throw new IllegalStateException(s"swapIn: rename into $live failed")
+    }
+    fs.delete(new Path(old), true)
+  }
+
   /** BM25 scores for `terms` over the index — docs with ≥ 1 matching
     * term, columns (doc_id, dl, tf_0.., bm25) exactly as
     * [[Relevance.bm25]] emits them (score parity contract above).

@@ -87,7 +87,13 @@ object ScaleProbe {
       // 50+50 — output invariant, the scan is the carrier), chunking
       // (pure narrow map, rows ×10), weighted sampling (window on the
       // lang key — 5 strata ×10 rows each; output fixed at 125)
-      "q_hybrid_search", "q_chunks", "q_weighted_sample")
+      "q_hybrid_search", "q_chunks", "q_weighted_sample",
+      // r11c: harmonic (the d≤2 closure twin dominates, ×10 on disjoint
+      // shards like hyperball), posting index build+serve (build is one
+      // corpus scan into bucket-partitioned postings; serving reads 3
+      // term buckets regardless of corpus size — the ratio measures the
+      // BUILD), incremental append (same, split 2:1)
+      "q_harmonic", "q_bm25_indexed", "q_bm25_append")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {

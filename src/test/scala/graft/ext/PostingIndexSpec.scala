@@ -65,6 +65,33 @@ class PostingIndexSpec extends SparkSpec {
       scan.contains("bucket"), s"no bucket partition filter:\n$scan")
   }
 
+  test("append-then-serve equals build-on-everything exactly") {
+    val (a, b) = (docs.filter($"doc_id" <= 3), docs.filter($"doc_id" > 3))
+    val incr = freshPath(); val full = freshPath()
+    PostingIndex.build(a, "doc_id", "text", incr, termBuckets = 8)
+    PostingIndex.append(b, "doc_id", "text", incr, termBuckets = 8)
+    PostingIndex.build(docs, "doc_id", "text", full, termBuckets = 8)
+    val terms = Seq("spark", "table", "join")
+    def serve(p: String) =
+      PostingIndex.scoreQuery(spark, p, terms, termBuckets = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          (2 to 4).map(r.getLong), r.getDouble(5))).sortBy(_._1).toSeq
+    assert(serve(incr) === serve(full))
+  }
+
+  test("append's df and stats merge the delta (not replace, not skip)") {
+    val incr = freshPath()
+    PostingIndex.build(docs.filter($"doc_id" <= 2), "doc_id", "text",
+      incr, termBuckets = 8)
+    PostingIndex.append(docs.filter($"doc_id" > 2), "doc_id", "text",
+      incr, termBuckets = 8)
+    val stats = spark.read.parquet(s"$incr/stats").collect().head
+    assert(stats.getDouble(0) === 5.0) // n_docs = 2 + 3
+    val dfJoin = spark.read.parquet(s"$incr/terms")
+      .filter($"term" === "join").collect().head.getDouble(1)
+    assert(dfJoin === 3.0) // docs 1, 3, 5
+  }
+
   test("terms absent from the corpus score like the scan scorer") {
     val path = freshPath()
     PostingIndex.build(docs, "doc_id", "text", path, termBuckets = 8)
