@@ -152,10 +152,18 @@ object PostingIndex {
     val withTf = lower.indices.foldLeft(byDoc) { (d, i) =>
       d.withColumn(s"tf_$i", coalesce(col(s"tf_raw_$i"), lit(0L)))
     }
+    // terms/stats are AGGREGATED on read: the batch layouts hold one
+    // row per term / one stats row, where the aggregate is an identity;
+    // [[graft.streaming.IndexStream]]'s per-batch partitions hold one
+    // DELTA row per (term, batch) — batches index disjoint doc sets, so
+    // df and the corpus totals are sums. One serve path for both.
     val dls = spark.read.parquet(s"$path/doclens")
+      .select(col("doc_id"), col("dl"))
     val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     val dfs = spark.read.parquet(s"$path/terms")
       .filter(col("term").isin(lower: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val joined = withTf.join(dls, "doc_id").crossJoin(broadcast(stats))
     val dlNorm = col("dl").cast("double") / (col("sum_dl") / col("n_docs"))

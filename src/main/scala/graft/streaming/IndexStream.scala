@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ext.TextAnalysis
+
+/** Streaming posting-index maintenance — the continuous-ingestion face
+  * of [[graft.ext.PostingIndex]]: each micro-batch of NEW documents
+  * lands as its own `batch=<id>` partition wave in all four index
+  * tables, and [[graft.ext.PostingIndex.scoreQuery]] serves the
+  * growing index unchanged (its df/stats reads aggregate across
+  * waves; batches hold disjoint doc sets, so document frequencies and
+  * corpus totals are sums).
+  *
+  * Replay idempotence is STRUCTURAL (the SketchStream discipline): a
+  * wave writes with dynamic partition overwrite into `batch=<id>`, so
+  * a replayed micro-batch — foreachBatch gives at-least-once, not
+  * exactly-once — REPLACES its own partitions instead of doubling
+  * postings. Nothing merges in place, nothing renames: every batch's
+  * data is immutable once its trigger commits, which is also what
+  * makes the wave layout compaction-friendly later
+  * ([[graft.sources.CorpusLayout]] owns that job).
+  *
+  * Precondition (the [[graft.ext.PostingIndex.append]] posture): doc
+  * ids must be new across batches — re-ingesting an indexed doc
+  * double-counts it. Dedup upstream ([[StreamingDedup]]).
+  */
+object IndexStream {
+
+  /** Start the maintenance query. `docs` is a STREAMING frame with
+    * (idCol, textCol). */
+  def start(docs: DataFrame, idCol: String, textCol: String,
+            path: String, checkpoint: String,
+            termBuckets: Int = 64): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendBatch(batch, idCol, textCol, path, id, termBuckets)
+      }
+      .start()
+
+  /** One wave: tokenize the batch, write its postings/doclens/terms/
+    * stats under `batch=<id>` with dynamic partition overwrite
+    * (replay-idempotent). Public so specs can drive replays directly. */
+  def appendBatch(batch: DataFrame, idCol: String, textCol: String,
+                  path: String, batchId: Long, termBuckets: Int): Unit = {
+    val toks = batch.select(col(idCol).as("doc_id"),
+      TextAnalysis.words(col(textCol)).as("ws"))
+      .localCheckpoint() // four consumers, one tokenization
+    def wave(df: DataFrame, table: String, parts: String*): Unit =
+      df.withColumn("batch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch" +: parts: _*)
+        .parquet(s"$path/$table")
+    wave(toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl")),
+      "doclens")
+    val postings = toks
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("term"), lit(42)), lit(termBuckets)).cast("int"))
+      .localCheckpoint() // feeds the posting wave AND the df rollup
+    wave(postings, "postings", "bucket")
+    wave(postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df")), "terms")
+    wave(toks.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum(size(col("ws"))).cast("double").as("sum_dl")), "stats")
+  }
+
+  /** Serve the streamed index — [[graft.ext.PostingIndex.scoreQuery]]
+    * verbatim; the wave layout needs no serving changes. */
+  def serve(spark: SparkSession, path: String, terms: Seq[String],
+            termBuckets: Int = 64): DataFrame =
+    graft.ext.PostingIndex.scoreQuery(spark, path, terms, termBuckets)
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.ext.PostingIndex
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming index maintenance contracts: waves must serve exactly like
+  * a one-shot batch build over the same documents, and a replayed
+  * micro-batch must replace its own wave, never double it. */
+class IndexStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val allDocs = Seq(
+    (1L, "spark join table scan fast"),
+    (2L, "slow table scan table scan"),
+    (3L, "spark spark join"),
+    (4L, "nothing relevant here at all"),
+    (5L, "join")).toDF("doc_id", "text")
+
+  private val terms = Seq("spark", "table", "join")
+
+  private def fresh() = Files.createTempDirectory("graft_istream_").toString
+
+  private def served(path: String) =
+    PostingIndex.scoreQuery(spark, path, terms, termBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        (2 to 4).map(r.getLong), r.getDouble(5))).sortBy(_._1).toSeq
+
+  private def batchBuilt(): Seq[(Long, Long, Seq[Long], Double)] = {
+    val p = fresh()
+    PostingIndex.build(allDocs, "doc_id", "text", p, termBuckets = 8)
+    served(p)
+  }
+
+  test("streamed waves serve exactly like the one-shot batch build") {
+    val path = fresh(); val ckpt = fresh()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = IndexStream.start(mem.toDS().toDF("doc_id", "text"),
+      "doc_id", "text", path, ckpt, termBuckets = 8)
+    try {
+      mem.addData((1L, "spark join table scan fast"),
+        (2L, "slow table scan table scan"))
+      q.processAllAvailable()
+      mem.addData((3L, "spark spark join"),
+        (4L, "nothing relevant here at all"), (5L, "join"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(served(path) === batchBuilt())
+  }
+
+  test("replaying a wave replaces it — postings never double") {
+    val path = fresh()
+    val w1 = allDocs.filter($"doc_id" <= 2)
+    val w2 = allDocs.filter($"doc_id" > 2)
+    IndexStream.appendBatch(w1, "doc_id", "text", path, 0L, 8)
+    IndexStream.appendBatch(w2, "doc_id", "text", path, 1L, 8)
+    val before = served(path)
+    IndexStream.appendBatch(w2, "doc_id", "text", path, 1L, 8) // replay
+    assert(served(path) === before)
+    assert(before === batchBuilt())
+    // and the corpus stats did not inflate
+    val n = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs"))).collect().head.getDouble(0)
+    assert(n === 5.0)
+  }
+
+  test("serving stays pruned to the query's buckets on the wave layout") {
+    val path = fresh()
+    IndexStream.appendBatch(allDocs, "doc_id", "text", path, 0L, 8)
+    val q = PostingIndex.scoreQuery(spark, path, Seq("spark"),
+      termBuckets = 8)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // a single-term query prunes to ONE bucket — Spark prints that as
+    // an equality, not an IN list
+    assert("PartitionFilters: \\[[^\\]]*bucket#\\d+ (IN|=)".r
+      .findFirstIn(plan).isDefined,
+      s"no bucket pruning on the wave layout:\n${plan.take(800)}")
+  }
+}
