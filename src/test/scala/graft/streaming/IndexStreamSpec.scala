@@ -68,6 +68,22 @@ class IndexStreamSpec extends SparkSpec {
     assert(n === 5.0)
   }
 
+  test("compacting a committed wave preserves serving bit-for-bit") {
+    // waves are immutable once committed, which makes them compactable
+    // with the standard slice compactor — doclens' batch=0 dir here;
+    // the rewritten slice must change nothing the scorer can see
+    val path = fresh()
+    IndexStream.appendBatch(allDocs.filter($"doc_id" <= 2).repartition(4),
+      "doc_id", "text", path, 0L, 8)
+    IndexStream.appendBatch(allDocs.filter($"doc_id" > 2),
+      "doc_id", "text", path, 1L, 8)
+    val before = served(path)
+    val (nBefore, nAfter) = graft.sources.CorpusLayout.compactSlice(
+      spark, s"$path/doclens", Seq("batch" -> "0"), sortCols = Seq("doc_id"))
+    assert(nAfter <= nBefore && nAfter >= 1)
+    assert(served(path) === before)
+  }
+
   test("serving stays pruned to the query's buckets on the wave layout") {
     val path = fresh()
     IndexStream.appendBatch(allDocs, "doc_id", "text", path, 0L, 8)
