@@ -2324,6 +2324,21 @@ object SparkEntry {
           <= col("h_exact") * 0.15).as("approx_ok"))
     }),
 
+    // ── k-truss backbone of the co-purchase graph (ext.KTruss): k=4,
+    //    2 simultaneous peeling rounds — per round one degree-oriented
+    //    intersection (out-lists bounded O(√2m), hubs never
+    //    concentrate), 3 canonical edge keys per triangle into a
+    //    partial-aggregated support count, survivor semi join. The
+    //    edge-level cohesion filter one rung above q_kcore.
+    "q_ktruss" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .filter(col("l_partkey") % 6 === 0)
+      graft.ext.KTruss.survivors(
+        graft.ext.Basket.coPairs(li, "l_orderkey", "l_partkey"),
+        "u", "v", k = 4, rounds = 2)
+    }),
+
     // ── Weighted exactly-25-per-lang draw (ext.Sampling A-ES): rank by
     //    ln(u)/n_chars over the deterministic 32-bit id coin — length-
     //    proportional inclusion, seedless and SQL-replayable; one
@@ -5133,6 +5148,35 @@ object SparkEntry {
                   AS h_exact,
                 TRUE AS approx_ok
          FROM b1 JOIN b2 USING (a)""",
+
+    // two unrolled peeling rounds: triangles found once at x<y<z (the
+    // canonical-edge join), support = the 3 role projections counted,
+    // survivors re-evaluated on the ROUND-1 edge set — a single edge
+    // kept or peeled differently anywhere hash-mismatches
+    "q_ktruss" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                     WHERE l_partkey % 6 = 0),
+         e1 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                FROM li x JOIN li y USING (l_orderkey)
+                WHERE x.l_partkey < y.l_partkey),
+         t1 AS (SELECT p.a AS x, p.b AS y, q.b AS z
+                FROM e1 p JOIN e1 q ON q.a = p.b
+                JOIN e1 r ON r.a = p.a AND r.b = q.b),
+         s1 AS (SELECT a, b, count(*) AS s FROM (
+                  SELECT x AS a, y AS b FROM t1
+                  UNION ALL SELECT y, z FROM t1
+                  UNION ALL SELECT x, z FROM t1)
+                GROUP BY a, b),
+         e2 AS (SELECT a, b FROM e1 JOIN s1 USING (a, b) WHERE s >= 2),
+         t2 AS (SELECT p.a AS x, p.b AS y, q.b AS z
+                FROM e2 p JOIN e2 q ON q.a = p.b
+                JOIN e2 r ON r.a = p.a AND r.b = q.b),
+         s2 AS (SELECT a, b, count(*) AS s FROM (
+                  SELECT x AS a, y AS b FROM t2
+                  UNION ALL SELECT y, z FROM t2
+                  UNION ALL SELECT x, z FROM t2)
+                GROUP BY a, b)
+         SELECT a, b FROM e2 JOIN s2 USING (a, b) WHERE s >= 2""",
 
     // the q_sample_n md5-bucket arithmetic feeding the A-ES key
     // ln(u)/weight rounded to 10 dp (the accepted ln-ulp class), same

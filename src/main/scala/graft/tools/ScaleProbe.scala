@@ -93,7 +93,11 @@ object ScaleProbe {
       // corpus scan into bucket-partitioned postings; serving reads 3
       // term buckets regardless of corpus size — the ratio measures the
       // BUILD), incremental append (same, split 2:1)
-      "q_harmonic", "q_bm25_indexed", "q_bm25_append")
+      "q_harmonic", "q_bm25_indexed", "q_bm25_append",
+      // r11d: k-truss (10 disjoint co-purchase shards — triangles ×10;
+      // per round the degree-oriented intersection is the q_triangles
+      // work shape, plus a semi join on survivors)
+      "q_ktruss")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
