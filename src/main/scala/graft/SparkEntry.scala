@@ -2324,6 +2324,18 @@ object SparkEntry {
           <= col("h_exact") * 0.15).as("approx_ok"))
     }),
 
+    // ── Functional-dependency audit (ops.FdAudit): does the key column
+    //    really determine the dependent, checked EXACTLY — per pair one
+    //    two-level aggregate (distinct collapse → 4-number rollup), no
+    //    window, no join. o_orderkey→o_custkey must hold (it is the
+    //    key); the two coarse determinants must report their violation
+    //    counts exactly.
+    "q_fd_audit" -> ((s, dir) =>
+      graft.ops.FdAudit.audit(Tables.orders(s, dir), Seq(
+        "o_orderkey" -> "o_custkey",
+        "o_custkey" -> "o_orderpriority",
+        "o_orderstatus" -> "o_orderpriority"))),
+
     // ── k-truss backbone of the co-purchase graph (ext.KTruss): k=4,
     //    2 simultaneous peeling rounds — per round one degree-oriented
     //    intersection (out-lists bounded O(√2m), hubs never
@@ -5148,6 +5160,30 @@ object SparkEntry {
                   AS h_exact,
                 TRUE AS approx_ok
          FROM b1 JOIN b2 USING (a)""",
+
+    // one arm per audited pair, identical NULL semantics (GROUP BY
+    // groups NULL keys, count(DISTINCT) ignores NULL dependents)
+    "q_fd_audit" ->
+      """SELECT 'o_orderkey' AS det, 'o_custkey' AS dep,
+             count(*) AS n_groups,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             max(nd) AS max_distinct_dep,
+             sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+         FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS nd
+               FROM orders GROUP BY 1)
+         UNION ALL
+         SELECT 'o_custkey', 'o_orderpriority', count(*),
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             max(nd), sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+         FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+               FROM orders GROUP BY 1)
+         UNION ALL
+         SELECT 'o_orderstatus', 'o_orderpriority', count(*),
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             max(nd), sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+         FROM (SELECT o_orderstatus, count(DISTINCT o_orderpriority) AS nd
+               FROM orders GROUP BY 1)""",
 
     // two unrolled peeling rounds: triangles found once at x<y<z (the
     // canonical-edge join), support = the 3 role projections counted,
