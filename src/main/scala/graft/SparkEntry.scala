@@ -2324,6 +2324,18 @@ object SparkEntry {
           <= col("h_exact") * 0.15).as("approx_ok"))
     }),
 
+    // ── Embedding truncation recall (ext.EmbedEval): the top-10 cosine
+    //    neighbors at 16 of 64 dims vs the full ranking, per query —
+    //    the exact price of a 4× index-size cut, measured before
+    //    anything is discarded. Both rankings are the decimal-exact
+    //    brute-force machinery, so the overlap is deterministic.
+    "q_trunc_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ext.EmbedEval.truncationRecall(emb,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        dims = 16, k = 10)
+    }),
+
     // ── Functional-dependency audit (ops.FdAudit): does the key column
     //    really determine the dependent, checked EXACTLY — per pair one
     //    two-level aggregate (distinct collapse → 4-number rollup), no
@@ -5160,6 +5172,54 @@ object SparkEntry {
                   AS h_exact,
                 TRUE AS approx_ok
          FROM b1 JOIN b2 USING (a)""",
+
+    // both rankings replayed with the decimal-exact dot (the q_ann_brute
+    // parity), truncation as the same 1-based list slice, overlap
+    // counted on (query, neighbor) with zero-overlap queries kept
+    "q_trunc_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                    FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         pf AS (SELECT query_id, neighbor_id, qv, cv FROM q JOIN c
+                ON query_id <> neighbor_id),
+         df_ AS (SELECT query_id, neighbor_id,
+                 CAST(sum(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS dotv,
+                 CAST(sum(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nq,
+                 CAST(sum(CAST(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nc
+               FROM pf, UNNEST(range(1, len(qv) + 1)) t(i)
+               GROUP BY 1, 2),
+         fr AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id, row_number()
+                    OVER (PARTITION BY query_id
+                          ORDER BY dotv/(sqrt(nq)*sqrt(nc)) DESC,
+                                neighbor_id) AS rk
+                  FROM df_) WHERE rk <= 10),
+         qt AS (SELECT vec_id AS query_id, embedding[1:16] AS qv
+                FROM embeddings WHERE vec_id < 8),
+         ct AS (SELECT vec_id AS neighbor_id, embedding[1:16] AS cv
+                FROM embeddings),
+         pt AS (SELECT query_id, neighbor_id, qv, cv FROM qt JOIN ct
+                ON query_id <> neighbor_id),
+         dt AS (SELECT query_id, neighbor_id,
+                 CAST(sum(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS dotv,
+                 CAST(sum(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nq,
+                 CAST(sum(CAST(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) AS nc
+               FROM pt, UNNEST(range(1, len(qv) + 1)) t(i)
+               GROUP BY 1, 2),
+         tr AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id, row_number()
+                    OVER (PARTITION BY query_id
+                          ORDER BY dotv/(sqrt(nq)*sqrt(nc)) DESC,
+                                neighbor_id) AS rk
+                  FROM dt) WHERE rk <= 10),
+         ov AS (SELECT t.query_id, count(*) AS n
+                FROM tr t JOIN fr f USING (query_id, neighbor_id)
+                GROUP BY 1)
+         SELECT qq.query_id,
+                CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+                10 AS k
+         FROM (SELECT DISTINCT query_id FROM qt) qq
+         LEFT JOIN ov USING (query_id)""",
 
     // one arm per audited pair, identical NULL semantics (GROUP BY
     // groups NULL keys, count(DISTINCT) ignores NULL dependents)
