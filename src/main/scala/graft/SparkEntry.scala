@@ -2324,6 +2324,17 @@ object SparkEntry {
           <= col("h_exact") * 0.15).as("approx_ok"))
     }),
 
+    // ── Cross-source vocabulary overlap (ext.GroupOverlap): exact
+    //    |A|,|B|,|A∩B| and µ-Jaccard for every lang pair — computed
+    //    ELEMENT-KEYED (per-word group sets, in-row pair explode
+    //    bounded by C(groups,2)), never a groups×groups join. The
+    //    duplication-pressure diagnostic before dedup.
+    "q_group_overlap" -> ((s, dir) =>
+      graft.ext.GroupOverlap.pairwise(
+        Tables.documents(s, dir).select(col("lang"),
+          explode(TextAnalysis.words(col("text"))).as("word")),
+        "lang", "word")),
+
     // ── Embedding truncation recall (ext.EmbedEval): the top-10 cosine
     //    neighbors at 16 of 64 dims vs the full ranking, per query —
     //    the exact price of a 4× index-size cut, measured before
@@ -5172,6 +5183,24 @@ object SparkEntry {
                   AS h_exact,
                 TRUE AS approx_ok
          FROM b1 JOIN b2 USING (a)""",
+
+    // distinct (lang, word) memberships, pairs under the same ascending
+    // string order the operator's sorted group sets produce, µ-Jaccard
+    // as the same half-up integer division
+    "q_group_overlap" ->
+      """WITH ge AS (SELECT DISTINCT lang AS g,
+                unnest(string_split_regex(lower(trim(text)), '\s+')) AS e
+              FROM documents WHERE lang IS NOT NULL),
+         sizes AS (SELECT g, count(*) AS n FROM ge GROUP BY g),
+         pairs AS (SELECT a.g AS g_a, b.g AS g_b, count(*) AS n_common
+                   FROM ge a JOIN ge b ON a.e = b.e AND a.g < b.g
+                   GROUP BY 1, 2)
+         SELECT g_a, g_b, sa.n AS n_a, sb.n AS n_b, n_common,
+                CAST((2 * 1000000 * n_common + (sa.n + sb.n - n_common))
+                     // (2 * (sa.n + sb.n - n_common)) AS BIGINT)
+                  AS jaccard_micro
+         FROM pairs JOIN sizes sa ON sa.g = g_a
+                    JOIN sizes sb ON sb.g = g_b""",
 
     // both rankings replayed with the decimal-exact dot (the q_ann_brute
     // parity), truncation as the same 1-based list slice, overlap
