@@ -2411,7 +2411,7 @@ object SparkEntry {
       graft.ext.PostingIndex.build(docs.filter(col("doc_id") % 3 =!= 0),
         "doc_id", "text", path, termBuckets = 64)
       graft.ext.PostingIndex.append(docs.filter(col("doc_id") % 3 === 0),
-        "doc_id", "text", path, termBuckets = 64)
+        "doc_id", "text", path, wave = 1L, termBuckets = 64)
       graft.ext.PostingIndex.scoreQuery(s, path,
         terms = Seq("spark", "table", "join"), termBuckets = 64)
     }),

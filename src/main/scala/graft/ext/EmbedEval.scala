@@ -30,6 +30,13 @@ object EmbedEval {
       idCol: String, vecCol: String, dims: Int, k: Int): DataFrame = {
     require(dims >= 1, s"dims must be >= 1: $dims")
     require(k >= 1, s"k must be >= 1: $k")
+    // dims beyond the stored dimension would make slice() a no-op and
+    // report a PERFECT recall for a truncation that never happened —
+    // the one wrong answer a storage decision must not see (review r11)
+    val storedDims = queries.select(size(col(vecCol))).head().getInt(0)
+    require(dims <= storedDims,
+      s"dims=$dims exceeds the stored dimension $storedDims — " +
+        "the 'truncation' would be a no-op reporting perfect recall")
     val full = Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
     def cut(df: DataFrame) = df.select(col(idCol),

@@ -1,10 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-
-import graft.ext.TextAnalysis
 
 /** Streaming posting-index maintenance — the continuous-ingestion face
   * of [[graft.ext.PostingIndex]]: each micro-batch of NEW documents
@@ -41,35 +38,16 @@ object IndexStream {
       }
       .start()
 
-  /** One wave: tokenize the batch, write its postings/doclens/terms/
-    * stats under `batch=<id>` with dynamic partition overwrite
-    * (replay-idempotent). Public so specs can drive replays directly. */
+  /** One wave under `batch=<id>` with dynamic partition overwrite
+    * (replay-idempotent) — DELEGATES to the index's single shared
+    * write path ([[graft.ext.PostingIndex.writeWave]]), so the bucket
+    * layout and tf semantics cannot diverge between the batch,
+    * incremental, and streaming faces (review r11 finding). Public so
+    * specs can drive replays directly. */
   def appendBatch(batch: DataFrame, idCol: String, textCol: String,
-                  path: String, batchId: Long, termBuckets: Int): Unit = {
-    val toks = batch.select(col(idCol).as("doc_id"),
-      TextAnalysis.words(col(textCol)).as("ws"))
-      .localCheckpoint() // four consumers, one tokenization
-    def wave(df: DataFrame, table: String, parts: String*): Unit =
-      df.withColumn("batch", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch" +: parts: _*)
-        .parquet(s"$path/$table")
-    wave(toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl")),
-      "doclens")
-    val postings = toks
-      .select(col("doc_id"), explode(col("ws")).as("term"))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("tf"))
-      .withColumn("bucket",
-        pmod(xxhash64(col("term"), lit(42)), lit(termBuckets)).cast("int"))
-      .localCheckpoint() // feeds the posting wave AND the df rollup
-    wave(postings, "postings", "bucket")
-    wave(postings.groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("df")), "terms")
-    wave(toks.agg(count(lit(1)).cast("double").as("n_docs"),
-      sum(size(col("ws"))).cast("double").as("sum_dl")), "stats")
-  }
+                  path: String, batchId: Long, termBuckets: Int): Unit =
+    graft.ext.PostingIndex.writeWave(batch, idCol, textCol, path,
+      wave = batchId, termBuckets, dynamic = true)
 
   /** Serve the streamed index — [[graft.ext.PostingIndex.scoreQuery]]
     * verbatim; the wave layout needs no serving changes. */

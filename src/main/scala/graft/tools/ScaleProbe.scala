@@ -97,7 +97,13 @@ object ScaleProbe {
       // r11d: k-truss (10 disjoint co-purchase shards — triangles ×10;
       // per round the degree-oriented intersection is the q_triangles
       // work shape, plus a semi join on survivors)
-      "q_ktruss")
+      "q_ktruss",
+      // r11e: group overlap (element-keyed: replica-prefixed words keep
+      // vocabularies disjoint ACROSS replicas but each replica carries
+      // all 5 langs — per-element group sets stay ≤5, distinct frame
+      // ×10), truncation recall (two brute rankings over ×10 corpus
+      // rows at fixed query count)
+      "q_group_overlap", "q_trunc_recall")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {

@@ -39,6 +39,17 @@ class EmbedEvalSpec extends SparkSpec {
     assert(cut === 1L) // ties at dims=2 break by id: picks 1, still in full top-1
   }
 
+  test("dims beyond the stored dimension are rejected, not a silent no-op") {
+    // review r11: slice() clamps, so dims=128 on 64-dim vectors would
+    // report a perfect recall for a truncation that never happened
+    val corpus = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
+    val e = intercept[IllegalArgumentException] {
+      EmbedEval.truncationRecall(corpus, corpus, "vec_id", "embedding",
+        dims = 3, k = 1).collect()
+    }
+    assert(e.getMessage.contains("exceeds the stored dimension"))
+  }
+
   test("zero-overlap queries report 0 instead of vanishing") {
     val corpus = vecs(
       0L -> Seq(1f, 0f, 0f, 1f), 1L -> Seq(1f, 0f, 0f, 0.9f),

@@ -69,7 +69,8 @@ class PostingIndexSpec extends SparkSpec {
     val (a, b) = (docs.filter($"doc_id" <= 3), docs.filter($"doc_id" > 3))
     val incr = freshPath(); val full = freshPath()
     PostingIndex.build(a, "doc_id", "text", incr, termBuckets = 8)
-    PostingIndex.append(b, "doc_id", "text", incr, termBuckets = 8)
+    PostingIndex.append(b, "doc_id", "text", incr, wave = 1L,
+      termBuckets = 8)
     PostingIndex.build(docs, "doc_id", "text", full, termBuckets = 8)
     val terms = Seq("spark", "table", "join")
     def serve(p: String) =
@@ -79,17 +80,47 @@ class PostingIndexSpec extends SparkSpec {
     assert(serve(incr) === serve(full))
   }
 
-  test("append's df and stats merge the delta (not replace, not skip)") {
+  test("append waves carry df/stats deltas; wave-summed reads see all") {
     val incr = freshPath()
     PostingIndex.build(docs.filter($"doc_id" <= 2), "doc_id", "text",
       incr, termBuckets = 8)
     PostingIndex.append(docs.filter($"doc_id" > 2), "doc_id", "text",
-      incr, termBuckets = 8)
-    val stats = spark.read.parquet(s"$incr/stats").collect().head
-    assert(stats.getDouble(0) === 5.0) // n_docs = 2 + 3
+      incr, wave = 1L, termBuckets = 8)
+    val n = spark.read.parquet(s"$incr/stats")
+      .agg(sum($"n_docs")).collect().head.getDouble(0)
+    assert(n === 5.0) // 2 + 3 across waves
     val dfJoin = spark.read.parquet(s"$incr/terms")
-      .filter($"term" === "join").collect().head.getDouble(1)
+      .filter($"term" === "join")
+      .agg(sum($"df")).collect().head.getDouble(0)
     assert(dfJoin === 3.0) // docs 1, 3, 5
+  }
+
+  test("re-running a crashed append (same wave) replaces, never doubles") {
+    val incr = freshPath()
+    PostingIndex.build(docs.filter($"doc_id" <= 3), "doc_id", "text",
+      incr, termBuckets = 8)
+    val b = docs.filter($"doc_id" > 3)
+    PostingIndex.append(b, "doc_id", "text", incr, wave = 7L,
+      termBuckets = 8)
+    val before = PostingIndex.scoreQuery(spark, incr,
+        Seq("spark", "table", "join"), termBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(5))).sortBy(_._1).toSeq
+    PostingIndex.append(b, "doc_id", "text", incr, wave = 7L,
+      termBuckets = 8) // the recovery retry
+    val after = PostingIndex.scoreQuery(spark, incr,
+        Seq("spark", "table", "join"), termBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(5))).sortBy(_._1).toSeq
+    assert(after === before)
+  }
+
+  test("build over an existing index is a full replace, not a merge") {
+    val p = freshPath()
+    PostingIndex.build(docs, "doc_id", "text", p, termBuckets = 8)
+    PostingIndex.build(docs.filter($"doc_id" <= 2), "doc_id", "text", p,
+      termBuckets = 8)
+    val n = spark.read.parquet(s"$p/stats")
+      .agg(sum($"n_docs")).collect().head.getDouble(0)
+    assert(n === 2.0, "stale waves survived a rebuild")
   }
 
   test("terms absent from the corpus score like the scan scorer") {
