@@ -2324,6 +2324,16 @@ object SparkEntry {
           <= col("h_exact") * 0.15).as("approx_ok"))
     }),
 
+    // ── Recency-weighted engagement score (ops.DecayAgg): per-user
+    //    Σ value·2^(−⌊age_days/7⌋) as of 2024-02-01 — ages in WHOLE
+    //    half-life steps so every weight is an exact power of two and
+    //    the µ-score sums in BIGINT (no libm pow, no float order);
+    //    ONE partial-aggregatable hash pass.
+    "q_decay" -> ((s, dir) =>
+      graft.ops.DecayAgg.decayScore(Tables.events(s, dir),
+        keys = Seq("user_id"), tsCol = "ts", valCol = "value",
+        asOfUs = 1706745600000000L, halfLifeDays = 7)),
+
     // ── Cross-source vocabulary overlap (ext.GroupOverlap): exact
     //    |A|,|B|,|A∩B| and µ-Jaccard for every lang pair — computed
     //    ELEMENT-KEYED (per-word group sets, in-row pair explode
@@ -5183,6 +5193,22 @@ object SparkEntry {
                   AS h_exact,
                 TRUE AS approx_ok
          FROM b1 JOIN b2 USING (a)""",
+
+    // same integer day/halving buckets (// on non-negative operands ≡
+    // Spark div; a double divide + CAST would round where Spark
+    // truncates), same exact 2^(−n) weights and half-up µ-contributions
+    "q_decay" ->
+      """WITH c AS (SELECT user_id,
+                CAST(floor(floor(value * 1000000 + 0.5)
+                     * pow(2.0, -CAST(((1706745600000000 - epoch_us(ts))
+                                       // 86400000000) // 7 AS DOUBLE))
+                     + 0.5) AS BIGINT) AS c
+              FROM events
+              WHERE value IS NOT NULL
+                AND epoch_us(ts) < 1706745600000000)
+         SELECT user_id, count(*) AS n_events,
+                CAST(sum(c) AS BIGINT) AS score_micro
+         FROM c GROUP BY user_id""",
 
     // distinct (lang, word) memberships, pairs under the same ascending
     // string order the operator's sorted group sets produce, µ-Jaccard
