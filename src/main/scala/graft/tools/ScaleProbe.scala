@@ -103,7 +103,9 @@ object ScaleProbe {
       // all 5 langs — per-element group sets stay ≤5, distinct frame
       // ×10), truncation recall (two brute rankings over ×10 corpus
       // rows at fixed query count)
-      "q_group_overlap", "q_trunc_recall")
+      "q_group_overlap", "q_trunc_recall",
+      // r11f: decay score (scan + one hash agg, pure ×10)
+      "q_decay")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
