@@ -471,6 +471,25 @@ class PlanContractSpec extends SparkSpec {
       s"cartesian in the fusion plan:\n${p.take(600)}")
   }
 
+  test("decay score: one partial-aggregatable pass, no join, no window") {
+    val p = plan("q_decay")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(600))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"no map-side combine in the decay plan:\n${p.take(800)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"expected exactly the entity-key exchange:\n${p.take(800)}")
+  }
+
+  test("group overlap: element-keyed, no quadratic operator") {
+    // the pair expansion must stay the in-row explode of per-element
+    // group sets — a groups×groups (or element×element) join shape
+    // would shuffle the vocabulary per pair
+    val p = plan("q_group_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join in the overlap plan:\n${p.take(600)}")
+  }
+
   test("bm25 index serving: the postings scan is partition-pruned") {
     // the whole point of the persisted index: a k-term query reads at
     // most k term buckets, never the full posting set
