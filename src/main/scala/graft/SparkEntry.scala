@@ -2324,6 +2324,20 @@ object SparkEntry {
           <= col("h_exact") * 0.15).as("approx_ok"))
     }),
 
+    // ── WEIGHTED PageRank (ext.PageRank.weightedScores) on the
+    //    supplier↔part-bucket graph with quantity weights (q_sssp's
+    //    edges): score flows as ⌊score·w/W⌋ — the affinity-weighted
+    //    authority ranking; same integer-exact DECIMAL(38,0) + guarded
+    //    message-sum contract as q_pagerank, 2 unrolled iterations.
+    "q_pagerank_weighted" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.ext.PageRank.weightedScores(
+        li.select(col("l_suppkey").as("src"),
+          (lit(100000L) + col("l_partkey") % 100).as("dst"),
+          col("l_quantity").cast("long").as("w")),
+        "src", "dst", "w", iterations = 2)
+    }),
+
     // ── Recency-weighted engagement score (ops.DecayAgg): per-user
     //    Σ value·2^(−⌊age_days/7⌋) as of 2024-02-01 — ages in WHOLE
     //    half-life steps so every weight is an exact power of two and
@@ -5193,6 +5207,46 @@ object SparkEntry {
                   AS h_exact,
                 TRUE AS approx_ok
          FROM b1 JOIN b2 USING (a)""",
+
+    // two unrolled weighted iterations: parallel edges SUM-collapsed,
+    // HUGEINT score·w (the BIGINT product would overflow at sf1's
+    // summed weights), floor quotient, same base/damp arithmetic as
+    // q_pagerank
+    "q_pagerank_weighted" ->
+      """WITH d AS (SELECT CAST(l_suppkey AS BIGINT) AS src,
+                           CAST(100000 + l_partkey % 100 AS BIGINT) AS dst,
+                           CAST(l_quantity AS BIGINT) AS w
+                    FROM lineitem WHERE l_quantity > 0),
+         e AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w
+               FROM d GROUP BY 1, 2),
+         nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wd
+                  FROM e GROUP BY src),
+         c AS (SELECT (CAST(1000000000000 AS BIGINT) * 15)
+                      // (100 * count(*)) AS base FROM nodes),
+         s0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS score
+                FROM nodes),
+         m1 AS (SELECT e.dst AS id,
+                  CAST(sum(CAST(s0.score AS HUGEINT) * e.w // outw.wd)
+                       AS BIGINT) AS m
+                FROM e JOIN s0 ON e.src = s0.id
+                       JOIN outw ON e.src = outw.src
+                GROUP BY e.dst),
+         s1 AS (SELECT n.id,
+                  CAST((SELECT base FROM c)
+                       + 85 * COALESCE(m1.m, 0) // 100 AS BIGINT) AS score
+                FROM nodes n LEFT JOIN m1 ON n.id = m1.id),
+         m2 AS (SELECT e.dst AS id,
+                  CAST(sum(CAST(s1.score AS HUGEINT) * e.w // outw.wd)
+                       AS BIGINT) AS m
+                FROM e JOIN s1 ON e.src = s1.id
+                       JOIN outw ON e.src = outw.src
+                GROUP BY e.dst),
+         s2 AS (SELECT n.id,
+                  CAST((SELECT base FROM c)
+                       + 85 * COALESCE(m2.m, 0) // 100 AS BIGINT) AS score
+                FROM nodes n LEFT JOIN m2 ON n.id = m2.id)
+         SELECT id, score FROM s2""",
 
     // same integer day/halving buckets (// on non-negative operands ≡
     // Spark div; a double divide + CAST would round where Spark

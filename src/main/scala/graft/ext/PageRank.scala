@@ -53,6 +53,39 @@ object PageRank {
     iterate(e, nodes, lit(scale), lit(base), base, iterations, dampNum)
   }
 
+  /** WEIGHTED PageRank: contributions proportional to integer edge
+    * weights — score flows as ⌊score·w_uv / W_u⌋ with W_u = Σ out-
+    * weights (parallel (src,dst) edges pre-collapsed by SUM; w ≤ 0
+    * dropped). The affinity/interaction-count authority ranking the
+    * uniform variant cannot express. Same integer-exact contract:
+    * score·w is computed in DECIMAL(38,0) (exact to 10³⁸), and the
+    * quotient ALWAYS fits BIGINT because w ≤ W_u ⇒ part ≤ score —
+    * the only overflow surface remains the in-degree message sum,
+    * guarded exactly as in the uniform path. */
+  def weightedScores(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iterations: Int = 3, dampNum: Long = 85L,
+      scale: Long = Scale): DataFrame = {
+    require(iterations >= 1 && dampNum >= 0 && dampNum <= 100 && scale >= 1)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    if (n == 0) return nodes.withColumn("score", lit(scale))
+    val base = (BigInt(scale) * (100L - dampNum) / (BigInt(100L) * n)).toLong
+    iterate(e, nodes, lit(scale), lit(base), base, iterations, dampNum,
+      outAgg = e.groupBy(col("src")).agg(sum(col("w")).as("wd"))
+        .localCheckpoint(),
+      partExpr = "CAST(score AS DECIMAL(38,0)) * w div wd")
+  }
+
   /** Personalized (topic-sensitive) PageRank: teleport only to `sources`.
     * Scores rank every node by proximity to the seed set; nodes unreached
     * within `iterations` hops score 0. */
@@ -91,16 +124,16 @@ object PageRank {
     * per-node expressions over the node table's `id` column, `maxBase`
     * their driver-side maximum (for the overflow bound). */
   private def iterate(e: DataFrame, nodes: DataFrame, initScore: Column,
-      baseScore: Column, maxBase: Long, iterations: Int,
-      dampNum: Long): DataFrame = {
-    val outd = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-      .localCheckpoint()
+      baseScore: Column, maxBase: Long, iterations: Int, dampNum: Long,
+      outAgg: DataFrame = null, partExpr: String = "score div od"): DataFrame = {
+    val outd = Option(outAgg).getOrElse(
+      e.groupBy(col("src")).agg(count(lit(1)).as("od")).localCheckpoint())
     var s = nodes.withColumn("score", initScore)
     (1 to iterations).foreach { _ =>
       val contrib = e
         .join(s, e("src") === s("id"))
         .join(outd, "src")
-        .select(col("dst").as("id"), expr("score div od").as("part"))
+        .select(col("dst").as("id"), expr(partExpr).as("part"))
         // DECIMAL(38,0) sum: exact for any realistic in-degree; a BIGINT
         // sum would wrap silently past 2^63 (non-ANSI mode)
         .groupBy(col("id"))

@@ -104,8 +104,10 @@ object ScaleProbe {
       // ×10), truncation recall (two brute rankings over ×10 corpus
       // rows at fixed query count)
       "q_group_overlap", "q_trunc_recall",
-      // r11f: decay score (scan + one hash agg, pure ×10)
-      "q_decay")
+      // r11f: decay score (scan + one hash agg, pure ×10); weighted
+      // PageRank (same hub-connected ×10 bipartite graph as q_sssp —
+      // denser hubs, message volume ×10 through the shared 100 buckets)
+      "q_decay", "q_pagerank_weighted")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
