@@ -1903,11 +1903,14 @@ object SparkEntry {
     // ── ANN index INSERT path: build the sign-quantizer index on half
     //    the corpus (even vec_ids), persist, assign the other half to the
     //    existing lists WITHOUT refitting (IvfIndex.assignTo — the same
-    //    argmin/tie rule as probe selection), append to the on-disk
-    //    layout, reload, and serve a pruned probe over the union. The
-    //    oracle is the same same-bucket brute force over ALL embeddings
-    //    as q_ann_ivf_pruned — hash-proving inserted rows land in exactly
-    //    the lists probes scan, and the disk append preserves every row.
+    //    argmin/tie rule as probe selection), land it as its own
+    //    `batch=1` wave (dynamic partition overwrite — crash/replay-
+    //    idempotent, manifest-committed after the data), reload the
+    //    pinned {0,1} snapshot, and serve a pruned probe over the union.
+    //    The oracle is the same same-bucket brute force over ALL
+    //    embeddings as q_ann_ivf_pruned — hash-proving inserted rows
+    //    land in exactly the lists probes scan, and the wave append
+    //    preserves every row.
     "q_ann_ivf_append" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val idxPath = registerTempIndexDir(
@@ -1919,7 +1922,8 @@ object SparkEntry {
       val loaded = graft.ext.IvfIndex.load(s, idxPath)
       graft.ext.IvfIndex.appendSave(idxPath,
         graft.ext.IvfIndex.assignTo(loaded,
-          emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding"))
+          emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding"),
+        wave = 1L)
       graft.ext.IvfIndex.search(graft.ext.IvfIndex.load(s, idxPath),
         emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 3, nProbe = 1)
@@ -2426,9 +2430,12 @@ object SparkEntry {
 
     // ── Incremental index growth (ext.PostingIndex.append): build on
     //    two-thirds of the corpus, fold the rest in WITHOUT re-reading
-    //    the indexed docs (postings/doclens append; df/stats merge +
-    //    rename-aside swap) — then serve. Must equal build-on-everything
-    //    bit-for-bit: the SAME oracle as q_bm25_indexed.
+    //    the indexed docs — the wave lands as its own `batch=1`
+    //    partition in all four tables via dynamic partition overwrite
+    //    (crash/replay-idempotent; serving sums df/stats across waves;
+    //    nothing merges in place, nothing renames) — then serve. Must
+    //    equal build-on-everything bit-for-bit: the SAME oracle as
+    //    q_bm25_indexed.
     "q_bm25_append" -> ((s, dir) => {
       val path = scratchDir(s, "q_bm25_append")
       val docs = Tables.documents(s, dir)

@@ -32,10 +32,20 @@ object EmbedEval {
     require(k >= 1, s"k must be >= 1: $k")
     // dims beyond the stored dimension would make slice() a no-op and
     // report a PERFECT recall for a truncation that never happened —
-    // the one wrong answer a storage decision must not see (review r11)
-    val storedDims = queries.select(size(col(vecCol))).head().getInt(0)
+    // the one wrong answer a storage decision must not see (review
+    // r11). Validated with an AGGREGATE over BOTH frames, not a
+    // head() peek: head() throws bare NoSuchElementException on an
+    // empty query frame, and checking only the first row would let a
+    // mixed-dimension corpus pass while slice() silently no-ops on
+    // its shorter vectors (review r12).
+    val stats = queries.select(size(col(vecCol)).as("d"))
+      .unionByName(corpus.select(size(col(vecCol)).as("d")))
+      .agg(min(col("d")).as("mn"), count(lit(1)).as("n")).head()
+    require(stats.getLong(1) > 0,
+      "truncationRecall needs non-empty corpus and query frames")
+    val storedDims = stats.getInt(0)
     require(dims <= storedDims,
-      s"dims=$dims exceeds the stored dimension $storedDims — " +
+      s"dims=$dims exceeds the smallest stored dimension $storedDims — " +
         "the 'truncation' would be a no-op reporting perfect recall")
     val full = Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))

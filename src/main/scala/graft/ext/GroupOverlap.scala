@@ -58,8 +58,13 @@ object GroupOverlap {
         col("n_common"),
         // exact Jaccard in µ-units: half-up INTEGER division (div, not
         // `/` — Spark's `/` on longs is a double divide) of 10⁶·common
-        // by the inclusion–exclusion union
-        expr("CAST((2 * 1000000 * n_common + (n_a + n_b - n_common)) " +
+        // by the inclusion–exclusion union. The numerator runs in
+        // DECIMAL(38,0): 2·10⁶·n_common wraps BIGINT past ~4.6e12
+        // shared elements — plausible at 100 TB vocabulary scale —
+        // where DuckDB's HUGEINT stays exact (silent divergence); the
+        // quotient is ≤ 10⁶ so the BIGINT cast back never overflows
+        expr("CAST((2 * 1000000 * CAST(n_common AS DECIMAL(38,0)) " +
+          "+ (n_a + n_b - n_common)) " +
           "div (2 * (n_a + n_b - n_common)) AS BIGINT)")
           .as("jaccard_micro"))
   }

@@ -14,10 +14,15 @@ import org.apache.spark.sql.functions._
   * Index build and search are SEPARATE phases — `build` fits the
   * quantizer and assigns the corpus exactly once; `search` reuses the
   * resulting [[IvfModel]] for any number of probe batches. At 100 TB the
-  * built index is persisted partitioned BY list id ([[IvfModel.save]]),
-  * making a probe a partition-pruned scan — exactly the on-disk IVF
-  * layout of a vector DB. Refitting the quantizer at query time would be
-  * a full ML job per probe batch; the API makes that impossible.
+  * built index is persisted in the `lists/batch=<wave>/list_id=<n>/`
+  * WAVE layout ([[IvfModel.save]] = wave 0, [[appendSave]]/[[graft
+  * .streaming.VectorIndexStream]] = later waves via dynamic partition
+  * overwrite — crash/replay-idempotent, the [[PostingIndex]]
+  * discipline), making a probe a partition-pruned scan — exactly the
+  * on-disk IVF layout of a vector DB. [[load]] pins a [[graft.model
+  * .WaveManifest]] snapshot, so serving during ingest never mixes
+  * waves. Refitting the quantizer at query time would be a full ML job
+  * per probe batch; the API makes that impossible.
   *
   * Results are rows-only-checkable (k-means has no SQL oracle);
   * correctness is gated by the recall-vs-brute-force spec.
@@ -31,28 +36,49 @@ object IvfIndex {
       assigned: DataFrame, // columns: neighbor_id, cv (vector), cn (norm), list_id
       centroids: Array[(Int, Array[Double])]) {
 
-    /** Persist the index in the partition-pruned on-disk layout: corpus
-      * rows partitioned by `list_id` + a tiny centroids table. A later
-      * `search` against the loaded index scans only the probed lists. */
+    /** Persist the index in the partition-pruned wave layout: corpus
+      * rows under `lists/batch=0/list_id=<n>/` (a STATIC overwrite —
+      * any previous index at `path`, all waves, is replaced) + a tiny
+      * centroids table, then a [[graft.model.WaveManifest]] commit
+      * re-pinning the manifest to exactly {0}. A later `search`
+      * against the loaded index scans only the probed lists of the
+      * pinned waves. */
     def save(path: String): Unit = {
-      assigned.write.mode("overwrite").partitionBy("list_id")
-        .parquet(s"$path/lists")
+      writeListsWave(assigned, path, wave = 0L, dynamic = false)
       val spark = assigned.sparkSession
       import spark.implicits._
       centroids.toSeq.map { case (i, c) => (i, c) }
         .toDF("list_id", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      graft.model.WaveManifest.commit(spark, path, Seq(0L))
+      ()
     }
   }
 
-  /** Load a previously-saved index. `assigned` is a lazy partitioned scan
-    * — probing n lists reads n partitions, never the full corpus. */
-  def load(spark: SparkSession, path: String): IvfModel = {
+  /** Load a previously-saved index as a PINNED SNAPSHOT: the manifest
+    * pointer is resolved HERE (driver-side, once), and `assigned`
+    * filters its partitioned scan to the pinned wave set — so waves
+    * appended after the load are invisible to every search against
+    * this model (never a mixed read), and probing n lists still reads
+    * n list partitions, never the full corpus. `version` pins an
+    * older manifest (time travel); an index with no manifest (legacy
+    * layout) scans everything, the quiesced-index posture. */
+  def load(spark: SparkSession, path: String,
+           version: Option[Long] = None): IvfModel = {
     import spark.implicits._
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("list_id").cast("int"), col("centroid"))
       .as[(Int, Array[Double])].collect()
-    IvfModel(spark.read.parquet(s"$path/lists"), cents)
+    val waves = version
+      .map(v => graft.model.WaveManifest.wavesAt(spark, path, v))
+      .orElse(graft.model.WaveManifest.pinned(spark, path))
+    val lists = spark.read.parquet(s"$path/lists")
+    val pinnedLists = waves match {
+      case Some(ws) =>
+        lists.filter(col("batch").isin(ws.map(Long.box): _*)).drop("batch")
+      case None => lists.drop("batch")
+    }
+    IvfModel(pinnedLists, cents)
   }
 
   /** Build the index: fit the coarse quantizer ONCE over the corpus and
@@ -166,11 +192,33 @@ object IvfIndex {
         assignTo(model, newRows, idCol, vecCol), allowMissingColumns = false),
       model.centroids)
 
-  /** On-disk insert: append assigned rows (from [[assignTo]]) into an
-    * existing saved layout — new files land only under their `list_id=`
-    * partitions; existing files and the centroid table are untouched. */
-  def appendSave(path: String, assignedRows: DataFrame): Unit =
-    assignedRows.write.mode("append").partitionBy("list_id")
+  /** On-disk insert: land assigned rows (from [[assignTo]]) as their
+    * own `batch=<wave>` partition wave in an existing saved layout —
+    * the [[PostingIndex.append]] discipline, replacing the blind
+    * mode-append this face shipped with (review r11: a crashed or
+    * replayed append double-wrote rows, and duplicated neighbors
+    * corrupt top-k). Re-running the SAME wave id dynamically
+    * OVERWRITES that wave's partitions instead of doubling them —
+    * crash/replay-idempotent; existing waves and the centroid table
+    * are untouched. The manifest commit lands AFTER the data (and is
+    * skipped when the wave is already pinned), so a model [[load]]ed
+    * before the append keeps serving the pre-append snapshot. */
+  def appendSave(path: String, assignedRows: DataFrame, wave: Long): Unit = {
+    require(wave != 0L, "wave 0 is the build wave; append with a new id")
+    writeListsWave(assignedRows, path, wave, dynamic = true)
+    graft.model.WaveManifest.commitWave(assignedRows.sparkSession, path, wave)
+  }
+
+  /** The single lists write path every persisted face shares ([[
+    * IvfModel.save]] wave 0 static, [[appendSave]] + [[graft.streaming
+    * .VectorIndexStream]] waves dynamic) — one layout, so the partition
+    * scheme cannot diverge between build, incremental, and streaming. */
+  private[graft] def writeListsWave(assignedRows: DataFrame, path: String,
+      wave: Long, dynamic: Boolean): Unit =
+    assignedRows.withColumn("batch", lit(wave))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
+      .partitionBy("batch", "list_id")
       .parquet(s"$path/lists")
 
   /** Assign each row its IVF list id (the build half, kept for callers

@@ -59,9 +59,13 @@ object PageRank {
     * dropped). The affinity/interaction-count authority ranking the
     * uniform variant cannot express. Same integer-exact contract:
     * score·w is computed in DECIMAL(38,0) (exact to 10³⁸), and the
-    * quotient ALWAYS fits BIGINT because w ≤ W_u ⇒ part ≤ score —
-    * the only overflow surface remains the in-degree message sum,
-    * guarded exactly as in the uniform path. */
+    * quotient ALWAYS fits BIGINT because w ≤ W_u ⇒ part ≤ score.
+    * EVERY sum here is guarded: the per-(src,dst) weight collapse and
+    * the out-weight total W_u run in DECIMAL(38,0) and narrow to
+    * BIGINT under an explicit bound ([[guardedNarrow]]) — a plain
+    * BIGINT sum would wrap silently in non-ANSI Spark while the
+    * DuckDB oracle's HUGEINT→BIGINT cast raises (silent divergence);
+    * the in-degree message sum keeps the uniform path's guard. */
   def weightedScores(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, iterations: Int = 3, dampNum: Long = 85L,
       scale: Long = Scale): DataFrame = {
@@ -71,7 +75,10 @@ object PageRank {
         col(dstCol).cast("long").as("dst"),
         col(wCol).cast("long").as("w"))
       .filter(col("w") > 0)
-      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("w").cast("decimal(38,0)")).as("wsum"))
+      .select(col("src"), col("dst"),
+        guardedNarrow(col("wsum"), "summed (src,dst) edge weight").as("w"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
@@ -81,10 +88,23 @@ object PageRank {
     if (n == 0) return nodes.withColumn("score", lit(scale))
     val base = (BigInt(scale) * (100L - dampNum) / (BigInt(100L) * n)).toLong
     iterate(e, nodes, lit(scale), lit(base), base, iterations, dampNum,
-      outAgg = e.groupBy(col("src")).agg(sum(col("w")).as("wd"))
+      outAgg = e.groupBy(col("src"))
+        .agg(sum(col("w").cast("decimal(38,0)")).as("wdsum"))
+        .select(col("src"),
+          guardedNarrow(col("wdsum"), "out-weight total").as("wd"))
         .localCheckpoint(),
       partExpr = "CAST(score AS DECIMAL(38,0)) * w div wd")
   }
+
+  /** Narrow a non-negative DECIMAL(38,0) sum to BIGINT, raising loudly
+    * past 2^63−1 instead of letting Decimal.toLong wrap (measured: it
+    * wraps in non-ANSI mode — the same hole `iterate`'s message-sum
+    * guard closes). */
+  private def guardedNarrow(c: Column, what: String): Column =
+    when(coalesce(c <= lit(Long.MaxValue), lit(false)), c.cast("long"))
+      .otherwise(expr(
+        s"raise_error('PageRank $what overflowed BIGINT (>= 2^63); " +
+          "rescale the weight column before ranking')").cast("long"))
 
   /** Personalized (topic-sensitive) PageRank: teleport only to `sources`.
     * Scores rank every node by proximity to the seed set; nodes unreached

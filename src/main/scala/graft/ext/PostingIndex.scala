@@ -35,31 +35,47 @@ import org.apache.spark.sql.functions._
   * `q_bm25_indexed`/`q_bm25_append` hash-gate that against the SAME
   * SQL oracle as `q_bm25` restricted to docs with ≥ 1 hit.
   *
-  * Concurrency honesty: [[scoreQuery]] builds one lazy plan (the df
-  * row, stats, postings, and doclens are all read at EXECUTION time),
-  * but raw parquet dirs have no snapshot isolation — a wave committing
-  * between two of those scans can produce a mixed read. Serve from a
-  * quiesced index, or pin versions the [[graft.model.GraphStorage]]
-  * way if concurrent ingest-and-serve is required.
+  * Snapshot isolation for serve-during-ingest: every write face also
+  * commits a [[graft.model.WaveManifest]] version AFTER its data wave
+  * lands, and [[scoreQuery]] resolves the pointer ONCE at plan time,
+  * filtering all four table scans to the pinned wave set (partition-
+  * pruned — `batch` is the leading partition column, so the filter is
+  * free). A wave committing mid-serve is therefore invisible: the
+  * serve answers as of its pinned manifest — never a mixed read.
+  * Indexes without a manifest (legacy dirs) fall back to scanning
+  * every wave, the quiesced-index posture. Residual window: an
+  * at-least-once REPLAY of an already-committed wave rewrites that
+  * wave's partitions with identical content; a serve catching the
+  * file swap mid-flight is the one case the manifest cannot pin.
   */
 object PostingIndex {
 
   /** Create/replace the index with its first wave (batch 0): a STATIC
-    * overwrite — any previous index content at `path` is replaced. */
+    * overwrite — any previous index content at `path` is replaced, and
+    * the manifest re-pins to exactly {0} (readers pinned to an expired
+    * pre-rebuild version fail on their next read — the documented
+    * retention trade, same as any table format's VACUUM). */
   def build(docs: DataFrame, idCol: String, textCol: String,
-            path: String, termBuckets: Int = 64): Unit =
+            path: String, termBuckets: Int = 64): Unit = {
     writeWave(docs, idCol, textCol, path, wave = 0L, termBuckets,
       dynamic = false)
+    graft.model.WaveManifest.commit(docs.sparkSession, path, Seq(0L))
+    ()
+  }
 
   /** Fold a wave of NEW documents in without re-reading the indexed
     * corpus. `wave` must be unique per batch of docs (re-using a wave
     * id REPLACES that wave — which is exactly the crash/replay
-    * recovery story, and exactly wrong for fresh docs). */
+    * recovery story, and exactly wrong for fresh docs). The wave
+    * becomes visible to pinned serves only once its manifest commit
+    * lands — a crash in between leaves an invisible wave the replay
+    * overwrites. */
   def append(newDocs: DataFrame, idCol: String, textCol: String,
              path: String, wave: Long, termBuckets: Int = 64): Unit = {
     require(wave != 0L, "wave 0 is the build wave; append with a new id")
     writeWave(newDocs, idCol, textCol, path, wave, termBuckets,
       dynamic = true)
+    graft.model.WaveManifest.commitWave(newDocs.sparkSession, path, wave)
   }
 
   /** The single write path all faces share (build, append, streaming
@@ -97,16 +113,27 @@ object PostingIndex {
   /** BM25 scores for `terms` over the index — docs with ≥ 1 matching
     * term, columns (doc_id, dl, tf_0.., bm25) exactly as
     * [[Relevance.bm25]] emits them (score parity contract above).
-    * The postings scan carries `bucket IN (...)` (partition pruning)
-    * and `term IN (...)` (row-group pushdown); df and corpus stats are
-    * wave-summed aggregate rows broadcast into the scoring join — the
-    * whole plan is LAZY (no eager collects), one snapshot per scan. */
+    * The postings scan carries `batch IN (pinned waves)` + `bucket IN
+    * (...)` (both partition pruning) and `term IN (...)` (row-group
+    * pushdown); df and corpus stats are wave-summed aggregate rows
+    * broadcast into the scoring join. The manifest pointer is resolved
+    * ONCE, here at plan time — every scan in the plan then reads the
+    * same wave set no matter what commits mid-execution (snapshot
+    * serving). `pin` overrides the pointer for time travel (a wave set
+    * from [[graft.model.WaveManifest.wavesAt]]). */
   def scoreQuery(spark: SparkSession, path: String, terms: Seq[String],
                  termBuckets: Int = 64, k1: Double = 1.2,
-                 b: Double = 0.75): DataFrame = {
+                 b: Double = 0.75,
+                 pin: Option[Seq[Long]] = None): DataFrame = {
     require(terms.nonEmpty, "scoreQuery needs at least one term")
+    // plan-time pin: explicit > manifest pointer > legacy scan-all
+    val waves = pin.orElse(graft.model.WaveManifest.pinned(spark, path))
+    def pinWaves(df: DataFrame): DataFrame = waves match {
+      case Some(ws) => df.filter(col("batch").isin(ws.map(Long.box): _*))
+      case None => df
+    }
     val lower = terms.map(_.toLowerCase(java.util.Locale.ROOT))
-    val post = spark.read.parquet(s"$path/postings")
+    val post = pinWaves(spark.read.parquet(s"$path/postings"))
       .filter(col("bucket").isin(bucketsOf(lower, termBuckets): _*) &&
         col("term").isin(lower: _*))
     // per-doc tf columns in TERM ORDER (the fold order is the parity)
@@ -119,16 +146,16 @@ object PostingIndex {
     val withTf = lower.indices.foldLeft(byDoc) { (d, i) =>
       d.withColumn(s"tf_$i", coalesce(col(s"tf_raw_$i"), lit(0L)))
     }
-    val dls = spark.read.parquet(s"$path/doclens")
+    val dls = pinWaves(spark.read.parquet(s"$path/doclens"))
       .select(col("doc_id"), col("dl"))
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = pinWaves(spark.read.parquet(s"$path/stats"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     // one (df_0..df_n) row, wave-summed; absent terms read as df 0 —
     // a lazy broadcast, not an eager collect (serve-time snapshot)
     val dfAggs = lower.indices.map(i =>
       coalesce(sum(when(col("term") === lower(i), col("df"))), lit(0.0))
         .as(s"df_$i"))
-    val dfRow = spark.read.parquet(s"$path/terms")
+    val dfRow = pinWaves(spark.read.parquet(s"$path/terms"))
       .filter(col("term").isin(lower: _*))
       .agg(dfAggs.head, dfAggs.tail: _*)
     val joined = withTf.join(dls, "doc_id")

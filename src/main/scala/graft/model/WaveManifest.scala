@@ -1,0 +1,123 @@
+package graft.model
+
+import org.apache.spark.sql.SparkSession
+
+/** Snapshot manifest for wave-layout indexes ([[graft.ext.PostingIndex]],
+  * [[graft.ext.IvfIndex]]) — the missing isolation piece their raw
+  * `batch=<wave>` parquet dirs cannot provide on their own: a serve that
+  * scans "whatever partitions exist" can catch a wave mid-commit and mix
+  * pre/post-append state across its table scans.
+  *
+  * The [[GraphStorage]] versioned-pointer discipline, specialized to wave
+  * sets: every commit writes an IMMUTABLE `_manifest/v=<n>` file listing
+  * the COMPLETE wave ids of one index snapshot, then flips `_manifest/
+  * _latest` via atomic overwrite-rename. A reader resolves the pointer
+  * ONCE (driver-side, at plan/load time) and filters every table scan to
+  * `batch IN (pinned waves)` — partition pruning makes the filter free,
+  * and waves are immutable once committed (the only rewrite of a
+  * committed wave is an at-least-once replay writing IDENTICAL content),
+  * so the pinned read is a consistent snapshot no matter how many waves
+  * land while the query runs.
+  *
+  * Write protocol (single-committer, like GraphStorage): data wave first,
+  * manifest after — a crash between the two leaves an unpinned wave that
+  * no reader sees and the replay overwrites. Manifest files are
+  * tmp-write + rename so a reader never observes a half-written list;
+  * the pointer flip is the same FileContext overwrite-rename GraphStorage
+  * uses (atomic on HDFS/local; object stores without atomic rename need
+  * a consistent store fronting the pointer).
+  *
+  * Absent manifest = legacy/quiesced index: readers fall back to
+  * scanning every wave, the pre-manifest behavior.
+  */
+object WaveManifest {
+
+  private def fs(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dir(root: String) = s"$root/_manifest"
+
+  private val VersionFile = "^v=(\\d+)$".r
+
+  /** Every committed manifest version, ascending. Only `v=<digits>`
+    * names count (stray editor droppings must not brick the index). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir(root))
+    val f = fs(spark, root)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case VersionFile(n) => n.toLong }.sorted
+  }
+
+  private def readFile(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** The `_latest` pointer's version, if any commit ever completed. */
+  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
+    val latest = new org.apache.hadoop.fs.Path(dir(root), "_latest")
+    val f = fs(spark, root)
+    if (!f.exists(latest)) None else Some(readFile(f, latest).toLong)
+  }
+
+  /** The wave ids of one committed version, sorted ascending. */
+  def wavesAt(spark: SparkSession, root: String, version: Long): Seq[Long] = {
+    val f = fs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(dir(root), s"v=$version")
+    require(f.exists(p), s"no manifest version $version under ${dir(root)}")
+    val body = readFile(f, p)
+    if (body.isEmpty) Seq.empty
+    else body.split("\\s+").toSeq.map(_.toLong).sorted
+  }
+
+  /** The CURRENT snapshot's wave set — resolve once per plan/load and
+    * pin; None when the index has no manifest (legacy layout). */
+  def pinned(spark: SparkSession, root: String): Option[Seq[Long]] =
+    latestVersion(spark, root).map(wavesAt(spark, root, _))
+
+  /** Commit `waves` as the next snapshot version and flip the pointer;
+    * returns the new version number. Call AFTER the wave's data write
+    * completes — the manifest is the only thing that makes a wave
+    * visible. Version numbering skips any existing file (a crashed
+    * commit's number is never reused). */
+  def commit(spark: SparkSession, root: String, waves: Seq[Long]): Long = {
+    val f = fs(spark, root)
+    val d = new org.apache.hadoop.fs.Path(dir(root))
+    if (!f.exists(d)) f.mkdirs(d)
+    val next = versions(spark, root).lastOption.getOrElse(-1L) + 1
+    val body = waves.distinct.sorted.mkString("\n")
+    // tmp-write + rename: a concurrent reader of v=<n> never sees a
+    // partial wave list
+    val tmp = new org.apache.hadoop.fs.Path(dir(root), s".tmp.v$next")
+    val out = f.create(tmp, true)
+    out.write(body.getBytes("UTF-8"))
+    out.close()
+    val vfile = new org.apache.hadoop.fs.Path(dir(root), s"v=$next")
+    if (!f.rename(tmp, vfile))
+      throw new java.io.IOException(
+        s"manifest commit collision: could not rename to $vfile")
+    val ptmp = new org.apache.hadoop.fs.Path(dir(root), s".tmp._latest.$next")
+    val pout = f.create(ptmp, true)
+    pout.write(next.toString.getBytes("UTF-8"))
+    pout.close()
+    val latest = new org.apache.hadoop.fs.Path(dir(root), "_latest")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(ptmp, latest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    next
+  }
+
+  /** Commit `pinned ∪ {wave}` unless `wave` is already pinned — the
+    * append/streaming fast path: an at-least-once REPLAY of a committed
+    * wave re-writes identical data and must not spin new manifest
+    * versions (or race a serve with a no-op pointer flip). */
+  def commitWave(spark: SparkSession, root: String, wave: Long): Unit = {
+    val cur = pinned(spark, root).getOrElse(Seq.empty)
+    if (!cur.contains(wave)) commit(spark, root, cur :+ wave)
+    ()
+  }
+}

@@ -42,7 +42,12 @@ object DecayAgg {
     // truncate in Spark but ROUND in DuckDB's CAST — `div`/`//` agree
     // exactly on these non-negative operands
     val ageExpr = s"(${asOfUs}L - unix_micros($tsCol)) div 86400000000L"
-    val halvings = expr(s"CAST(($ageExpr) div $halfLifeDays AS INT)")
+    // clamp BEFORE the INT cast: a corrupt far-past epoch could
+    // overflow INT and flip the sign, turning 2^(−n) into a huge
+    // weight instead of 0 — and every weight below 2^−1075 is exactly
+    // 0.0 in IEEE anyway, so the clamp at 1100 never changes a score
+    val halvings =
+      expr(s"CAST(least(($ageExpr) div $halfLifeDays, 1100L) AS INT)")
     // 2^(−n) for integer n is exact in IEEE; the product with the
     // µ-quantized value is one rounding, identical in any engine
     val weight = pow(lit(2.0), -halvings.cast("double"))

@@ -42,12 +42,18 @@ object IndexStream {
     * (replay-idempotent) — DELEGATES to the index's single shared
     * write path ([[graft.ext.PostingIndex.writeWave]]), so the bucket
     * layout and tf semantics cannot diverge between the batch,
-    * incremental, and streaming faces (review r11 finding). Public so
-    * specs can drive replays directly. */
+    * incremental, and streaming faces (review r11 finding). The
+    * manifest commit lands AFTER the data wave (and is skipped on a
+    * replay of an already-pinned wave), so a concurrent
+    * [[graft.ext.PostingIndex.scoreQuery]] serve pins either the pre-
+    * or post-batch snapshot — never a mix. Public so specs can drive
+    * replays directly. */
   def appendBatch(batch: DataFrame, idCol: String, textCol: String,
-                  path: String, batchId: Long, termBuckets: Int): Unit =
+                  path: String, batchId: Long, termBuckets: Int): Unit = {
     graft.ext.PostingIndex.writeWave(batch, idCol, textCol, path,
       wave = batchId, termBuckets, dynamic = true)
+    graft.model.WaveManifest.commitWave(batch.sparkSession, path, batchId)
+  }
 
   /** Serve the streamed index — [[graft.ext.PostingIndex.scoreQuery]]
     * verbatim; the wave layout needs no serving changes. */

@@ -7,6 +7,13 @@ import scala.util.Random
 class IvfIndexSpec extends SparkSpec {
   import spark.implicits._
 
+  // list_id partition dirs across every batch=<wave> dir of the layout
+  private def listIdDirs(dir: String): Array[java.io.File] =
+    Option(new java.io.File(s"$dir/lists").listFiles()).getOrElse(Array())
+      .filter(_.getName.startsWith("batch="))
+      .flatMap(b => Option(b.listFiles()).getOrElse(Array()))
+      .filter(_.getName.startsWith("list_id="))
+
   // three well-separated clusters around orthogonal anchors
   private def cluster(center: Array[Float], n: Int, base: Long, rnd: Random) =
     (0 until n).map { i =>
@@ -56,9 +63,8 @@ class IvfIndexSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("ivf").toString
     model.save(dir)
     // on-disk layout is partition-pruned: one directory per list id
-    val listDirs = new java.io.File(s"$dir/lists").listFiles()
-      .filter(_.getName.startsWith("list_id="))
-    assert(listDirs.length == 3)
+    // under the build wave (batch=0)
+    assert(listIdDirs(dir).length == 3)
     val loaded = IvfIndex.load(spark, dir)
     val viaLoaded = IvfIndex
       .search(loaded, batch1, "vec_id", "embedding", 3, 1)
@@ -93,8 +99,7 @@ class IvfIndexSpec extends SparkSpec {
       .find(_.relation.location.rootPaths.exists(_.toString.contains("lists")))
     assert(listScan.isDefined, "no file scan over the lists layout found")
     val numFiles = listScan.get.metrics("numFiles").value
-    val totalFiles = new java.io.File(s"$dir/lists").listFiles()
-      .filter(_.getName.startsWith("list_id=")).length
+    val totalFiles = listIdDirs(dir).length
     assert(totalFiles == 3)
     assert(numFiles >= 1 && numFiles < totalFiles,
       s"expected pruned scan, read $numFiles of $totalFiles partitions")
@@ -261,12 +266,9 @@ class IvfIndexSpec extends SparkSpec {
     val numFiles = listScan.get.metrics("numFiles").value
     // multiple writer tasks → several part-files per list dir; compare
     // against the recursive part-file total, not the dir count
-    val allParts = new java.io.File(s"$dir/lists").listFiles()
-      .filter(_.getName.startsWith("list_id="))
+    val allParts = listIdDirs(dir)
       .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
-    val probedParts = new java.io.File(s"$dir/lists").listFiles()
-      .filter(_.getName.startsWith("list_id="))
-    assert(probedParts.length > 1)
+    assert(listIdDirs(dir).length > 1)
     assert(numFiles >= 1 && numFiles < allParts,
       s"expected pruned scan, read $numFiles of $allParts part-files")
   }
