@@ -1395,6 +1395,32 @@ object SparkEntry {
         batch, "doc_a", "doc_b")
     }),
 
+    // ── The SERVING face of streaming CC maintenance (streaming/
+    //    CcStream): the same near-dup pairs fold in as two successive
+    //    batches through CcStream.applyBatch — each committing an
+    //    immutable GraphStorage snapshot — and the result is read BACK
+    //    through the snapshot store (CcStream.labels), exactly how a
+    //    continuously-ingesting dedup pipeline consumes its keep/drop
+    //    labels. Same from-scratch-closure oracle as q_cc_incr: the
+    //    batch split, the store round-trip, and the pointer flip must
+    //    all be invisible in the final labeling. Re-running in one JVM
+    //    re-folds the same edges — a semantic no-op (merging merged
+    //    components), so the query is repeat-safe by construction.
+    "q_cc_serve" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id",
+        "text", shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5,
+        broadcastCandidates = true)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val labelsRoot = scratchDir(s, "q_cc_serve")
+      graft.streaming.CcStream.applyBatch(
+        pairs.where((col("doc_a") + col("doc_b")) % 4 =!= 0),
+        "doc_a", "doc_b", labelsRoot)
+      graft.streaming.CcStream.applyBatch(
+        pairs.where((col("doc_a") + col("doc_b")) % 4 === 0),
+        "doc_a", "doc_b", labelsRoot)
+      graft.streaming.CcStream.labels(s, labelsRoot)
+    }),
+
     // ── Same clusters via STAR CONTRACTION (Components.connectedStar):
     //    hash-proves the O(log N)-round high-diameter algorithm against
     //    the identical recursive-closure oracle — the q_skew_agg pattern
@@ -4194,6 +4220,13 @@ object SparkEntry {
     // has no notion of the split, so any label the incremental path
     // fails to merge (or merges wrongly) hash-mismatches
     "q_cc_incr" ->
+      s"""WITH RECURSIVE pairs AS ($minhashLshOracle),
+         $closureOracle
+         SELECT node, cluster_id AS component FROM comp""",
+
+    // two-batch fold through the snapshot store ≡ the same closure:
+    // the store round-trip must be invisible in the labeling
+    "q_cc_serve" ->
       s"""WITH RECURSIVE pairs AS ($minhashLshOracle),
          $closureOracle
          SELECT node, cluster_id AS component FROM comp""",
