@@ -2045,6 +2045,69 @@ object SparkEntry {
         }.toDF("doc_id", "n_frames", "w", "h", "lum_ok")
     }),
 
+    // ── Perceptual image dedup, driver-visible end to end (the q_video
+    //    pattern for PAIRS): per sampled document, RENDER a
+    //    deterministic 18×16 gray block pattern in the executor — docs
+    //    in one group share a pseudorandom 9×8 base pattern (drawn 2×2
+    //    blocks); member 1 is a +1 brightness shift of it, member 2
+    //    flips exactly the (0,0) block's comparison — PNG-encode, and
+    //    push the bytes through the REAL decode → pixel-center NN
+    //    resample → integer dHash → banded Hamming pairing pipeline
+    //    (ext.ImageHash + Dedup.hammingPairs63). PNG is lossless and
+    //    dHash is pure integer arithmetic, so the ORACLE replays the
+    //    fingerprint + exact bit_count pairing in SQL from the stated
+    //    pixel function: any decode loss, resample drift, or banding
+    //    recall bug (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 shared 16-bit
+    //    chunk) hash-mismatches. Expected structure: shift members
+    //    pair at hamming 0, flipped-block members at 1, distinct
+    //    groups sit ~31 bits apart (and any freak band collision is
+    //    filtered by the same bit_count both engines compute).
+    "q_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = Tables.documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 0)
+        .as[Long].mapPartitions { it =>
+          it.map { id =>
+            val idp = id / 10
+            val g = idp / 3
+            val m = idp % 3
+            // quadratic mix: an affine-in-g draw would shift every
+            // cell's residue by the SAME constant between two groups,
+            // leaving near-identical patterns at regular group spacings
+            // (measured: thousands of spurious cross-group pairs);
+            // squaring makes the shift cell-dependent, so distinct
+            // groups sit ~31 of 63 bits apart
+            def base(x: Int, y: Int): Int = {
+              val t = g * 73 + x * 151 + y * 211
+              (((t * t * 48271L) % 65537L) % 2L).toInt * 140 + 50
+            }
+            def cell(x: Int, y: Int): Int =
+              if (m == 2 && x == 0 && y == 0) {
+                if (base(0, 0) < base(1, 0)) 200 else 10
+              } else base(x, y) + (if (m == 1) 1 else 0)
+            val img = new java.awt.image.BufferedImage(18, 16,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var py = 0
+            while (py < 16) {
+              var px = 0
+              while (px < 18) {
+                val v = cell(px / 2, py / 2)
+                img.setRGB(px, py, (v << 16) | (v << 8) | v)
+                px += 1
+              }
+              py += 1
+            }
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", buf)
+            (id, buf.toByteArray)
+          }
+        }.toDF("doc_id", "png")
+      val media = Multimodal.attach(pngs, "doc_id", "png", "png")
+        .as[Multimodal.MediaRow]
+      graft.ext.ImageHash.nearDupPairs(
+        graft.ext.ImageHash.fingerprints(media), "dhash", maxHamming = 3)
+    }),
+
     // ── S1/S2 text ingest faces: the reference's flow logs arrive as
     //    JSON/TSV lines, not parquet (SURVEY §1.2). Round-trip contract:
     //    serialize a deterministic events subset to the text format, read
@@ -4873,6 +4936,43 @@ object SparkEntry {
                 CAST(8 AS DOUBLE) AS w, CAST(8 AS DOUBLE) AS h,
                 TRUE AS lum_ok
          FROM documents WHERE doc_id % 20 = 0""",
+
+    // replay the generated 9×8 cell grid (gray v is monotone in the
+    // integer BT.601 luminance 1000·v, so `<` on v IS the dHash bit),
+    // fold the 63 comparisons into the fingerprint, and pair by exact
+    // bit_count — candidate banding on the Spark side is recall-exact
+    // for hamming ≤ 3 by pigeonhole, so the pair sets must hash-match
+    "q_image_dedup" ->
+      """WITH ids AS (
+           SELECT doc_id, (doc_id // 10) // 3 AS g, (doc_id // 10) % 3 AS m
+           FROM documents WHERE doc_id % 10 = 0),
+         grid AS (SELECT x, y FROM range(9) tx(x) CROSS JOIN range(8) ty(y)),
+         cells AS (
+           SELECT doc_id, x, y,
+             CASE WHEN m = 2 AND x = 0 AND y = 0 THEN
+               CASE WHEN (((g*73) * (g*73) * 48271) % 65537) % 2
+                      < (((g*73 + 151) * (g*73 + 151) * 48271) % 65537) % 2
+                 THEN 200 ELSE 10 END
+             ELSE ((((g*73 + x*151 + y*211) * (g*73 + x*151 + y*211)
+                     * 48271) % 65537) % 2) * 140 + 50
+                  + CASE WHEN m = 1 THEN 1 ELSE 0 END
+             END AS v
+           FROM ids CROSS JOIN grid),
+         bits AS (
+           SELECT l.doc_id, l.y * 8 + l.x AS j,
+                  CASE WHEN l.v < r.v THEN 1 ELSE 0 END AS b
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
+           WHERE l.x <= 7 AND NOT (l.x = 7 AND l.y = 7)),
+         fp AS (
+           SELECT doc_id,
+                  CAST(sum(b * (CAST(1 AS BIGINT) << CAST(j AS INT)))
+                       AS BIGINT) AS f
+           FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.f, b.f)) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.f, b.f)) <= 3""",
 
     // file counts are deterministic functions of the slice row count
     // (see the query comment); the slice aggregate proves the compacted

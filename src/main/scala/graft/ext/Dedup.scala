@@ -467,7 +467,23 @@ object Dedup {
     // aggregates + vocab join) plans TWICE — AQE does not reuse sibling
     // stages (PERF.md). One row per doc, two fixed-width columns.
     val fp = simhash(df, idCol, textCol).localCheckpoint()
-    val bands0 = fp.select(col(idCol), col("simhash"),
+    hammingPairs63(fp, idCol, "simhash", maxHamming, maxChunkDF)
+  }
+
+  /** Near-dup pairs over ANY 63-bit fingerprint column — the banded
+    * Hamming join [[simhashPairs]] introduced, factored out so every
+    * 63-bit fingerprint family ([[simhash]], [[ImageHash.dhash63]] /
+    * [[ImageHash.phash63]] perceptual image hashes) pairs through ONE
+    * shuffle shape: four 16-bit chunks (the top band carries 15 usable
+    * bits), docs sharing ANY chunk become candidates (pigeonhole: every
+    * pair within hamming distance 3 shares at least one of 4 bands),
+    * verify with exact `bit_count(a^b)`. Caller contract: `fpCol` holds
+    * values in [0, 2⁶³) and the frame is already materialized
+    * (checkpointed) — the band frame self-joins. */
+  def hammingPairs63(
+      fp: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int = 3, maxChunkDF: Option[Long] = None): DataFrame = {
+    val bands0 = fp.select(col(idCol), col(fpCol).as("simhash"),
         explode(expr("sequence(0, 3)")).as("b"))
       .withColumn("chunk", expr("shiftright(simhash, CAST(b * 16 AS INT)) & 65535"))
     // opt-in hot-chunk guard — same contract as minhashLshPairs.maxBandDF

@@ -47,7 +47,25 @@ class EmbedEvalSpec extends SparkSpec {
       EmbedEval.truncationRecall(corpus, corpus, "vec_id", "embedding",
         dims = 3, k = 1).collect()
     }
-    assert(e.getMessage.contains("exceeds the stored dimension"))
+    assert(e.getMessage.contains("exceeds the smallest stored dimension"))
+  }
+
+  test("mixed-dimension corpora and empty query frames are rejected " +
+      "(review r12: head() checked only the first row)") {
+    // dims=3 passes the FIRST row's size but no-ops on the 2-dim row —
+    // the aggregate validation must catch the smallest vector anywhere
+    val corpus = vecs(0L -> Seq(1f, 0f, 1f, 1f), 1L -> Seq(0f, 1f))
+    val e = intercept[IllegalArgumentException] {
+      EmbedEval.truncationRecall(corpus, corpus.filter($"vec_id" === 0L),
+        "vec_id", "embedding", dims = 3, k = 1).collect()
+    }
+    assert(e.getMessage.contains("exceeds the smallest stored dimension"))
+    val empty = intercept[IllegalArgumentException] {
+      EmbedEval.truncationRecall(corpus.filter($"vec_id" < 0),
+        corpus.filter($"vec_id" < 0), "vec_id", "embedding",
+        dims = 1, k = 1).collect()
+    }
+    assert(empty.getMessage.contains("non-empty"))
   }
 
   test("zero-overlap queries report 0 instead of vanishing") {
