@@ -75,12 +75,22 @@ object Bench {
     println(line)
     // the driver's log capture truncates long stdout tails, so the full
     // per-query map also lands as a committed artifact (overridable for
-    // dev-loop runs that should not clobber the round's record)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      line + "\n")
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    // dev-loop runs that should not clobber the round's record). The
+    // default is ABSOLUTE so the artifact lands at the same path no
+    // matter what working directory the driver launches sbt from.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_full.json")
+    // VERDICT r11 #7 (BENCH_rN.json parsed: null): ALWAYS also write the
+    // line to one fixed, non-overridable path the driver artifact can
+    // ingest directly — stdout parsing of an sbt run is brittle (log
+    // prefixes, truncation), a file is not
+    val paths = Seq(outPath, "/root/repo/BENCH_LATEST.json").distinct
+    paths.foreach { p =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        line + "\n")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

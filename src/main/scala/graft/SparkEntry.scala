@@ -2067,23 +2067,30 @@ object SparkEntry {
       val pngs = Tables.documents(s, dir).select(col("doc_id"))
         .filter(col("doc_id") % 10 === 0)
         .as[Long].mapPartitions { it =>
+          // md5 cell draw, NOT a polynomial mix: any low-degree
+          // arithmetic in (g, cell) is smooth enough that a birthday
+          // search over millions of group pairs finds near-identical
+          // patterns (measured at the sf1 probe: thousands of spurious
+          // cross-group pairs for a quadratic mod-prime mix); md5 is
+          // the repo's engine-shared coin (simhash/walks precedent),
+          // and its first 16 bits mod 191 give uniform multi-valued
+          // cells — comparison bits at p = 1/2, cross-group hamming
+          // concentrated at ~31.5/63
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def draw(key: String): Int = {
+            val d = md.digest(key.getBytes("UTF-8"))
+            (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 191
+          }
           it.map { id =>
             val idp = id / 10
             val g = idp / 3
             val m = idp % 3
-            // quadratic mix: an affine-in-g draw would shift every
-            // cell's residue by the SAME constant between two groups,
-            // leaving near-identical patterns at regular group spacings
-            // (measured: thousands of spurious cross-group pairs);
-            // squaring makes the shift cell-dependent, so distinct
-            // groups sit ~31 of 63 bits apart
-            def base(x: Int, y: Int): Int = {
-              val t = g * 73 + x * 151 + y * 211
-              (((t * t * 48271L) % 65537L) % 2L).toInt * 140 + 50
-            }
+            def base(x: Int, y: Int): Int = draw(s"${g}_${x}_$y") + 30
             def cell(x: Int, y: Int): Int =
               if (m == 2 && x == 0 && y == 0) {
-                if (base(0, 0) < base(1, 0)) 200 else 10
+                // guaranteed single-comparison flip: 255 clears the
+                // 30..221 value range upward, 0 clears it downward
+                if (base(0, 0) < base(1, 0)) 255 else 0
               } else base(x, y) + (if (m == 1) 1 else 0)
             val img = new java.awt.image.BufferedImage(18, 16,
               java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -2106,6 +2113,54 @@ object SparkEntry {
         .as[Multimodal.MediaRow]
       graft.ext.ImageHash.nearDupPairs(
         graft.ext.ImageHash.fingerprints(media), "dhash", maxHamming = 3)
+    }),
+
+    // ── Perceptual AUDIO dedup (ext.AudioHash), the q_image_dedup
+    //    pattern on the time axis: per sampled document, SYNTHESIZE a
+    //    512-sample mono 16-bit PCM clip — 64 windows of 8 alternating
+    //    ±a(w) samples, window amplitudes drawn by the same md5 group
+    //    coin; member 1 is the clip at
+    //    2× gain (energy contour invariant — every window energy ×4),
+    //    member 2 flips exactly window 0's energy comparison — mux a
+    //    real RIFF/WAVE container (Multimodal.muxPcmWav), and push the
+    //    bytes through the REAL WavCodec parse → integer energy
+    //    contour → banded Hamming pairing. Energies are exact BIGINTs
+    //    (8·a², monotone in a), so the oracle replays amplitude
+    //    comparisons + bit_count pairing directly.
+    "q_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Tables.documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 0)
+        .as[Long].mapPartitions { it =>
+          // md5 amplitude draw (see q_image_dedup: polynomial mixes
+          // leak birthday-searchable cross-group correlation)
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def draw(key: String): Int = {
+            val d = md.digest(key.getBytes("UTF-8"))
+            (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 191
+          }
+          it.map { id =>
+            val idp = id / 10
+            val g = idp / 3
+            val m = idp % 3
+            def amp(w: Int): Int = draw(s"${g}_a_$w") + 10
+            def a(w: Int): Int =
+              if (m == 2 && w == 0) {
+                // guaranteed flip: 250 clears the 10..200 range upward,
+                // 5 clears it downward
+                if (amp(0) < amp(1)) 250 else 5
+              } else amp(w) * (if (m == 1) 2 else 1)
+            val samples = Array.tabulate[Short](512) { i =>
+              val v = a(i / 8)
+              (if (i % 2 == 0) v else -v).toShort
+            }
+            (id, Multimodal.muxPcmWav(samples, 8000, 1))
+          }
+        }.toDF("doc_id", "wav")
+      val media = Multimodal.attach(wavs, "doc_id", "wav", "wav")
+        .as[Multimodal.MediaRow]
+      graft.ext.AudioHash.nearDupPairs(
+        graft.ext.AudioHash.fingerprints(media), maxHamming = 3)
     }),
 
     // ── S1/S2 text ingest faces: the reference's flow logs arrive as
@@ -4941,29 +4996,96 @@ object SparkEntry {
     // integer BT.601 luminance 1000·v, so `<` on v IS the dHash bit),
     // fold the 63 comparisons into the fingerprint, and pair by exact
     // bit_count — candidate banding on the Spark side is recall-exact
-    // for hamming ≤ 3 by pigeonhole, so the pair sets must hash-match
+    // for hamming ≤ 3 by pigeonhole, so the pair sets must hash-match.
+    // The cell draw is the first 16 bits of md5(g_x_y) mod 191 — the
+    // engine-shared coin (simhash precedent)
     "q_image_dedup" ->
       """WITH ids AS (
            SELECT doc_id, (doc_id // 10) // 3 AS g, (doc_id // 10) % 3 AS m
            FROM documents WHERE doc_id % 10 = 0),
          grid AS (SELECT x, y FROM range(9) tx(x) CROSS JOIN range(8) ty(y)),
-         cells AS (
-           SELECT doc_id, x, y,
-             CASE WHEN m = 2 AND x = 0 AND y = 0 THEN
-               CASE WHEN (((g*73) * (g*73) * 48271) % 65537) % 2
-                      < (((g*73 + 151) * (g*73 + 151) * 48271) % 65537) % 2
-                 THEN 200 ELSE 10 END
-             ELSE ((((g*73 + x*151 + y*211) * (g*73 + x*151 + y*211)
-                     * 48271) % 65537) % 2) * 140 + 50
-                  + CASE WHEN m = 1 THEN 1 ELSE 0 END
-             END AS v
+         draws AS (
+           SELECT doc_id, g, m, x, y,
+             ((strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_'||CAST(x AS VARCHAR)||'_'||
+                 CAST(y AS VARCHAR)), 1, 1)) - 1) * 4096 +
+              (strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_'||CAST(x AS VARCHAR)||'_'||
+                 CAST(y AS VARCHAR)), 2, 1)) - 1) * 256 +
+              (strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_'||CAST(x AS VARCHAR)||'_'||
+                 CAST(y AS VARCHAR)), 3, 1)) - 1) * 16 +
+              (strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_'||CAST(x AS VARCHAR)||'_'||
+                 CAST(y AS VARCHAR)), 4, 1)) - 1)) % 191 + 30 AS base
            FROM ids CROSS JOIN grid),
+         b00 AS (SELECT doc_id, base AS v00 FROM draws WHERE x = 0 AND y = 0),
+         b10 AS (SELECT doc_id, base AS v10 FROM draws WHERE x = 1 AND y = 0),
+         cells AS (
+           SELECT d.doc_id, d.x, d.y,
+             CASE WHEN d.m = 2 AND d.x = 0 AND d.y = 0 THEN
+               CASE WHEN b00.v00 < b10.v10 THEN 255 ELSE 0 END
+             ELSE d.base + CASE WHEN d.m = 1 THEN 1 ELSE 0 END
+             END AS v
+           FROM draws d
+           JOIN b00 ON b00.doc_id = d.doc_id
+           JOIN b10 ON b10.doc_id = d.doc_id),
          bits AS (
            SELECT l.doc_id, l.y * 8 + l.x AS j,
                   CASE WHEN l.v < r.v THEN 1 ELSE 0 END AS b
            FROM cells l JOIN cells r
              ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
            WHERE l.x <= 7 AND NOT (l.x = 7 AND l.y = 7)),
+         fp AS (
+           SELECT doc_id,
+                  CAST(sum(b * (CAST(1 AS BIGINT) << CAST(j AS INT)))
+                       AS BIGINT) AS f
+           FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.f, b.f)) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.f, b.f)) <= 3""",
+
+    // replay the 64 window amplitudes (window energy 8·a² is monotone
+    // in a > 0, so `<` on a IS the contour bit — gain doubling scales
+    // a, flipping nothing), fold 63 comparisons, pair by bit_count
+    "q_audio_dedup" ->
+      """WITH ids AS (
+           SELECT doc_id, (doc_id // 10) // 3 AS g, (doc_id // 10) % 3 AS m
+           FROM documents WHERE doc_id % 10 = 0),
+         win AS (SELECT w FROM range(64) tw(w)),
+         draws AS (
+           SELECT doc_id, g, m, w,
+             ((strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_a_'||CAST(w AS VARCHAR)), 1, 1)) - 1)
+                * 4096 +
+              (strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_a_'||CAST(w AS VARCHAR)), 2, 1)) - 1)
+                * 256 +
+              (strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_a_'||CAST(w AS VARCHAR)), 3, 1)) - 1)
+                * 16 +
+              (strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_a_'||CAST(w AS VARCHAR)), 4, 1)) - 1))
+             % 191 + 10 AS amp
+           FROM ids CROSS JOIN win),
+         a0 AS (SELECT doc_id, amp AS amp0 FROM draws WHERE w = 0),
+         a1 AS (SELECT doc_id, amp AS amp1 FROM draws WHERE w = 1),
+         amps AS (
+           SELECT d.doc_id, d.w,
+             CASE WHEN d.m = 2 AND d.w = 0 THEN
+               CASE WHEN a0.amp0 < a1.amp1 THEN 250 ELSE 5 END
+             ELSE d.amp * (CASE WHEN d.m = 1 THEN 2 ELSE 1 END)
+             END AS a
+           FROM draws d
+           JOIN a0 ON a0.doc_id = d.doc_id
+           JOIN a1 ON a1.doc_id = d.doc_id),
+         bits AS (
+           SELECT l.doc_id, l.w AS j,
+                  CASE WHEN l.a < r.a THEN 1 ELSE 0 END AS b
+           FROM amps l JOIN amps r
+             ON r.doc_id = l.doc_id AND r.w = l.w + 1
+           WHERE l.w <= 62),
          fp AS (
            SELECT doc_id,
                   CAST(sum(b * (CAST(1 AS BIGINT) << CAST(j AS INT)))

@@ -209,6 +209,31 @@ object IvfIndex {
     graft.model.WaveManifest.commitWave(assignedRows.sparkSession, path, wave)
   }
 
+  /** Compact the PINNED wave set into ONE new wave (id = max + 1) and
+    * re-pin the manifest — the [[PostingIndex.compact]] lifecycle for
+    * the dense index: N micro-batch waves × list dirs of small files
+    * collapse to one wave. A pure row rewrite (vector rows are disjoint
+    * across waves — the append precondition), so search over the
+    * compacted index is bit-identical (spec-pinned). Data first,
+    * manifest after; old waves remain for pinned readers until
+    * [[graft.model.WaveManifest.expire]]. Single-committer contract.
+    * @return the new wave id */
+  def compact(spark: SparkSession, path: String): Long = {
+    val waves = graft.model.WaveManifest.pinned(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifest under $path — compact needs a manifest-pinned index"))
+    require(waves.nonEmpty, s"manifest under $path pins no waves")
+    val newWave = waves.max + 1
+    // materialized BEFORE the write (the rewrite scans the path it
+    // overwrites; Spark refuses the lazy form)
+    val rows = spark.read.parquet(s"$path/lists")
+      .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch")
+      .localCheckpoint()
+    writeListsWave(rows, path, newWave, dynamic = true)
+    graft.model.WaveManifest.commit(spark, path, Seq(newWave))
+    newWave
+  }
+
   /** The single lists write path every persisted face shares ([[
     * IvfModel.save]] wave 0 static, [[appendSave]] + [[graft.streaming
     * .VectorIndexStream]] waves dynamic) — one layout, so the partition

@@ -211,11 +211,15 @@ object Multimodal {
       (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
         ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
 
-    def decode(media: Array[Byte]): (Int, Array[Double]) = {
+    /** RIFF header walk shared by [[decode]] and [[AudioHash]]:
+      * (sampleRate, channels, bits, dataOff, dataLen) — zeroed/−1
+      * fields when absent, same hostile-bytes posture as the original
+      * inline walk (corrupt lengths stop the walk, never loop). */
+    private[ext] def header(media: Array[Byte]): (Int, Int, Int, Int, Int) = {
       if (media.length < 44 ||
         new String(media, 0, 4, "US-ASCII") != "RIFF" ||
         new String(media, 8, 4, "US-ASCII") != "WAVE")
-        return (0, Array(0.0, 0.0, 0.0))
+        return (0, 0, 0, -1, 0)
       var pos = 12
       var channels = 0; var sampleRate = 0; var bits = 0
       var dataOff = -1; var dataLen = 0
@@ -245,6 +249,16 @@ object Multimodal {
           else pos = next
         }
       }
+      (sampleRate, channels, bits, dataOff, dataLen)
+    }
+
+    def decode(media: Array[Byte]): (Int, Array[Double]) = {
+      val (sampleRate, channels, bits, dataOff, dataLen) = header(media)
+      if (channels == 0 && sampleRate == 0 && dataOff < 0 &&
+        (media.length < 44 ||
+          new String(media, 0, 4, "US-ASCII") != "RIFF" ||
+          new String(media, 8, 4, "US-ASCII") != "WAVE"))
+        return (0, Array(0.0, 0.0, 0.0))
       if (channels == 0 || bits != 16 || dataOff < 0)
         return (0, Array(sampleRate.toDouble, channels.toDouble, 0.0))
       val nSamples = dataLen / 2
@@ -371,6 +385,32 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** The WRITE side of the audio face: mux 16-bit PCM samples
+    * (interleaved by channel) into a standard RIFF WAVE container —
+    * exact inverse of [[WavCodec]]'s read path (spec-pinned round
+    * trip), the audio twin of [[muxMjpegAvi]]. Single-clip scope;
+    * assembled in one buffer, keep per-clip size within task memory. */
+  def muxPcmWav(samples: Array[Short], sampleRate: Int,
+      channels: Int): Array[Byte] = {
+    require(sampleRate >= 1 && channels >= 1,
+      "sampleRate and channels must be >= 1")
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
   }
 
   case class VideoFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])

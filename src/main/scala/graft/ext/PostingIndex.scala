@@ -174,6 +174,51 @@ object PostingIndex {
         round(score, 4).as("bm25"): _*)
   }
 
+  /** Compact the PINNED wave set into ONE new wave (id = max + 1) and
+    * re-pin the manifest to it — the small-files lifecycle for a
+    * long-ingesting index: N waves × 64 bucket dirs of micro-batch
+    * postings collapse back to one wave's worth of files, and per-wave
+    * df/stats delta rows collapse to single summed rows. Serve parity
+    * is EXACT: postings/doclens rows are disjoint across waves (the
+    * append precondition) so the rewrite is a pure union, and df/stats
+    * are whole counts in DOUBLE — integer-valued sums below 2^53 are
+    * associativity-proof, so pre-summing at compaction equals
+    * serve-time wave-summing bit-for-bit (spec-pinned).
+    *
+    * Crash discipline: the new wave's data lands first (dynamic
+    * overwrite of its own partitions — a replayed compaction is
+    * idempotent), the manifest flips after; a crash in between leaves
+    * the old manifest serving the old waves. Old waves stay on disk for
+    * pinned readers until [[graft.model.WaveManifest.expire]] reclaims
+    * them. Single-committer contract (do not race ingest).
+    * @return the new wave id */
+  def compact(spark: SparkSession, path: String): Long = {
+    val waves = graft.model.WaveManifest.pinned(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifest under $path — compact needs a manifest-pinned index"))
+    require(waves.nonEmpty, s"manifest under $path pins no waves")
+    val newWave = waves.max + 1
+    // materialized (localCheckpoint) BEFORE the write: the rewrite
+    // reads the same table paths it overwrites, and Spark refuses a
+    // write whose lazy input scans its own output path
+    def pinned(table: String) = spark.read.parquet(s"$path/$table")
+      .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch")
+      .localCheckpoint()
+    def wv(df: DataFrame, table: String, parts: String*): Unit =
+      df.withColumn("batch", lit(newWave))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch" +: parts: _*)
+        .parquet(s"$path/$table")
+    wv(pinned("doclens"), "doclens")
+    wv(pinned("postings"), "postings", "bucket")
+    wv(pinned("terms").groupBy(col("term"))
+      .agg(sum(col("df")).as("df")), "terms")
+    wv(pinned("stats").agg(sum(col("n_docs")).as("n_docs"),
+      sum(col("sum_dl")).as("sum_dl")), "stats")
+    graft.model.WaveManifest.commit(spark, path, Seq(newWave))
+    newWave
+  }
+
   /** The distinct posting buckets a term list touches — the mirror of
     * the build-side pmod(xxhash64(term, 42), termBuckets), computed
     * through Spark so the hash is the engine's own (k-bounded collect). */

@@ -120,4 +120,42 @@ object WaveManifest {
     if (!cur.contains(wave)) commit(spark, root, cur :+ wave)
     ()
   }
+
+  /** Retention: drop manifest versions older than the newest
+    * `keepVersions` at-or-below the pointer, then delete every
+    * `<table>/batch=<w>` partition dir whose wave is referenced by NO
+    * surviving version — the VACUUM for wave indexes ([[graft.ext
+    * .PostingIndex.compact]]/[[graft.ext.IvfIndex.compact]] create the
+    * unreferenced waves this reclaims). Readers pinned to an expired
+    * version fail on their next read — the same documented retention
+    * trade as [[GraphStorage.expireSnapshots]]. Versions past the
+    * pointer are never touched (an in-flight commit). Single-committer
+    * contract, like every write face. Returns the deleted wave ids. */
+  def expire(spark: SparkSession, root: String, tables: Seq[String],
+      keepVersions: Int): Seq[Long] = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    latestVersion(spark, root) match {
+      case None => Seq.empty
+      case Some(pointer) =>
+        val f = fs(spark, root)
+        val all = versions(spark, root)
+        val expired = all.filter(_ <= pointer).dropRight(keepVersions)
+        val kept = all.diff(expired)
+        val keepWaves = kept.flatMap(wavesAt(spark, root, _)).toSet
+        val dropWaves = expired.flatMap(wavesAt(spark, root, _)).toSet
+          .diff(keepWaves)
+        // data first, manifests after: a crash mid-expire leaves extra
+        // files (harmless — re-run), never a manifest naming vanished data
+        val deleted = dropWaves.toSeq.sorted.filter { w =>
+          tables.forall { t =>
+            val p = new org.apache.hadoop.fs.Path(root, s"$t/batch=$w")
+            !f.exists(p) || f.delete(p, true)
+          }
+        }
+        expired.foreach { v =>
+          f.delete(new org.apache.hadoop.fs.Path(dir(root), s"v=$v"), false)
+        }
+        deleted
+    }
+  }
 }

@@ -107,7 +107,17 @@ object ScaleProbe {
       // r11f: decay score (scan + one hash agg, pure ×10); weighted
       // PageRank (same hub-connected ×10 bipartite graph as q_sssp —
       // denser hubs, message volume ×10 through the shared 100 buckets)
-      "q_decay", "q_pagerank_weighted")
+      "q_decay", "q_pagerank_weighted",
+      // r12: wave-layout IVF insert face (build half, wave-append half,
+      // pinned pruned probe — the sign-bucket build scan carries the
+      // ×10; the probe reads one bucket regardless), image dedup
+      // (render+decode+dHash scan ×10; replica-offset doc_ids keep
+      // groups disjoint so pairs ×10, never ×100), CC snapshot serving
+      // (two batch folds + store round-trip over ×10 disjoint pairs)
+      "q_ann_ivf_append", "q_image_dedup", "q_cc_serve",
+      // r12b: audio dedup (synthesize+mux+parse+hash scan ×10, same
+      // disjoint-group argument as image dedup)
+      "q_audio_dedup")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
