@@ -2163,6 +2163,65 @@ object SparkEntry {
         graft.ext.AudioHash.fingerprints(media), maxHamming = 3)
     }),
 
+    // ── Perceptual VIDEO dedup (ext.VideoHash) — the temporal member
+    //    of the modality-dedup family, driver-visible end to end: per
+    //    sampled document, MUX a real 64-frame MJPEG-AVI of solid-gray
+    //    8×8 JPEG frames whose levels come from the md5 group coin on
+    //    a 20-gray-level grid (JPEG reproduces a solid block within
+    //    ±3 — the q_video pinned bound — so ≥20-level gaps make every
+    //    contour comparison noise-proof and STATED levels replay the
+    //    decoded contour exactly); member 1 shifts every level +8
+    //    (contour invariant), member 2 flips exactly window 0's
+    //    comparison. The bytes run the REAL RIFF walk → per-frame JPEG
+    //    decode → integer luminance contour → banded Hamming pairing.
+    "q_video_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val avis = Tables.documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 0)
+        .as[Long].mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def draw(key: String): Int = {
+            val d = md.digest(key.getBytes("UTF-8"))
+            (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 10
+          }
+          // one JPEG per distinct gray level, memoized per partition
+          val frameCache = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+          def frame(level: Int): Array[Byte] =
+            frameCache.getOrElseUpdate(level, {
+              val img = new java.awt.image.BufferedImage(8, 8,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val rgb = (level << 16) | (level << 8) | level
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) { img.setRGB(x, y, rgb); x += 1 }
+                y += 1
+              }
+              val buf = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "jpg", buf)
+              buf.toByteArray
+            })
+          it.map { id =>
+            val idp = id / 10
+            val g = idp / 3
+            val m = idp % 3
+            def lvl(w: Int): Int = draw(s"${g}_v_$w") * 20 + 20
+            def level(w: Int): Int =
+              if (m == 2 && w == 0) {
+                // guaranteed flip: 240 clears the 20..208 range upward
+                // (beyond the +3 JPEG bound), 0 clears it downward
+                if (lvl(0) < lvl(1)) 240 else 0
+              } else lvl(w) + (if (m == 1) 8 else 0)
+            val frames = (0 until 64).map(w => frame(level(w)))
+            (id, Multimodal.muxMjpegAvi(frames, 8, 8))
+          }
+        }.toDF("doc_id", "avi")
+      val media = Multimodal.attach(avis, "doc_id", "avi", "avi")
+        .as[Multimodal.MediaRow]
+      graft.ext.VideoHash.nearDupPairs(
+        graft.ext.VideoHash.fingerprints(media), maxHamming = 3)
+    }),
+
     // ── S1/S2 text ingest faces: the reference's flow logs arrive as
     //    JSON/TSV lines, not parquet (SURVEY §1.2). Round-trip contract:
     //    serialize a deterministic events subset to the text format, read
@@ -5084,6 +5143,57 @@ object SparkEntry {
            SELECT l.doc_id, l.w AS j,
                   CASE WHEN l.a < r.a THEN 1 ELSE 0 END AS b
            FROM amps l JOIN amps r
+             ON r.doc_id = l.doc_id AND r.w = l.w + 1
+           WHERE l.w <= 62),
+         fp AS (
+           SELECT doc_id,
+                  CAST(sum(b * (CAST(1 AS BIGINT) << CAST(j AS INT)))
+                       AS BIGINT) AS f
+           FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.f, b.f)) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.f, b.f)) <= 3""",
+
+    // replay the 64 frame levels (solid-gray JPEG decodes within ±3
+    // of its level and identical levels give byte-identical frames, so
+    // with ≥20-level gaps `<` on LEVELS is the decoded contour bit;
+    // the +8 member shift and the 240/0 flip clear the bound too)
+    "q_video_dedup" ->
+      """WITH ids AS (
+           SELECT doc_id, (doc_id // 10) // 3 AS g, (doc_id // 10) % 3 AS m
+           FROM documents WHERE doc_id % 10 = 0),
+         win AS (SELECT w FROM range(64) tw(w)),
+         draws AS (
+           SELECT doc_id, g, m, w,
+             ((strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_v_'||CAST(w AS VARCHAR)), 1, 1)) - 1)
+                * 4096 +
+              (strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_v_'||CAST(w AS VARCHAR)), 2, 1)) - 1)
+                * 256 +
+              (strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_v_'||CAST(w AS VARCHAR)), 3, 1)) - 1)
+                * 16 +
+              (strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_v_'||CAST(w AS VARCHAR)), 4, 1)) - 1))
+             % 10 * 20 + 20 AS lvl
+           FROM ids CROSS JOIN win),
+         l0 AS (SELECT doc_id, lvl AS lvl0 FROM draws WHERE w = 0),
+         l1 AS (SELECT doc_id, lvl AS lvl1 FROM draws WHERE w = 1),
+         lvls AS (
+           SELECT d.doc_id, d.w,
+             CASE WHEN d.m = 2 AND d.w = 0 THEN
+               CASE WHEN l0.lvl0 < l1.lvl1 THEN 240 ELSE 0 END
+             ELSE d.lvl + CASE WHEN d.m = 1 THEN 8 ELSE 0 END
+             END AS v
+           FROM draws d
+           JOIN l0 ON l0.doc_id = d.doc_id
+           JOIN l1 ON l1.doc_id = d.doc_id),
+         bits AS (
+           SELECT l.doc_id, l.w AS j,
+                  CASE WHEN l.v < r.v THEN 1 ELSE 0 END AS b
+           FROM lvls l JOIN lvls r
              ON r.doc_id = l.doc_id AND r.w = l.w + 1
            WHERE l.w <= 62),
          fp AS (

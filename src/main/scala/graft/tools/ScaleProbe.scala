@@ -116,8 +116,9 @@ object ScaleProbe {
       // (two batch folds + store round-trip over ×10 disjoint pairs)
       "q_ann_ivf_append", "q_image_dedup", "q_cc_serve",
       // r12b: audio dedup (synthesize+mux+parse+hash scan ×10, same
-      // disjoint-group argument as image dedup)
-      "q_audio_dedup")
+      // disjoint-group argument as image dedup), video dedup (64-frame
+      // mux + RIFF walk + per-frame JPEG decode ×10)
+      "q_audio_dedup", "q_video_dedup")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {

@@ -492,12 +492,18 @@ class PlanContractSpec extends SparkSpec {
 
   test("bm25 index serving: the postings scan is partition-pruned") {
     // the whole point of the persisted index: a k-term query reads at
-    // most k term buckets, never the full posting set
-    // (the scan's Location string truncates mid-path, so match on the
-    // pruning predicate itself, not the "postings" directory name)
+    // most k term buckets of the manifest-pinned waves, never the full
+    // posting set — BOTH partition keys must prune (batch leads the
+    // filter list since r12's manifest pin; the scan's Location string
+    // truncates mid-path, so match on the pruning predicates, not the
+    // "postings" directory name)
+    // (a single pinned wave prints as `batch = 0`, multi-wave as
+    // `batch IN (...)` — accept either form, require BOTH keys)
     val p = plan("q_bm25_indexed")
-    assert("PartitionFilters: \\[bucket#\\d+ IN".r.findFirstIn(p).isDefined,
-      s"postings scan not pruned on the bucket key:\n${p.take(1200)}")
+    assert(
+      "PartitionFilters: \\[[^\\]]*batch#\\d+[^\\]]*bucket#\\d+ IN".r
+        .findFirstIn(p).isDefined,
+      s"postings scan not pruned on (batch, bucket):\n${p.take(1200)}")
   }
 
   test("hyperball: register merge is a hash aggregate with map-side " +
