@@ -2062,57 +2062,23 @@ object SparkEntry {
     //    pair at hamming 0, flipped-block members at 1, distinct
     //    groups sit ~31 bits apart (and any freak band collision is
     //    filtered by the same bit_count both engines compute).
-    "q_image_dedup" -> ((s, dir) => {
-      import s.implicits._
-      val pngs = Tables.documents(s, dir).select(col("doc_id"))
-        .filter(col("doc_id") % 10 === 0)
-        .as[Long].mapPartitions { it =>
-          // md5 cell draw, NOT a polynomial mix: any low-degree
-          // arithmetic in (g, cell) is smooth enough that a birthday
-          // search over millions of group pairs finds near-identical
-          // patterns (measured at the sf1 probe: thousands of spurious
-          // cross-group pairs for a quadratic mod-prime mix); md5 is
-          // the repo's engine-shared coin (simhash/walks precedent),
-          // and its first 16 bits mod 191 give uniform multi-valued
-          // cells — comparison bits at p = 1/2, cross-group hamming
-          // concentrated at ~31.5/63
-          val md = java.security.MessageDigest.getInstance("MD5")
-          def draw(key: String): Int = {
-            val d = md.digest(key.getBytes("UTF-8"))
-            (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 191
-          }
-          it.map { id =>
-            val idp = id / 10
-            val g = idp / 3
-            val m = idp % 3
-            def base(x: Int, y: Int): Int = draw(s"${g}_${x}_$y") + 30
-            def cell(x: Int, y: Int): Int =
-              if (m == 2 && x == 0 && y == 0) {
-                // guaranteed single-comparison flip: 255 clears the
-                // 30..221 value range upward, 0 clears it downward
-                if (base(0, 0) < base(1, 0)) 255 else 0
-              } else base(x, y) + (if (m == 1) 1 else 0)
-            val img = new java.awt.image.BufferedImage(18, 16,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var py = 0
-            while (py < 16) {
-              var px = 0
-              while (px < 18) {
-                val v = cell(px / 2, py / 2)
-                img.setRGB(px, py, (v << 16) | (v << 8) | v)
-                px += 1
-              }
-              py += 1
-            }
-            val buf = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", buf)
-            (id, buf.toByteArray)
-          }
-        }.toDF("doc_id", "png")
-      val media = Multimodal.attach(pngs, "doc_id", "png", "png")
-        .as[Multimodal.MediaRow]
-      graft.ext.ImageHash.nearDupPairs(
-        graft.ext.ImageHash.fingerprints(media), "dhash", maxHamming = 3)
+    "q_image_dedup" -> ((s, dir) =>
+      graft.ext.ImageHash.nearDupPairs(imageDedupFps(s, dir), "dhash",
+        maxHamming = 3)),
+
+    // ── Image near-dup CLUSTERS + keep-one policy: the SemDeDup shape
+    //    on the image pair graph — pairs close transitively
+    //    (Components.connectedAdaptive), keeper = cluster minimum, and
+    //    the emitted DROP LIST (every doc that is not its own cluster
+    //    id) is what a curation pipeline anti-joins against the
+    //    corpus. Oracle: recursive closure over the identical
+    //    fingerprint-pair SQL (the q_semdedup pattern).
+    "q_image_dedup_keep" -> ((s, dir) => {
+      val pairs = graft.ext.ImageHash.nearDupPairs(
+        imageDedupFps(s, dir), "dhash", maxHamming = 3)
+      graft.ext.Components.connectedAdaptive(pairs, "doc_a", "doc_b")
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"), col("component").as("kept_id"))
     }),
 
     // ── Perceptual AUDIO dedup (ext.AudioHash), the q_image_dedup
@@ -2659,6 +2625,63 @@ object SparkEntry {
         "doc_id", "text", window = 32, stride = 24))
   )
 
+  /** Deterministic group-patterned PNG fingerprints shared by the
+    * image-dedup family (q_image_dedup / q_image_dedup_keep): renders
+    * an 18×16 gray block image per sampled doc (2×2 blocks of a 9×8
+    * cell grid), PNG-encodes it executor-side, and runs the REAL
+    * decode → pixel-center resample → integer dHash path. Cell values
+    * are md5 draws, NOT a polynomial mix: any low-degree arithmetic in
+    * (g, cell) is smooth enough that a birthday search over millions
+    * of group pairs finds near-identical patterns (measured at the sf1
+    * probe: ~50% spurious cross-group pairs for a quadratic mod-prime
+    * mix); md5 is the repo's engine-shared coin (simhash/walks
+    * precedent), and its first 16 bits mod 191 give uniform
+    * multi-valued cells — comparison bits at p = 1/2, cross-group
+    * hamming concentrated at ~31.5/63. */
+  private def imageDedupFps(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val pngs = Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 10 === 0)
+      .as[Long].mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def draw(key: String): Int = {
+          val d = md.digest(key.getBytes("UTF-8"))
+          (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 191
+        }
+        it.map { id =>
+          val idp = id / 10
+          val g = idp / 3
+          val m = idp % 3
+          def base(x: Int, y: Int): Int = draw(s"${g}_${x}_$y") + 30
+          def cell(x: Int, y: Int): Int =
+            if (m == 2 && x == 0 && y == 0) {
+              // guaranteed single-comparison flip: 255 clears the
+              // 30..221 value range upward, 0 clears it downward
+              if (base(0, 0) < base(1, 0)) 255 else 0
+            } else base(x, y) + (if (m == 1) 1 else 0)
+          val img = new java.awt.image.BufferedImage(18, 16,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var py = 0
+          while (py < 16) {
+            var px = 0
+            while (px < 18) {
+              val v = cell(px / 2, py / 2)
+              img.setRGB(px, py, (v << 16) | (v << 8) | v)
+              px += 1
+            }
+            py += 1
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          (id, buf.toByteArray)
+        }
+      }.toDF("doc_id", "png")
+    graft.ext.ImageHash.fingerprints(
+      Multimodal.attach(pngs, "doc_id", "png", "png")
+        .as[Multimodal.MediaRow])
+  }
+
   /** The q_comoments feature grid, shared with the generated oracle. */
   private val comomentFeats: Seq[(String, Long)] = Seq(
     "l_quantity" -> 1L, "l_extendedprice" -> 1L,
@@ -2767,6 +2790,52 @@ object SparkEntry {
   /** Transitive-closure CTE block (expects a `pairs(doc_a, doc_b)` CTE in
     * scope; yields `comp(node, cluster_id)`) — shared by q_dedup_clusters
     * and q_dedup_keep. Interpolating callers must open WITH RECURSIVE. */
+  /** The image-dedup fingerprint replay (cells → comparisons → 63-bit
+    * fp), shared by q_image_dedup and q_image_dedup_keep — one source
+    * of truth for the fingerprint semantics, like minhashLshOracle. */
+  private val imageFpCtes: String =
+    """ids AS (
+           SELECT doc_id, (doc_id // 10) // 3 AS g, (doc_id // 10) % 3 AS m
+           FROM documents WHERE doc_id % 10 = 0),
+         grid AS (SELECT x, y FROM range(9) tx(x) CROSS JOIN range(8) ty(y)),
+         draws AS (
+           SELECT doc_id, g, m, x, y,
+             ((strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_'||CAST(x AS VARCHAR)||'_'||
+                 CAST(y AS VARCHAR)), 1, 1)) - 1) * 4096 +
+              (strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_'||CAST(x AS VARCHAR)||'_'||
+                 CAST(y AS VARCHAR)), 2, 1)) - 1) * 256 +
+              (strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_'||CAST(x AS VARCHAR)||'_'||
+                 CAST(y AS VARCHAR)), 3, 1)) - 1) * 16 +
+              (strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_'||CAST(x AS VARCHAR)||'_'||
+                 CAST(y AS VARCHAR)), 4, 1)) - 1)) % 191 + 30 AS base
+           FROM ids CROSS JOIN grid),
+         b00 AS (SELECT doc_id, base AS v00 FROM draws WHERE x = 0 AND y = 0),
+         b10 AS (SELECT doc_id, base AS v10 FROM draws WHERE x = 1 AND y = 0),
+         cells AS (
+           SELECT d.doc_id, d.x, d.y,
+             CASE WHEN d.m = 2 AND d.x = 0 AND d.y = 0 THEN
+               CASE WHEN b00.v00 < b10.v10 THEN 255 ELSE 0 END
+             ELSE d.base + CASE WHEN d.m = 1 THEN 1 ELSE 0 END
+             END AS v
+           FROM draws d
+           JOIN b00 ON b00.doc_id = d.doc_id
+           JOIN b10 ON b10.doc_id = d.doc_id),
+         bits AS (
+           SELECT l.doc_id, l.y * 8 + l.x AS j,
+                  CASE WHEN l.v < r.v THEN 1 ELSE 0 END AS b
+           FROM cells l JOIN cells r
+             ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
+           WHERE l.x <= 7 AND NOT (l.x = 7 AND l.y = 7)),
+         fp AS (
+           SELECT doc_id,
+                  CAST(sum(b * (CAST(1 AS BIGINT) << CAST(j AS INT)))
+                       AS BIGINT) AS f
+           FROM bits GROUP BY doc_id)"""
+
   private val closureOracle: String =
     """sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
                  UNION SELECT doc_b, doc_a FROM pairs),
@@ -5059,51 +5128,23 @@ object SparkEntry {
     // The cell draw is the first 16 bits of md5(g_x_y) mod 191 — the
     // engine-shared coin (simhash precedent)
     "q_image_dedup" ->
-      """WITH ids AS (
-           SELECT doc_id, (doc_id // 10) // 3 AS g, (doc_id // 10) % 3 AS m
-           FROM documents WHERE doc_id % 10 = 0),
-         grid AS (SELECT x, y FROM range(9) tx(x) CROSS JOIN range(8) ty(y)),
-         draws AS (
-           SELECT doc_id, g, m, x, y,
-             ((strpos('0123456789abcdef', substr(md5(
-                 CAST(g AS VARCHAR)||'_'||CAST(x AS VARCHAR)||'_'||
-                 CAST(y AS VARCHAR)), 1, 1)) - 1) * 4096 +
-              (strpos('0123456789abcdef', substr(md5(
-                 CAST(g AS VARCHAR)||'_'||CAST(x AS VARCHAR)||'_'||
-                 CAST(y AS VARCHAR)), 2, 1)) - 1) * 256 +
-              (strpos('0123456789abcdef', substr(md5(
-                 CAST(g AS VARCHAR)||'_'||CAST(x AS VARCHAR)||'_'||
-                 CAST(y AS VARCHAR)), 3, 1)) - 1) * 16 +
-              (strpos('0123456789abcdef', substr(md5(
-                 CAST(g AS VARCHAR)||'_'||CAST(x AS VARCHAR)||'_'||
-                 CAST(y AS VARCHAR)), 4, 1)) - 1)) % 191 + 30 AS base
-           FROM ids CROSS JOIN grid),
-         b00 AS (SELECT doc_id, base AS v00 FROM draws WHERE x = 0 AND y = 0),
-         b10 AS (SELECT doc_id, base AS v10 FROM draws WHERE x = 1 AND y = 0),
-         cells AS (
-           SELECT d.doc_id, d.x, d.y,
-             CASE WHEN d.m = 2 AND d.x = 0 AND d.y = 0 THEN
-               CASE WHEN b00.v00 < b10.v10 THEN 255 ELSE 0 END
-             ELSE d.base + CASE WHEN d.m = 1 THEN 1 ELSE 0 END
-             END AS v
-           FROM draws d
-           JOIN b00 ON b00.doc_id = d.doc_id
-           JOIN b10 ON b10.doc_id = d.doc_id),
-         bits AS (
-           SELECT l.doc_id, l.y * 8 + l.x AS j,
-                  CASE WHEN l.v < r.v THEN 1 ELSE 0 END AS b
-           FROM cells l JOIN cells r
-             ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
-           WHERE l.x <= 7 AND NOT (l.x = 7 AND l.y = 7)),
-         fp AS (
-           SELECT doc_id,
-                  CAST(sum(b * (CAST(1 AS BIGINT) << CAST(j AS INT)))
-                       AS BIGINT) AS f
-           FROM bits GROUP BY doc_id)
+      s"""WITH $imageFpCtes
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 bit_count(xor(a.f, b.f)) AS hamming
          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.f, b.f)) <= 3""",
+
+    // the image pair graph above, closed transitively; keeper = the
+    // component minimum, drop list = every node not its own cluster id
+    // (the q_semdedup shape)
+    "q_image_dedup_keep" ->
+      s"""WITH RECURSIVE $imageFpCtes,
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+                   WHERE bit_count(xor(a.f, b.f)) <= 3),
+         $closureOracle
+         SELECT node AS doc_id, cluster_id AS kept_id
+         FROM comp WHERE node <> cluster_id""",
 
     // replay the 64 window amplitudes (window energy 8·a² is monotone
     // in a > 0, so `<` on a IS the contour bit — gain doubling scales

@@ -50,7 +50,9 @@ object IvfIndex {
       centroids.toSeq.map { case (i, c) => (i, c) }
         .toDF("list_id", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-      graft.model.WaveManifest.commit(spark, path, Seq(0L))
+      // Some(-1): a rebuild resets compaction coverage
+      graft.model.WaveManifest.commit(spark, path, Seq(0L),
+        through = Some(-1L))
       ()
     }
   }
@@ -205,6 +207,14 @@ object IvfIndex {
     * before the append keeps serving the pre-append snapshot. */
   def appendSave(path: String, assignedRows: DataFrame, wave: Long): Unit = {
     require(wave != 0L, "wave 0 is the build wave; append with a new id")
+    // below the compaction watermark = absorbed id: commitWave would
+    // skip it (replay protection) and the rows would silently vanish
+    // from serving — refuse loudly on the batch face
+    val through = graft.model.WaveManifest
+      .compactedThrough(assignedRows.sparkSession, path)
+    require(wave > through,
+      s"wave $wave is at or below the compaction watermark $through — " +
+        "a compaction absorbed that id; append with a fresh id")
     writeListsWave(assignedRows, path, wave, dynamic = true)
     graft.model.WaveManifest.commitWave(assignedRows.sparkSession, path, wave)
   }
@@ -230,7 +240,9 @@ object IvfIndex {
       .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch")
       .localCheckpoint()
     writeListsWave(rows, path, newWave, dynamic = true)
-    graft.model.WaveManifest.commit(spark, path, Seq(newWave))
+    // coverage marker: absorbed ids are refused/skipped from here on
+    graft.model.WaveManifest.commit(spark, path, Seq(newWave),
+      through = Some(waves.max))
     newWave
   }
 

@@ -59,7 +59,10 @@ object PostingIndex {
             path: String, termBuckets: Int = 64): Unit = {
     writeWave(docs, idCol, textCol, path, wave = 0L, termBuckets,
       dynamic = false)
-    graft.model.WaveManifest.commit(docs.sparkSession, path, Seq(0L))
+    // Some(-1): a rebuild RESETS compaction coverage — fresh index,
+    // every wave id is legal again
+    graft.model.WaveManifest.commit(docs.sparkSession, path, Seq(0L),
+      through = Some(-1L))
     ()
   }
 
@@ -73,6 +76,14 @@ object PostingIndex {
   def append(newDocs: DataFrame, idCol: String, textCol: String,
              path: String, wave: Long, termBuckets: Int = 64): Unit = {
     require(wave != 0L, "wave 0 is the build wave; append with a new id")
+    // an id at or below the compaction watermark would be SKIPPED by
+    // commitWave (absorbed-replay protection) — silently losing fresh
+    // docs; a batch-face caller must get an error, not a drop
+    val through =
+      graft.model.WaveManifest.compactedThrough(newDocs.sparkSession, path)
+    require(wave > through,
+      s"wave $wave is at or below the compaction watermark $through — " +
+        "a compaction absorbed that id; append with a fresh id")
     writeWave(newDocs, idCol, textCol, path, wave, termBuckets,
       dynamic = true)
     graft.model.WaveManifest.commitWave(newDocs.sparkSession, path, wave)
@@ -215,7 +226,10 @@ object PostingIndex {
       .agg(sum(col("df")).as("df")), "terms")
     wv(pinned("stats").agg(sum(col("n_docs")).as("n_docs"),
       sum(col("sum_dl")).as("sum_dl")), "stats")
-    graft.model.WaveManifest.commit(spark, path, Seq(newWave))
+    // record coverage: every absorbed id is now refused (batch append)
+    // or skipped (streaming replay) — the double-count guard
+    graft.model.WaveManifest.commit(spark, path, Seq(newWave),
+      through = Some(waves.max))
     newWave
   }
 

@@ -64,15 +64,36 @@ object WaveManifest {
     if (!f.exists(latest)) None else Some(readFile(f, latest).toLong)
   }
 
-  /** The wave ids of one committed version, sorted ascending. */
+  /** The wave ids of one committed version, sorted ascending
+    * (`#`-prefixed marker lines — the compaction coverage record — are
+    * not waves). */
   def wavesAt(spark: SparkSession, root: String, version: Long): Seq[Long] = {
     val f = fs(spark, root)
     val p = new org.apache.hadoop.fs.Path(dir(root), s"v=$version")
     require(f.exists(p), s"no manifest version $version under ${dir(root)}")
     val body = readFile(f, p)
     if (body.isEmpty) Seq.empty
-    else body.split("\\s+").toSeq.map(_.toLong).sorted
+    else body.split("\\s+").toSeq.filterNot(s => s.isEmpty || s.startsWith("#"))
+      .map(_.toLong).sorted
   }
+
+  /** The highest wave id a compaction has ABSORBED, per the latest
+    * version's `#through=<n>` marker; −1 when never compacted. A wave
+    * id at or below this is already inside a compacted wave — an
+    * at-least-once REPLAY of it must be skipped, not re-committed (the
+    * double-count hazard: its docs would live in both the compacted
+    * wave and the re-landed one). */
+  def compactedThrough(spark: SparkSession, root: String): Long =
+    latestVersion(spark, root) match {
+      case None => -1L
+      case Some(v) =>
+        val f = fs(spark, root)
+        val p = new org.apache.hadoop.fs.Path(dir(root), s"v=$v")
+        readFile(f, p).split("\\s+").toSeq
+          .collectFirst { case s if s.startsWith("#through=") =>
+            s.stripPrefix("#through=").toLong }
+          .getOrElse(-1L)
+    }
 
   /** The CURRENT snapshot's wave set — resolve once per plan/load and
     * pin; None when the index has no manifest (legacy layout). */
@@ -83,13 +104,21 @@ object WaveManifest {
     * returns the new version number. Call AFTER the wave's data write
     * completes — the manifest is the only thing that makes a wave
     * visible. Version numbering skips any existing file (a crashed
-    * commit's number is never reused). */
-  def commit(spark: SparkSession, root: String, waves: Seq[Long]): Long = {
+    * commit's number is never reused). `through` records the highest
+    * ABSORBED wave id as a `#through=` marker, so replays of absorbed
+    * waves are refused/skipped downstream: None carries the prior
+    * version's marker forward (append commits), Some(n) sets it
+    * explicitly — compactions pass Some(absorbed max), a full rebuild
+    * passes Some(-1) to RESET coverage (fresh index, all ids legal). */
+  def commit(spark: SparkSession, root: String, waves: Seq[Long],
+      through: Option[Long] = None): Long = {
     val f = fs(spark, root)
     val d = new org.apache.hadoop.fs.Path(dir(root))
     if (!f.exists(d)) f.mkdirs(d)
+    val marker = through.getOrElse(compactedThrough(spark, root))
     val next = versions(spark, root).lastOption.getOrElse(-1L) + 1
-    val body = waves.distinct.sorted.mkString("\n")
+    val body = (if (marker >= 0) Seq(s"#through=$marker") else Nil)
+      .++(waves.distinct.sorted.map(_.toString)).mkString("\n")
     // tmp-write + rename: a concurrent reader of v=<n> never sees a
     // partial wave list
     val tmp = new org.apache.hadoop.fs.Path(dir(root), s".tmp.v$next")
@@ -111,13 +140,17 @@ object WaveManifest {
     next
   }
 
-  /** Commit `pinned ∪ {wave}` unless `wave` is already pinned — the
+  /** Commit `pinned ∪ {wave}` unless `wave` is already pinned OR was
+    * absorbed by a compaction ([[compactedThrough]]) — the
     * append/streaming fast path: an at-least-once REPLAY of a committed
     * wave re-writes identical data and must not spin new manifest
-    * versions (or race a serve with a no-op pointer flip). */
+    * versions, and a replay of an ABSORBED wave must not re-commit it
+    * (its rows already live in the compacted wave — re-pinning would
+    * double-count them). */
   def commitWave(spark: SparkSession, root: String, wave: Long): Unit = {
     val cur = pinned(spark, root).getOrElse(Seq.empty)
-    if (!cur.contains(wave)) commit(spark, root, cur :+ wave)
+    if (!cur.contains(wave) && wave > compactedThrough(spark, root))
+      commit(spark, root, cur :+ wave)
     ()
   }
 

@@ -27,14 +27,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object IndexStream {
 
   /** Start the maintenance query. `docs` is a STREAMING frame with
-    * (idCol, textCol). */
+    * (idCol, textCol). `compactEvery > 0` auto-compacts whenever the
+    * pinned wave count reaches it (the small-files lifecycle inline in
+    * the maintenance loop — same single foreachBatch thread, so the
+    * compactor never races ingest). */
   def start(docs: DataFrame, idCol: String, textCol: String,
             path: String, checkpoint: String,
-            termBuckets: Int = 64): StreamingQuery =
+            termBuckets: Int = 64, compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        appendBatch(batch, idCol, textCol, path, id, termBuckets)
+        appendBatch(batch, idCol, textCol, path, id, termBuckets,
+          compactEvery)
       }
       .start()
 
@@ -49,10 +53,25 @@ object IndexStream {
     * or post-batch snapshot — never a mix. Public so specs can drive
     * replays directly. */
   def appendBatch(batch: DataFrame, idCol: String, textCol: String,
-                  path: String, batchId: Long, termBuckets: Int): Unit = {
+                  path: String, batchId: Long, termBuckets: Int,
+                  compactEvery: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    // a replayed batch whose wave a compaction already ABSORBED must
+    // be a complete no-op: its docs live in the compacted wave, and
+    // re-landing the data would only create an unreferenced dirty dir
+    // (and re-committing it would double-count — commitWave refuses,
+    // but skipping the write too keeps the layout clean)
+    if (batchId <= graft.model.WaveManifest.compactedThrough(spark, path))
+      return
     graft.ext.PostingIndex.writeWave(batch, idCol, textCol, path,
       wave = batchId, termBuckets, dynamic = true)
-    graft.model.WaveManifest.commitWave(batch.sparkSession, path, batchId)
+    graft.model.WaveManifest.commitWave(spark, path, batchId)
+    if (compactEvery > 0 &&
+      graft.model.WaveManifest.pinned(spark, path)
+        .exists(_.size >= compactEvery)) {
+      graft.ext.PostingIndex.compact(spark, path)
+      ()
+    }
   }
 
   /** Serve the streamed index — [[graft.ext.PostingIndex.scoreQuery]]

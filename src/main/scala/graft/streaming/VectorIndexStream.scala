@@ -28,13 +28,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object VectorIndexStream {
 
   /** Start the maintenance query. `vectors` is a STREAMING frame with
-    * (idCol, vecCol); `path` must hold a saved index (the quantizer). */
+    * (idCol, vecCol); `path` must hold a saved index (the quantizer).
+    * `compactEvery > 0` auto-compacts when the pinned wave count
+    * reaches it (same foreachBatch thread — never races ingest). */
   def start(vectors: DataFrame, idCol: String, vecCol: String,
-            path: String, checkpoint: String): StreamingQuery =
+            path: String, checkpoint: String,
+            compactEvery: Int = 0): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        appendBatch(batch, idCol, vecCol, path, id)
+        appendBatch(batch, idCol, vecCol, path, id, compactEvery)
       }
       .start()
 
@@ -45,14 +48,26 @@ object VectorIndexStream {
     * list choice cannot diverge between batch, incremental, and
     * streaming writers. Public so specs can drive replays directly. */
   def appendBatch(batch: DataFrame, idCol: String, vecCol: String,
-                  path: String, batchId: Long): Unit = {
+                  path: String, batchId: Long,
+                  compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
-    val model = graft.ext.IvfIndex.load(spark, path)
     val wave = batchId + 1
+    // absorbed-replay no-op (see IndexStream.appendBatch): after an
+    // auto-compaction, the replayed batch's rows already live in the
+    // compacted wave
+    if (wave <= graft.model.WaveManifest.compactedThrough(spark, path))
+      return
+    val model = graft.ext.IvfIndex.load(spark, path)
     graft.ext.IvfIndex.writeListsWave(
       graft.ext.IvfIndex.assignTo(model, batch, idCol, vecCol),
       path, wave, dynamic = true)
     graft.model.WaveManifest.commitWave(spark, path, wave)
+    if (compactEvery > 0 &&
+      graft.model.WaveManifest.pinned(spark, path)
+        .exists(_.size >= compactEvery)) {
+      graft.ext.IvfIndex.compact(spark, path)
+      ()
+    }
   }
 
   /** Serve the streamed index: a fresh pinned [[graft.ext.IvfIndex
