@@ -38,11 +38,20 @@ object EmbedEval {
     // empty query frame, and checking only the first row would let a
     // mixed-dimension corpus pass while slice() silently no-ops on
     // its shorter vectors (review r12).
+    // size(NULL) is null (or -1 under the legacy sizeOfNull conf), so a
+    // null vector would either vanish from min() — leaving an
+    // all-null-frame min as null and getInt throwing an opaque NPE — or
+    // poison it to -1; count the nulls explicitly and fail with words
+    // (review r12)
     val stats = queries.select(size(col(vecCol)).as("d"))
       .unionByName(corpus.select(size(col(vecCol)).as("d")))
-      .agg(min(col("d")).as("mn"), count(lit(1)).as("n")).head()
+      .agg(min(col("d")).as("mn"), count(lit(1)).as("n"),
+        count(when(col("d").isNull || col("d") < 0, 1)).as("n_null")).head()
     require(stats.getLong(1) > 0,
       "truncationRecall needs non-empty corpus and query frames")
+    require(stats.getLong(2) == 0L,
+      s"truncationRecall: ${stats.getLong(2)} row(s) carry a NULL " +
+        s"$vecCol — a null vector has no dimension to truncate")
     val storedDims = stats.getInt(0)
     require(dims <= storedDims,
       s"dims=$dims exceeds the smallest stored dimension $storedDims — " +

@@ -207,6 +207,9 @@ object IvfIndex {
     * before the append keeps serving the pre-append snapshot. */
   def appendSave(path: String, assignedRows: DataFrame, wave: Long): Unit = {
     require(wave != 0L, "wave 0 is the build wave; append with a new id")
+    require(wave < graft.model.WaveManifest.CompactBase,
+      s"wave $wave is in the compaction id space (>= 2^60) — append " +
+        "waves must stay below WaveManifest.CompactBase")
     // below the compaction watermark = absorbed id: commitWave would
     // skip it (replay protection) and the rows would silently vanish
     // from serving — refuse loudly on the batch face
@@ -219,8 +222,8 @@ object IvfIndex {
     graft.model.WaveManifest.commitWave(assignedRows.sparkSession, path, wave)
   }
 
-  /** Compact the PINNED wave set into ONE new wave (id = max + 1) and
-    * re-pin the manifest — the [[PostingIndex.compact]] lifecycle for
+  /** Compact the PINNED wave set into ONE new wave and re-pin the
+    * manifest — the [[PostingIndex.compact]] lifecycle for
     * the dense index: N micro-batch waves × list dirs of small files
     * collapse to one wave. A pure row rewrite (vector rows are disjoint
     * across waves — the append precondition), so search over the
@@ -233,16 +236,22 @@ object IvfIndex {
       throw new IllegalArgumentException(
         s"no manifest under $path — compact needs a manifest-pinned index"))
     require(waves.nonEmpty, s"manifest under $path pins no waves")
-    val newWave = waves.max + 1
+    // DISJOINT compaction id space (>= 2^60): `waves.max + 1` collided
+    // with the next streaming micro-batch's id (batchId + 1), whose
+    // dynamic overwrite replaced the compacted wave's touched lists while
+    // commitWave skipped the already-pinned id (review r12)
+    val newWave = graft.model.WaveManifest.nextCompactionWave(waves)
     // materialized BEFORE the write (the rewrite scans the path it
     // overwrites; Spark refuses the lazy form)
     val rows = spark.read.parquet(s"$path/lists")
       .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch")
       .localCheckpoint()
     writeListsWave(rows, path, newWave, dynamic = true)
-    // coverage marker: absorbed ids are refused/skipped from here on
+    // coverage marker: absorbed STREAM-space ids are refused/skipped
+    // from here on; absorbed compaction waves never raise the watermark
     graft.model.WaveManifest.commit(spark, path, Seq(newWave),
-      through = Some(waves.max))
+      through = Some(graft.model.WaveManifest.throughAfterCompaction(
+        waves, graft.model.WaveManifest.compactedThrough(spark, path))))
     newWave
   }
 

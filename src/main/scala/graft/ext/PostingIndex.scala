@@ -76,6 +76,9 @@ object PostingIndex {
   def append(newDocs: DataFrame, idCol: String, textCol: String,
              path: String, wave: Long, termBuckets: Int = 64): Unit = {
     require(wave != 0L, "wave 0 is the build wave; append with a new id")
+    require(wave < graft.model.WaveManifest.CompactBase,
+      s"wave $wave is in the compaction id space (>= 2^60) — append " +
+        "waves must stay below WaveManifest.CompactBase")
     // an id at or below the compaction watermark would be SKIPPED by
     // commitWave (absorbed-replay protection) — silently losing fresh
     // docs; a batch-face caller must get an error, not a drop
@@ -185,8 +188,8 @@ object PostingIndex {
         round(score, 4).as("bm25"): _*)
   }
 
-  /** Compact the PINNED wave set into ONE new wave (id = max + 1) and
-    * re-pin the manifest to it — the small-files lifecycle for a
+  /** Compact the PINNED wave set into ONE new wave and re-pin the
+    * manifest to it — the small-files lifecycle for a
     * long-ingesting index: N waves × 64 bucket dirs of micro-batch
     * postings collapse back to one wave's worth of files, and per-wave
     * df/stats delta rows collapse to single summed rows. Serve parity
@@ -208,7 +211,12 @@ object PostingIndex {
       throw new IllegalArgumentException(
         s"no manifest under $path — compact needs a manifest-pinned index"))
     require(waves.nonEmpty, s"manifest under $path pins no waves")
-    val newWave = waves.max + 1
+    // the new wave id comes from the DISJOINT compaction space (>= 2^60):
+    // `waves.max + 1` was exactly the id the next micro-batch would use,
+    // and its dynamic partition overwrite replaced the compacted wave's
+    // partitions while commitWave silently skipped the already-pinned id
+    // — the whole pre-compaction index vanished from serving (review r12)
+    val newWave = graft.model.WaveManifest.nextCompactionWave(waves)
     // materialized (localCheckpoint) BEFORE the write: the rewrite
     // reads the same table paths it overwrites, and Spark refuses a
     // write whose lazy input scans its own output path
@@ -226,10 +234,12 @@ object PostingIndex {
       .agg(sum(col("df")).as("df")), "terms")
     wv(pinned("stats").agg(sum(col("n_docs")).as("n_docs"),
       sum(col("sum_dl")).as("sum_dl")), "stats")
-    // record coverage: every absorbed id is now refused (batch append)
-    // or skipped (streaming replay) — the double-count guard
+    // record coverage: every absorbed STREAM-space id is now refused
+    // (batch append) or skipped (streaming replay) — the double-count
+    // guard; absorbed compaction waves never raise the watermark
     graft.model.WaveManifest.commit(spark, path, Seq(newWave),
-      through = Some(waves.max))
+      through = Some(graft.model.WaveManifest.throughAfterCompaction(
+        waves, graft.model.WaveManifest.compactedThrough(spark, path))))
     newWave
   }
 

@@ -32,6 +32,40 @@ import org.apache.spark.sql.SparkSession
   */
 object WaveManifest {
 
+  /** Floor of the COMPACTION wave-id space. Append/streaming waves live
+    * below it (batch-face writers must `require(wave < CompactBase)`);
+    * compaction rewrites allocate ids at or above it
+    * ([[nextCompactionWave]]). The spaces MUST be disjoint: a compacted
+    * wave that took `pinned.max + 1` sat exactly on the NEXT micro-batch's
+    * id — that batch's dynamic partition overwrite then replaced the
+    * compacted wave's partitions (tables partitioned by batch alone lose
+    * every pre-compaction row) while its manifest commit silently skipped
+    * because the wave was already pinned (review r12, high). With the
+    * split, a streaming id can never name a compacted wave.
+    * [[compactedThrough]] stays meaningful because it tracks only the
+    * STREAM-space ids a compaction absorbed (compaction waves absorbed by
+    * a later compaction never raise it). */
+  val CompactBase: Long = 1L << 60
+
+  /** The next free compaction-space wave id given the currently pinned
+    * set: one past the highest pinned compaction wave, or [[CompactBase]]
+    * for a first compaction. Fresh across the whole version history, not
+    * just the pinned set — each compaction's id is strictly greater than
+    * every earlier one's, and the latest compaction wave stays pinned
+    * until the next compaction (or a rebuild, which statically overwrites
+    * all waves anyway). */
+  def nextCompactionWave(pinnedWaves: Seq[Long]): Long =
+    pinnedWaves.filter(_ >= CompactBase)
+      .reduceOption(_ max _).map(_ + 1L).getOrElse(CompactBase)
+
+  /** The `#through=` watermark a compaction of `pinnedWaves` must record:
+    * the highest absorbed STREAM-space id, floored at the prior watermark
+    * (a compaction-only pinned set — e.g. compact twice in a row — must
+    * not regress coverage to −1 and reopen absorbed ids). */
+  def throughAfterCompaction(pinnedWaves: Seq[Long], prior: Long): Long =
+    math.max(pinnedWaves.filter(_ < CompactBase)
+      .reduceOption(_ max _).getOrElse(-1L), prior)
+
   private def fs(spark: SparkSession, root: String) =
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -166,6 +200,31 @@ object WaveManifest {
     * contract, like every write face. Returns the deleted wave ids. */
   def expire(spark: SparkSession, root: String, tables: Seq[String],
       keepVersions: Int): Seq[Long] = {
+    val f = fs(spark, root)
+    expireWith(spark, root, keepVersions, w =>
+      tables.forall { t =>
+        // an empty table name = single-table layout with `batch=<w>`
+        // dirs directly under the root (the StreamingNearDup survivor
+        // index); a "$t/batch=" child string would resolve "" to an
+        // ABSOLUTE "/batch=<w>" path — never touch that
+        val p =
+          if (t.isEmpty) new org.apache.hadoop.fs.Path(root, s"batch=$w")
+          else new org.apache.hadoop.fs.Path(root, s"$t/batch=$w")
+        !f.exists(p) || f.delete(p, true)
+      })
+  }
+
+  /** [[expire]]'s engine with the wave remover injected (specs drive the
+    * deletion-failure path through this — a local FS delete essentially
+    * never fails under test, especially as root). A manifest version is
+    * deleted ONLY once every wave it references is either still kept by
+    * a surviving version or was successfully removed: deleting the
+    * manifest of a FAILED wave would orphan that wave's `batch=` dirs
+    * forever — no later run would see a manifest referencing them, so
+    * the advertised "crash mid-expire: re-run" recovery could never
+    * reclaim them (review r12). */
+  private[graft] def expireWith(spark: SparkSession, root: String,
+      keepVersions: Int, removeWave: Long => Boolean): Seq[Long] = {
     require(keepVersions >= 1, "keepVersions must be >= 1")
     latestVersion(spark, root) match {
       case None => Seq.empty
@@ -179,14 +238,11 @@ object WaveManifest {
           .diff(keepWaves)
         // data first, manifests after: a crash mid-expire leaves extra
         // files (harmless — re-run), never a manifest naming vanished data
-        val deleted = dropWaves.toSeq.sorted.filter { w =>
-          tables.forall { t =>
-            val p = new org.apache.hadoop.fs.Path(root, s"$t/batch=$w")
-            !f.exists(p) || f.delete(p, true)
-          }
-        }
+        val deleted = dropWaves.toSeq.sorted.filter(removeWave)
+        val failed = dropWaves.diff(deleted.toSet)
         expired.foreach { v =>
-          f.delete(new org.apache.hadoop.fs.Path(dir(root), s"v=$v"), false)
+          if (wavesAt(spark, root, v).forall(w => !failed.contains(w)))
+            f.delete(new org.apache.hadoop.fs.Path(dir(root), s"v=$v"), false)
         }
         deleted
     }

@@ -42,30 +42,36 @@ object IndexStream {
       }
       .start()
 
-  /** One wave under `batch=<id>` with dynamic partition overwrite
-    * (replay-idempotent) — DELEGATES to the index's single shared
-    * write path ([[graft.ext.PostingIndex.writeWave]]), so the bucket
-    * layout and tf semantics cannot diverge between the batch,
-    * incremental, and streaming faces (review r11 finding). The
-    * manifest commit lands AFTER the data wave (and is skipped on a
-    * replay of an already-pinned wave), so a concurrent
-    * [[graft.ext.PostingIndex.scoreQuery]] serve pins either the pre-
-    * or post-batch snapshot — never a mix. Public so specs can drive
-    * replays directly. */
+  /** One wave under `batch=<batchId + 1>` with dynamic partition
+    * overwrite (replay-idempotent) — DELEGATES to the index's single
+    * shared write path ([[graft.ext.PostingIndex.writeWave]]), so the
+    * bucket layout and tf semantics cannot diverge between the batch,
+    * incremental, and streaming faces (review r11 finding). The `+ 1`
+    * mirrors [[VectorIndexStream]]: epoch ids start at 0, so a stream
+    * aimed at an index created by [[graft.ext.PostingIndex.build]]
+    * would otherwise land its first batch ON the build wave — the
+    * dynamic overwrite clobbers the built doclens/terms/stats
+    * partitions and commitWave silently skips the already-pinned wave 0
+    * (review r12, medium). The manifest commit lands AFTER the data
+    * wave (and is skipped on a replay of an already-pinned wave), so a
+    * concurrent [[graft.ext.PostingIndex.scoreQuery]] serve pins either
+    * the pre- or post-batch snapshot — never a mix. Public so specs can
+    * drive replays directly. */
   def appendBatch(batch: DataFrame, idCol: String, textCol: String,
                   path: String, batchId: Long, termBuckets: Int,
                   compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
+    val wave = batchId + 1
     // a replayed batch whose wave a compaction already ABSORBED must
     // be a complete no-op: its docs live in the compacted wave, and
     // re-landing the data would only create an unreferenced dirty dir
     // (and re-committing it would double-count — commitWave refuses,
     // but skipping the write too keeps the layout clean)
-    if (batchId <= graft.model.WaveManifest.compactedThrough(spark, path))
+    if (wave <= graft.model.WaveManifest.compactedThrough(spark, path))
       return
     graft.ext.PostingIndex.writeWave(batch, idCol, textCol, path,
-      wave = batchId, termBuckets, dynamic = true)
-    graft.model.WaveManifest.commitWave(spark, path, batchId)
+      wave = wave, termBuckets, dynamic = true)
+    graft.model.WaveManifest.commitWave(spark, path, wave)
     if (compactEvery > 0 &&
       graft.model.WaveManifest.pinned(spark, path)
         .exists(_.size >= compactEvery)) {

@@ -68,6 +68,20 @@ class EmbedEvalSpec extends SparkSpec {
     assert(empty.getMessage.contains("non-empty"))
   }
 
+  test("a NULL vector fails with words, not an opaque NPE " +
+      "(review r12: min() skips nulls, getInt then blew up)") {
+    val corpus = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
+      .unionByName(Seq(Tuple1(2L)).toDF("vec_id")
+        .withColumn("embedding",
+          org.apache.spark.sql.functions.lit(null)
+            .cast("array<float>")))
+    val e = intercept[IllegalArgumentException] {
+      EmbedEval.truncationRecall(corpus, corpus.filter($"vec_id" === 0L),
+        "vec_id", "embedding", dims = 1, k = 1).collect()
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
   test("zero-overlap queries report 0 instead of vanishing") {
     val corpus = vecs(
       0L -> Seq(1f, 0f, 0f, 1f), 1L -> Seq(1f, 0f, 0f, 0.9f),

@@ -46,12 +46,14 @@ class WaveCompactionSpec extends SparkSpec {
       path, wave = 2L, termBuckets = 8)
     val before = serveRows(path)
     val newWave = PostingIndex.compact(spark, path)
-    assert(newWave == 3L)
-    assert(WaveManifest.pinned(spark, path).contains(Seq(3L)))
+    // compaction ids come from the DISJOINT space above CompactBase —
+    // `waves.max + 1` would be the next micro-batch's id (review r12)
+    assert(newWave == WaveManifest.CompactBase)
+    assert(WaveManifest.pinned(spark, path).contains(Seq(newWave)))
     assert(serveRows(path) === before) // bit-for-bit across the swap
     // the compacted stats/terms tables hold ONE wave of summed rows
     assert(spark.read.parquet(s"$path/stats")
-      .filter($"batch" === 3L).count() == 1L)
+      .filter($"batch" === newWave).count() == 1L)
     // old waves still serve pinned readers (time travel to v2 = {0,1,2})
     val v2 = WaveManifest.wavesAt(spark, path, 2L)
     assert(v2 === Seq(0L, 1L, 2L))
@@ -61,7 +63,8 @@ class WaveCompactionSpec extends SparkSpec {
       Seq("postings", "doclens", "terms", "stats"), keepVersions = 1)
     assert(deleted === Seq(0L, 1L, 2L))
     Seq("postings", "doclens", "terms", "stats").foreach { t =>
-      assert(waveDirs(path, t) === Seq("batch=3"), s"stale waves in $t")
+      assert(waveDirs(path, t) === Seq(s"batch=$newWave"),
+        s"stale waves in $t")
     }
     assert(serveRows(path) === before) // the live snapshot is untouched
     assert(WaveManifest.versions(spark, path) === Seq(3L))
@@ -89,13 +92,44 @@ class WaveCompactionSpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect().toSet
     val before = run()
     val newWave = IvfIndex.compact(spark, path)
-    assert(newWave == 3L)
+    assert(newWave == WaveManifest.CompactBase)
     assert(run() == before && before.nonEmpty)
     val loaded = IvfIndex.load(spark, path)
     assert(loaded.assigned.count() == 60L)
     WaveManifest.expire(spark, path, Seq("lists"), keepVersions = 1)
-    assert(waveDirs(path, "lists") === Seq("batch=3"))
+    assert(waveDirs(path, "lists") === Seq(s"batch=$newWave"))
     assert(run() == before)
+  }
+
+  test("expire keeps the manifest of a wave whose data deletion FAILED " +
+      "so a re-run can still reclaim it") {
+    val path = freshPath()
+    PostingIndex.build(docs.filter($"doc_id" <= 2), "doc_id", "text",
+      path, termBuckets = 8)
+    PostingIndex.append(docs.filter($"doc_id" > 2), "doc_id", "text",
+      path, wave = 1L, termBuckets = 8)
+    PostingIndex.compact(spark, path)
+    // first pass: wave 1's deletion fails (a transient FS error) —
+    // deleting its manifest anyway would orphan its batch= dirs forever
+    // (no later run would see a manifest referencing them)
+    val deleted1 = WaveManifest.expireWith(spark, path, keepVersions = 1,
+      removeWave = _ != 1L)
+    assert(deleted1 === Seq(0L))
+    // the version(s) referencing the failed wave survive; v0 = {0} was
+    // fully reclaimed and may go
+    val remaining = WaveManifest.versions(spark, path)
+    assert(remaining.exists(v =>
+      WaveManifest.wavesAt(spark, path, v).contains(1L)),
+      s"no surviving manifest references the failed wave: $remaining")
+    // re-run with a healthy FS: the orphan is found via its manifest
+    // and reclaimed, after which the manifest goes too
+    val deleted2 = WaveManifest.expireWith(spark, path, keepVersions = 1,
+      removeWave = _ => true)
+    // wave 0 reappears (still referenced by the kept version, and its
+    // already-gone dir deletes trivially) — the orphaned 1 is the point
+    assert(deleted2 === Seq(0L, 1L))
+    assert(WaveManifest.versions(spark, path).size == 1)
+    assert(serveRows(path).nonEmpty)
   }
 
   test("a crash BETWEEN compaction data and manifest flip leaves the " +
@@ -107,21 +141,23 @@ class WaveCompactionSpec extends SparkSpec {
       path, wave = 1L, termBuckets = 8)
     val before = serveRows(path)
     // simulate the dying compactor: the new wave's data landed (write
-    // the compacted rows as wave 2 by hand) but the manifest never moved
+    // the compacted rows by hand at the id the compactor would pick)
+    // but the manifest never moved
     val pinnedWaves = WaveManifest.pinned(spark, path).get
+    val orphan = WaveManifest.nextCompactionWave(pinnedWaves)
     Seq("doclens", "postings", "terms", "stats").foreach { t =>
       val rows = spark.read.parquet(s"$path/$t")
         .filter($"batch".isin(pinnedWaves.map(Long.box): _*))
         .drop("batch").localCheckpoint()
       val parts: Seq[String] = if (t == "postings") Seq("bucket") else Nil
-      rows.withColumn("batch", lit(2L))
+      rows.withColumn("batch", lit(orphan))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch" +: parts: _*).parquet(s"$path/$t")
     }
     assert(serveRows(path) === before) // orphan wave invisible
     // the compaction retry runs to completion and re-pins
     val w = PostingIndex.compact(spark, path)
-    assert(w == 2L) // idempotent: overwrites its own orphan wave
+    assert(w == orphan) // idempotent: overwrites its own orphan wave
     assert(serveRows(path) === before)
   }
 }

@@ -70,7 +70,8 @@ class IndexStreamSpec extends SparkSpec {
 
   test("compacting a committed wave preserves serving bit-for-bit") {
     // waves are immutable once committed, which makes them compactable
-    // with the standard slice compactor — doclens' batch=0 dir here;
+    // with the standard slice compactor — doclens' batch=1 dir here
+    // (streaming wave = batchId + 1, so batch id 0 lands as wave 1);
     // the rewritten slice must change nothing the scorer can see
     val path = fresh()
     IndexStream.appendBatch(allDocs.filter($"doc_id" <= 2).repartition(4),
@@ -79,9 +80,49 @@ class IndexStreamSpec extends SparkSpec {
       "doc_id", "text", path, 1L, 8)
     val before = served(path)
     val (nBefore, nAfter) = graft.sources.CorpusLayout.compactSlice(
-      spark, s"$path/doclens", Seq("batch" -> "0"), sortCols = Seq("doc_id"))
+      spark, s"$path/doclens", Seq("batch" -> "1"), sortCols = Seq("doc_id"))
     assert(nAfter <= nBefore && nAfter >= 1)
     assert(served(path) === before)
+  }
+
+  test("streaming into a BUILT index leaves the build wave intact " +
+      "(wave = batchId + 1 — epoch 0 must not land on build wave 0)") {
+    val path = fresh()
+    PostingIndex.build(allDocs.filter($"doc_id" <= 2), "doc_id", "text",
+      path, termBuckets = 8)
+    // epoch ids start at 0: without the +1 this batch dynamically
+    // overwrote wave 0's doclens/terms/stats partitions (docs 1–2 gone)
+    // and its manifest commit silently skipped the already-pinned wave
+    IndexStream.appendBatch(allDocs.filter($"doc_id" > 2),
+      "doc_id", "text", path, 0L, 8)
+    assert(served(path) === batchBuilt())
+    val n = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs"))).collect().head.getDouble(0)
+    assert(n === 5.0)
+  }
+
+  test("a micro-batch arriving AFTER an auto-compaction does not " +
+      "clobber the compacted wave (disjoint compaction id space)") {
+    val path = fresh()
+    // compactEvery = 2: the second batch triggers compaction of waves
+    // {1, 2} into a CompactBase-space wave; the third batch's wave 3
+    // must neither be skipped by the watermark nor overwrite the
+    // compacted wave's partitions (the pre-fix failure: newWave =
+    // pinned.max + 1 was exactly the next batch's id)
+    IndexStream.appendBatch(allDocs.filter($"doc_id" <= 2),
+      "doc_id", "text", path, 0L, 8, compactEvery = 2)
+    IndexStream.appendBatch(allDocs.filter($"doc_id" === 3L),
+      "doc_id", "text", path, 1L, 8, compactEvery = 2)
+    val pinnedAfter = graft.model.WaveManifest.pinned(spark, path).get
+    assert(pinnedAfter === Seq(graft.model.WaveManifest.CompactBase))
+    IndexStream.appendBatch(allDocs.filter($"doc_id" > 3),
+      "doc_id", "text", path, 2L, 8, compactEvery = 2)
+    assert(served(path) === batchBuilt())
+    val n = spark.read.parquet(s"$path/stats")
+      .filter(col("batch").isin(graft.model.WaveManifest
+        .pinned(spark, path).get.map(Long.box): _*))
+      .agg(sum(col("n_docs"))).collect().head.getDouble(0)
+    assert(n === 5.0)
   }
 
   test("serving stays pruned to the query's buckets on the wave layout") {

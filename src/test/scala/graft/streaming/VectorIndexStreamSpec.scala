@@ -97,4 +97,27 @@ class VectorIndexStreamSpec extends SparkSpec {
       loaded.assigned.select("neighbor_id").distinct().count())
     assert(loaded.assigned.count() == data.size.toLong)
   }
+
+  test("a batch arriving AFTER an auto-compaction keeps every " +
+      "pre-compaction vector (disjoint compaction id space)") {
+    val data = mkData(24)
+    val path = Files.createTempDirectory("vstream-cmp").toString
+    IvfIndex.buildSign(data.filter(_._1 < 8).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", bits = 2).save(path)
+    // batch 0 → wave 1; pinned {0, 1} hits compactEvery = 2 → compaction
+    // into the CompactBase space; batch 1 → wave 2 must pass the
+    // watermark AND not overwrite the compacted wave's list partitions
+    VectorIndexStream.appendBatch(
+      data.filter(x => x._1 >= 8 && x._1 < 16).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path, 0L, compactEvery = 2)
+    assert(graft.model.WaveManifest.pinned(spark, path).get ===
+      Seq(graft.model.WaveManifest.CompactBase))
+    VectorIndexStream.appendBatch(
+      data.filter(_._1 >= 16).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path, 1L, compactEvery = 2)
+    val loaded = IvfIndex.load(spark, path)
+    assert(loaded.assigned.count() == data.size.toLong)
+    assert(loaded.assigned.count() ==
+      loaded.assigned.select("neighbor_id").distinct().count())
+  }
 }
