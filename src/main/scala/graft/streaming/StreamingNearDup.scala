@@ -23,9 +23,21 @@ import graft.ext.Dedup
   * across runs, and a batch compaction pass can rewrite the index
   * without touching the stream — the same per-run-upsert vs periodic-GC
   * split as the reference's ingestion (§2.10). Each batch's rows land in
-  * their own `batch=<id>` partition dir written with OVERWRITE, so
+  * their own `batch=<id>` partition via DYNAMIC partition overwrite, so
   * foreachBatch's at-least-once replay is idempotent (a retried batch
-  * rewrites its own dir, never double-appends).
+  * rewrites its own partitions, never double-appends).
+  *
+  * The survivor index is [[graft.model.WaveManifest]]-pinned, exactly
+  * like the posting and IVF indexes (review r12 — this was the last
+  * persisted index outside the snapshot discipline): every batch commits
+  * a manifest version AFTER its data lands, [[index]] resolves the
+  * pointer ONCE at plan time (an external reader scanning the survivor
+  * set mid-commit answers the pre-batch snapshot, never a mix),
+  * [[compact]] collapses the pinned waves into one compaction-space
+  * wave with a `#through=` watermark so absorbed batch ids replay as
+  * no-ops, and [[graft.model.WaveManifest.expire]] (via [[expire]])
+  * reclaims unreferenced waves. Pre-manifest indexes (legacy dirs) keep
+  * working: reads fall back to scanning every `batch=` dir.
   *
   * Batch-id collision across RUNS is handled by a run-scoped base
   * offset: Spark's epoch ids restart at 0 under a fresh checkpoint, so a
@@ -61,7 +73,10 @@ object StreamingNearDup {
 
   /** Batch ids already present in the index (Hadoop FS glob, so HDFS/S3
     * paths work — a java.nio probe would silently report "no index"
-    * there and disable cross-batch dedup). */
+    * there and disable cross-batch dedup). Compaction-space waves
+    * (>= [[graft.model.WaveManifest.CompactBase]]) are excluded: they
+    * are rewrites of absorbed stream batches, not batch ids a new run
+    * may base itself past. */
   private[streaming] def existingBatches(
       spark: SparkSession, indexPath: String): Seq[Long] = {
     val (fs, root) = fileSystem(spark, indexPath)
@@ -70,7 +85,7 @@ object StreamingNearDup {
       case null => Seq.empty
       case st => st.toSeq.map(_.getPath.getName).collect {
         case BatchDir(n) => n.toLong
-      }
+      }.filter(_ < graft.model.WaveManifest.CompactBase)
     }
   }
 
@@ -109,8 +124,13 @@ object StreamingNearDup {
     val marker = new Path(root, MarkerName)
     val entries = readMarker(fs, marker)
     entries.getOrElse(queryId, {
-      val base = existingBatches(spark, indexPath)
-        .foldLeft(-1L)(math.max) + 1L
+      // past every existing stream-space dir AND past the compaction
+      // watermark: after compact + expire the absorbed dirs are gone,
+      // but their ids must stay burned or a new run's batches would be
+      // skipped as absorbed replays
+      val base = math.max(
+        existingBatches(spark, indexPath).foldLeft(-1L)(math.max),
+        graft.model.WaveManifest.compactedThrough(spark, indexPath)) + 1L
       writeMarker(fs, marker, entries + (queryId -> base))
       base
     })
@@ -171,27 +191,113 @@ object StreamingNearDup {
       threshold: Double,
       eff: Long,
       onSurvivors: (DataFrame, Long) => Unit,
-      onDuplicates: (DataFrame, Long) => Unit): Unit = {
+      onDuplicates: (DataFrame, Long) => Unit,
+      compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
+    // a replayed batch a compaction already ABSORBED is a complete
+    // no-op: its survivors live in the compacted wave, and downstream
+    // already received them when the batch first committed
+    if (eff <= graft.model.WaveManifest.compactedThrough(spark, indexPath))
+      return
     val batchIdx = Dedup.minhashIndex(batch, idCol, textCol,
       shingleN, numHashes).localCheckpoint()
-    // on at-least-once replay a dir for this (or a later) batch may
-    // already exist: ignore those so the retry computes against the
-    // same corpus state as the first attempt
-    val hasIndex = existingBatches(spark, indexPath).exists(_ < eff)
+    // corpus = the PINNED manifest snapshot, restricted to waves this
+    // batch may see: stream waves strictly below eff (so a retry — for
+    // which this or a LATER batch's dir may already exist — computes
+    // against the same corpus state as the first attempt) plus every
+    // compaction wave (a compacted wave only ever absorbs batches below
+    // the watermark, which the guard above proved is below eff). A
+    // manifest-less legacy index falls back to the dir listing.
+    val corpusWaves = graft.model.WaveManifest.pinned(spark, indexPath)
+      .map(_.filter(w =>
+        w < eff || w >= graft.model.WaveManifest.CompactBase))
+      .getOrElse(existingBatches(spark, indexPath).filter(_ < eff))
     val corpusIdx =
-      if (hasIndex) spark.read.parquet(indexPath).filter(col("batch") < eff)
+      if (corpusWaves.nonEmpty) spark.read.parquet(indexPath)
+        .filter(col("batch").isin(corpusWaves.map(Long.box): _*))
       else batchIdx.limit(0)
     val pairs = Dedup.minhashLshPairsIncremental(corpusIdx, batchIdx,
       idCol, bandSize, threshold).localCheckpoint()
     val dropped = droppedIds(pairs, batchIdx.select(col(idCol)), idCol)
     val survivors = batch.join(dropped, Seq(idCol), "left_anti")
     val survivorIdx = batchIdx.join(dropped, Seq(idCol), "left_anti")
-    survivorIdx.write.mode("overwrite")
-      .parquet(s"$indexPath/batch=$eff")
+    writeWave(survivorIdx, indexPath, eff)
+    // data first, manifest after (the wave becomes visible to pinned
+    // readers only here; a crash in between leaves an invisible wave
+    // the replay overwrites); replays of a pinned wave skip the commit
+    graft.model.WaveManifest.commitWave(spark, indexPath, eff)
     onDuplicates(pairs, eff)
     onSurvivors(survivors, eff)
+    if (compactEvery > 0 &&
+      graft.model.WaveManifest.pinned(spark, indexPath)
+        .exists(_.size >= compactEvery)) {
+      compact(spark, indexPath)
+      ()
+    }
   }
+
+  /** The single wave write path (stream batches and [[compact]]):
+    * dynamic partition overwrite of `batch=<wave>` — a replay replaces
+    * its own partitions, every other wave is untouched. */
+  private def writeWave(rows: DataFrame, indexPath: String,
+      wave: Long): Unit =
+    rows.withColumn("batch", lit(wave))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(indexPath)
+
+  /** The survivor index as a PINNED SNAPSHOT — the serve face for
+    * external readers (downstream dedup jobs probing the accumulated
+    * corpus): the manifest pointer is resolved ONCE here at plan time,
+    * so a batch committing mid-read is invisible. `pin` overrides the
+    * pointer for time travel (a wave set from [[graft.model
+    * .WaveManifest.wavesAt]]); a manifest-less legacy index scans every
+    * wave. */
+  def index(spark: SparkSession, indexPath: String,
+      pin: Option[Seq[Long]] = None): DataFrame = {
+    val waves = pin.orElse(
+      graft.model.WaveManifest.pinned(spark, indexPath))
+    val all = spark.read.parquet(indexPath)
+    waves match {
+      case Some(ws) => all.filter(col("batch").isin(ws.map(Long.box): _*))
+      case None => all
+    }
+  }
+
+  /** Collapse the pinned wave set into ONE compaction-space wave and
+    * re-pin — the [[graft.ext.PostingIndex.compact]] lifecycle for the
+    * survivor index: survivor rows are disjoint across waves (each doc
+    * survived exactly one batch), so the rewrite is a pure union and
+    * every later probe sees the identical corpus. The `#through=`
+    * watermark burns the absorbed batch ids (their replays become
+    * no-ops). Data first, manifest after; old waves remain for pinned
+    * readers until [[expire]]. Single-committer contract.
+    * @return the new wave id */
+  def compact(spark: SparkSession, indexPath: String): Long = {
+    val waves = graft.model.WaveManifest.pinned(spark, indexPath)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no manifest under $indexPath — compact needs a manifest-pinned " +
+          "index (legacy survivor indexes predate the snapshot discipline)"))
+    require(waves.nonEmpty, s"manifest under $indexPath pins no waves")
+    val newWave = graft.model.WaveManifest.nextCompactionWave(waves)
+    val rows = spark.read.parquet(indexPath)
+      .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch")
+      .localCheckpoint() // the rewrite scans the path it overwrites
+    writeWave(rows, indexPath, newWave)
+    graft.model.WaveManifest.commit(spark, indexPath, Seq(newWave),
+      through = Some(graft.model.WaveManifest.throughAfterCompaction(
+        waves, graft.model.WaveManifest.compactedThrough(spark, indexPath))))
+    newWave
+  }
+
+  /** Retention for the survivor index: drop old manifest versions and
+    * reclaim every `batch=` dir no surviving version references —
+    * [[graft.model.WaveManifest.expire]] over this single-table layout
+    * (batch dirs directly under the root). */
+  def expire(spark: SparkSession, indexPath: String,
+      keepVersions: Int): Seq[Long] =
+    graft.model.WaveManifest.expire(spark, indexPath, Seq(""), keepVersions)
 
   /** @param indexPath  corpus index location (parquet; created on first
     *                    batch if absent)
@@ -199,6 +305,9 @@ object StreamingNearDup {
     *                    the batch rows that were NOT near-dups
     * @param onDuplicates (pairs, effectiveBatchId) sink — the (doc_a,
     *                    doc_b, jaccard) evidence for every dropped doc
+    * @param compactEvery > 0 auto-compacts whenever the pinned wave
+    *                    count reaches it (same foreachBatch thread — the
+    *                    compactor never races ingest)
     */
   def filter(
       docs: DataFrame,
@@ -211,7 +320,8 @@ object StreamingNearDup {
       threshold: Double = 0.7,
       onSurvivors: (DataFrame, Long) => Unit,
       onDuplicates: (DataFrame, Long) => Unit = (_, _) => (),
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0
   ): DataStreamWriter[Row] = {
     // resolved on the run's first non-empty batch, then cached for the
     // run: foreachBatch executes serially on the stream's execution
@@ -231,7 +341,7 @@ object StreamingNearDup {
           }
           processBatch(batch, idCol, textCol, indexPath, shingleN,
             numHashes, bandSize, threshold, baseRef.get + id,
-            onSurvivors, onDuplicates)
+            onSurvivors, onDuplicates, compactEvery)
         }
       }
   }

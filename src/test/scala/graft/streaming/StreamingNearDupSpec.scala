@@ -120,6 +120,88 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(idx.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  private def runBatch(dir: String, data: Seq[(Long, String)], eff: Long,
+      onSurvivors: (org.apache.spark.sql.DataFrame, Long) => Unit = (_, _) => (),
+      compactEvery: Int = 0): Unit =
+    StreamingNearDup.processBatch(
+      data.toDF("doc_id", "text"), "doc_id", "text", dir,
+      shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5,
+      eff = eff, onSurvivors = onSurvivors, onDuplicates = (_, _) => (),
+      compactEvery = compactEvery)
+
+  test("a reader pinned BEFORE a batch answers the pre-batch snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup5").toString + "/idx"
+    runBatch(dir, b0, 0L)
+    // resolve the pointer as an external reader would, BEFORE batch 1
+    val pin = graft.model.WaveManifest.pinned(spark, dir)
+    assert(pin.contains(Seq(0L)))
+    runBatch(dir, b1, 1L)
+    // the pinned read still answers the batch-0 survivor set even
+    // though batch 1 committed mid-"query"; an unpinned read sees both
+    assert(StreamingNearDup.index(spark, dir, pin)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(StreamingNearDup.index(spark, dir)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 5L))
+  }
+
+  test("compaction preserves the corpus; absorbed replays are no-ops; " +
+      "new batches still dedup against the compacted waves") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup6").toString + "/idx"
+    var calls = Vector.empty[(Long, Vector[Long])]
+    val sink = (df: org.apache.spark.sql.DataFrame, id: Long) =>
+      calls :+= id -> df.select("doc_id").as[Long].collect().toVector.sorted
+    runBatch(dir, b0, 0L, sink)
+    runBatch(dir, b1, 1L, sink)
+    val before = StreamingNearDup.index(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    val newWave = StreamingNearDup.compact(spark, dir)
+    assert(newWave == graft.model.WaveManifest.CompactBase)
+    assert(StreamingNearDup.index(spark, dir)
+      .select("doc_id").as[Long].collect().toSet == before)
+    StreamingNearDup.expire(spark, dir, keepVersions = 1)
+    // only the compacted wave's dir survives on disk
+    val dirs = Option(new java.io.File(dir).listFiles()).get
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(dirs == Seq(s"batch=$newWave"))
+    // an at-least-once replay of an ABSORBED batch is a complete no-op:
+    // no callback, no dirty dir, nothing double-counted
+    val callsBefore = calls
+    runBatch(dir, b0, 0L, sink)
+    assert(calls == callsBefore)
+    assert(Option(new java.io.File(dir).listFiles()).get
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq ==
+      Seq(s"batch=$newWave"))
+    // a NEW batch dedups against the compacted corpus: doc 20 is a
+    // near-dup of (compacted) doc 1 and drops; doc 21 survives
+    runBatch(dir, Seq((20L, base.replace(" ", "    ")),
+      (21L, "entirely novel content appearing nowhere else in any batch")),
+      2L, sink)
+    assert(calls.last == 2L -> Vector(21L), calls.toString)
+    assert(StreamingNearDup.index(spark, dir)
+      .select("doc_id").as[Long].collect().toSet == before + 21L)
+    // and a fresh run bases itself past the burned watermark, not at 0
+    assert(StreamingNearDup.resolveBase(spark, dir, "qFresh") == 3L)
+  }
+
+  test("auto-compaction in the maintenance loop never loses survivors") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup7").toString + "/idx"
+    // compactEvery = 2: batch 1 triggers a compaction of waves {0, 1};
+    // batch 2 (wave 2 > watermark 1) must pass the guard, not overwrite
+    // the compacted wave, and still dedup against everything
+    runBatch(dir, b0, 0L, compactEvery = 2)
+    runBatch(dir, b1, 1L, compactEvery = 2)
+    assert(graft.model.WaveManifest.pinned(spark, dir).get ===
+      Seq(graft.model.WaveManifest.CompactBase))
+    var last = Vector.empty[Long]
+    runBatch(dir, Seq((30L, base.replace(" ", "     ")),
+      (31L, "wholly new words that collide with no indexed document")),
+      2L, (df, _) => last = df.select("doc_id").as[Long].collect()
+        .toVector.sorted, compactEvery = 2)
+    assert(last == Vector(31L))
+    assert(StreamingNearDup.index(spark, dir)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 5L, 31L))
+  }
+
   test("resolveBase: restart keeps a query's base; a new query lands past the index") {
     val dir = java.nio.file.Files.createTempDirectory("neardup4").toString + "/idx"
     // empty index: first query starts at base 0
