@@ -2093,41 +2093,9 @@ object SparkEntry {
     //    contour → banded Hamming pairing. Energies are exact BIGINTs
     //    (8·a², monotone in a), so the oracle replays amplitude
     //    comparisons + bit_count pairing directly.
-    "q_audio_dedup" -> ((s, dir) => {
-      import s.implicits._
-      val wavs = Tables.documents(s, dir).select(col("doc_id"))
-        .filter(col("doc_id") % 10 === 0)
-        .as[Long].mapPartitions { it =>
-          // md5 amplitude draw (see q_image_dedup: polynomial mixes
-          // leak birthday-searchable cross-group correlation)
-          val md = java.security.MessageDigest.getInstance("MD5")
-          def draw(key: String): Int = {
-            val d = md.digest(key.getBytes("UTF-8"))
-            (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 191
-          }
-          it.map { id =>
-            val idp = id / 10
-            val g = idp / 3
-            val m = idp % 3
-            def amp(w: Int): Int = draw(s"${g}_a_$w") + 10
-            def a(w: Int): Int =
-              if (m == 2 && w == 0) {
-                // guaranteed flip: 250 clears the 10..200 range upward,
-                // 5 clears it downward
-                if (amp(0) < amp(1)) 250 else 5
-              } else amp(w) * (if (m == 1) 2 else 1)
-            val samples = Array.tabulate[Short](512) { i =>
-              val v = a(i / 8)
-              (if (i % 2 == 0) v else -v).toShort
-            }
-            (id, Multimodal.muxPcmWav(samples, 8000, 1))
-          }
-        }.toDF("doc_id", "wav")
-      val media = Multimodal.attach(wavs, "doc_id", "wav", "wav")
-        .as[Multimodal.MediaRow]
-      graft.ext.AudioHash.nearDupPairs(
-        graft.ext.AudioHash.fingerprints(media), maxHamming = 3)
-    }),
+    "q_audio_dedup" -> ((s, dir) =>
+      graft.ext.AudioHash.nearDupPairs(audioDedupFps(s, dir),
+        maxHamming = 3)),
 
     // ── Perceptual VIDEO dedup (ext.VideoHash) — the temporal member
     //    of the modality-dedup family, driver-visible end to end: per
@@ -2140,52 +2108,94 @@ object SparkEntry {
     //    (contour invariant), member 2 flips exactly window 0's
     //    comparison. The bytes run the REAL RIFF walk → per-frame JPEG
     //    decode → integer luminance contour → banded Hamming pairing.
-    "q_video_dedup" -> ((s, dir) => {
+    "q_video_dedup" -> ((s, dir) =>
+      graft.ext.VideoHash.nearDupPairs(videoDedupFps(s, dir),
+        maxHamming = 3)),
+
+    // ── Streaming fingerprint dedup, BATCH face (streaming/
+    //    FingerprintDedupStream.filterBatch — the q_neardup_filter
+    //    trick for the media modalities): survivors of an image batch
+    //    (ODD near-dup groups, g = (doc_id/10)/3) against the prebuilt
+    //    corpus fingerprint set (even groups) under the shared
+    //    keep-min drop policy — drop a batch image iff it
+    //    banded-Hamming pairs with an indexed image or a smaller-id
+    //    batch image. The group-parity split keeps whole near-dup
+    //    families on one side, so each odd group's minimum member
+    //    SURVIVES (in-batch keep-min) while its shift/flip members
+    //    drop — a non-degenerate survivor set. The raw PNG frame goes
+    //    in and fingerprints extract INSIDE the face (its contract);
+    //    the micro-batch/index-accumulation twin is spec-gated
+    //    (FingerprintDedupStreamSpec).
+    "q_image_neardup_filter" -> ((s, dir) => {
       import s.implicits._
-      val avis = Tables.documents(s, dir).select(col("doc_id"))
-        .filter(col("doc_id") % 10 === 0)
-        .as[Long].mapPartitions { it =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          def draw(key: String): Int = {
-            val d = md.digest(key.getBytes("UTF-8"))
-            (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 10
-          }
-          // one JPEG per distinct gray level, memoized per partition
-          val frameCache = scala.collection.mutable.Map.empty[Int, Array[Byte]]
-          def frame(level: Int): Array[Byte] =
-            frameCache.getOrElseUpdate(level, {
-              val img = new java.awt.image.BufferedImage(8, 8,
-                java.awt.image.BufferedImage.TYPE_INT_RGB)
-              val rgb = (level << 16) | (level << 8) | level
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) { img.setRGB(x, y, rgb); x += 1 }
-                y += 1
-              }
-              val buf = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(img, "jpg", buf)
-              buf.toByteArray
-            })
-          it.map { id =>
-            val idp = id / 10
-            val g = idp / 3
-            val m = idp % 3
-            def lvl(w: Int): Int = draw(s"${g}_v_$w") * 20 + 20
-            def level(w: Int): Int =
-              if (m == 2 && w == 0) {
-                // guaranteed flip: 240 clears the 20..208 range upward
-                // (beyond the +3 JPEG bound), 0 clears it downward
-                if (lvl(0) < lvl(1)) 240 else 0
-              } else lvl(w) + (if (m == 1) 8 else 0)
-            val frames = (0 until 64).map(w => frame(level(w)))
-            (id, Multimodal.muxMjpegAvi(frames, 8, 8))
-          }
-        }.toDF("doc_id", "avi")
-      val media = Multimodal.attach(avis, "doc_id", "avi", "avi")
-        .as[Multimodal.MediaRow]
-      graft.ext.VideoHash.nearDupPairs(
-        graft.ext.VideoHash.fingerprints(media), maxHamming = 3)
+      val pngs = imageDedupPngs(s, dir)
+      val fp: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame =
+        b => graft.ext.ImageHash.fingerprints(
+          Multimodal.attach(b, "doc_id", "png", "png")
+            .as[Multimodal.MediaRow])
+          .select(col("media_id").as("doc_id"), col("dhash"))
+      val corpusFps =
+        fp(pngs.filter(expr("((doc_id div 10) div 3) % 2 = 0")))
+          .localCheckpoint()
+      graft.streaming.FingerprintDedupStream.filterBatch(corpusFps,
+        pngs.filter(expr("((doc_id div 10) div 3) % 2 = 1")), fp,
+        "doc_id", "dhash", maxHamming = 3)
+        .select(col("doc_id"))
+    }),
+
+    // ── UNIFIED cross-modality keep-one policy: image, audio, and
+    //    video near-dup pair graphs (disjoint id spaces via fixed
+    //    offsets) closed transitively in ONE Components run — the
+    //    composition a multimodal curation pipeline actually executes:
+    //    one drop list over every media family, keeper = cluster
+    //    minimum. Oracle: recursive closure over the three fingerprint
+    //    replays (prefixed CTEs) unioned with the same offsets.
+    "q_media_dedup_keep" -> ((s, dir) => {
+      val img = graft.ext.ImageHash.nearDupPairs(
+        imageDedupFps(s, dir), "dhash", maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"))
+      val aud = graft.ext.AudioHash.nearDupPairs(
+        audioDedupFps(s, dir), maxHamming = 3)
+        .select((col("doc_a") + MediaAudioOff).as("doc_a"),
+          (col("doc_b") + MediaAudioOff).as("doc_b"))
+      val vid = graft.ext.VideoHash.nearDupPairs(
+        videoDedupFps(s, dir), maxHamming = 3)
+        .select((col("doc_a") + MediaVideoOff).as("doc_a"),
+          (col("doc_b") + MediaVideoOff).as("doc_b"))
+      graft.ext.Components.connectedAdaptive(
+        img.unionByName(aud).unionByName(vid), "doc_a", "doc_b")
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"), col("component").as("kept_id"))
+    }),
+
+    // ── pHash made driver-visible via the tolerance-twin pattern
+    //    (q_hll_daily / q_triangles_approx shape): the exact dHash
+    //    pair set is the hash-gated twin, and each pair carries TWO
+    //    pinned-TRUE booleans asserting the float DCT path through
+    //    deterministic bounds — `phash_shift_exact`: brightness-shift
+    //    pairs (dHash 0) sit at pHash Hamming EXACTLY 0 (a constant
+    //    shift moves only the excluded DC coefficient);
+    //    `phash_agrees`: every near-dup pair sits at pHash ≤ 16
+    //    (PhashProbe measured flip-pair max 8 at sf0.001/sf0.01;
+    //    cross-group pairs concentrate at ~31.5 — 16 splits the two
+    //    populations with 2× margin). A pHash regression (resample
+    //    drift, DCT bug, bit-order change) flips a boolean and
+    //    hash-mismatches at every SF.
+    "q_image_phash" -> ((s, dir) => {
+      val fps = imageDedupFps(s, dir).localCheckpoint()
+      val pairs = graft.ext.ImageHash.nearDupPairs(fps, "dhash",
+        maxHamming = 3)
+      pairs
+        .join(fps.select(col("media_id").as("doc_a"),
+          col("phash").as("ph_a")), Seq("doc_a"))
+        .join(fps.select(col("media_id").as("doc_b"),
+          col("phash").as("ph_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("hamming"),
+          (expr("bit_count(ph_a ^ ph_b)") <= lit(16)).as("phash_agrees"),
+          (col("hamming") =!= lit(0) ||
+            expr("bit_count(ph_a ^ ph_b)") === lit(0))
+            .as("phash_shift_exact"))
     }),
 
     // ── S1/S2 text ingest faces: the reference's flow logs arrive as
@@ -2638,10 +2648,14 @@ object SparkEntry {
     * precedent), and its first 16 bits mod 191 give uniform
     * multi-valued cells — comparison bits at p = 1/2, cross-group
     * hamming concentrated at ~31.5/63. */
-  private def imageDedupFps(s: SparkSession,
+  /** The rendered PNG frame (doc_id, png) behind [[imageDedupFps]] —
+    * exposed separately so q_image_neardup_filter can drive the
+    * streaming batch face (FingerprintDedupStream.filterBatch), whose
+    * contract is RAW media in, fingerprints extracted inside. */
+  private def imageDedupPngs(s: SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val pngs = Tables.documents(s, dir).select(col("doc_id"))
+    Tables.documents(s, dir).select(col("doc_id"))
       .filter(col("doc_id") % 10 === 0)
       .as[Long].mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -2677,8 +2691,107 @@ object SparkEntry {
           (id, buf.toByteArray)
         }
       }.toDF("doc_id", "png")
+  }
+
+  private def imageDedupFps(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
     graft.ext.ImageHash.fingerprints(
-      Multimodal.attach(pngs, "doc_id", "png", "png")
+      Multimodal.attach(imageDedupPngs(s, dir), "doc_id", "png", "png")
+        .as[Multimodal.MediaRow])
+  }
+
+  /** Measurement access for [[graft.tools.PhashProbe]] only. */
+  private[graft] def imageDedupFpsForProbe(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = imageDedupFps(s, dir)
+
+  /** The synthesized RIFF/WAVE fingerprints behind q_audio_dedup /
+    * q_media_dedup_keep — one source of truth for the clip synthesis
+    * (see the q_audio_dedup comment for the group/member scheme). */
+  private def audioDedupFps(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val wavs = Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 10 === 0)
+      .as[Long].mapPartitions { it =>
+        // md5 amplitude draw (see q_image_dedup: polynomial mixes
+        // leak birthday-searchable cross-group correlation)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def draw(key: String): Int = {
+          val d = md.digest(key.getBytes("UTF-8"))
+          (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 191
+        }
+        it.map { id =>
+          val idp = id / 10
+          val g = idp / 3
+          val m = idp % 3
+          def amp(w: Int): Int = draw(s"${g}_a_$w") + 10
+          def a(w: Int): Int =
+            if (m == 2 && w == 0) {
+              // guaranteed flip: 250 clears the 10..200 range upward,
+              // 5 clears it downward
+              if (amp(0) < amp(1)) 250 else 5
+            } else amp(w) * (if (m == 1) 2 else 1)
+          val samples = Array.tabulate[Short](512) { i =>
+            val v = a(i / 8)
+            (if (i % 2 == 0) v else -v).toShort
+          }
+          (id, Multimodal.muxPcmWav(samples, 8000, 1))
+        }
+      }.toDF("doc_id", "wav")
+    graft.ext.AudioHash.fingerprints(
+      Multimodal.attach(wavs, "doc_id", "wav", "wav")
+        .as[Multimodal.MediaRow])
+  }
+
+  /** The muxed MJPEG-AVI fingerprints behind q_video_dedup /
+    * q_media_dedup_keep (see the q_video_dedup comment for the
+    * level-grid scheme and the ±3 JPEG bound). */
+  private def videoDedupFps(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val avis = Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 10 === 0)
+      .as[Long].mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def draw(key: String): Int = {
+          val d = md.digest(key.getBytes("UTF-8"))
+          (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 10
+        }
+        // one JPEG per distinct gray level, memoized per partition
+        val frameCache = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+        def frame(level: Int): Array[Byte] =
+          frameCache.getOrElseUpdate(level, {
+            val img = new java.awt.image.BufferedImage(8, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (level << 16) | (level << 8) | level
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", buf)
+            buf.toByteArray
+          })
+        it.map { id =>
+          val idp = id / 10
+          val g = idp / 3
+          val m = idp % 3
+          def lvl(w: Int): Int = draw(s"${g}_v_$w") * 20 + 20
+          def level(w: Int): Int =
+            if (m == 2 && w == 0) {
+              // guaranteed flip: 240 clears the 20..208 range upward
+              // (beyond the +3 JPEG bound), 0 clears it downward
+              if (lvl(0) < lvl(1)) 240 else 0
+            } else lvl(w) + (if (m == 1) 8 else 0)
+          val frames = (0 until 64).map(w => frame(level(w)))
+          (id, Multimodal.muxMjpegAvi(frames, 8, 8))
+        }
+      }.toDF("doc_id", "avi")
+    graft.ext.VideoHash.fingerprints(
+      Multimodal.attach(avis, "doc_id", "avi", "avi")
         .as[Multimodal.MediaRow])
   }
 
@@ -2790,15 +2903,23 @@ object SparkEntry {
   /** Transitive-closure CTE block (expects a `pairs(doc_a, doc_b)` CTE in
     * scope; yields `comp(node, cluster_id)`) — shared by q_dedup_clusters
     * and q_dedup_keep. Interpolating callers must open WITH RECURSIVE. */
+  /** Cross-modality id offsets for the unified media keep row — far
+    * above any doc_id at every shipped SF (ids are dense row numbers),
+    * so the three pair graphs' node spaces never collide. */
+  private val MediaAudioOff: Long = 1L << 40
+  private val MediaVideoOff: Long = 1L << 41
+
   /** The image-dedup fingerprint replay (cells → comparisons → 63-bit
-    * fp), shared by q_image_dedup and q_image_dedup_keep — one source
-    * of truth for the fingerprint semantics, like minhashLshOracle. */
-  private val imageFpCtes: String =
-    """ids AS (
+    * fp), shared by the q_image_* family — one source of truth for the
+    * fingerprint semantics, like minhashLshOracle. CTE names take a
+    * prefix so q_media_dedup_keep can splice all three modality
+    * replays into one WITH block. */
+  private def imageFpCtes(p: String = ""): String =
+    s"""${p}ids AS (
            SELECT doc_id, (doc_id // 10) // 3 AS g, (doc_id // 10) % 3 AS m
            FROM documents WHERE doc_id % 10 = 0),
-         grid AS (SELECT x, y FROM range(9) tx(x) CROSS JOIN range(8) ty(y)),
-         draws AS (
+         ${p}grid AS (SELECT x, y FROM range(9) tx(x) CROSS JOIN range(8) ty(y)),
+         ${p}draws AS (
            SELECT doc_id, g, m, x, y,
              ((strpos('0123456789abcdef', substr(md5(
                  CAST(g AS VARCHAR)||'_'||CAST(x AS VARCHAR)||'_'||
@@ -2812,29 +2933,123 @@ object SparkEntry {
               (strpos('0123456789abcdef', substr(md5(
                  CAST(g AS VARCHAR)||'_'||CAST(x AS VARCHAR)||'_'||
                  CAST(y AS VARCHAR)), 4, 1)) - 1)) % 191 + 30 AS base
-           FROM ids CROSS JOIN grid),
-         b00 AS (SELECT doc_id, base AS v00 FROM draws WHERE x = 0 AND y = 0),
-         b10 AS (SELECT doc_id, base AS v10 FROM draws WHERE x = 1 AND y = 0),
-         cells AS (
+           FROM ${p}ids CROSS JOIN ${p}grid),
+         ${p}b00 AS (SELECT doc_id, base AS v00 FROM ${p}draws WHERE x = 0 AND y = 0),
+         ${p}b10 AS (SELECT doc_id, base AS v10 FROM ${p}draws WHERE x = 1 AND y = 0),
+         ${p}cells AS (
            SELECT d.doc_id, d.x, d.y,
              CASE WHEN d.m = 2 AND d.x = 0 AND d.y = 0 THEN
                CASE WHEN b00.v00 < b10.v10 THEN 255 ELSE 0 END
              ELSE d.base + CASE WHEN d.m = 1 THEN 1 ELSE 0 END
              END AS v
-           FROM draws d
-           JOIN b00 ON b00.doc_id = d.doc_id
-           JOIN b10 ON b10.doc_id = d.doc_id),
-         bits AS (
+           FROM ${p}draws d
+           JOIN ${p}b00 b00 ON b00.doc_id = d.doc_id
+           JOIN ${p}b10 b10 ON b10.doc_id = d.doc_id),
+         ${p}bits AS (
            SELECT l.doc_id, l.y * 8 + l.x AS j,
                   CASE WHEN l.v < r.v THEN 1 ELSE 0 END AS b
-           FROM cells l JOIN cells r
+           FROM ${p}cells l JOIN ${p}cells r
              ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
            WHERE l.x <= 7 AND NOT (l.x = 7 AND l.y = 7)),
-         fp AS (
+         ${p}fp AS (
            SELECT doc_id,
                   CAST(sum(b * (CAST(1 AS BIGINT) << CAST(j AS INT)))
                        AS BIGINT) AS f
-           FROM bits GROUP BY doc_id)"""
+           FROM ${p}bits GROUP BY doc_id)"""
+
+  /** The audio-dedup fingerprint replay (window amplitudes →
+    * comparisons → 63-bit fp), shared by q_audio_dedup and
+    * q_media_dedup_keep — window energy 8·a² is monotone in a > 0, so
+    * `<` on amplitudes IS the contour bit. */
+  private def audioFpCtes(p: String = ""): String =
+    s"""${p}ids AS (
+           SELECT doc_id, (doc_id // 10) // 3 AS g, (doc_id // 10) % 3 AS m
+           FROM documents WHERE doc_id % 10 = 0),
+         ${p}win AS (SELECT w FROM range(64) tw(w)),
+         ${p}draws AS (
+           SELECT doc_id, g, m, w,
+             ((strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_a_'||CAST(w AS VARCHAR)), 1, 1)) - 1)
+                * 4096 +
+              (strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_a_'||CAST(w AS VARCHAR)), 2, 1)) - 1)
+                * 256 +
+              (strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_a_'||CAST(w AS VARCHAR)), 3, 1)) - 1)
+                * 16 +
+              (strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_a_'||CAST(w AS VARCHAR)), 4, 1)) - 1))
+             % 191 + 10 AS amp
+           FROM ${p}ids CROSS JOIN ${p}win),
+         ${p}a0 AS (SELECT doc_id, amp AS amp0 FROM ${p}draws WHERE w = 0),
+         ${p}a1 AS (SELECT doc_id, amp AS amp1 FROM ${p}draws WHERE w = 1),
+         ${p}amps AS (
+           SELECT d.doc_id, d.w,
+             CASE WHEN d.m = 2 AND d.w = 0 THEN
+               CASE WHEN a0.amp0 < a1.amp1 THEN 250 ELSE 5 END
+             ELSE d.amp * (CASE WHEN d.m = 1 THEN 2 ELSE 1 END)
+             END AS a
+           FROM ${p}draws d
+           JOIN ${p}a0 a0 ON a0.doc_id = d.doc_id
+           JOIN ${p}a1 a1 ON a1.doc_id = d.doc_id),
+         ${p}bits AS (
+           SELECT l.doc_id, l.w AS j,
+                  CASE WHEN l.a < r.a THEN 1 ELSE 0 END AS b
+           FROM ${p}amps l JOIN ${p}amps r
+             ON r.doc_id = l.doc_id AND r.w = l.w + 1
+           WHERE l.w <= 62),
+         ${p}fp AS (
+           SELECT doc_id,
+                  CAST(sum(b * (CAST(1 AS BIGINT) << CAST(j AS INT)))
+                       AS BIGINT) AS f
+           FROM ${p}bits GROUP BY doc_id)"""
+
+  /** The video-dedup fingerprint replay (frame levels → comparisons →
+    * 63-bit fp), shared by q_video_dedup and q_media_dedup_keep —
+    * solid-gray JPEG decodes within ±3 of its level, so with
+    * ≥20-level gaps `<` on LEVELS is the decoded contour bit. */
+  private def videoFpCtes(p: String = ""): String =
+    s"""${p}ids AS (
+           SELECT doc_id, (doc_id // 10) // 3 AS g, (doc_id // 10) % 3 AS m
+           FROM documents WHERE doc_id % 10 = 0),
+         ${p}win AS (SELECT w FROM range(64) tw(w)),
+         ${p}draws AS (
+           SELECT doc_id, g, m, w,
+             ((strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_v_'||CAST(w AS VARCHAR)), 1, 1)) - 1)
+                * 4096 +
+              (strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_v_'||CAST(w AS VARCHAR)), 2, 1)) - 1)
+                * 256 +
+              (strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_v_'||CAST(w AS VARCHAR)), 3, 1)) - 1)
+                * 16 +
+              (strpos('0123456789abcdef', substr(md5(
+                 CAST(g AS VARCHAR)||'_v_'||CAST(w AS VARCHAR)), 4, 1)) - 1))
+             % 10 * 20 + 20 AS lvl
+           FROM ${p}ids CROSS JOIN ${p}win),
+         ${p}l0 AS (SELECT doc_id, lvl AS lvl0 FROM ${p}draws WHERE w = 0),
+         ${p}l1 AS (SELECT doc_id, lvl AS lvl1 FROM ${p}draws WHERE w = 1),
+         ${p}lvls AS (
+           SELECT d.doc_id, d.w,
+             CASE WHEN d.m = 2 AND d.w = 0 THEN
+               CASE WHEN l0.lvl0 < l1.lvl1 THEN 240 ELSE 0 END
+             ELSE d.lvl + CASE WHEN d.m = 1 THEN 8 ELSE 0 END
+             END AS v
+           FROM ${p}draws d
+           JOIN ${p}l0 l0 ON l0.doc_id = d.doc_id
+           JOIN ${p}l1 l1 ON l1.doc_id = d.doc_id),
+         ${p}bits AS (
+           SELECT l.doc_id, l.w AS j,
+                  CASE WHEN l.v < r.v THEN 1 ELSE 0 END AS b
+           FROM ${p}lvls l JOIN ${p}lvls r
+             ON r.doc_id = l.doc_id AND r.w = l.w + 1
+           WHERE l.w <= 62),
+         ${p}fp AS (
+           SELECT doc_id,
+                  CAST(sum(b * (CAST(1 AS BIGINT) << CAST(j AS INT)))
+                       AS BIGINT) AS f
+           FROM ${p}bits GROUP BY doc_id)"""
 
   private val closureOracle: String =
     """sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -5128,7 +5343,7 @@ object SparkEntry {
     // The cell draw is the first 16 bits of md5(g_x_y) mod 191 — the
     // engine-shared coin (simhash precedent)
     "q_image_dedup" ->
-      s"""WITH $imageFpCtes
+      s"""WITH ${imageFpCtes()}
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 bit_count(xor(a.f, b.f)) AS hamming
          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -5138,7 +5353,7 @@ object SparkEntry {
     // component minimum, drop list = every node not its own cluster id
     // (the q_semdedup shape)
     "q_image_dedup_keep" ->
-      s"""WITH RECURSIVE $imageFpCtes,
+      s"""WITH RECURSIVE ${imageFpCtes()},
          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
                    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
                    WHERE bit_count(xor(a.f, b.f)) <= 3),
@@ -5150,47 +5365,7 @@ object SparkEntry {
     // in a > 0, so `<` on a IS the contour bit — gain doubling scales
     // a, flipping nothing), fold 63 comparisons, pair by bit_count
     "q_audio_dedup" ->
-      """WITH ids AS (
-           SELECT doc_id, (doc_id // 10) // 3 AS g, (doc_id // 10) % 3 AS m
-           FROM documents WHERE doc_id % 10 = 0),
-         win AS (SELECT w FROM range(64) tw(w)),
-         draws AS (
-           SELECT doc_id, g, m, w,
-             ((strpos('0123456789abcdef', substr(md5(
-                 CAST(g AS VARCHAR)||'_a_'||CAST(w AS VARCHAR)), 1, 1)) - 1)
-                * 4096 +
-              (strpos('0123456789abcdef', substr(md5(
-                 CAST(g AS VARCHAR)||'_a_'||CAST(w AS VARCHAR)), 2, 1)) - 1)
-                * 256 +
-              (strpos('0123456789abcdef', substr(md5(
-                 CAST(g AS VARCHAR)||'_a_'||CAST(w AS VARCHAR)), 3, 1)) - 1)
-                * 16 +
-              (strpos('0123456789abcdef', substr(md5(
-                 CAST(g AS VARCHAR)||'_a_'||CAST(w AS VARCHAR)), 4, 1)) - 1))
-             % 191 + 10 AS amp
-           FROM ids CROSS JOIN win),
-         a0 AS (SELECT doc_id, amp AS amp0 FROM draws WHERE w = 0),
-         a1 AS (SELECT doc_id, amp AS amp1 FROM draws WHERE w = 1),
-         amps AS (
-           SELECT d.doc_id, d.w,
-             CASE WHEN d.m = 2 AND d.w = 0 THEN
-               CASE WHEN a0.amp0 < a1.amp1 THEN 250 ELSE 5 END
-             ELSE d.amp * (CASE WHEN d.m = 1 THEN 2 ELSE 1 END)
-             END AS a
-           FROM draws d
-           JOIN a0 ON a0.doc_id = d.doc_id
-           JOIN a1 ON a1.doc_id = d.doc_id),
-         bits AS (
-           SELECT l.doc_id, l.w AS j,
-                  CASE WHEN l.a < r.a THEN 1 ELSE 0 END AS b
-           FROM amps l JOIN amps r
-             ON r.doc_id = l.doc_id AND r.w = l.w + 1
-           WHERE l.w <= 62),
-         fp AS (
-           SELECT doc_id,
-                  CAST(sum(b * (CAST(1 AS BIGINT) << CAST(j AS INT)))
-                       AS BIGINT) AS f
-           FROM bits GROUP BY doc_id)
+      s"""WITH ${audioFpCtes()}
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 bit_count(xor(a.f, b.f)) AS hamming
          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -5201,49 +5376,66 @@ object SparkEntry {
     // with ≥20-level gaps `<` on LEVELS is the decoded contour bit;
     // the +8 member shift and the 240/0 flip clear the bound too)
     "q_video_dedup" ->
-      """WITH ids AS (
-           SELECT doc_id, (doc_id // 10) // 3 AS g, (doc_id // 10) % 3 AS m
-           FROM documents WHERE doc_id % 10 = 0),
-         win AS (SELECT w FROM range(64) tw(w)),
-         draws AS (
-           SELECT doc_id, g, m, w,
-             ((strpos('0123456789abcdef', substr(md5(
-                 CAST(g AS VARCHAR)||'_v_'||CAST(w AS VARCHAR)), 1, 1)) - 1)
-                * 4096 +
-              (strpos('0123456789abcdef', substr(md5(
-                 CAST(g AS VARCHAR)||'_v_'||CAST(w AS VARCHAR)), 2, 1)) - 1)
-                * 256 +
-              (strpos('0123456789abcdef', substr(md5(
-                 CAST(g AS VARCHAR)||'_v_'||CAST(w AS VARCHAR)), 3, 1)) - 1)
-                * 16 +
-              (strpos('0123456789abcdef', substr(md5(
-                 CAST(g AS VARCHAR)||'_v_'||CAST(w AS VARCHAR)), 4, 1)) - 1))
-             % 10 * 20 + 20 AS lvl
-           FROM ids CROSS JOIN win),
-         l0 AS (SELECT doc_id, lvl AS lvl0 FROM draws WHERE w = 0),
-         l1 AS (SELECT doc_id, lvl AS lvl1 FROM draws WHERE w = 1),
-         lvls AS (
-           SELECT d.doc_id, d.w,
-             CASE WHEN d.m = 2 AND d.w = 0 THEN
-               CASE WHEN l0.lvl0 < l1.lvl1 THEN 240 ELSE 0 END
-             ELSE d.lvl + CASE WHEN d.m = 1 THEN 8 ELSE 0 END
-             END AS v
-           FROM draws d
-           JOIN l0 ON l0.doc_id = d.doc_id
-           JOIN l1 ON l1.doc_id = d.doc_id),
-         bits AS (
-           SELECT l.doc_id, l.w AS j,
-                  CASE WHEN l.v < r.v THEN 1 ELSE 0 END AS b
-           FROM lvls l JOIN lvls r
-             ON r.doc_id = l.doc_id AND r.w = l.w + 1
-           WHERE l.w <= 62),
-         fp AS (
-           SELECT doc_id,
-                  CAST(sum(b * (CAST(1 AS BIGINT) << CAST(j AS INT)))
-                       AS BIGINT) AS f
-           FROM bits GROUP BY doc_id)
+      s"""WITH ${videoFpCtes()}
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 bit_count(xor(a.f, b.f)) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.f, b.f)) <= 3""",
+
+    // the stream's keep-min drop policy over the image pair set: an
+    // odd-GROUP (batch) image drops as the larger side of ANY pair, or
+    // as the smaller side of a pair whose larger side is even-group
+    // (indexed) — q_neardup_filter's oracle shape on the banded-
+    // Hamming family; each odd group's minimum member survives
+    "q_image_neardup_filter" ->
+      s"""WITH ${imageFpCtes()},
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+                   WHERE bit_count(xor(a.f, b.f)) <= 3),
+         dropped AS (
+           SELECT doc_b AS doc_id FROM pairs
+           WHERE ((doc_b // 10) // 3) % 2 = 1
+           UNION
+           SELECT doc_a FROM pairs
+           WHERE ((doc_a // 10) // 3) % 2 = 1
+             AND ((doc_b // 10) // 3) % 2 = 0)
+         SELECT doc_id FROM fp
+         WHERE ((doc_id // 10) // 3) % 2 = 1
+           AND doc_id NOT IN (SELECT doc_id FROM dropped)""",
+
+    // all three modality fingerprint replays (prefixed CTEs), pair
+    // graphs offset into disjoint id spaces, one recursive closure —
+    // keeper = component minimum, drop list = every non-keeper
+    "q_media_dedup_keep" ->
+      s"""WITH RECURSIVE ${imageFpCtes("i_")},
+         ${audioFpCtes("a_")},
+         ${videoFpCtes("v_")},
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM i_fp a JOIN i_fp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.f, b.f)) <= 3
+           UNION ALL
+           SELECT a.doc_id + $MediaAudioOff, b.doc_id + $MediaAudioOff
+           FROM a_fp a JOIN a_fp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.f, b.f)) <= 3
+           UNION ALL
+           SELECT a.doc_id + $MediaVideoOff, b.doc_id + $MediaVideoOff
+           FROM v_fp a JOIN v_fp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.f, b.f)) <= 3),
+         $closureOracle
+         SELECT node AS doc_id, cluster_id AS kept_id
+         FROM comp WHERE node <> cluster_id""",
+
+    // the dHash pair set is the exact twin; both pHash booleans are
+    // pinned TRUE on this fixture (tolerance-twin pattern — the float
+    // DCT path is asserted through deterministic bounds, never hashed
+    // directly)
+    "q_image_phash" ->
+      s"""WITH ${imageFpCtes()}
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.f, b.f)) AS hamming,
+                TRUE AS phash_agrees,
+                TRUE AS phash_shift_exact
          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.f, b.f)) <= 3""",
 

@@ -515,6 +515,55 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Incremental [[hammingPairs63]]: near-dup pairs of a NEW batch of
+    * 63-bit fingerprints against a persisted corpus fingerprint set
+    * (plus within-batch pairs) — the [[minhashLshPairsIncremental]]
+    * posture for the Hamming family, so every fingerprint modality
+    * ([[simhash]], [[ImageHash.dhash63]], [[AudioHash.energyHash63]],
+    * [[VideoHash.contour63]]) gets the same continuous-ingestion shape
+    * text minhash has. Emitted pairs all touch the batch; results for
+    * those pairs are IDENTICAL to a full [[hammingPairs63]] over
+    * corpus ∪ batch (same 4×16-bit chunks, same exact bit_count
+    * verify) — spec-asserted.
+    *
+    * Scale shape: with `broadcastBatch` (default) the batch's chunk
+    * list broadcasts, so the ONLY pass over the corpus is one columnar
+    * scan of its (id, fp) columns joined map-side — the corpus never
+    * shuffles. Pass false when the batch itself is huge. Ids must be
+    * disjoint across the two frames; fingerprints in [0, 2⁶³). */
+  def hammingPairs63Incremental(
+      corpusFps: DataFrame, batchFps: DataFrame, idCol: String,
+      fpCol: String, maxHamming: Int = 3,
+      broadcastBatch: Boolean = true): DataFrame = {
+    def bandsOf(df: DataFrame) =
+      df.select(col(idCol), col(fpCol).as("fp63"),
+          explode(expr("sequence(0, 3)")).as("b"))
+        .withColumn("chunk",
+          expr("shiftright(fp63, CAST(b * 16 AS INT)) & 65535"))
+    val bandsBatch0 = bandsOf(batchFps)
+    val bandsAll = bandsOf(corpusFps).unionByName(bandsBatch0)
+    val bandsBatch =
+      if (broadcastBatch) broadcast(bandsBatch0) else bandsBatch0
+    val raw = bandsAll
+      .select(col(idCol).as("doc_a"), col("fp63").as("fa"),
+        col("b"), col("chunk"))
+      .join(bandsBatch.select(col(idCol).as("doc_b"), col("fp63").as("fb"),
+        col("b"), col("chunk")), Seq("b", "chunk"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    // orient a < b (batch-batch collisions arrive in both orientations,
+    // corpus-batch in one); fingerprints swap with their ids
+    val aLtB = col("doc_a") < col("doc_b")
+    raw.select(
+        when(aLtB, col("doc_a")).otherwise(col("doc_b")).as("doc_a"),
+        when(aLtB, col("doc_b")).otherwise(col("doc_a")).as("doc_b"),
+        when(aLtB, col("fa")).otherwise(col("fb")).as("fa"),
+        when(aLtB, col("fb")).otherwise(col("fa")).as("fb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(fa ^ fb)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Decontamination: n-gram containment of each probe (eval/test) doc in
     * the training corpus — |S(probe) ∩ V(corpus)| / |S(probe)|, the
     * standard train/test overlap check run before training.

@@ -1,9 +1,7 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
@@ -22,134 +20,32 @@ import graft.ext.Dedup
   * stream is restartable from the files alone, survivors accumulate
   * across runs, and a batch compaction pass can rewrite the index
   * without touching the stream — the same per-run-upsert vs periodic-GC
-  * split as the reference's ingestion (§2.10). Each batch's rows land in
-  * their own `batch=<id>` partition via DYNAMIC partition overwrite, so
-  * foreachBatch's at-least-once replay is idempotent (a retried batch
-  * rewrites its own partitions, never double-appends).
+  * split as the reference's ingestion (§2.10).
   *
-  * The survivor index is [[graft.model.WaveManifest]]-pinned, exactly
-  * like the posting and IVF indexes (review r12 — this was the last
-  * persisted index outside the snapshot discipline): every batch commits
-  * a manifest version AFTER its data lands, [[index]] resolves the
-  * pointer ONCE at plan time (an external reader scanning the survivor
-  * set mid-commit answers the pre-batch snapshot, never a mix),
-  * [[compact]] collapses the pinned waves into one compaction-space
-  * wave with a `#through=` watermark so absorbed batch ids replay as
-  * no-ops, and [[graft.model.WaveManifest.expire]] (via [[expire]])
-  * reclaims unreferenced waves. Pre-manifest indexes (legacy dirs) keep
-  * working: reads fall back to scanning every `batch=` dir.
-  *
-  * Batch-id collision across RUNS is handled by a run-scoped base
-  * offset: Spark's epoch ids restart at 0 under a fresh checkpoint, so a
-  * second query against the same index would otherwise reuse
-  * `batch=0`, clobber the accumulated survivors, and (because the
-  * corpus filter is `batch < id`) skip dedup against everything already
-  * indexed. [[resolveBase]] maps each streaming QUERY (the stable
-  * `queryId`, which survives checkpoint restarts) to a base recorded in
-  * the `_run_base` marker file inside the index dir: a query seen before
-  * keeps its base (so a checkpoint replay rewrites the same dir), a new
-  * query gets `max(existing batch) + 1` (so its batches dedup against —
-  * and never overwrite — every previously indexed batch). The marker is
-  * underscore-prefixed, so parquet partition discovery ignores it. All
-  * file probing goes through the Hadoop FileSystem API, so an HDFS/S3
-  * index path behaves the same as a local one.
+  * Persistence is the [[DedupState]] wave-manifest discipline, shared
+  * verbatim with [[FingerprintDedupStream]] (review r12 — this was the
+  * last persisted index outside the snapshot discipline): dynamic
+  * partition overwrite per `batch=<eff>` wave (at-least-once replay
+  * idempotent), manifest commit after data, [[index]] = pinned snapshot
+  * serve, [[compact]]/[[expire]] = small-files lifecycle + retention
+  * with absorbed batch ids burned by the `#through=` watermark, and
+  * run-scoped base offsets so a fresh checkpoint's epoch 0 lands past
+  * everything already indexed. Pre-manifest indexes (legacy dirs) keep
+  * working via the dir-listing fallback.
   *
   * Drop policy (deterministic): a batch doc is dropped iff it near-dup
-  * pairs with any INDEXED doc or with a SMALLER-id doc of its own batch.
-  * This is the greedy keep-min rule applied per batch — conservative on
-  * in-batch chains (B~C both drop when A~B~C and A is indexed), which is
-  * the right bias for an ingest filter; exact cluster-level keep-one
-  * remains the batch operator's job ([[graft.ext.Components]] + argmax).
+  * pairs with any INDEXED doc or with a SMALLER-id doc of its own batch
+  * ([[DedupState.droppedIds]]).
   */
 object StreamingNearDup {
 
-  private val MarkerName = "_run_base"
-  private val BatchDir = "batch=(\\d+)".r
-
-  private def fileSystem(spark: SparkSession, path: String): (FileSystem, Path) = {
-    val p = new Path(path)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
-
-  /** Batch ids already present in the index (Hadoop FS glob, so HDFS/S3
-    * paths work — a java.nio probe would silently report "no index"
-    * there and disable cross-batch dedup). Compaction-space waves
-    * (>= [[graft.model.WaveManifest.CompactBase]]) are excluded: they
-    * are rewrites of absorbed stream batches, not batch ids a new run
-    * may base itself past. */
   private[streaming] def existingBatches(
-      spark: SparkSession, indexPath: String): Seq[Long] = {
-    val (fs, root) = fileSystem(spark, indexPath)
-    if (!fs.exists(root)) Seq.empty
-    else fs.globStatus(new Path(root, "batch=*")) match {
-      case null => Seq.empty
-      case st => st.toSeq.map(_.getPath.getName).collect {
-        case BatchDir(n) => n.toLong
-      }.filter(_ < graft.model.WaveManifest.CompactBase)
-    }
-  }
+      spark: SparkSession, indexPath: String): Seq[Long] =
+    DedupState.existingBatches(spark, indexPath)
 
-  private def readMarker(fs: FileSystem, marker: Path): Map[String, Long] =
-    if (!fs.exists(marker)) Map.empty
-    else {
-      val buf = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
-      val in = fs.open(marker)
-      try in.readFully(0, buf)
-      finally in.close()
-      new String(buf, StandardCharsets.UTF_8)
-        .linesIterator.filter(_.nonEmpty).map { line =>
-          val Array(qid, base) = line.split("\t", 2)
-          qid -> base.toLong
-        }.toMap
-    }
-
-  private def writeMarker(fs: FileSystem, marker: Path,
-      entries: Map[String, Long]): Unit = {
-    val out = fs.create(marker, true)
-    try out.write(entries.toSeq.sortBy(_._1)
-      .map { case (q, b) => s"$q\t$b" }.mkString("\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
-  /** Resolve the run-scoped base offset for a streaming query: a queryId
-    * already in the marker keeps its recorded base (checkpoint restart —
-    * epoch ids continue / replay correctly); an unseen queryId is
-    * assigned `max(existing batch) + 1` and recorded, so its epoch-0
-    * batch lands AFTER everything already indexed. Single-writer (one
-    * ingest stream per index), like the index itself. */
   private[streaming] def resolveBase(spark: SparkSession, indexPath: String,
-      queryId: String): Long = {
-    val (fs, root) = fileSystem(spark, indexPath)
-    val marker = new Path(root, MarkerName)
-    val entries = readMarker(fs, marker)
-    entries.getOrElse(queryId, {
-      // past every existing stream-space dir AND past the compaction
-      // watermark: after compact + expire the absorbed dirs are gone,
-      // but their ids must stay burned or a new run's batches would be
-      // skipped as absorbed replays
-      val base = math.max(
-        existingBatches(spark, indexPath).foldLeft(-1L)(math.max),
-        graft.model.WaveManifest.compactedThrough(spark, indexPath)) + 1L
-      writeMarker(fs, marker, entries + (queryId -> base))
-      base
-    })
-  }
-
-  /** The drop policy on oriented (doc_a < doc_b) near-dup pairs: a
-    * batch doc drops when it is the LARGER side of any pair (its
-    * partner — indexed or in-batch — has a smaller id), or when it is
-    * the smaller side of a pair whose larger side is an INDEXED doc.
-    * Pure frame logic shared by the stream and the batch face. */
-  private def droppedIds(pairs: DataFrame, batchIds: DataFrame,
-      idCol: String): DataFrame = {
-    val dropA = pairs.join(batchIds.withColumnRenamed(idCol, "doc_b"),
-      Seq("doc_b"), "left_anti")
-      .select(col("doc_a").as(idCol))
-    val dropB = pairs.select(col("doc_b").as(idCol))
-      .join(batchIds, Seq(idCol), "left_semi")
-    dropA.unionByName(dropB).distinct()
-  }
+      queryId: String): Long =
+    DedupState.resolveBase(spark, indexPath, queryId)
 
   /** BATCH face of the filter: the rows of `batch` that survive the
     * SAME drop policy one micro-batch applies against a prebuilt corpus
@@ -171,15 +67,17 @@ object StreamingNearDup {
       shingleN, numHashes).localCheckpoint()
     val pairs = Dedup.minhashLshPairsIncremental(corpusIdx, batchIdx,
       idCol, bandSize, threshold)
-    batch.join(droppedIds(pairs, batchIdx.select(col(idCol)), idCol),
+    batch.join(
+      DedupState.droppedIds(pairs, batchIdx.select(col(idCol)), idCol),
       Seq(idCol), "left_anti")
   }
 
   /** One micro-batch of the filter, at its run-scoped EFFECTIVE batch id:
-    * probe the corpus index (batches strictly below `eff`), drop batch
-    * docs per the keep-min policy, overwrite `batch=<eff>` with the
-    * survivors' index rows. Calling this twice with the same `eff` is
-    * idempotent — the at-least-once replay contract. */
+    * probe the pinned corpus snapshot, drop batch docs per the keep-min
+    * policy, land `batch=<eff>` with the survivors' index rows, commit
+    * the manifest. Calling this twice with the same `eff` is idempotent
+    * — the at-least-once replay contract; a batch a compaction already
+    * absorbed is a complete no-op. */
   private[streaming] def processBatch(
       batch: DataFrame,
       idCol: String,
@@ -194,110 +92,42 @@ object StreamingNearDup {
       onDuplicates: (DataFrame, Long) => Unit,
       compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
-    // a replayed batch a compaction already ABSORBED is a complete
-    // no-op: its survivors live in the compacted wave, and downstream
-    // already received them when the batch first committed
-    if (eff <= graft.model.WaveManifest.compactedThrough(spark, indexPath))
-      return
+    if (DedupState.absorbed(spark, indexPath, eff)) return
     val batchIdx = Dedup.minhashIndex(batch, idCol, textCol,
       shingleN, numHashes).localCheckpoint()
-    // corpus = the PINNED manifest snapshot, restricted to waves this
-    // batch may see: stream waves strictly below eff (so a retry — for
-    // which this or a LATER batch's dir may already exist — computes
-    // against the same corpus state as the first attempt) plus every
-    // compaction wave (a compacted wave only ever absorbs batches below
-    // the watermark, which the guard above proved is below eff). A
-    // manifest-less legacy index falls back to the dir listing.
-    val corpusWaves = graft.model.WaveManifest.pinned(spark, indexPath)
-      .map(_.filter(w =>
-        w < eff || w >= graft.model.WaveManifest.CompactBase))
-      .getOrElse(existingBatches(spark, indexPath).filter(_ < eff))
-    val corpusIdx =
-      if (corpusWaves.nonEmpty) spark.read.parquet(indexPath)
-        .filter(col("batch").isin(corpusWaves.map(Long.box): _*))
-      else batchIdx.limit(0)
+    val corpusIdx = DedupState.corpusFor(spark, indexPath, eff)
+      .getOrElse(batchIdx.limit(0))
     val pairs = Dedup.minhashLshPairsIncremental(corpusIdx, batchIdx,
       idCol, bandSize, threshold).localCheckpoint()
-    val dropped = droppedIds(pairs, batchIdx.select(col(idCol)), idCol)
+    val dropped = DedupState.droppedIds(pairs,
+      batchIdx.select(col(idCol)), idCol)
     val survivors = batch.join(dropped, Seq(idCol), "left_anti")
     val survivorIdx = batchIdx.join(dropped, Seq(idCol), "left_anti")
-    writeWave(survivorIdx, indexPath, eff)
-    // data first, manifest after (the wave becomes visible to pinned
-    // readers only here; a crash in between leaves an invisible wave
-    // the replay overwrites); replays of a pinned wave skip the commit
-    graft.model.WaveManifest.commitWave(spark, indexPath, eff)
+    DedupState.writeWave(survivorIdx, indexPath, eff)
+    DedupState.commitAndMaybeCompact(spark, indexPath, eff, compactEvery)
     onDuplicates(pairs, eff)
     onSurvivors(survivors, eff)
-    if (compactEvery > 0 &&
-      graft.model.WaveManifest.pinned(spark, indexPath)
-        .exists(_.size >= compactEvery)) {
-      compact(spark, indexPath)
-      ()
-    }
   }
-
-  /** The single wave write path (stream batches and [[compact]]):
-    * dynamic partition overwrite of `batch=<wave>` — a replay replaces
-    * its own partitions, every other wave is untouched. */
-  private def writeWave(rows: DataFrame, indexPath: String,
-      wave: Long): Unit =
-    rows.withColumn("batch", lit(wave))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch")
-      .parquet(indexPath)
 
   /** The survivor index as a PINNED SNAPSHOT — the serve face for
     * external readers (downstream dedup jobs probing the accumulated
-    * corpus): the manifest pointer is resolved ONCE here at plan time,
-    * so a batch committing mid-read is invisible. `pin` overrides the
-    * pointer for time travel (a wave set from [[graft.model
-    * .WaveManifest.wavesAt]]); a manifest-less legacy index scans every
-    * wave. */
+    * corpus); `pin` overrides the pointer for time travel. */
   def index(spark: SparkSession, indexPath: String,
-      pin: Option[Seq[Long]] = None): DataFrame = {
-    val waves = pin.orElse(
-      graft.model.WaveManifest.pinned(spark, indexPath))
-    val all = spark.read.parquet(indexPath)
-    waves match {
-      case Some(ws) => all.filter(col("batch").isin(ws.map(Long.box): _*))
-      case None => all
-    }
-  }
+      pin: Option[Seq[Long]] = None): DataFrame =
+    DedupState.pinnedIndex(spark, indexPath, pin)
 
-  /** Collapse the pinned wave set into ONE compaction-space wave and
-    * re-pin — the [[graft.ext.PostingIndex.compact]] lifecycle for the
-    * survivor index: survivor rows are disjoint across waves (each doc
-    * survived exactly one batch), so the rewrite is a pure union and
-    * every later probe sees the identical corpus. The `#through=`
-    * watermark burns the absorbed batch ids (their replays become
-    * no-ops). Data first, manifest after; old waves remain for pinned
-    * readers until [[expire]]. Single-committer contract.
+  /** Collapse the pinned wave set into ONE compaction-space wave —
+    * survivor rows are disjoint across waves (each doc survived exactly
+    * one batch), so every later probe sees the identical corpus.
     * @return the new wave id */
-  def compact(spark: SparkSession, indexPath: String): Long = {
-    val waves = graft.model.WaveManifest.pinned(spark, indexPath)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no manifest under $indexPath — compact needs a manifest-pinned " +
-          "index (legacy survivor indexes predate the snapshot discipline)"))
-    require(waves.nonEmpty, s"manifest under $indexPath pins no waves")
-    val newWave = graft.model.WaveManifest.nextCompactionWave(waves)
-    val rows = spark.read.parquet(indexPath)
-      .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch")
-      .localCheckpoint() // the rewrite scans the path it overwrites
-    writeWave(rows, indexPath, newWave)
-    graft.model.WaveManifest.commit(spark, indexPath, Seq(newWave),
-      through = Some(graft.model.WaveManifest.throughAfterCompaction(
-        waves, graft.model.WaveManifest.compactedThrough(spark, indexPath))))
-    newWave
-  }
+  def compact(spark: SparkSession, indexPath: String): Long =
+    DedupState.compactTable(spark, indexPath)
 
-  /** Retention for the survivor index: drop old manifest versions and
-    * reclaim every `batch=` dir no surviving version references —
-    * [[graft.model.WaveManifest.expire]] over this single-table layout
-    * (batch dirs directly under the root). */
+  /** Retention for the survivor index — reclaim every wave dir no
+    * surviving manifest version references. */
   def expire(spark: SparkSession, indexPath: String,
       keepVersions: Int): Seq[Long] =
-    graft.model.WaveManifest.expire(spark, indexPath, Seq(""), keepVersions)
+    DedupState.expireTable(spark, indexPath, keepVersions)
 
   /** @param indexPath  corpus index location (parquet; created on first
     *                    batch if absent)
@@ -333,12 +163,9 @@ object StreamingNearDup {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          if (baseRef.get == Long.MinValue) {
-            val qid = Option(spark.sparkContext
-              .getLocalProperty("sql.streaming.queryId"))
-              .getOrElse("unkeyed")
-            baseRef.set(resolveBase(spark, indexPath, qid))
-          }
+          if (baseRef.get == Long.MinValue)
+            baseRef.set(resolveBase(spark, indexPath,
+              DedupState.queryId(spark)))
           processBatch(batch, idCol, textCol, indexPath, shingleN,
             numHashes, bandSize, threshold, baseRef.get + id,
             onSurvivors, onDuplicates, compactEvery)
