@@ -1824,6 +1824,28 @@ object SparkEntry {
       graft.ext.SpanDedup.sharedSpanPairs(Tables.documents(s, dir),
         "doc_id", "text", spanTokens = 8, winnowWindow = 4)),
 
+    // ── EXACT repeated-substring discovery (ext.ExactSpans): every
+    //    maximal ≥8-token shared span between two docs with exact
+    //    0-based boundaries — the TWO-SIDED guarantee winnowed
+    //    q_span_dedup trades away (it detects overlap; this reports
+    //    all of it, the suffix-array span-removal cut list). Shape:
+    //    one md5-window join + one diagonal gaps-and-islands window +
+    //    one aggregate; completeness is spec-gated against a
+    //    brute-force longest-common-extension reference
+    //    (ExactSpansSpec).
+    "q_exact_spans" -> ((s, dir) =>
+      graft.ext.ExactSpans.repeatedSpans(Tables.documents(s, dir),
+        "doc_id", "text", minTokens = 8)),
+
+    // ── The per-document CUT LIST over those spans: both sides'
+    //    token ranges merged into maximal disjoint intervals (running-
+    //    max gaps-and-islands) — what a span-removal rewrite actually
+    //    excises.
+    "q_span_cuts" -> ((s, dir) =>
+      graft.ext.ExactSpans.cutList(
+        graft.ext.ExactSpans.repeatedSpans(Tables.documents(s, dir),
+          "doc_id", "text", minTokens = 8))),
+
     // ── SimHash 32-bit fingerprints (occurrence-weighted md5 bit votes).
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")),
@@ -3077,6 +3099,30 @@ object SparkEntry {
     """CAST(floor((2*(4*least(w,50)*c*w + 150*(c-p)*w + 150*m*c)*10000
                             + 500*c*w)
                            / (2*500*c*w)) AS DOUBLE) / 10000"""
+
+  /** The exact repeated-span discovery, replayed in SQL — shared by
+    * q_exact_spans and q_span_cuts (which folds the same spans into
+    * per-doc cut intervals). */
+  private val exactSpansOracle: String =
+    """WITH words AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                 md5(array_to_string(w[i:i+7], ' ')) AS g
+               FROM words, UNNEST(range(1, len(w) - 6)) t(i)
+               WHERE len(w) >= 8),
+         m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+               FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id),
+         isl AS (SELECT doc_a, doc_b, diag, pos_a, pos_b,
+                   pos_a - row_number()
+                     OVER (PARTITION BY doc_a, doc_b, diag
+                           ORDER BY pos_a) AS isl
+                 FROM m)
+         SELECT doc_a, doc_b, CAST(min(pos_a) AS BIGINT) AS start_a,
+                CAST(min(pos_b) AS BIGINT) AS start_b,
+                CAST(count(*) + 7 AS BIGINT) AS len_tokens
+         FROM isl GROUP BY doc_a, doc_b, diag, isl""".stripMargin
 
   /** Shared by q_minhash_lsh and q_dedup_clusters (which closes over the
     * same pair graph) — one source of truth for the pair semantics. */
@@ -5240,6 +5286,34 @@ object SparkEntry {
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
          FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2""",
+
+    // the full window join + diagonal gaps-and-islands, replayed
+    // literally: md5 of the identical space-joined 8-token window in
+    // both engines, islands keyed by pos − row_number at one diagonal
+    "q_exact_spans" -> exactSpansOracle,
+
+    // the same spans, both sides' ranges merged per doc by the
+    // running-max interval fold
+    "q_span_cuts" ->
+      s"""WITH spans AS ($exactSpansOracle),
+         sides AS (
+           SELECT doc_a AS doc_id, start_a AS s,
+                  start_a + len_tokens AS e FROM spans
+           UNION ALL
+           SELECT doc_b, start_b, start_b + len_tokens FROM spans),
+         mk AS (SELECT doc_id, s, e,
+                  max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS runmax
+                FROM sides),
+         isl2 AS (SELECT doc_id, s, e,
+                    sum(CASE WHEN runmax IS NULL OR s > runmax
+                        THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+                  FROM mk)
+         SELECT doc_id, CAST(min(s) AS BIGINT) AS "start",
+                CAST(max(e) AS BIGINT) AS "end"
+         FROM isl2 GROUP BY doc_id, isl""",
 
     // the sketch estimates are engine-specific; the hashable contract is
     // exact values + within-tolerance booleans (see the query comment for
