@@ -2392,6 +2392,21 @@ object SparkEntry {
           col("count").as("pair_count"))
     }),
 
+    // ── Unigram-LM (SentencePiece-style) tokenizer training
+    //    (ext.UnigramLm) — the OTHER production tokenizer family: seed
+    //    vocabulary = top-48 substrings (≤4 chars) of the word
+    //    histogram by occurrence mass ∪ all single chars, then 2
+    //    Viterbi-EM rounds with µ-quantized integer log-prob scores
+    //    (the NgramLm ln-of-integers discipline). The oracle replays
+    //    BOTH rounds as a generated CTE chain — candidate seeding,
+    //    score quantization, canonical-path Viterbi (enumerated
+    //    segmentations, ORDER BY score DESC, path), usage recount —
+    //    so the whole trained table is hash-checked, the q_bpe_train
+    //    posture for EM.
+    "q_unigram_train" -> ((s, dir) =>
+      graft.ext.UnigramLm.train(Tables.documents(s, dir), "text",
+        vocabSize = 48, maxPieceLen = 4, rounds = 2)),
+
     // ── BPE encoding with a FIXED merge list (the inference face of
     //    ext.Bpe): greedy leftmost-non-overlapping application as a
     //    codegen replace chain over the "(sym)(sym)" encoding; per-doc
@@ -5539,6 +5554,13 @@ object SparkEntry {
 
     "q_bpe_train" -> bpeTrainOracle(rounds = 8),
 
+    // both EM rounds replayed: integer ln args quantize identically,
+    // and the canonical Viterbi path re-derives by enumerating every
+    // segmentation and taking (score DESC, path ASC) — provably the
+    // operator's shortest-piece-first tie rule
+    "q_unigram_train" ->
+      unigramTrainOracle(rounds = 2, vocabSize = 48, maxLen = 4),
+
     // the hash coin is replayed literally: md5 of the same string in
     // both engines, argmin under the same (h, v) order
     "q_walks" -> walksOracle(walkLen = 4),
@@ -6260,6 +6282,63 @@ object SparkEntry {
     (Seq(prelude) ++ perRound).mkString("WITH ", ",\n         ", "\n") +
       s"""SELECT vid AS vec_id, CAST(cid AS INTEGER) AS cluster_id,
                  CAST(d AS BIGINT) AS sqdist FROM a$rounds"""
+  }
+
+  /** The unigram-LM EM replay: candidate seeding, per-round quantized
+    * scores, canonical-path Viterbi via full segmentation enumeration
+    * (words are histogram-short, so the path count is tiny; the
+    * OPERATOR'S Viterbi is linear — enumeration is oracle-only), usage
+    * recount. Mirrors ext/UnigramLm term for term. */
+  private def unigramTrainOracle(rounds: Int, vocabSize: Int,
+      maxLen: Int): String = {
+    val base =
+      s"""hist AS (SELECT word, CAST(count(*) AS BIGINT) AS wcount
+           FROM (SELECT regexp_replace(
+                   unnest(string_split_regex(lower(trim(text)), '\\s+')),
+                   '[^a-z0-9]', '', 'g') AS word FROM documents)
+           WHERE word <> '' GROUP BY 1),
+         cand AS (SELECT piece, CAST(sum(wcount) AS BIGINT) AS freq
+           FROM (SELECT unnest(flatten(list_transform(range(1, ${maxLen + 1}),
+                   l -> list_transform(range(1, len(word) - l + 2),
+                        i -> word[i : i + l - 1])))) AS piece, wcount
+                 FROM hist)
+           GROUP BY 1),
+         topk AS (SELECT piece, freq FROM cand
+                  ORDER BY freq DESC, piece LIMIT $vocabSize),
+         c0 AS (SELECT piece, max(freq) AS cnt FROM (
+                  SELECT piece, freq FROM topk
+                  UNION ALL
+                  SELECT piece, freq FROM cand WHERE len(piece) = 1)
+                GROUP BY piece)"""
+    val perRound = (1 to rounds).map { r =>
+      s"""s$r AS (SELECT piece,
+             CAST(floor((ln(cnt + 1) - ln(tot.t + tot.v)) * 1000000)
+                  AS BIGINT) AS s
+           FROM c${r - 1}, (SELECT CAST(sum(cnt) AS BIGINT) AS t,
+                                   count(*) AS v FROM c${r - 1}) tot),
+         reach$r(word, wcount, i, score, path) AS (
+           SELECT word, wcount, 0, CAST(0 AS BIGINT), '' FROM hist
+           UNION ALL
+           SELECT r.word, r.wcount, r.i + len(v.piece), r.score + v.s,
+                  r.path || (CASE WHEN r.path = '' THEN '' ELSE ' ' END)
+                         || v.piece
+           FROM reach$r r JOIN s$r v
+             ON r.i + len(v.piece) <= len(r.word)
+            AND v.piece = r.word[r.i + 1 : r.i + len(v.piece)]),
+         seg$r AS (SELECT word, wcount, path FROM (
+             SELECT word, wcount, path,
+                    row_number() OVER (PARTITION BY word
+                                       ORDER BY score DESC, path) AS rk
+             FROM reach$r WHERE i = len(word)) WHERE rk = 1),
+         c$r AS (SELECT c.piece, CAST(COALESCE(u.n, 0) AS BIGINT) AS cnt
+           FROM c${r - 1} c LEFT JOIN (
+             SELECT piece, sum(wcount) AS n
+             FROM (SELECT unnest(string_split(path, ' ')) AS piece, wcount
+                   FROM seg$r)
+             GROUP BY 1) u ON u.piece = c.piece)"""
+    }
+    (Seq(base) ++ perRound).mkString("WITH RECURSIVE ", ",\n      ", "\n") +
+      s"SELECT piece, cnt AS n_uses FROM c$rounds"
   }
 
   private def bpeTrainOracle(rounds: Int): String = {
