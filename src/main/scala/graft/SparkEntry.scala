@@ -1977,6 +1977,36 @@ object SparkEntry {
         k = 3, nProbe = 1)
     }),
 
+    // ── Product quantization (PqIndex): the memory-bound billion-scale
+    //    ANN path — each vector stored as m small codes instead of D
+    //    floats (64-dim float32 = 256 B → m=4 codes = 4 B), queries
+    //    answered by ADC against an m·k broadcast distance table, never
+    //    re-reading a corpus float. Training (per-subspace integer
+    //    Lloyd's on the KMeans grid), encode, and serving are ALL
+    //    hash-gated — the oracle is the k-means unroll with a `sub`
+    //    key. sqdist in the code table = exact per-subspace residual
+    //    (Σ = the PQ distortion diagnostic).
+    "q_pq_codes" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = graft.ext.PqIndex.codebooks(emb, "vec_id", "embedding",
+        m = 4, k = 4, rounds = 2)
+      graft.ext.PqIndex.encode(emb, "vec_id", "embedding", cb)
+    }),
+
+    // ── PQ ADC serving: top-10 neighbors of 3 corpus queries under the
+    //    asymmetric distance (exact query subvectors vs corpus CODES).
+    //    Deterministically hash-checkable because the whole train→
+    //    encode→serve path is integer-exact — no recall floor needed,
+    //    the ADC answer itself is the contract.
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = graft.ext.PqIndex.codebooks(emb, "vec_id", "embedding",
+        m = 4, k = 4, rounds = 2)
+      val codes = graft.ext.PqIndex.encode(emb, "vec_id", "embedding", cb)
+      graft.ext.PqIndex.adcTopK(codes, cb,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
+    }),
+
     // ── ANN: DISTRIBUTED probe selection (IvfIndex.searchDistributed) —
     //    probe lists come from a broadcast-centroid argmin join, not
     //    search's driver-side collect, so the query batch can be
@@ -5720,6 +5750,11 @@ object SparkEntry {
     // both engines, so the semantics need no special-casing
     "q_kmeans" -> kmeansOracle(k = 4, rounds = 2),
 
+    // PQ: training + encode hash-gated as the full code table; serving
+    // hash-gated as the ADC top-k — the kmeans unroll with a sub key
+    "q_pq_codes" -> pqOracle(m = 4, k = 4, rounds = 2, serveTopK = 0),
+    "q_ann_pq" -> pqOracle(m = 4, k = 4, rounds = 2, serveTopK = 10),
+
     "q_bpe_encode" ->
       """WITH w AS (SELECT doc_id,
                 regexp_replace(unnest(string_split_regex(lower(trim(text)), '\s+')),
@@ -6254,6 +6289,59 @@ object SparkEntry {
     }
     (Seq(prelude) ++ relax).mkString("WITH ", ",\n         ", "\n") +
       s"SELECT node, cost FROM d$rounds"
+  }
+
+  /** The PQ replay: [[kmeansOracle]] with a `sub` key — per-subspace
+    * init/assign/update unrolled, then (for `serveTopK` > 0) the ADC
+    * distance-table serve. `sub` derives from the GLOBAL pos like the
+    * operator's (`//` in DuckDB vs truncating cast in Spark — equal on
+    * non-negative operands); intermediate HUGEINT sums cast to BIGINT
+    * only at output columns. */
+  private def pqOracle(m: Int, k: Int, rounds: Int,
+      serveTopK: Int): String = {
+    val prelude =
+      s"""comp AS (SELECT vec_id AS vid,
+               CAST((i - 1) // (len(embedding) // $m) AS INTEGER) AS sub,
+               i - 1 AS pos,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+         init AS (SELECT vec_id AS vid,
+                    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+                  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+         c0 AS (SELECT cid, pos, q AS cq FROM init JOIN comp USING (vid))"""
+    val perRound = (1 to rounds).map { r =>
+      val update =
+        if (r == rounds) ""
+        else s""",
+         c$r AS (SELECT cid, pos,
+                   CAST(floor((2.0 * sum(q) + count(*)) / (2.0 * count(*))) AS BIGINT) AS cq
+                 FROM a$r JOIN comp USING (vid, sub) GROUP BY cid, pos)"""
+      s"""d$r AS (SELECT vid, sub, cid, sum((q - cq) * (q - cq)) AS d
+               FROM comp JOIN c${r - 1} USING (pos) GROUP BY vid, sub, cid),
+         a$r AS (SELECT vid, sub, cid, d FROM (
+                   SELECT vid, sub, cid, d, row_number() OVER (
+                     PARTITION BY vid, sub ORDER BY d, cid) AS rn
+                   FROM d$r) WHERE rn = 1)$update"""
+    }
+    val body = (Seq(prelude) ++ perRound).mkString("WITH ", ",\n         ", "")
+    if (serveTopK <= 0)
+      body + s"""
+         SELECT vid, sub, CAST(cid AS INTEGER) AS code,
+                CAST(d AS BIGINT) AS sqdist FROM a$rounds"""
+    else
+      body + s""",
+         qc AS (SELECT vid AS qid, sub, pos, q FROM comp WHERE vid < 3),
+         dt AS (SELECT qid, sub, cid, sum((q - cq) * (q - cq)) AS dtv
+                FROM qc JOIN c${rounds - 1} USING (pos)
+                GROUP BY qid, sub, cid),
+         sc AS (SELECT qid, a.vid AS vid, sum(dtv) AS adc
+                FROM a$rounds a JOIN dt ON a.sub = dt.sub AND a.cid = dt.cid
+                GROUP BY qid, a.vid)
+         SELECT qid AS query_id, vid AS neighbor_id,
+                CAST(adc AS BIGINT) AS adc_sqdist, CAST(rk AS INTEGER) AS rk
+         FROM (SELECT qid, vid, adc, row_number() OVER (
+                 PARTITION BY qid ORDER BY adc, vid) AS rk
+               FROM sc WHERE qid <> vid) WHERE rk <= $serveTopK"""
   }
 
   private def kmeansOracle(k: Int, rounds: Int): String = {

@@ -1,0 +1,175 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the memory-bound billion-scale ANN path
+  * (Jégou, Douze, Schmid 2011, "Product Quantization for Nearest
+  * Neighbor Search"): split each D-dim vector into `m` contiguous
+  * subvectors, learn a tiny per-subspace codebook by Lloyd's, store
+  * each vector as `m` small codes, and answer queries by asymmetric
+  * distance computation (ADC) — per-subspace distance tables summed
+  * over the code columns, never touching the original floats. At
+  * 100 TB this is THE reason PQ exists: a 64-dim float corpus is
+  * 256 B/vector; m=8 byte codes are 8 B/vector — the whole index fits
+  * where the raw vectors never could, and the serve-side join is
+  * against an m·k-row broadcast table, not the corpus floats.
+  *
+  * Integer-exact discipline ([[KMeans]] verbatim — this operator is
+  * per-subspace Lloyd's and shares its grid): components quantized to
+  * q = round(x·10⁶) half-away-from-zero, exact BIGINT Σ(q−cq)²
+  * distances, half-up integer centroid means floor((2Σq+n)/(2n)),
+  * init = the k lowest vector ids' subvectors (every subspace seeds
+  * from the SAME ids — deterministic, no RNG), assignment ties to the
+  * lowest code. `rounds` = assignment passes; centroids update between
+  * passes, not after the last. Every face is therefore
+  * SQL-replayable: the oracle unrolls the per-round CTEs with a `sub`
+  * key exactly like the k-means oracle (q_ann_pq / q_pq_codes).
+  *
+  * Scale shape: all `m` subspaces train in ONE join/aggregate pipeline
+  * — `sub` is just another key column, never a driver-side loop. The
+  * quantized component frame is materialized once (localCheckpoint,
+  * re-joined every round — the [[KMeans]]/[[Components]] contract);
+  * per round one broadcast join comp⋈centroids on the GLOBAL pos key
+  * (pos determines sub, so the join key stays one column; centroids
+  * are m·k·subDim rows — broadcastable for any sane m·k·D), one
+  * partial-aggregated (vid, sub, cid) distance sum (map-side combine
+  * keeps the exchange at N·m·k), one min(struct) argmin per (vid,
+  * sub), one (cid, pos) update aggregate. ADC: the distance table is
+  * queries×m×k rows (broadcast), codes join it on (sub, code), and
+  * the per-(query, vid) sum partial-aggregates map-side — the corpus
+  * is touched once, as codes, with no floats and no explode beyond m
+  * rows per vector.
+  */
+object PqIndex {
+
+  private val GRID = 1000000L
+
+  /** Quantized components with their subspace: (vid, sub, pos, q).
+    * `pos` stays GLOBAL (0-based over the full vector) so downstream
+    * joins key on one column; `sub = pos / (D/m)`. Fails loudly on
+    * ragged/null vectors and on D % m != 0 (the silent alternative
+    * would train a codebook for a subspace that doesn't exist). */
+  private[ext] def comps(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1: $m")
+    // aggregate-validated like EmbedEval.truncationRecall: head() on a
+    // first row would let a mixed-dimension corpus through, and a null
+    // vector would turn the min() into an opaque NPE
+    val stats = vecs.select(size(col(vecCol)).as("d"))
+      .agg(min(col("d")).as("mn"), max(col("d")).as("mx"),
+        count(lit(1)).as("n"),
+        count(when(col("d").isNull || col("d") < 0, 1)).as("n_null"))
+      .head()
+    require(stats.getLong(2) > 0, "PqIndex needs a non-empty vector frame")
+    require(stats.getLong(3) == 0L,
+      s"PqIndex: ${stats.getLong(3)} row(s) carry a NULL $vecCol")
+    val dim = stats.getInt(0)
+    require(dim == stats.getInt(1),
+      s"PqIndex: ragged vectors (dims $dim..${stats.getInt(1)}) — " +
+        "subspace boundaries would differ per row")
+    require(dim % m == 0,
+      s"PqIndex: dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    vecs.select(col(idCol).cast("long").as("vid"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("vid"),
+        (col("pos") / lit(subDim)).cast("int").as("sub"), col("pos"),
+        round(col("x").cast("double") * lit(GRID)).cast("long").as("q"))
+  }
+
+  /** Train the per-subspace codebooks: (sub, cid, pos, cq) — the FINAL
+    * centroids after `rounds` assignment passes (updates happen
+    * between passes, so these are the centroids [[encode]] assigns
+    * against, and encode∘codebooks ≡ the last training assignment). */
+  def codebooks(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    val comp = comps(vecs, idCol, vecCol, m).localCheckpoint()
+    // init: code c of EVERY subspace = the (c+1)-th lowest vector id's
+    // subvector (the KMeans init rule, applied per subspace with the
+    // same ids — deterministic and oracle-replayable with one CTE)
+    val initIds = vecs.select(col(idCol).cast("long").as("vid"))
+      .distinct().orderBy(col("vid")).limit(k)
+      .withColumn("cid", row_number().over(Window.orderBy(col("vid"))) - 1)
+    var cent = comp.join(broadcast(initIds), "vid")
+      .select(col("sub"), col("cid"), col("pos"), col("q").as("cq"))
+      .localCheckpoint()
+    // rounds - 1 updates: the final assignment pass belongs to encode()
+    (1 until rounds).foreach { _ =>
+      val asg = assign(comp, cent)
+      cent = asg.join(comp, Seq("vid", "sub"))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("cid"), col("pos"),
+          floor((lit(2.0) * col("s") + col("n")) / (lit(2.0) * col("n")))
+            .cast("long").as("cq"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** One assignment pass: (vid, sub, cid, d) — nearest code per
+    * subspace under exact BIGINT squared distance, ties to the lowest
+    * cid. pos determines sub, so the centroid join keys on pos alone. */
+  private def assign(comp: DataFrame, cent: DataFrame): DataFrame = {
+    val diff = col("q") - col("cq")
+    comp.join(broadcast(cent.select(col("cid"), col("pos"), col("cq"))),
+        "pos")
+      .groupBy(col("vid"), col("sub"), col("cid"))
+      .agg(sum(diff * diff).as("d"))
+      .groupBy(col("vid"), col("sub"))
+      .agg(min(struct(col("d"), col("cid"))).as("a"))
+      .select(col("vid"), col("sub"), col("a.cid").as("cid"),
+        col("a.d").as("d"))
+  }
+
+  /** Encode a vector frame against trained codebooks: (vid, sub, code,
+    * sqdist) — m rows per vector, `code` the subspace's nearest
+    * centroid, `sqdist` the exact quantized residual (Σ over the
+    * corpus = the standard PQ distortion diagnostic, free here). */
+  def encode(vecs: DataFrame, idCol: String, vecCol: String,
+      cb: DataFrame): DataFrame = {
+    val m = 1 + cb.agg(max(col("sub"))).head().getInt(0)
+    assign(comps(vecs, idCol, vecCol, m), cb)
+      .select(col("vid"), col("sub"), col("cid").as("code"),
+        col("d").as("sqdist"))
+  }
+
+  /** ADC top-k: approximate nearest neighbors of each query under the
+    * code representation — Σ_sub dtable[sub][code], the asymmetric
+    * distance (exact query subvector vs corpus centroid). Output
+    * (query_id, neighbor_id, adc_sqdist, rk), rk by (distance, id),
+    * self-matches excluded like [[Similarity.bruteForceTopK]]. */
+  def adcTopK(codes: DataFrame, cb: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val m = 1 + cb.agg(max(col("sub"))).head().getInt(0)
+    val qcomp = comps(queries, idCol, vecCol, m)
+      .select(col("vid").as("qid"), col("sub"), col("pos"), col("q"))
+    // distance table: queries × m × k rows — tiny, broadcast; the
+    // corpus side joins it BY CODE, never re-reading any float
+    val diff = col("q") - col("cq")
+    val dtable = qcomp
+      .join(broadcast(cb.select(col("cid"), col("pos"), col("cq"))), "pos")
+      .groupBy(col("qid"), col("sub"), col("cid"))
+      .agg(sum(diff * diff).as("dt"))
+    // rename the table's keys before joining: codes and dtable share
+    // the codebook lineage, so codes("sub")/dtable("sub") are the SAME
+    // attribute to the analyzer
+    val scored = codes
+      .join(broadcast(dtable.withColumnRenamed("sub", "dsub")
+          .withColumnRenamed("cid", "dcid")),
+        col("sub") === col("dsub") && col("code") === col("dcid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(sum(col("dt")).as("adc"))
+      .filter(col("qid") =!= col("vid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc"), col("vid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("adc").as("adc_sqdist"), col("rk"))
+  }
+}

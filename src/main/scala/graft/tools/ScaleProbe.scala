@@ -118,7 +118,25 @@ object ScaleProbe {
       // r12b: audio dedup (synthesize+mux+parse+hash scan ×10, same
       // disjoint-group argument as image dedup), video dedup (64-frame
       // mux + RIFF walk + per-frame JPEG decode ×10)
-      "q_audio_dedup", "q_video_dedup")
+      "q_audio_dedup", "q_video_dedup",
+      // r13: unigram-LM training (replica-prefixed words → distinct
+      // histogram and candidate universes ×10; EM rounds Viterbi the
+      // histogram, never the corpus), exact repeated spans + cut list
+      // (windows disjoint across replicas: spans ×10, never ×100 —
+      // the verbatim-copy pair bomb is exactly what the prefixes
+      // exist to avoid), streaming fingerprint filter batch face +
+      // unified media keep + pHash twin (md5 groups keyed by
+      // (doc_id/10)/3 — replica offsets are multiples of 10⁶, so
+      // group universes stay disjoint and pairs go ×10, the
+      // q_image_dedup argument verbatim)
+      "q_unigram_train", "q_exact_spans", "q_span_cuts",
+      "q_image_neardup_filter", "q_media_dedup_keep", "q_image_phash",
+      // r13b: PQ train+encode (per-subspace Lloyd's — N·m·k assignment
+      // work, linear in N at fixed m·k; vectors verbatim across
+      // replicas is fine, PQ has no pair expansion) and ADC serving
+      // (the corpus is touched once as codes against a broadcast
+      // distance table; 3 fixed queries regardless of corpus size)
+      "q_pq_codes", "q_ann_pq")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {

@@ -525,4 +525,19 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"),
       s"register merge fell back to sort aggregation:\n${p.take(600)}")
   }
+
+  test("PQ ADC serve: distance table broadcasts, per-vector sum " +
+      "partial-aggregates, top-k never full-sorts") {
+    // the 100 TB premise of ADC: the corpus side is touched once as
+    // CODES joined to an m·k·queries broadcast table (a shuffle join
+    // here would move the whole code table per query batch), the
+    // (query, vid) distance sum partial-aggregates map-side, and the
+    // per-query cut stays a window-limited sort, never a global one
+    val p = plan("q_ann_pq")
+    assert(p.contains("BroadcastHashJoin"),
+      s"ADC distance-table join did not broadcast:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("partial_sum"),
+      s"no map-side combine in the ADC sum:\n${p.take(800)}")
+  }
 }
