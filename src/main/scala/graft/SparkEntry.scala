@@ -2007,6 +2007,34 @@ object SparkEntry {
         emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
     }),
 
+    // ── IVF-PQ (IvfPq): the coarse-quantizer + residual-PQ composition
+    //    (FAISS IVFPQ) — codes are residuals from the routed list's
+    //    centroid, so memory (m codes/vector) and serve work
+    //    (nProbe/nLists of the corpus) shrink together. Train, encode,
+    //    probe, and ADC-serve are ALL hash-gated: the oracle unrolls
+    //    the k-means CTEs twice (full-vector coarse pass, sub-keyed
+    //    residual pass) plus probe/distance-table CTEs.
+    "q_ivfpq_codes" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.ext.IvfPq.train(emb, "vec_id", "embedding",
+        nLists = 4, coarseRounds = 2, m = 4, k = 4, pqRounds = 2)
+      graft.ext.IvfPq.encode(emb, "vec_id", "embedding", model)
+    }),
+
+    // ── IVF-PQ ADC serving: top-10 of 3 corpus queries probing their 2
+    //    nearest lists. A neighbor in an unprobed list is invisible —
+    //    that approximation IS the operator; the oracle replays the
+    //    same probe rule, so the answer is still deterministic.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.ext.IvfPq.train(emb, "vec_id", "embedding",
+        nLists = 4, coarseRounds = 2, m = 4, k = 4, pqRounds = 2)
+      val codes = graft.ext.IvfPq.encode(emb, "vec_id", "embedding", model)
+      graft.ext.IvfPq.adcTopK(codes, model,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 10, nProbe = 2)
+    }),
+
     // ── ANN: DISTRIBUTED probe selection (IvfIndex.searchDistributed) —
     //    probe lists come from a broadcast-centroid argmin join, not
     //    search's driver-side collect, so the query batch can be
@@ -5755,6 +5783,13 @@ object SparkEntry {
     "q_pq_codes" -> pqOracle(m = 4, k = 4, rounds = 2, serveTopK = 0),
     "q_ann_pq" -> pqOracle(m = 4, k = 4, rounds = 2, serveTopK = 10),
 
+    // IVF-PQ: the double k-means unroll (coarse full-vector pass, then
+    // sub-keyed rounds over the residual frame) + probe and ADC CTEs
+    "q_ivfpq_codes" -> ivfPqOracle(nLists = 4, coarseRounds = 2,
+      m = 4, k = 4, pqRounds = 2, nProbe = 0, serveTopK = 0),
+    "q_ann_ivfpq" -> ivfPqOracle(nLists = 4, coarseRounds = 2,
+      m = 4, k = 4, pqRounds = 2, nProbe = 2, serveTopK = 10),
+
     "q_bpe_encode" ->
       """WITH w AS (SELECT doc_id,
                 regexp_replace(unnest(string_split_regex(lower(trim(text)), '\s+')),
@@ -6337,6 +6372,101 @@ object SparkEntry {
          sc AS (SELECT qid, a.vid AS vid, sum(dtv) AS adc
                 FROM a$rounds a JOIN dt ON a.sub = dt.sub AND a.cid = dt.cid
                 GROUP BY qid, a.vid)
+         SELECT qid AS query_id, vid AS neighbor_id,
+                CAST(adc AS BIGINT) AS adc_sqdist, CAST(rk AS INTEGER) AS rk
+         FROM (SELECT qid, vid, adc, row_number() OVER (
+                 PARTITION BY qid ORDER BY adc, vid) AS rk
+               FROM sc WHERE qid <> vid) WHERE rk <= $serveTopK"""
+  }
+
+  /** The IVF-PQ replay: the k-means unroll TWICE — a full-vector
+    * coarse pass (`c*`/`d*`/`a*` CTEs), an exact-residual frame, then
+    * the sub-keyed PQ rounds over it (`pc*`/`pd*`/`pa*`), plus (for
+    * `serveTopK` > 0) probe selection and the per-(query, list) ADC
+    * distance table. All BIGINT on the shared grid; HUGEINT sums cast
+    * at output columns only. */
+  private def ivfPqOracle(nLists: Int, coarseRounds: Int, m: Int, k: Int,
+      pqRounds: Int, nProbe: Int, serveTopK: Int): String = {
+    val C = coarseRounds
+    val R = pqRounds
+    val prelude =
+      s"""comp AS (SELECT vec_id AS vid,
+               CAST((i - 1) // (len(embedding) // $m) AS INTEGER) AS sub,
+               i - 1 AS pos,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+         init AS (SELECT vec_id AS vid,
+                    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+                  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $nLists)),
+         c0 AS (SELECT cid, pos, q AS cq FROM init JOIN comp USING (vid))"""
+    val coarse = (1 to C).map { r =>
+      val update =
+        if (r == C) ""
+        else s""",
+         c$r AS (SELECT cid, pos,
+                   CAST(floor((2.0 * sum(q) + count(*)) / (2.0 * count(*))) AS BIGINT) AS cq
+                 FROM a$r JOIN comp USING (vid) GROUP BY cid, pos)"""
+      s"""d$r AS (SELECT vid, cid, sum((q - cq) * (q - cq)) AS d
+               FROM comp JOIN c${r - 1} USING (pos) GROUP BY vid, cid),
+         a$r AS (SELECT vid, cid FROM (
+                   SELECT vid, cid, row_number() OVER (
+                     PARTITION BY vid ORDER BY d, cid) AS rn
+                   FROM d$r) WHERE rn = 1)$update"""
+    }
+    val residual =
+      s"""res AS (SELECT comp.vid AS vid, comp.sub AS sub, comp.pos AS pos,
+                comp.q - c.cq AS q
+              FROM comp JOIN a$C a ON comp.vid = a.vid
+                JOIN c${C - 1} c ON c.cid = a.cid AND c.pos = comp.pos),
+         pinit AS (SELECT vec_id AS vid,
+                     CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+                   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+         pc0 AS (SELECT cid, pos, q AS cq FROM pinit JOIN res USING (vid))"""
+    val pq = (1 to R).map { r =>
+      val update =
+        if (r == R) ""
+        else s""",
+         pc$r AS (SELECT cid, pos,
+                   CAST(floor((2.0 * sum(q) + count(*)) / (2.0 * count(*))) AS BIGINT) AS cq
+                 FROM pa$r JOIN res USING (vid, sub) GROUP BY cid, pos)"""
+      s"""pd$r AS (SELECT vid, sub, cid, sum((q - cq) * (q - cq)) AS d
+               FROM res JOIN pc${r - 1} USING (pos) GROUP BY vid, sub, cid),
+         pa$r AS (SELECT vid, sub, cid, d FROM (
+                   SELECT vid, sub, cid, d, row_number() OVER (
+                     PARTITION BY vid, sub ORDER BY d, cid) AS rn
+                   FROM pd$r) WHERE rn = 1)$update"""
+    }
+    val lst = s"lst AS (SELECT vid, cid AS list_id FROM a$C)"
+    val body = (Seq(prelude) ++ coarse ++ Seq(residual) ++ pq ++ Seq(lst))
+      .mkString("WITH ", ",\n         ", "")
+    if (serveTopK <= 0)
+      body + s"""
+         SELECT p.vid AS vid, l.list_id AS list_id, p.sub AS sub,
+                CAST(p.cid AS INTEGER) AS code, CAST(p.d AS BIGINT) AS sqdist
+         FROM pa$R p JOIN lst l ON p.vid = l.vid"""
+    else
+      body + s""",
+         qc AS (SELECT vid AS qid, sub, pos, q FROM comp WHERE vid < 3),
+         qd AS (SELECT qid, cid, sum((q - cq) * (q - cq)) AS d
+                FROM qc JOIN c${C - 1} USING (pos) GROUP BY qid, cid),
+         probe AS (SELECT qid, cid AS list_id FROM (
+                     SELECT qid, cid, row_number() OVER (
+                       PARTITION BY qid ORDER BY d, cid) AS rn
+                     FROM qd) WHERE rn <= $nProbe),
+         qres AS (SELECT qc.qid AS qid, probe.list_id AS list_id,
+                    qc.sub AS sub, qc.pos AS pos, qc.q - c.cq AS qr
+                  FROM qc JOIN probe ON qc.qid = probe.qid
+                    JOIN c${C - 1} c ON c.cid = probe.list_id
+                      AND c.pos = qc.pos),
+         dt AS (SELECT qid, list_id, sub, cid,
+                  sum((qr - cq) * (qr - cq)) AS dtv
+                FROM qres JOIN pc${R - 1} USING (pos)
+                GROUP BY qid, list_id, sub, cid),
+         sc AS (SELECT dt.qid AS qid, p.vid AS vid, sum(dtv) AS adc
+                FROM pa$R p JOIN lst l ON p.vid = l.vid
+                  JOIN dt ON dt.list_id = l.list_id AND dt.sub = p.sub
+                    AND dt.cid = p.cid
+                GROUP BY dt.qid, p.vid)
          SELECT qid AS query_id, vid AS neighbor_id,
                 CAST(adc AS BIGINT) AS adc_sqdist, CAST(rk AS INTEGER) AS rk
          FROM (SELECT qid, vid, adc, row_number() OVER (

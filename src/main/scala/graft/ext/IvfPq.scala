@@ -1,0 +1,180 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ — the coarse-quantizer + residual-product-quantization
+  * composition (Jégou, Douze, Schmid 2011 §V; the FAISS `IVFPQ`
+  * structure) that is THE standard billion-scale ANN index: a coarse
+  * k-means quantizer routes each vector to one of `nLists` inverted
+  * lists, and what gets stored per vector is the PQ code of its
+  * RESIDUAL from the list centroid — m small codes instead of D
+  * floats. A query probes only its `nProbe` nearest lists, building
+  * one per-(query, list) ADC distance table over the residual
+  * codebooks; the corpus side of the serve is a join of CODES against
+  * that broadcast table. At 100 TB this is the layout where both
+  * memory (m bytes/vector) and work (nProbe/nLists of the corpus per
+  * query) shrink together — [[IvfIndex]] prunes work but stores raw
+  * floats, [[PqIndex]] shrinks storage but scans every code; this
+  * composes the two.
+  *
+  * Everything runs on the shared integer grid ([[KMeans]]/[[PqIndex]]
+  * verbatim): q = round(x·10⁶), exact BIGINT Σ(q−cq)² distances,
+  * half-up integer centroid means, init = the k lowest vector ids
+  * (coarse AND product stages — no RNG), ties to the lowest id.
+  * Residuals are exact BIGINT differences q − cq on that grid, so the
+  * whole train → encode → probe → ADC-serve path is SQL-replayable:
+  * the oracle is the k-means unroll twice (full-vector coarse pass,
+  * then per-subspace rounds over the residual frame) plus the probe
+  * and distance-table CTEs (q_ivfpq_codes / q_ann_ivfpq).
+  *
+  * Scale shape: one broadcast-centroid join + partial-aggregated
+  * argmin per training round ([[PqIndex.codebooksFromComps]] — the
+  * residual frame is materialized once and re-joined); encode is one
+  * pass. Serving: probe selection is a broadcast-centroid argmin join
+  * over the query batch (the [[IvfIndex.searchDistributed]] posture —
+  * queries never touch the driver), the ADC table is queries × nProbe
+  * × m × k rows (broadcast), and the per-(query, vid) sum
+  * partial-aggregates map-side. Because a vector's codes live under
+  * its `list_id`, a persisted code table in the [[IvfIndex]]
+  * `list_id=<n>` partition layout turns the probe into a
+  * partition-pruned scan of codes — nProbe lists of m-byte codes is
+  * the least I/O any disk-resident ANN serve can do.
+  */
+object IvfPq {
+
+  /** A trained IVF-PQ model: `coarse` = full-vector list centroids
+    * (cid, pos, cq) — nLists·D rows, broadcastable; `pq` = residual
+    * subspace codebooks (sub, cid, pos, cq) — m·k·(D/m) rows, SHARED
+    * across lists (the standard IVFPQ choice: per-list codebooks
+    * multiply training cost and table size by nLists for marginal
+    * recall). */
+  final case class IvfPqModel(coarse: DataFrame, pq: DataFrame)
+
+  /** Fit coarse centroids (full-vector Lloyd's = [[PqIndex.codebooks]]
+    * with m = 1), then PQ codebooks over the exact residuals of the
+    * final coarse assignment. `coarseRounds`/`pqRounds` = assignment
+    * passes per stage (updates between passes, not after the last —
+    * the codebooks returned are exactly what [[encode]] assigns
+    * against). */
+  def train(vecs: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, coarseRounds: Int, m: Int, k: Int,
+      pqRounds: Int): IvfPqModel = {
+    require(nLists >= 1, s"nLists must be >= 1: $nLists")
+    val coarse = PqIndex
+      .codebooks(vecs, idCol, vecCol, m = 1, k = nLists,
+        rounds = coarseRounds)
+      .select(col("cid"), col("pos"), col("cq"))
+      .localCheckpoint()
+    val rcomp = residualComps(vecs, idCol, vecCol, m, coarse)
+      .localCheckpoint()
+    IvfPqModel(coarse, PqIndex.codebooksFromComps(rcomp, k, pqRounds))
+  }
+
+  /** (vid, list_id, sub, pos, qr): each vector's exact quantized
+    * residual from its nearest coarse centroid — the frame the PQ
+    * stage trains on and encodes. One broadcast-centroid argmin join
+    * (the [[PqIndex.assign]] shape, full-vector because the coarse
+    * table has no sub split) + one broadcast re-join for the
+    * subtraction. */
+  private def residualComps(vecs: DataFrame, idCol: String,
+      vecCol: String, m: Int, coarse: DataFrame): DataFrame = {
+    val comp = PqIndex.comps(vecs, idCol, vecCol, m)
+    val diff = col("q") - col("cq")
+    val asg = comp
+      .join(broadcast(coarse), "pos")
+      .groupBy(col("vid"), col("cid"))
+      .agg(sum(diff * diff).as("d"))
+      .groupBy(col("vid"))
+      .agg(min(struct(col("d"), col("cid"))).as("a"))
+      .select(col("vid"), col("a.cid").as("list_id"))
+    comp.join(asg, "vid")
+      .join(broadcast(coarse.withColumnRenamed("cid", "list_id")),
+        Seq("list_id", "pos"))
+      .select(col("vid"), col("list_id"), col("sub"), col("pos"),
+        (col("q") - col("cq")).as("q"))
+  }
+
+  /** Encode a vector frame: (vid, list_id, sub, code, sqdist) — m rows
+    * per vector; `code` = the residual subvector's nearest PQ
+    * centroid, `sqdist` = the exact residual-of-residual (Σ over the
+    * corpus = the IVF-PQ distortion diagnostic). `list_id` rides the
+    * aggregation keys (functionally determined by vid — free) so the
+    * output is directly writable in the [[IvfIndex]] list-partitioned
+    * layout. */
+  def encode(vecs: DataFrame, idCol: String, vecCol: String,
+      model: IvfPqModel): DataFrame = {
+    val m = 1 + model.pq.agg(max(col("sub"))).head().getInt(0)
+    val rcomp = residualComps(vecs, idCol, vecCol, m, model.coarse)
+    val diff = col("q") - col("cq")
+    rcomp
+      .join(broadcast(model.pq.select(col("cid"), col("pos"), col("cq"))),
+        "pos")
+      .groupBy(col("vid"), col("list_id"), col("sub"), col("cid"))
+      .agg(sum(diff * diff).as("d"))
+      .groupBy(col("vid"), col("list_id"), col("sub"))
+      .agg(min(struct(col("d"), col("cid"))).as("a"))
+      .select(col("vid"), col("list_id"), col("sub"),
+        col("a.cid").as("code"), col("a.d").as("sqdist"))
+  }
+
+  /** ADC top-k over probed lists: each query selects its `nProbe`
+    * nearest coarse lists (broadcast-centroid argmin — distributed,
+    * queries never touch the driver), forms the per-(query, list)
+    * residual, builds the ADC table against the PQ codebooks, and the
+    * probed codes sum it per neighbor. A vector in an unprobed list is
+    * invisible — that approximation IS the operator, and the oracle
+    * replays the same probe rule, so the answer is still hash-exact.
+    * Output (query_id, neighbor_id, adc_sqdist, rk); rk by (distance,
+    * id); self-matches excluded. */
+  def adcTopK(codes: DataFrame, model: IvfPqModel, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    require(k >= 1 && nProbe >= 1, "k and nProbe must be >= 1")
+    val m = 1 + model.pq.agg(max(col("sub"))).head().getInt(0)
+    val qcomp = PqIndex.comps(queries, idCol, vecCol, m)
+      .select(col("vid").as("qid"), col("sub"), col("pos"), col("q"))
+    val cdiff = col("q") - col("cq")
+    val probes = qcomp
+      .join(broadcast(model.coarse), "pos")
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(cdiff * cdiff).as("d"))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))))
+      .filter(col("prk") <= nProbe)
+      .select(col("qid"), col("cid").as("list_id"))
+    // per-(query, probed list) residual, then the ADC table:
+    // queries × nProbe × m × k rows — tiny, broadcast
+    val qres = qcomp
+      .join(broadcast(probes), "qid")
+      .join(broadcast(model.coarse.withColumnRenamed("cid", "list_id")),
+        Seq("list_id", "pos"))
+      .select(col("qid"), col("list_id"), col("sub"), col("pos"),
+        (col("q") - col("cq")).as("qr"))
+    val tdiff = col("qr") - col("cq")
+    val dtable = qres
+      .join(broadcast(model.pq.select(col("cid"), col("pos"), col("cq"))),
+        "pos")
+      .groupBy(col("qid"), col("list_id"), col("sub"), col("cid"))
+      .agg(sum(tdiff * tdiff).as("dt"))
+    // rename the table's keys before joining: codes and dtable share
+    // the codebook lineage through the model frames, so same-name
+    // columns could resolve to the SAME attribute
+    val scored = codes
+      .join(broadcast(dtable
+          .withColumnRenamed("list_id", "dlist")
+          .withColumnRenamed("sub", "dsub")
+          .withColumnRenamed("cid", "dcid")),
+        col("list_id") === col("dlist") && col("sub") === col("dsub") &&
+          col("code") === col("dcid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(sum(col("dt")).as("adc"))
+      .filter(col("qid") =!= col("vid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc"), col("vid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("adc").as("adc_sqdist"), col("rk"))
+  }
+}

@@ -84,13 +84,22 @@ object PqIndex {
     * between passes, so these are the centroids [[encode]] assigns
     * against, and encode∘codebooks ≡ the last training assignment). */
   def codebooks(vecs: DataFrame, idCol: String, vecCol: String,
-      m: Int, k: Int, rounds: Int): DataFrame = {
+      m: Int, k: Int, rounds: Int): DataFrame =
+    codebooksFromComps(comps(vecs, idCol, vecCol, m).localCheckpoint(),
+      k, rounds)
+
+  /** The training loop over an already-built component frame (vid, sub,
+    * pos, q) — the entry [[IvfPq]] uses to train codebooks on coarse
+    * RESIDUALS rather than raw vectors (extra columns ride through
+    * untouched). Caller materializes `comp`: it is re-joined every
+    * round. */
+  private[ext] def codebooksFromComps(comp: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
-    val comp = comps(vecs, idCol, vecCol, m).localCheckpoint()
     // init: code c of EVERY subspace = the (c+1)-th lowest vector id's
     // subvector (the KMeans init rule, applied per subspace with the
     // same ids — deterministic and oracle-replayable with one CTE)
-    val initIds = vecs.select(col(idCol).cast("long").as("vid"))
+    val initIds = comp.select(col("vid"))
       .distinct().orderBy(col("vid")).limit(k)
       .withColumn("cid", row_number().over(Window.orderBy(col("vid"))) - 1)
     var cent = comp.join(broadcast(initIds), "vid")
@@ -113,7 +122,7 @@ object PqIndex {
   /** One assignment pass: (vid, sub, cid, d) — nearest code per
     * subspace under exact BIGINT squared distance, ties to the lowest
     * cid. pos determines sub, so the centroid join keys on pos alone. */
-  private def assign(comp: DataFrame, cent: DataFrame): DataFrame = {
+  private[ext] def assign(comp: DataFrame, cent: DataFrame): DataFrame = {
     val diff = col("q") - col("cq")
     comp.join(broadcast(cent.select(col("cid"), col("pos"), col("cq"))),
         "pos")

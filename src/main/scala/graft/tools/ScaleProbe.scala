@@ -136,7 +136,11 @@ object ScaleProbe {
       // replicas is fine, PQ has no pair expansion) and ADC serving
       // (the corpus is touched once as codes against a broadcast
       // distance table; 3 fixed queries regardless of corpus size)
-      "q_pq_codes", "q_ann_pq")
+      "q_pq_codes", "q_ann_pq",
+      // r13c: IVF-PQ — coarse routing adds one broadcast-argmin join
+      // over the ×10 corpus (linear); the serve probes 2 of 4 lists
+      // whatever the corpus size, with fixed query count
+      "q_ivfpq_codes", "q_ann_ivfpq")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {

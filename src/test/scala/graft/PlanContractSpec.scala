@@ -540,4 +540,19 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("partial_sum"),
       s"no map-side combine in the ADC sum:\n${p.take(800)}")
   }
+
+  test("IVF-PQ serve: probe selection and ADC both ride broadcast " +
+      "joins with map-side combine") {
+    // the composition's 100 TB premise: probe selection is a broadcast
+    // centroid join over the query batch (never a driver collect of
+    // queries), the per-(query, list) ADC table broadcasts into the
+    // codes join, and every distance sum partial-aggregates — a
+    // cartesian anywhere means a quantizer got joined wrong
+    val p = plan("q_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"),
+      s"IVF-PQ serve lost its broadcast joins:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("partial_sum"),
+      s"no map-side combine in the IVF-PQ sums:\n${p.take(800)}")
+  }
 }
