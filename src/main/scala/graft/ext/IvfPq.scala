@@ -134,15 +134,7 @@ object IvfPq {
     val m = 1 + model.pq.agg(max(col("sub"))).head().getInt(0)
     val qcomp = PqIndex.comps(queries, idCol, vecCol, m)
       .select(col("vid").as("qid"), col("sub"), col("pos"), col("q"))
-    val cdiff = col("q") - col("cq")
-    val probes = qcomp
-      .join(broadcast(model.coarse), "pos")
-      .groupBy(col("qid"), col("cid"))
-      .agg(sum(cdiff * cdiff).as("d"))
-      .withColumn("prk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))))
-      .filter(col("prk") <= nProbe)
-      .select(col("qid"), col("cid").as("list_id"))
+    val probes = probeFrame(qcomp, model.coarse, nProbe)
     // per-(query, probed list) residual, then the ADC table:
     // queries × nProbe × m × k rows — tiny, broadcast
     val qres = qcomp
@@ -176,5 +168,145 @@ object IvfPq {
       .filter(col("rk") <= k)
       .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
         col("adc").as("adc_sqdist"), col("rk"))
+  }
+
+  /** (qid, list_id): each query's `nProbe` minimum-distance coarse
+    * lists — one broadcast-centroid join + window cut, the SINGLE
+    * probe rule every face shares ([[adcTopK]]'s distributed serve and
+    * [[searchPruned]]'s static partition pruning), so the two can
+    * never probe different lists. Ties by (distance, list id). */
+  private def probeFrame(qcomp: DataFrame, coarse: DataFrame,
+      nProbe: Int): DataFrame = {
+    val cdiff = col("q") - col("cq")
+    qcomp
+      .join(broadcast(coarse), "pos")
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(cdiff * cdiff).as("d"))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))))
+      .filter(col("prk") <= nProbe)
+      .select(col("qid"), col("cid").as("list_id"))
+  }
+
+  // ── Persisted face: the WaveManifest snapshot discipline shared with
+  //    IvfIndex/PostingIndex/DedupState — codes land partitioned by
+  //    (batch, list_id), serves resolve a manifest pin ONCE at load,
+  //    appends are replay-idempotent dynamic wave overwrites, and
+  //    compaction/retention ride the same watermark rules. This is the
+  //    layout where IVF-PQ's promise lands on disk: a probe reads
+  //    nProbe list partitions of m-byte codes — the least I/O a
+  //    disk-resident ANN serve can do.
+
+  /** A loaded on-disk index: the (tiny) model tables plus the
+    * manifest-pinned code scan. */
+  final case class IvfPqDisk(model: IvfPqModel, codes: DataFrame)
+
+  /** Persist a trained model + encoded corpus: codes under
+    * `codes/batch=0/list_id=<n>/` (STATIC overwrite — any previous
+    * index at `path` is replaced), the two model tables beside them,
+    * then a manifest commit pinning exactly {0} (a rebuild resets
+    * compaction coverage). */
+  def save(model: IvfPqModel, codes: DataFrame, path: String): Unit = {
+    writeCodesWave(codes, path, wave = 0L, dynamic = false)
+    model.coarse.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/coarse")
+    model.pq.coalesce(1).write.mode("overwrite").parquet(s"$path/pqcb")
+    graft.model.WaveManifest.commit(codes.sparkSession, path, Seq(0L),
+      through = Some(-1L))
+    ()
+  }
+
+  /** Load as a PINNED SNAPSHOT: the manifest pointer resolves HERE
+    * (driver-side, once) — waves appended after the load are invisible
+    * to every serve against this handle, and probing n lists still
+    * reads n list partitions of the pinned waves. `version` pins an
+    * older manifest (time travel); no manifest (legacy layout) scans
+    * everything. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Option[Long] = None): IvfPqDisk = {
+    val model = IvfPqModel(
+      spark.read.parquet(s"$path/coarse"),
+      spark.read.parquet(s"$path/pqcb"))
+    val waves = version
+      .map(v => graft.model.WaveManifest.wavesAt(spark, path, v))
+      .orElse(graft.model.WaveManifest.pinned(spark, path))
+    val codes = spark.read.parquet(s"$path/codes")
+    val pinnedCodes = waves match {
+      case Some(ws) =>
+        codes.filter(col("batch").isin(ws.map(Long.box): _*)).drop("batch")
+      case None => codes.drop("batch")
+    }
+    IvfPqDisk(model, pinnedCodes)
+  }
+
+  /** On-disk insert: land [[encode]]d rows as their own `batch=<wave>`
+    * partition wave — re-running the SAME wave id dynamically
+    * overwrites that wave's partitions (crash/replay-idempotent), the
+    * manifest commit lands AFTER the data, and absorbed-by-compaction
+    * ids are refused loudly. The [[IvfIndex.appendSave]] contract,
+    * verbatim, on the code table. */
+  def appendSave(path: String, encodedRows: DataFrame, wave: Long): Unit = {
+    require(wave != 0L, "wave 0 is the build wave; append with a new id")
+    require(wave < graft.model.WaveManifest.CompactBase,
+      s"wave $wave is in the compaction id space (>= 2^60) — append " +
+        "waves must stay below WaveManifest.CompactBase")
+    val through = graft.model.WaveManifest
+      .compactedThrough(encodedRows.sparkSession, path)
+    require(wave > through,
+      s"wave $wave is at or below the compaction watermark $through — " +
+        "a compaction absorbed that id; append with a fresh id")
+    writeCodesWave(encodedRows, path, wave, dynamic = true)
+    graft.model.WaveManifest.commitWave(encodedRows.sparkSession, path,
+      wave)
+  }
+
+  /** Collapse the pinned wave set into ONE compaction-space wave and
+    * re-pin — a pure row rewrite (code rows are disjoint across waves),
+    * so serves are bit-identical across the swap; data first, manifest
+    * after; old waves stay for pinned readers until
+    * [[graft.model.WaveManifest.expire]]. @return the new wave id */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val waves = graft.model.WaveManifest.pinned(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifest under $path — compact needs a manifest-pinned index"))
+    require(waves.nonEmpty, s"manifest under $path pins no waves")
+    val newWave = graft.model.WaveManifest.nextCompactionWave(waves)
+    val rows = spark.read.parquet(s"$path/codes")
+      .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch")
+      .localCheckpoint()
+    writeCodesWave(rows, path, newWave, dynamic = true)
+    graft.model.WaveManifest.commit(spark, path, Seq(newWave),
+      through = Some(graft.model.WaveManifest.throughAfterCompaction(
+        waves, graft.model.WaveManifest.compactedThrough(spark, path))))
+    newWave
+  }
+
+  private def writeCodesWave(codes: DataFrame, path: String, wave: Long,
+      dynamic: Boolean): Unit =
+    codes.withColumn("batch", lit(wave))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
+      .partitionBy("batch", "list_id")
+      .parquet(s"$path/codes")
+
+  /** [[adcTopK]] over a loaded index with STATIC partition pruning:
+    * the probed list set is materialized driver-side first (bounded by
+    * queries × nProbe — the serving-batch contract) and pushed as an
+    * `isin` literal, so the code scan prunes to exactly the probed
+    * `list_id=` partitions at plan time. The probe rule is
+    * [[probeFrame]] — the same one `adcTopK` re-applies inside, so the
+    * prefilter can never drop a list the serve would score. */
+  def searchPruned(disk: IvfPqDisk, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val m = 1 + disk.model.pq.agg(max(col("sub"))).head().getInt(0)
+    val qcomp = PqIndex.comps(queries, idCol, vecCol, m)
+      .select(col("vid").as("qid"), col("sub"), col("pos"), col("q"))
+    val probed = probeFrame(qcomp, disk.model.coarse, nProbe)
+      .select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    adcTopK(
+      disk.codes.filter(col("list_id").isin(probed.map(Int.box): _*)),
+      disk.model, queries, idCol, vecCol, k, nProbe)
   }
 }
