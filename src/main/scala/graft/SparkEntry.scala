@@ -2224,6 +2224,49 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // ── The same streaming-ingest batch face for AUDIO: raw RIFF clips
+    //    in, energy-contour fingerprints extracted inside, arrivals
+    //    kept only when no indexed corpus clip (and no earlier
+    //    arrival) sits within Hamming 3 — FingerprintDedupStream is
+    //    modality-blind, so this row pins that claim on a second
+    //    fingerprint family end-to-end.
+    "q_audio_neardup_filter" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = audioDedupWavs(s, dir)
+      val fp: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame =
+        b => graft.ext.AudioHash.fingerprints(
+          Multimodal.attach(b, "doc_id", "wav", "wav")
+            .as[Multimodal.MediaRow])
+          .select(col("media_id").as("doc_id"), col("ahash"))
+      val corpusFps =
+        fp(wavs.filter(expr("((doc_id div 10) div 3) % 2 = 0")))
+          .localCheckpoint()
+      graft.streaming.FingerprintDedupStream.filterBatch(corpusFps,
+        wavs.filter(expr("((doc_id div 10) div 3) % 2 = 1")), fp,
+        "doc_id", "ahash", maxHamming = 3)
+        .select(col("doc_id"))
+    }),
+
+    // ── And for VIDEO: MJPEG clips through the real per-frame decode.
+    "q_video_neardup_filter" -> ((s, dir) => {
+      import s.implicits._
+      val avis = videoDedupAvis(s, dir)
+      val fp: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame =
+        b => graft.ext.VideoHash.fingerprints(
+          Multimodal.attach(b, "doc_id", "avi", "avi")
+            .as[Multimodal.MediaRow])
+          .select(col("media_id").as("doc_id"), col("vhash"))
+      val corpusFps =
+        fp(avis.filter(expr("((doc_id div 10) div 3) % 2 = 0")))
+          .localCheckpoint()
+      graft.streaming.FingerprintDedupStream.filterBatch(corpusFps,
+        avis.filter(expr("((doc_id div 10) div 3) % 2 = 1")), fp,
+        "doc_id", "vhash", maxHamming = 3)
+        .select(col("doc_id"))
+    }),
+
     // ── UNIFIED cross-modality keep-one policy: image, audio, and
     //    video near-dup pair graphs (disjoint id spaces via fixed
     //    offsets) closed transitively in ONE Components run — the
@@ -2800,13 +2843,15 @@ object SparkEntry {
   private[graft] def imageDedupFpsForProbe(s: SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = imageDedupFps(s, dir)
 
-  /** The synthesized RIFF/WAVE fingerprints behind q_audio_dedup /
-    * q_media_dedup_keep — one source of truth for the clip synthesis
+  /** The synthesized RIFF/WAVE clips (doc_id, wav) behind
+    * [[audioDedupFps]] — exposed separately so q_audio_neardup_filter
+    * can drive the streaming batch face (raw media in, fingerprints
+    * extracted inside). One source of truth for the clip synthesis
     * (see the q_audio_dedup comment for the group/member scheme). */
-  private def audioDedupFps(s: SparkSession,
+  private def audioDedupWavs(s: SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val wavs = Tables.documents(s, dir).select(col("doc_id"))
+    Tables.documents(s, dir).select(col("doc_id"))
       .filter(col("doc_id") % 10 === 0)
       .as[Long].mapPartitions { it =>
         // md5 amplitude draw (see q_image_dedup: polynomial mixes
@@ -2834,18 +2879,24 @@ object SparkEntry {
           (id, Multimodal.muxPcmWav(samples, 8000, 1))
         }
       }.toDF("doc_id", "wav")
+  }
+
+  private def audioDedupFps(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
     graft.ext.AudioHash.fingerprints(
-      Multimodal.attach(wavs, "doc_id", "wav", "wav")
+      Multimodal.attach(audioDedupWavs(s, dir), "doc_id", "wav", "wav")
         .as[Multimodal.MediaRow])
   }
 
-  /** The muxed MJPEG-AVI fingerprints behind q_video_dedup /
-    * q_media_dedup_keep (see the q_video_dedup comment for the
-    * level-grid scheme and the ±3 JPEG bound). */
-  private def videoDedupFps(s: SparkSession,
+  /** The muxed MJPEG-AVI clips (doc_id, avi) behind [[videoDedupFps]]
+    * — exposed separately for the q_video_neardup_filter batch face
+    * (see the q_video_dedup comment for the level-grid scheme and the
+    * ±3 JPEG bound). */
+  private def videoDedupAvis(s: SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val avis = Tables.documents(s, dir).select(col("doc_id"))
+    Tables.documents(s, dir).select(col("doc_id"))
       .filter(col("doc_id") % 10 === 0)
       .as[Long].mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -2885,8 +2936,13 @@ object SparkEntry {
           (id, Multimodal.muxMjpegAvi(frames, 8, 8))
         }
       }.toDF("doc_id", "avi")
+  }
+
+  private def videoDedupFps(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
     graft.ext.VideoHash.fingerprints(
-      Multimodal.attach(avis, "doc_id", "avi", "avi")
+      Multimodal.attach(videoDedupAvis(s, dir), "doc_id", "avi", "avi")
         .as[Multimodal.MediaRow])
   }
 
@@ -5536,6 +5592,40 @@ object SparkEntry {
     // Hamming family; each odd group's minimum member survives
     "q_image_neardup_filter" ->
       s"""WITH ${imageFpCtes()},
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+                   WHERE bit_count(xor(a.f, b.f)) <= 3),
+         dropped AS (
+           SELECT doc_b AS doc_id FROM pairs
+           WHERE ((doc_b // 10) // 3) % 2 = 1
+           UNION
+           SELECT doc_a FROM pairs
+           WHERE ((doc_a // 10) // 3) % 2 = 1
+             AND ((doc_b // 10) // 3) % 2 = 0)
+         SELECT doc_id FROM fp
+         WHERE ((doc_id // 10) // 3) % 2 = 1
+           AND doc_id NOT IN (SELECT doc_id FROM dropped)""",
+
+    // the image filter oracle with the audio/video fingerprint replays
+    // swapped in — FingerprintDedupStream's keep rule is modality-blind
+    "q_audio_neardup_filter" ->
+      s"""WITH ${audioFpCtes()},
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+                   WHERE bit_count(xor(a.f, b.f)) <= 3),
+         dropped AS (
+           SELECT doc_b AS doc_id FROM pairs
+           WHERE ((doc_b // 10) // 3) % 2 = 1
+           UNION
+           SELECT doc_a FROM pairs
+           WHERE ((doc_a // 10) // 3) % 2 = 1
+             AND ((doc_b // 10) // 3) % 2 = 0)
+         SELECT doc_id FROM fp
+         WHERE ((doc_id // 10) // 3) % 2 = 1
+           AND doc_id NOT IN (SELECT doc_id FROM dropped)""",
+
+    "q_video_neardup_filter" ->
+      s"""WITH ${videoFpCtes()},
          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
                    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
                    WHERE bit_count(xor(a.f, b.f)) <= 3),
