@@ -2508,6 +2508,21 @@ object SparkEntry {
       graft.ext.UnigramLm.train(Tables.documents(s, dir), "text",
         vocabSize = 48, maxPieceLen = 4, rounds = 2)),
 
+    // ── Unigram-LM ENCODE (the inference face, pairing q_bpe_encode):
+    //    per-doc token counts under the canonical Viterbi against the
+    //    trained score table — train and encode hash-gate together, so
+    //    a drift in either the EM rounds or the segmentation tie-break
+    //    breaks the row. The oracle extends the train unroll with one
+    //    more score derivation + reach CTE over the word universe.
+    "q_unigram_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scores = graft.ext.UnigramLm.scoreTable(
+        graft.ext.UnigramLm.train(docs, "text",
+          vocabSize = 48, maxPieceLen = 4, rounds = 2))
+      graft.ext.UnigramLm.tokenCounts(docs, "doc_id", "text",
+        scores, maxPieceLen = 4)
+    }),
+
     // ── BPE encoding with a FIXED merge list (the inference face of
     //    ext.Bpe): greedy leftmost-non-overlapping application as a
     //    codegen replace chain over the "(sym)(sym)" encoding; per-doc
@@ -5709,6 +5724,13 @@ object SparkEntry {
     "q_unigram_train" ->
       unigramTrainOracle(rounds = 2, vocabSize = 48, maxLen = 4),
 
+    // the train unroll + one more score derivation + a reach CTE over
+    // the word universe; per-doc counts left-join so empty docs keep
+    // their zero row
+    "q_unigram_encode" ->
+      unigramTrainOracle(rounds = 2, vocabSize = 48, maxLen = 4,
+        encode = true),
+
     // the hash coin is replayed literally: md5 of the same string in
     // both engines, argmin under the same (h, v) order
     "q_walks" -> walksOracle(walkLen = 4),
@@ -6598,7 +6620,7 @@ object SparkEntry {
     * OPERATOR'S Viterbi is linear — enumeration is oracle-only), usage
     * recount. Mirrors ext/UnigramLm term for term. */
   private def unigramTrainOracle(rounds: Int, vocabSize: Int,
-      maxLen: Int): String = {
+      maxLen: Int, encode: Boolean = false): String = {
     val base =
       s"""hist AS (SELECT word, CAST(count(*) AS BIGINT) AS wcount
            FROM (SELECT regexp_replace(
@@ -6618,7 +6640,11 @@ object SparkEntry {
                   UNION ALL
                   SELECT piece, freq FROM cand WHERE len(piece) = 1)
                 GROUP BY piece)"""
-    val perRound = (1 to rounds).map { r =>
+    // encode = one extra score derivation + reach/seg over the SAME
+    // word universe (the c{rounds+1} CTE this emits is unreferenced
+    // and therefore never evaluated)
+    val lastRound = if (encode) rounds + 1 else rounds
+    val perRound = (1 to lastRound).map { r =>
       s"""s$r AS (SELECT piece,
              CAST(floor((ln(cnt + 1) - ln(tot.t + tot.v)) * 1000000)
                   AS BIGINT) AS s
@@ -6645,8 +6671,24 @@ object SparkEntry {
                    FROM seg$r)
              GROUP BY 1) u ON u.piece = c.piece)"""
     }
+    val finalSelect =
+      if (!encode) s"SELECT piece, cnt AS n_uses FROM c$rounds"
+      else
+        s"""SELECT d.doc_id AS doc_id,
+             CAST(COALESCE(sum(t.tok), 0) AS BIGINT) AS n_tokens
+           FROM documents d
+           LEFT JOIN (
+             SELECT w.doc_id AS doc_id, tk.tok AS tok
+             FROM (SELECT doc_id, regexp_replace(
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')),
+                     '[^a-z0-9]', '', 'g') AS word FROM documents) w
+             JOIN (SELECT word, len(string_split(path, ' ')) AS tok
+                   FROM seg$lastRound) tk
+               ON w.word = tk.word AND w.word <> '') t
+             ON t.doc_id = d.doc_id
+           GROUP BY d.doc_id"""
     (Seq(base) ++ perRound).mkString("WITH RECURSIVE ", ",\n      ", "\n") +
-      s"SELECT piece, cnt AS n_uses FROM c$rounds"
+      finalSelect
   }
 
   private def bpeTrainOracle(rounds: Int): String = {

@@ -147,6 +147,18 @@ object UnigramLm {
     } finally { hist.unpersist(); () }
   }
 
+  /** The µ-quantized score table of a [[train]]ed piece frame — the
+    * bounded collect (vocabSize + alphabet rows) that bridges training
+    * output to the [[tokenCounts]] inference face. Scores are exactly
+    * one more [[scoresOf]] application, so a SQL replay derives them
+    * from the trained counts with the same integer-log formula. */
+  def scoreTable(trained: DataFrame): Map[String, Long] = {
+    val spark = trained.sparkSession
+    import spark.implicits._
+    scoresOf(trained.select(col("piece"), col("n_uses").cast("long"))
+      .as[(String, Long)].collect().toMap)
+  }
+
   /** Encode words with a TRAINED score table (the inference face):
     * per-doc token counts under the same canonical Viterbi. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
