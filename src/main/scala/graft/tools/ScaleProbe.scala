@@ -140,7 +140,16 @@ object ScaleProbe {
       // r13c: IVF-PQ — coarse routing adds one broadcast-argmin join
       // over the ×10 corpus (linear); the serve probes 2 of 4 lists
       // whatever the corpus size, with fixed query count
-      "q_ivfpq_codes", "q_ann_ivfpq")
+      "q_ivfpq_codes", "q_ann_ivfpq",
+      // r13d: the audio/video batch filter faces (decode work ×10, the
+      // modality-dedup argument verbatim) and unigram encode (Viterbi
+      // over the ×10-vocabulary word histogram, then a per-doc join)
+      "q_audio_neardup_filter", "q_video_neardup_filter",
+      "q_unigram_encode",
+      // r13e: batch perceptron (8 rounds x one scan + dim+1-column
+      // partial agg — pure N; the ×10 corpus changes the labels'
+      // mix, not the plan shape)
+      "q_perceptron_score")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
