@@ -2059,6 +2059,35 @@ object SparkEntry {
         k = 10, nProbe = 2)
     }),
 
+    // ── IVF-PQ on-disk APPEND + pruned serve: build on ⅔ of the
+    //    corpus, persist, encode the remainder against the LOADED
+    //    model and land it as wave 1, reload, serve with static
+    //    partition pruning. The oracle replays codebooks trained on
+    //    the ⅔ universe but encode/serve over everything — so the
+    //    whole save → append → pinned-reload → pruned-ADC path is
+    //    hash-exact, not just spec-gated.
+    "q_ann_ivfpq_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxPath = registerTempIndexDir(
+        System.getProperty("java.io.tmpdir") +
+          "/graft_ivfpq_app_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid() + "_" + System.nanoTime())
+      val train = emb.filter(col("vec_id") % 3 =!= 2)
+      val model = graft.ext.IvfPq.train(train, "vec_id", "embedding",
+        nLists = 4, coarseRounds = 2, m = 4, k = 4, pqRounds = 2)
+      graft.ext.IvfPq.save(model,
+        graft.ext.IvfPq.encode(train, "vec_id", "embedding", model),
+        idxPath)
+      val loaded = graft.ext.IvfPq.load(s, idxPath)
+      graft.ext.IvfPq.appendSave(idxPath,
+        graft.ext.IvfPq.encode(emb.filter(col("vec_id") % 3 === 2),
+          "vec_id", "embedding", loaded.model).localCheckpoint(),
+        wave = 1L)
+      graft.ext.IvfPq.searchPruned(graft.ext.IvfPq.load(s, idxPath),
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 10, nProbe = 2)
+    }),
+
     // ── ANN: DISTRIBUTED probe selection (IvfIndex.searchDistributed) —
     //    probe lists come from a broadcast-centroid argmin join, not
     //    search's driver-side collect, so the query batch can be
@@ -5957,6 +5986,10 @@ object SparkEntry {
       m = 4, k = 4, pqRounds = 2, nProbe = 0, serveTopK = 0),
     "q_ann_ivfpq" -> ivfPqOracle(nLists = 4, coarseRounds = 2,
       m = 4, k = 4, pqRounds = 2, nProbe = 2, serveTopK = 10),
+    // split-universe replay: codebooks train on ⅔, encode/serve on all
+    "q_ann_ivfpq_append" -> ivfPqOracle(nLists = 4, coarseRounds = 2,
+      m = 4, k = 4, pqRounds = 2, nProbe = 2, serveTopK = 10,
+      trainWhere = Some("vec_id % 3 <> 2")),
 
     "q_bpe_encode" ->
       """WITH w AS (SELECT doc_id,
@@ -6554,41 +6587,55 @@ object SparkEntry {
     * distance table. All BIGINT on the shared grid; HUGEINT sums cast
     * at output columns only. */
   private def ivfPqOracle(nLists: Int, coarseRounds: Int, m: Int, k: Int,
-      pqRounds: Int, nProbe: Int, serveTopK: Int): String = {
+      pqRounds: Int, nProbe: Int, serveTopK: Int,
+      trainWhere: Option[String] = None): String = {
     val C = coarseRounds
     val R = pqRounds
+    // split-universe mode (the append face): codebooks train on the
+    // filtered universe, but encode/serve cover EVERY vector — extra
+    // aE/resE/paE CTEs re-run assignment over the full frame against
+    // the train-universe codebooks, exactly what save + appendSave of
+    // the encoded remainder serves after a reload
+    val T = trainWhere.map(_ => "tcomp").getOrElse("comp")
+    val tWhere = trainWhere.map(w => s" WHERE $w").getOrElse("")
+    val tcomp = trainWhere.map(_ =>
+      s""",
+         tcomp AS (SELECT * FROM comp WHERE vid IN (
+                     SELECT vec_id FROM embeddings$tWhere))""").getOrElse("")
     val prelude =
       s"""comp AS (SELECT vec_id AS vid,
                CAST((i - 1) // (len(embedding) // $m) AS INTEGER) AS sub,
                i - 1 AS pos,
                CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
-             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i))$tcomp,
          init AS (SELECT vec_id AS vid,
                     CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
-                  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $nLists)),
-         c0 AS (SELECT cid, pos, q AS cq FROM init JOIN comp USING (vid))"""
+                  FROM (SELECT vec_id FROM embeddings$tWhere
+                        ORDER BY vec_id LIMIT $nLists)),
+         c0 AS (SELECT cid, pos, q AS cq FROM init JOIN $T USING (vid))"""
     val coarse = (1 to C).map { r =>
       val update =
         if (r == C) ""
         else s""",
          c$r AS (SELECT cid, pos,
                    CAST(floor((2.0 * sum(q) + count(*)) / (2.0 * count(*))) AS BIGINT) AS cq
-                 FROM a$r JOIN comp USING (vid) GROUP BY cid, pos)"""
+                 FROM a$r JOIN $T USING (vid) GROUP BY cid, pos)"""
       s"""d$r AS (SELECT vid, cid, sum((q - cq) * (q - cq)) AS d
-               FROM comp JOIN c${r - 1} USING (pos) GROUP BY vid, cid),
+               FROM $T JOIN c${r - 1} USING (pos) GROUP BY vid, cid),
          a$r AS (SELECT vid, cid FROM (
                    SELECT vid, cid, row_number() OVER (
                      PARTITION BY vid ORDER BY d, cid) AS rn
                    FROM d$r) WHERE rn = 1)$update"""
     }
     val residual =
-      s"""res AS (SELECT comp.vid AS vid, comp.sub AS sub, comp.pos AS pos,
-                comp.q - c.cq AS q
-              FROM comp JOIN a$C a ON comp.vid = a.vid
-                JOIN c${C - 1} c ON c.cid = a.cid AND c.pos = comp.pos),
+      s"""res AS (SELECT $T.vid AS vid, $T.sub AS sub, $T.pos AS pos,
+                $T.q - c.cq AS q
+              FROM $T JOIN a$C a ON $T.vid = a.vid
+                JOIN c${C - 1} c ON c.cid = a.cid AND c.pos = $T.pos),
          pinit AS (SELECT vec_id AS vid,
                      CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
-                   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+                   FROM (SELECT vec_id FROM embeddings$tWhere
+                         ORDER BY vec_id LIMIT $k)),
          pc0 AS (SELECT cid, pos, q AS cq FROM pinit JOIN res USING (vid))"""
     val pq = (1 to R).map { r =>
       val update =
@@ -6604,14 +6651,37 @@ object SparkEntry {
                      PARTITION BY vid, sub ORDER BY d, cid) AS rn
                    FROM pd$r) WHERE rn = 1)$update"""
     }
-    val lst = s"lst AS (SELECT vid, cid AS list_id FROM a$C)"
-    val body = (Seq(prelude) ++ coarse ++ Seq(residual) ++ pq ++ Seq(lst))
-      .mkString("WITH ", ",\n         ", "")
+    // encode names: in split-universe mode the full-frame assignment
+    // CTEs (aE/resE/paE) feed the finals; otherwise the training
+    // assignments ARE the encode
+    val (aF, paF) = if (trainWhere.isDefined) ("aE", "paE") else (s"a$C", s"pa$R")
+    val encodeFull = trainWhere.map { _ =>
+      s"""dE AS (SELECT vid, cid, sum((q - cq) * (q - cq)) AS d
+               FROM comp JOIN c${C - 1} USING (pos) GROUP BY vid, cid),
+         aE AS (SELECT vid, cid FROM (
+                  SELECT vid, cid, row_number() OVER (
+                    PARTITION BY vid ORDER BY d, cid) AS rn
+                  FROM dE) WHERE rn = 1),
+         resE AS (SELECT comp.vid AS vid, comp.sub AS sub,
+                    comp.pos AS pos, comp.q - c.cq AS q
+                  FROM comp JOIN aE a ON comp.vid = a.vid
+                    JOIN c${C - 1} c ON c.cid = a.cid AND c.pos = comp.pos),
+         pdE AS (SELECT vid, sub, cid, sum((q - cq) * (q - cq)) AS d
+                 FROM resE JOIN pc${R - 1} USING (pos)
+                 GROUP BY vid, sub, cid),
+         paE AS (SELECT vid, sub, cid, d FROM (
+                   SELECT vid, sub, cid, d, row_number() OVER (
+                     PARTITION BY vid, sub ORDER BY d, cid) AS rn
+                   FROM pdE) WHERE rn = 1)"""
+    }.toSeq
+    val lst = s"lst AS (SELECT vid, cid AS list_id FROM $aF)"
+    val body = (Seq(prelude) ++ coarse ++ Seq(residual) ++ pq ++
+      encodeFull ++ Seq(lst)).mkString("WITH ", ",\n         ", "")
     if (serveTopK <= 0)
       body + s"""
          SELECT p.vid AS vid, l.list_id AS list_id, p.sub AS sub,
                 CAST(p.cid AS INTEGER) AS code, CAST(p.d AS BIGINT) AS sqdist
-         FROM pa$R p JOIN lst l ON p.vid = l.vid"""
+         FROM $paF p JOIN lst l ON p.vid = l.vid"""
     else
       body + s""",
          qc AS (SELECT vid AS qid, sub, pos, q FROM comp WHERE vid < 3),
@@ -6631,7 +6701,7 @@ object SparkEntry {
                 FROM qres JOIN pc${R - 1} USING (pos)
                 GROUP BY qid, list_id, sub, cid),
          sc AS (SELECT dt.qid AS qid, p.vid AS vid, sum(dtv) AS adc
-                FROM pa$R p JOIN lst l ON p.vid = l.vid
+                FROM $paF p JOIN lst l ON p.vid = l.vid
                   JOIN dt ON dt.list_id = l.list_id AND dt.sub = p.sub
                     AND dt.cid = p.cid
                 GROUP BY dt.qid, p.vid)
