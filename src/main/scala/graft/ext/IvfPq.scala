@@ -219,9 +219,12 @@ object IvfPq {
   /** Load as a PINNED SNAPSHOT: the manifest pointer resolves HERE
     * (driver-side, once) — waves appended after the load are invisible
     * to every serve against this handle, and probing n lists still
-    * reads n list partitions of the pinned waves. `version` pins an
-    * older manifest (time travel); no manifest (legacy layout) scans
-    * everything. */
+    * reads n list partitions of the pinned waves. Pinned TOMBSTONE
+    * waves ([[deleteSave]]) mask their vids from the code scan with an
+    * anti join — a handle pinned BEFORE a delete still serves the
+    * deleted vectors (snapshot semantics, both directions). `version`
+    * pins an older manifest (time travel); no manifest (legacy
+    * layout) scans everything. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
       version: Option[Long] = None): IvfPqDisk = {
     val model = IvfPqModel(
@@ -230,13 +233,32 @@ object IvfPq {
     val waves = version
       .map(v => graft.model.WaveManifest.wavesAt(spark, path, v))
       .orElse(graft.model.WaveManifest.pinned(spark, path))
-    val codes = spark.read.parquet(s"$path/codes")
-    val pinnedCodes = waves match {
+    def pin(df: DataFrame) = waves match {
       case Some(ws) =>
-        codes.filter(col("batch").isin(ws.map(Long.box): _*)).drop("batch")
-      case None => codes.drop("batch")
+        df.filter(col("batch").isin(ws.map(Long.box): _*)).drop("batch")
+      case None => df.drop("batch")
     }
-    IvfPqDisk(model, pinnedCodes)
+    val codes = pin(spark.read.parquet(s"$path/codes"))
+    // no forced broadcast: tombstone cardinality is unbounded over an
+    // index's lifetime — AQE broadcasts the anti join while it is
+    // small, and compaction ([[compact]]) clears it back to zero
+    val masked = tombs(spark, path).map(pin) match {
+      case Some(t) => codes.join(t.select(col("vid").as("__tvid"))
+          .distinct(), col("vid") === col("__tvid"), "left_anti")
+      case None => codes
+    }
+    IvfPqDisk(model, masked)
+  }
+
+  /** The tombstone table, if any delete ever landed. Existence goes
+    * through the Hadoop FS of the path (a java.io check would silently
+    * ignore tombstones on any non-local filesystem — a correctness
+    * hazard, not a fallback). */
+  private def tombs(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val hp = new org.apache.hadoop.fs.Path(s"$path/tombs")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) Some(spark.read.parquet(s"$path/tombs")) else None
   }
 
   /** On-disk insert: land [[encode]]d rows as their own `batch=<wave>`
@@ -260,11 +282,43 @@ object IvfPq {
       wave)
   }
 
+  /** Tombstone delete: land the vids to remove as their OWN wave under
+    * `tombs/batch=<wave>` — the same manifest, guards, and replay
+    * idempotence as [[appendSave]] (dynamic overwrite of the wave's
+    * partition; commit after data). A pinned tombstone masks its vids
+    * from every serve that pins it; a handle loaded BEFORE the delete
+    * keeps serving them (snapshot semantics). The mask applies to ALL
+    * pinned code waves, including ones appended later — re-inserting a
+    * deleted vid needs a [[compact]] first (which physically removes
+    * the masked codes and clears the tombstones); [[appendSave]] does
+    * not check, the documented append-posture contract. */
+  def deleteSave(path: String, ids: DataFrame, idCol: String,
+      wave: Long): Unit = {
+    require(wave != 0L, "wave 0 is the build wave; delete with a new id")
+    require(wave < graft.model.WaveManifest.CompactBase,
+      s"wave $wave is in the compaction id space (>= 2^60)")
+    val spark = ids.sparkSession
+    val through = graft.model.WaveManifest.compactedThrough(spark, path)
+    require(wave > through,
+      s"wave $wave is at or below the compaction watermark $through — " +
+        "a compaction absorbed that id; delete with a fresh id")
+    ids.select(col(idCol).cast("long").as("vid"))
+      .withColumn("batch", lit(wave))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/tombs")
+    graft.model.WaveManifest.commitWave(spark, path, wave)
+  }
+
   /** Collapse the pinned wave set into ONE compaction-space wave and
-    * re-pin — a pure row rewrite (code rows are disjoint across waves),
-    * so serves are bit-identical across the swap; data first, manifest
-    * after; old waves stay for pinned readers until
-    * [[graft.model.WaveManifest.expire]]. @return the new wave id */
+    * re-pin — tombstoned codes are PHYSICALLY removed here (the
+    * rewrite anti-joins the pinned tombstones), so post-compaction
+    * serves are bit-identical to pre-compaction serves and the
+    * tombstone mask resets to empty; data first, manifest after; old
+    * waves stay for pinned readers until
+    * [[graft.model.WaveManifest.expire]] (tables `codes` + `tombs`).
+    * @return the new wave id */
   def compact(spark: org.apache.spark.sql.SparkSession,
       path: String): Long = {
     val waves = graft.model.WaveManifest.pinned(spark, path).getOrElse(
@@ -272,9 +326,15 @@ object IvfPq {
         s"no manifest under $path — compact needs a manifest-pinned index"))
     require(waves.nonEmpty, s"manifest under $path pins no waves")
     val newWave = graft.model.WaveManifest.nextCompactionWave(waves)
-    val rows = spark.read.parquet(s"$path/codes")
+    val live = spark.read.parquet(s"$path/codes")
       .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch")
-      .localCheckpoint()
+    val rows = (tombs(spark, path) match {
+      case Some(t) =>
+        val tv = t.filter(col("batch").isin(waves.map(Long.box): _*))
+          .select(col("vid").as("__tvid")).distinct()
+        live.join(tv, col("vid") === col("__tvid"), "left_anti")
+      case None => live
+    }).localCheckpoint()
     writeCodesWave(rows, path, newWave, dynamic = true)
     graft.model.WaveManifest.commit(spark, path, Seq(newWave),
       through = Some(graft.model.WaveManifest.throughAfterCompaction(
