@@ -2031,6 +2031,29 @@ object SparkEntry {
         emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
     }),
 
+    // ── PQ recall AUDIT: ADC top-10 vs the exact-grid brute top-10,
+    //    per-query intersection counts — approximation quality is a
+    //    first-class, hash-gated output, not a hope. Both rankings are
+    //    deterministic (ties by id), so the counts replay exactly.
+    "q_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = graft.ext.PqIndex.codebooks(emb, "vec_id", "embedding",
+        m = 4, k = 4, rounds = 2)
+      val codes = graft.ext.PqIndex.encode(emb, "vec_id", "embedding", cb)
+      val q = emb.filter(col("vec_id") < 3)
+      val adc = graft.ext.PqIndex.adcTopK(codes, cb, q,
+        "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val ex = graft.ext.PqIndex.exactTopK(emb, q,
+        "vec_id", "embedding", k = 10)
+        .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+      adc.join(ex, col("query_id") === col("q2") &&
+          col("neighbor_id") === col("n2"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("n2")).cast("int").as("hits"))
+        .withColumn("k", lit(10))
+    }),
+
     // ── IVF-PQ (IvfPq): the coarse-quantizer + residual-PQ composition
     //    (FAISS IVFPQ) — codes are residuals from the routed list's
     //    centroid, so memory (m codes/vector) and serve work
@@ -5980,6 +6003,9 @@ object SparkEntry {
     "q_pq_codes" -> pqOracle(m = 4, k = 4, rounds = 2, serveTopK = 0),
     "q_ann_pq" -> pqOracle(m = 4, k = 4, rounds = 2, serveTopK = 10),
 
+    // PQ recall audit: both rankings from the same comp CTE
+    "q_pq_recall" -> pqRecallOracle(m = 4, k = 4, rounds = 2, topK = 10),
+
     // IVF-PQ: the double k-means unroll (coarse full-vector pass, then
     // sub-keyed rounds over the residual frame) + probe and ADC CTEs
     "q_ivfpq_codes" -> ivfPqOracle(nLists = 4, coarseRounds = 2,
@@ -6533,8 +6559,41 @@ object SparkEntry {
     * operator's (`//` in DuckDB vs truncating cast in Spark — equal on
     * non-negative operands); intermediate HUGEINT sums cast to BIGINT
     * only at output columns. */
-  private def pqOracle(m: Int, k: Int, rounds: Int,
-      serveTopK: Int): String = {
+  /** The PQ recall audit: ADC top-k vs the exact-grid brute top-k,
+    * per-query intersection counts — both rankings derived from the
+    * SAME comp CTE (the exact distance is the full-pos sum, the ADC
+    * the trained-table sum), so recall is hash-exact, not sampled. */
+  private def pqRecallOracle(m: Int, k: Int, rounds: Int,
+      topK: Int): String =
+    pqCoreCtes(m, k, rounds) + s""",
+         qc AS (SELECT vid AS qid, sub, pos, q FROM comp WHERE vid < 3),
+         dt AS (SELECT qid, sub, cid, sum((q - cq) * (q - cq)) AS dtv
+                FROM qc JOIN c${rounds - 1} USING (pos)
+                GROUP BY qid, sub, cid),
+         sc AS (SELECT qid, a.vid AS vid, sum(dtv) AS adc
+                FROM a$rounds a JOIN dt ON a.sub = dt.sub AND a.cid = dt.cid
+                GROUP BY qid, a.vid),
+         adck AS (SELECT qid, vid FROM (
+                    SELECT qid, vid, row_number() OVER (
+                      PARTITION BY qid ORDER BY adc, vid) AS rk
+                    FROM sc WHERE qid <> vid) WHERE rk <= $topK),
+         bd AS (SELECT qc.qid AS qid, comp.vid AS vid,
+                  sum((qc.q - comp.q) * (qc.q - comp.q)) AS d
+                FROM comp JOIN qc ON comp.pos = qc.pos
+                GROUP BY qc.qid, comp.vid),
+         brutek AS (SELECT qid, vid FROM (
+                      SELECT qid, vid, row_number() OVER (
+                        PARTITION BY qid ORDER BY d, vid) AS rk
+                      FROM bd WHERE qid <> vid) WHERE rk <= $topK)
+         SELECT a.qid AS query_id, CAST(count(b.vid) AS INTEGER) AS hits,
+                CAST($topK AS INTEGER) AS k
+         FROM adck a LEFT JOIN brutek b
+           ON a.qid = b.qid AND a.vid = b.vid
+         GROUP BY a.qid"""
+
+  /** comp/init/c0 + the sub-keyed training rounds — shared by
+    * [[pqOracle]] and [[pqRecallOracle]]. */
+  private def pqCoreCtes(m: Int, k: Int, rounds: Int): String = {
     val prelude =
       s"""comp AS (SELECT vec_id AS vid,
                CAST((i - 1) // (len(embedding) // $m) AS INTEGER) AS sub,
@@ -6559,7 +6618,12 @@ object SparkEntry {
                      PARTITION BY vid, sub ORDER BY d, cid) AS rn
                    FROM d$r) WHERE rn = 1)$update"""
     }
-    val body = (Seq(prelude) ++ perRound).mkString("WITH ", ",\n         ", "")
+    (Seq(prelude) ++ perRound).mkString("WITH ", ",\n         ", "")
+  }
+
+  private def pqOracle(m: Int, k: Int, rounds: Int,
+      serveTopK: Int): String = {
+    val body = pqCoreCtes(m, k, rounds)
     if (serveTopK <= 0)
       body + s"""
          SELECT vid, sub, CAST(cid AS INTEGER) AS code,

@@ -146,6 +146,34 @@ object PqIndex {
         col("d").as("sqdist"))
   }
 
+  /** EXACT top-k on the shared integer grid — the ground truth the
+    * ADC path approximates, exposed so recall is a first-class,
+    * hash-gateable audit (q_pq_recall) rather than a hope: Σ(qa−qb)²
+    * over quantized components, ties by (distance, id), self-matches
+    * excluded — the same output contract as [[adcTopK]] so the two
+    * rankings join row-for-row. Query comps broadcast into the corpus
+    * scan; the per-(query, vid) sum partial-aggregates. Cost is one
+    * corpus pass per query batch — the audit price, not the serving
+    * path. */
+  def exactTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val cc = comps(corpus, idCol, vecCol, m = 1)
+    val qc = comps(queries, idCol, vecCol, m = 1)
+      .select(col("vid").as("qid"), col("pos"), col("q").as("qq"))
+    val diff = col("qq") - col("q")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("d"), col("vid"))
+    cc.join(broadcast(qc), "pos")
+      .groupBy(col("qid"), col("vid"))
+      .agg(sum(diff * diff).as("d"))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("d").as("sqdist"), col("rk"))
+  }
+
   /** ADC top-k: approximate nearest neighbors of each query under the
     * code representation — Σ_sub dtable[sub][code], the asymmetric
     * distance (exact query subvector vs corpus centroid). Output

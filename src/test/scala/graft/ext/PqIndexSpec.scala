@@ -67,6 +67,22 @@ class PqIndexSpec extends SparkSpec {
     assert(out === Seq((1L, d1, 1), (2L, d2, 2), (3L, d2, 3)))
   }
 
+  test("exactTopK is the ADC ranking when the codebook is saturated") {
+    // k = corpus size, rounds = 1: every vector is its own centroid, so
+    // ADC degenerates to the exact quantized distance — the two rankers
+    // must agree row-for-row (the q_pq_recall ground-truth contract)
+    val corpus = Seq(
+      1L -> Seq(0.0, 0.0), 2L -> Seq(0.0, 0.4), 3L -> Seq(0.4, 0.0))
+    val query = df(Seq(9L -> Seq(0.1, 0.1)))
+    val cb = PqIndex.codebooks(df(corpus), "id", "vec", m = 2, k = 3, rounds = 1)
+    val codes = PqIndex.encode(df(corpus), "id", "vec", cb)
+    val adc = PqIndex.adcTopK(codes, cb, query, "id", "vec", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val ex = PqIndex.exactTopK(df(corpus), query, "id", "vec", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(adc.sortBy(_._4).toSeq === ex.sortBy(_._4).toSeq)
+  }
+
   test("rank ties break to the lowest neighbor id") {
     val corpus = Seq(
       1L -> Seq(0.0, 0.0), 2L -> Seq(0.0, 0.4), 3L -> Seq(0.4, 0.0))
