@@ -2031,6 +2031,25 @@ object SparkEntry {
         emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
     }),
 
+    // ── SQ8 scalar quantization (ScalarQuant): per-DIMENSION affine
+    //    ranges + 8-bit codes — 4× smaller than float32, the third leg
+    //    of the quantization family (PQ / IVF-PQ / SQ8). Ranges, codes,
+    //    and the reconstructed-corpus serve are ALL integer-exact and
+    //    hash-gated.
+    "q_sq8_codes" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ext.ScalarQuant.encode(emb, "vec_id", "embedding",
+        graft.ext.ScalarQuant.ranges(emb, "vec_id", "embedding"))
+    }),
+
+    "q_ann_sq8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val rng = graft.ext.ScalarQuant.ranges(emb, "vec_id", "embedding")
+      graft.ext.ScalarQuant.adcTopK(
+        graft.ext.ScalarQuant.encode(emb, "vec_id", "embedding", rng),
+        rng, emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
+    }),
+
     // ── PQ recall AUDIT: ADC top-10 vs the exact-grid brute top-10,
     //    per-query intersection counts — approximation quality is a
     //    first-class, hash-gated output, not a hope. Both rankings are
@@ -6005,6 +6024,42 @@ object SparkEntry {
 
     // PQ recall audit: both rankings from the same comp CTE
     "q_pq_recall" -> pqRecallOracle(m = 4, k = 4, rounds = 2, topK = 10),
+
+    // SQ8: per-dim min/max ranges, clamped affine codes, midpoint
+    // reconstruction — every division non-negative, so // ≡ div
+    "q_sq8_codes" ->
+      """WITH comp AS (SELECT vec_id AS vid, i - 1 AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+         b AS (SELECT pos, min(q) AS qmin, max(q) AS qmax
+               FROM comp GROUP BY pos)
+         SELECT vid, CAST(pos AS INTEGER) AS pos,
+                CAST((255 * (least(greatest(q, qmin), qmax) - qmin))
+                     // greatest(qmax - qmin, 1) AS INTEGER) AS code
+         FROM comp JOIN b USING (pos)""",
+
+    "q_ann_sq8" ->
+      """WITH comp AS (SELECT vec_id AS vid, i - 1 AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+         b AS (SELECT pos, min(q) AS qmin, max(q) AS qmax
+               FROM comp GROUP BY pos),
+         e AS (SELECT vid, pos,
+                 (255 * (least(greatest(q, qmin), qmax) - qmin))
+                   // greatest(qmax - qmin, 1) AS code
+               FROM comp JOIN b USING (pos)),
+         r AS (SELECT vid, pos,
+                 qmin + ((2 * code + 1) * (qmax - qmin)) // 510 AS rq
+               FROM e JOIN b USING (pos)),
+         qc AS (SELECT vid AS qid, pos, q AS qq FROM comp WHERE vid < 3),
+         d AS (SELECT qid, r.vid AS vid,
+                 sum((qq - rq) * (qq - rq)) AS adc
+               FROM r JOIN qc ON r.pos = qc.pos GROUP BY qid, r.vid)
+         SELECT qid AS query_id, vid AS neighbor_id,
+                CAST(adc AS BIGINT) AS adc_sqdist, CAST(rk AS INTEGER) AS rk
+         FROM (SELECT qid, vid, adc, row_number() OVER (
+                 PARTITION BY qid ORDER BY adc, vid) AS rk
+               FROM d WHERE qid <> vid) WHERE rk <= 10""",
 
     // IVF-PQ: the double k-means unroll (coarse full-vector pass, then
     // sub-keyed rounds over the residual frame) + probe and ADC CTEs
