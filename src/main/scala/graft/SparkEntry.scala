@@ -2082,9 +2082,8 @@ object SparkEntry {
     //    residual pass) plus probe/distance-table CTEs.
     "q_ivfpq_codes" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val model = graft.ext.IvfPq.train(emb, "vec_id", "embedding",
-        nLists = 4, coarseRounds = 2, m = 4, k = 4, pqRounds = 2)
-      graft.ext.IvfPq.encode(emb, "vec_id", "embedding", model)
+      graft.ext.IvfPq.trainEncode(emb, "vec_id", "embedding",
+        nLists = 4, coarseRounds = 2, m = 4, k = 4, pqRounds = 2)._2
     }),
 
     // ── IVF-PQ ADC serving: top-10 of 3 corpus queries probing their 2
@@ -2093,9 +2092,9 @@ object SparkEntry {
     //    same probe rule, so the answer is still deterministic.
     "q_ann_ivfpq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val model = graft.ext.IvfPq.train(emb, "vec_id", "embedding",
+      val (model, codes) = graft.ext.IvfPq.trainEncode(emb,
+        "vec_id", "embedding",
         nLists = 4, coarseRounds = 2, m = 4, k = 4, pqRounds = 2)
-      val codes = graft.ext.IvfPq.encode(emb, "vec_id", "embedding", model)
       graft.ext.IvfPq.adcTopK(codes, model,
         emb.filter(col("vec_id") < 3), "vec_id", "embedding",
         k = 10, nProbe = 2)
@@ -2115,11 +2114,10 @@ object SparkEntry {
           "/graft_ivfpq_app_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + ProcessHandle.current().pid() + "_" + System.nanoTime())
       val train = emb.filter(col("vec_id") % 3 =!= 2)
-      val model = graft.ext.IvfPq.train(train, "vec_id", "embedding",
+      val (model, trainCodes) = graft.ext.IvfPq.trainEncode(train,
+        "vec_id", "embedding",
         nLists = 4, coarseRounds = 2, m = 4, k = 4, pqRounds = 2)
-      graft.ext.IvfPq.save(model,
-        graft.ext.IvfPq.encode(train, "vec_id", "embedding", model),
-        idxPath)
+      graft.ext.IvfPq.save(model, trainCodes, idxPath)
       val loaded = graft.ext.IvfPq.load(s, idxPath)
       graft.ext.IvfPq.appendSave(idxPath,
         graft.ext.IvfPq.encode(emb.filter(col("vec_id") % 3 === 2),

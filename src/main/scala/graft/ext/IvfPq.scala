@@ -60,7 +60,21 @@ object IvfPq {
     * against). */
   def train(vecs: DataFrame, idCol: String, vecCol: String,
       nLists: Int, coarseRounds: Int, m: Int, k: Int,
-      pqRounds: Int): IvfPqModel = {
+      pqRounds: Int): IvfPqModel =
+    trainEncode(vecs, idCol, vecCol, nLists, coarseRounds, m, k,
+      pqRounds)._1
+
+  /** [[train]] + the training corpus's codes in ONE pass over the
+    * residual frame: the codebook rounds and the final encode share
+    * the SAME checkpointed residuals, so the build pipeline
+    * (train → save codes) never re-explodes the corpus or re-runs the
+    * coarse argmin a second time — a third of the work of calling
+    * `train` then `encode` separately, bit-identical results (the
+    * encode IS [[assignResiduals]] against the returned codebooks
+    * either way). */
+  def trainEncode(vecs: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, coarseRounds: Int, m: Int, k: Int,
+      pqRounds: Int): (IvfPqModel, DataFrame) = {
     require(nLists >= 1, s"nLists must be >= 1: $nLists")
     val coarse = PqIndex
       .codebooks(vecs, idCol, vecCol, m = 1, k = nLists,
@@ -69,7 +83,8 @@ object IvfPq {
       .localCheckpoint()
     val rcomp = residualComps(vecs, idCol, vecCol, m, coarse)
       .localCheckpoint()
-    IvfPqModel(coarse, PqIndex.codebooksFromComps(rcomp, k, pqRounds))
+    val pq = PqIndex.codebooksFromComps(rcomp, k, pqRounds)
+    (IvfPqModel(coarse, pq), assignResiduals(rcomp, pq))
   }
 
   /** (vid, list_id, sub, pos, qr): each vector's exact quantized
@@ -106,10 +121,16 @@ object IvfPq {
   def encode(vecs: DataFrame, idCol: String, vecCol: String,
       model: IvfPqModel): DataFrame = {
     val m = 1 + model.pq.agg(max(col("sub"))).head().getInt(0)
-    val rcomp = residualComps(vecs, idCol, vecCol, m, model.coarse)
+    assignResiduals(
+      residualComps(vecs, idCol, vecCol, m, model.coarse), model.pq)
+  }
+
+  /** The final PQ assignment over a residual frame — the single encode
+    * rule [[encode]] and [[trainEncode]] share. */
+  private def assignResiduals(rcomp: DataFrame, pq: DataFrame): DataFrame = {
     val diff = col("q") - col("cq")
     rcomp
-      .join(broadcast(model.pq.select(col("cid"), col("pos"), col("cq"))),
+      .join(broadcast(pq.select(col("cid"), col("pos"), col("cq"))),
         "pos")
       .groupBy(col("vid"), col("list_id"), col("sub"), col("cid"))
       .agg(sum(diff * diff).as("d"))

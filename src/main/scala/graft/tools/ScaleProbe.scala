@@ -149,7 +149,13 @@ object ScaleProbe {
       // r13e: batch perceptron (8 rounds x one scan + dim+1-column
       // partial agg — pure N; the ×10 corpus changes the labels'
       // mix, not the plan shape)
-      "q_perceptron_score")
+      "q_perceptron_score",
+      // r13f: on-disk IVF-PQ append face (train 2/3 + encode-append
+      // 1/3 + pruned serve), PQ recall audit (ADC + exact brute — the
+      // brute side is one corpus pass per fixed 3-query batch), SQ8
+      // ranges/codes (one partial-agg + one scan — pure N) and its
+      // reconstructed serve
+      "q_ann_ivfpq_append", "q_pq_recall", "q_sq8_codes", "q_ann_sq8")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
