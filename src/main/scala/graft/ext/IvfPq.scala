@@ -279,7 +279,12 @@ object IvfPq {
       path: String): Option[DataFrame] = {
     val hp = new org.apache.hadoop.fs.Path(s"$path/tombs")
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hp)) Some(spark.read.parquet(s"$path/tombs")) else None
+    // a dir emptied by expire (every batch= wave reclaimed) has no
+    // schema to infer — same as no tombstones at all
+    if (fs.exists(hp) &&
+        fs.listStatus(hp).exists(_.getPath.getName.startsWith("batch=")))
+      Some(spark.read.parquet(s"$path/tombs"))
+    else None
   }
 
   /** On-disk insert: land [[encode]]d rows as their own `batch=<wave>`

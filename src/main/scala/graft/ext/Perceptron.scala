@@ -54,11 +54,33 @@ object Perceptron {
     /** (idCol, margin, pred): BIGINT margin and its sign as the
       * predicted label (0 margin predicts −1 — the training rule's
       * "misclassified at zero" convention, so predict∘train is
-      * consistent with the last round's classification). */
-    def predict(features: DataFrame, idCol: String): DataFrame =
+      * consistent with the last round's classification).
+      *
+      * Inference data is NOT the training data: its feature magnitudes
+      * were never covered by training's overflow bounds, so this face
+      * re-checks |w|·max|x| against BIGINT from its own upfront
+      * max-abs pass and raises loudly instead of wrapping (the
+      * training-side guard's posture). One extra aggregate per predict
+      * call — the price of never serving a wrapped margin. */
+    def predict(features: DataFrame, idCol: String): DataFrame = {
+      val aggs = xCols.map(c => max(abs(col(c).cast("long"))).as(c))
+      val mx = features.agg(aggs.head, aggs.tail: _*).head()
+      val bound =
+        try xCols.indices.map(j => Math.multiplyExact(math.abs(w(j + 1)),
+            if (mx.isNullAt(j)) 0L else mx.getLong(j)))
+          .foldLeft(math.abs(w(0)))(Math.addExact)
+        catch {
+          case _: ArithmeticException => throw new ArithmeticException(
+            "perceptron margin bound exceeds BIGINT on this data — " +
+              "rescale features")
+        }
+      require(bound < Long.MaxValue / 2,
+        "perceptron margin bound exceeds BIGINT on this data — " +
+          "rescale features")
       features.select(col(idCol),
         marginCol.as("margin"),
         when(marginCol > 0, lit(1)).otherwise(lit(-1)).as("pred"))
+    }
   }
 
   /** Train `rounds` batch-perceptron rounds over BIGINT feature

@@ -79,6 +79,20 @@ class IvfPqDeleteSpec extends SparkSpec {
     assert(raw.count() === preCount)
   }
 
+  test("expire reclaims absorbed code AND tombstone waves") {
+    val data = mkData(97)
+    val path = freshPath()
+    build(data, path)
+    IvfPq.deleteSave(path, Seq(2L).toDF("vec_id"), "vec_id", wave = 1L)
+    val before = neighbors(path, data.filter($"vec_id" === 0L))
+    IvfPq.compact(spark, path)
+    graft.model.WaveManifest.expire(spark, path,
+      tables = Seq("codes", "tombs"), keepVersions = 1)
+    assert(!new java.io.File(s"$path/codes/batch=0").exists())
+    assert(!new java.io.File(s"$path/tombs/batch=1").exists())
+    assert(neighbors(path, data.filter($"vec_id" === 0L)) === before)
+  }
+
   test("the documented re-insert contract: masked until compaction, " +
       "live again after") {
     val data = mkData(83)
