@@ -2031,6 +2031,14 @@ object SparkEntry {
         emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
     }),
 
+    // ── Greedy k-center coreset (Coreset): diverse-exemplar selection
+    //    for curation — farthest-point traversal with exact BIGINT
+    //    distances, ties to the lowest id; the selection ORDER and
+    //    each pick's max-min radius both hash-gate.
+    "q_coreset" -> ((s, dir) =>
+      graft.ext.Coreset.kCenter(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 6)),
+
     // ── SQ8 scalar quantization (ScalarQuant): per-DIMENSION affine
     //    ranges + 8-bit codes — 4× smaller than float32, the third leg
     //    of the quantization family (PQ / IVF-PQ / SQ8). Ranges, codes,
@@ -6023,6 +6031,9 @@ object SparkEntry {
     // PQ recall audit: both rankings from the same comp CTE
     "q_pq_recall" -> pqRecallOracle(m = 4, k = 4, rounds = 2, topK = 10),
 
+    // greedy k-center: unrolled farthest-point rounds
+    "q_coreset" -> coresetOracle(k = 6),
+
     // SQ8: per-dim min/max ranges, clamped affine codes, midpoint
     // reconstruction — every division non-negative, so // ≡ div
     "q_sq8_codes" ->
@@ -6612,6 +6623,42 @@ object SparkEntry {
     * operator's (`//` in DuckDB vs truncating cast in Spark — equal on
     * non-negative operands); intermediate HUGEINT sums cast to BIGINT
     * only at output columns. */
+  /** The greedy k-center replay: unrolled farthest-point rounds —
+    * per round an argmax pick (ORDER BY dmin DESC, vid LIMIT 1) and a
+    * least()-folded distance update against the pick's components. */
+  private def coresetOracle(k: Int): String = {
+    val prelude =
+      """comp AS (SELECT vec_id AS vid, i - 1 AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+         s0 AS (SELECT min(vec_id) AS cid FROM embeddings),
+         d0 AS (SELECT c.vid AS vid, sum((c.q - s.q) * (c.q - s.q)) AS dmin
+                FROM comp c JOIN comp s ON s.pos = c.pos
+                  AND s.vid = (SELECT cid FROM s0)
+                GROUP BY c.vid)"""
+    val perRound = (1 until k).map { r =>
+      val update =
+        if (r == k - 1) ""
+        else s""",
+         d$r AS (SELECT d.vid AS vid, least(d.dmin, x.d) AS dmin
+                 FROM d${r - 1} d JOIN (
+                   SELECT c.vid AS vid,
+                          sum((c.q - s.q) * (c.q - s.q)) AS d
+                   FROM comp c JOIN comp s ON s.pos = c.pos
+                     AND s.vid = (SELECT vid FROM r$r)
+                   GROUP BY c.vid) x ON x.vid = d.vid)"""
+      s"""r$r AS (SELECT vid, dmin FROM d${r - 1}
+               ORDER BY dmin DESC, vid LIMIT 1)$update"""
+    }
+    val finals = (s"""SELECT CAST((SELECT cid FROM s0) AS BIGINT) AS vec_id,
+             CAST(0 AS INTEGER) AS rk, CAST(0 AS BIGINT) AS radius""" +:
+      (1 until k).map(r =>
+        s"SELECT vid, CAST($r AS INTEGER), CAST(dmin AS BIGINT) FROM r$r"))
+      .mkString("\n         UNION ALL ")
+    (Seq(prelude) ++ perRound)
+      .mkString("WITH ", ",\n         ", "\n         ") + finals
+  }
+
   /** The PQ recall audit: ADC top-k vs the exact-grid brute top-k,
     * per-query intersection counts — both rankings derived from the
     * SAME comp CTE (the exact distance is the full-pos sum, the ADC

@@ -555,4 +555,23 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("partial_sum"),
       s"no map-side combine in the IVF-PQ sums:\n${p.take(800)}")
   }
+
+  test("SQ8 serve: ranges and query comps broadcast, the " +
+      "reconstruction sum partial-aggregates") {
+    val p = plan("q_ann_sq8")
+    assert(p.contains("BroadcastHashJoin"),
+      s"SQ8 serve lost its broadcast joins:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("partial_sum"),
+      s"no map-side combine in the SQ8 sum:\n${p.take(800)}")
+  }
+
+  test("perceptron predict is a pure projection: zero exchanges") {
+    // the operator's 100 TB promise: weights fold in as literals, so
+    // inference is one narrow scan — any Exchange here means a join
+    // or aggregation crept into the serving path
+    val p = plan("q_perceptron_score")
+    assert(!p.contains("Exchange"),
+      s"perceptron predict shuffles:\n${p.take(800)}")
+  }
 }
