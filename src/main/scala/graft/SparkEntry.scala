@@ -2031,6 +2031,14 @@ object SparkEntry {
         emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
     }),
 
+    // ── Seeded ±1 random projection (RandomProjection): JL dimension
+    //    reduction with the md5 coin — reproducible across engines,
+    //    so the projected integer table itself hash-gates (no
+    //    RNG-matrix implementation can offer that).
+    "q_random_projection" -> ((s, dir) =>
+      graft.ext.RandomProjection.project(Tables.embeddings(s, dir),
+        "vec_id", "embedding", outDims = 8)),
+
     // ── Greedy k-center coreset (Coreset): diverse-exemplar selection
     //    for curation — farthest-point traversal with exact BIGINT
     //    distances, ties to the lowest id; the selection ORDER and
@@ -6033,6 +6041,22 @@ object SparkEntry {
 
     // greedy k-center: unrolled farthest-point rounds
     "q_coreset" -> coresetOracle(k = 6),
+
+    // seeded ±1 projection: the md5-nibble coin replayed per (pos, j)
+    "q_random_projection" ->
+      """WITH comp AS (SELECT vec_id AS vid, i - 1 AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+         p AS (SELECT vid, pos, q, j FROM comp, UNNEST(range(8)) t(j)),
+         s AS (SELECT vid, j,
+                 CASE WHEN (strpos('0123456789abcdef',
+                     substr(md5(concat_ws('|', 42, pos, j)), 1, 1)) - 1)
+                     % 2 = 0
+                   THEN q ELSE -q END AS term
+               FROM p)
+         SELECT vid, CAST(j AS INTEGER) AS j,
+                CAST(sum(term) AS BIGINT) AS y
+         FROM s GROUP BY vid, j""",
 
     // SQ8: per-dim min/max ranges, clamped affine codes, midpoint
     // reconstruction — every division non-negative, so // ≡ div
