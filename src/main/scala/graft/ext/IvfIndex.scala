@@ -74,13 +74,62 @@ object IvfIndex {
     val waves = version
       .map(v => graft.model.WaveManifest.wavesAt(spark, path, v))
       .orElse(graft.model.WaveManifest.pinned(spark, path))
-    val lists = spark.read.parquet(s"$path/lists")
-    val pinnedLists = waves match {
+    def pin(df: DataFrame) = waves match {
       case Some(ws) =>
-        lists.filter(col("batch").isin(ws.map(Long.box): _*)).drop("batch")
-      case None => lists.drop("batch")
+        df.filter(col("batch").isin(ws.map(Long.box): _*)).drop("batch")
+      case None => df.drop("batch")
     }
-    IvfModel(pinnedLists, cents)
+    val lists = pin(spark.read.parquet(s"$path/lists"))
+    // pinned tombstone waves (deleteSave) mask their ids — a handle
+    // pinned BEFORE a delete keeps serving them (snapshot semantics,
+    // both directions; the IvfPq contract). No forced broadcast: the
+    // mask is unbounded over an index's lifetime, AQE broadcasts
+    // while small and compact() clears it to zero.
+    val masked = tombs(spark, path).map(pin) match {
+      case Some(t) => lists.join(t.select(col("vid").as("__tvid"))
+          .distinct(), col("neighbor_id") === col("__tvid"), "left_anti")
+      case None => lists
+    }
+    IvfModel(masked, cents)
+  }
+
+  /** The tombstone table, if any delete ever landed — Hadoop-FS
+    * existence (java.io would silently ignore deletes on non-local
+    * filesystems), empty-dir tolerant (expire can reclaim every
+    * wave). */
+  private def tombs(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val hp = new org.apache.hadoop.fs.Path(s"$path/tombs")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp) &&
+        fs.listStatus(hp).exists(_.getPath.getName.startsWith("batch=")))
+      Some(spark.read.parquet(s"$path/tombs"))
+    else None
+  }
+
+  /** Tombstone delete: the [[IvfPq.deleteSave]] contract on the dense
+    * index — ids land as their own `tombs/batch=<wave>` wave (same
+    * guards and replay idempotence as [[appendSave]]); pinned
+    * tombstones mask every serve that pins them; [[compact]]
+    * physically removes masked rows and clears the tombstones;
+    * re-inserting a deleted id stays masked until that compaction. */
+  def deleteSave(path: String, ids: DataFrame, idCol: String,
+      wave: Long): Unit = {
+    require(wave != 0L, "wave 0 is the build wave; delete with a new id")
+    require(wave < graft.model.WaveManifest.CompactBase,
+      s"wave $wave is in the compaction id space (>= 2^60)")
+    val spark = ids.sparkSession
+    val through = graft.model.WaveManifest.compactedThrough(spark, path)
+    require(wave > through,
+      s"wave $wave is at or below the compaction watermark $through — " +
+        "a compaction absorbed that id; delete with a fresh id")
+    ids.select(col(idCol).cast("long").as("vid"))
+      .withColumn("batch", lit(wave))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/tombs")
+    graft.model.WaveManifest.commitWave(spark, path, wave)
   }
 
   /** Build the index: fit the coarse quantizer ONCE over the corpus and
@@ -242,10 +291,17 @@ object IvfIndex {
     // commitWave skipped the already-pinned id (review r12)
     val newWave = graft.model.WaveManifest.nextCompactionWave(waves)
     // materialized BEFORE the write (the rewrite scans the path it
-    // overwrites; Spark refuses the lazy form)
-    val rows = spark.read.parquet(s"$path/lists")
+    // overwrites; Spark refuses the lazy form). Tombstoned rows are
+    // PHYSICALLY removed here and the mask resets to empty.
+    val live = spark.read.parquet(s"$path/lists")
       .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch")
-      .localCheckpoint()
+    val rows = (tombs(spark, path) match {
+      case Some(t) =>
+        val tv = t.filter(col("batch").isin(waves.map(Long.box): _*))
+          .select(col("vid").as("__tvid")).distinct()
+        live.join(tv, col("neighbor_id") === col("__tvid"), "left_anti")
+      case None => live
+    }).localCheckpoint()
     writeListsWave(rows, path, newWave, dynamic = true)
     // coverage marker: absorbed STREAM-space ids are refused/skipped
     // from here on; absorbed compaction waves never raise the watermark

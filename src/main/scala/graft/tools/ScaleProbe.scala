@@ -155,7 +155,10 @@ object ScaleProbe {
       // brute side is one corpus pass per fixed 3-query batch), SQ8
       // ranges/codes (one partial-agg + one scan — pure N) and its
       // reconstructed serve
-      "q_ann_ivfpq_append", "q_pq_recall", "q_sq8_codes", "q_ann_sq8")
+      "q_ann_ivfpq_append", "q_pq_recall", "q_sq8_codes", "q_ann_sq8",
+      // r13g: k-center coreset (k fixed corpus passes — pure N each),
+      // random projection (one pass, outDims map-side blowup)
+      "q_coreset", "q_random_projection")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
