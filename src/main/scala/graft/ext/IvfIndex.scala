@@ -93,19 +93,10 @@ object IvfIndex {
     IvfModel(masked, cents)
   }
 
-  /** The tombstone table, if any delete ever landed — Hadoop-FS
-    * existence (java.io would silently ignore deletes on non-local
-    * filesystems), empty-dir tolerant (expire can reclaim every
-    * wave). */
+  /** The tombstone table, if any delete ever landed. */
   private def tombs(spark: SparkSession,
-      path: String): Option[DataFrame] = {
-    val hp = new org.apache.hadoop.fs.Path(s"$path/tombs")
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hp) &&
-        fs.listStatus(hp).exists(_.getPath.getName.startsWith("batch=")))
-      Some(spark.read.parquet(s"$path/tombs"))
-    else None
-  }
+      path: String): Option[DataFrame] =
+    graft.model.WaveManifest.sideTable(spark, path, "tombs")
 
   /** Tombstone delete: the [[IvfPq.deleteSave]] contract on the dense
     * index — ids land as their own `tombs/batch=<wave>` wave (same

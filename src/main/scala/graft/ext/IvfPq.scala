@@ -271,21 +271,10 @@ object IvfPq {
     IvfPqDisk(model, masked)
   }
 
-  /** The tombstone table, if any delete ever landed. Existence goes
-    * through the Hadoop FS of the path (a java.io check would silently
-    * ignore tombstones on any non-local filesystem — a correctness
-    * hazard, not a fallback). */
+  /** The tombstone table, if any delete ever landed. */
   private def tombs(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[DataFrame] = {
-    val hp = new org.apache.hadoop.fs.Path(s"$path/tombs")
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a dir emptied by expire (every batch= wave reclaimed) has no
-    // schema to infer — same as no tombstones at all
-    if (fs.exists(hp) &&
-        fs.listStatus(hp).exists(_.getPath.getName.startsWith("batch=")))
-      Some(spark.read.parquet(s"$path/tombs"))
-    else None
-  }
+      path: String): Option[DataFrame] =
+    graft.model.WaveManifest.sideTable(spark, path, "tombs")
 
   /** On-disk insert: land [[encode]]d rows as their own `batch=<wave>`
     * partition wave — re-running the SAME wave id dynamically

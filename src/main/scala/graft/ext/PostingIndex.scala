@@ -124,6 +124,36 @@ object PostingIndex {
       sum(size(col("ws"))).cast("double").as("sum_dl")), "stats")
   }
 
+  /** Tombstone delete — LUCENE SEMANTICS, the industry contract for
+    * inverted-index deletes: doc ids land as their own
+    * `tombs/batch=<wave>` wave (append-grade guards, replay
+    * idempotence), and a pinned tombstone masks its docs from every
+    * serve's RESULTS while the corpus statistics (df, N, avgdl) keep
+    * reflecting the pinned waves — surviving docs' scores are
+    * UNCHANGED until [[compact]] physically drops the masked rows and
+    * RECOMPUTES the statistics from the survivors (the merge). Both
+    * halves are spec-pinned: post-delete serve ≡ pre-delete serve
+    * minus the masked docs row-for-row; post-compaction serve ≡ a
+    * fresh build on the survivors score-for-score. */
+  def deleteSave(path: String, docIds: DataFrame, idCol: String,
+      wave: Long): Unit = {
+    require(wave != 0L, "wave 0 is the build wave; delete with a new id")
+    require(wave < graft.model.WaveManifest.CompactBase,
+      s"wave $wave is in the compaction id space (>= 2^60)")
+    val spark = docIds.sparkSession
+    val through = graft.model.WaveManifest.compactedThrough(spark, path)
+    require(wave > through,
+      s"wave $wave is at or below the compaction watermark $through — " +
+        "a compaction absorbed that id; delete with a fresh id")
+    docIds.select(col(idCol).as("doc_id"))
+      .withColumn("batch", lit(wave))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$path/tombs")
+    graft.model.WaveManifest.commitWave(spark, path, wave)
+  }
+
   /** BM25 scores for `terms` over the index — docs with ≥ 1 matching
     * term, columns (doc_id, dl, tf_0.., bm25) exactly as
     * [[Relevance.bm25]] emits them (score parity contract above).
@@ -172,7 +202,16 @@ object PostingIndex {
     val dfRow = pinWaves(spark.read.parquet(s"$path/terms"))
       .filter(col("term").isin(lower: _*))
       .agg(dfAggs.head, dfAggs.tail: _*)
-    val joined = withTf.join(dls, "doc_id")
+    // Lucene-semantics delete mask: pinned tombstones hide their docs
+    // from the RESULTS; df/stats above stay wave-summed (stale until
+    // compaction) so surviving docs score identically pre/post delete
+    val masked = graft.model.WaveManifest.sideTable(spark, path, "tombs")
+      .map(pinWaves) match {
+      case Some(t) => withTf.join(t.select(col("doc_id").as("__tdoc"))
+          .distinct(), col("doc_id") === col("__tdoc"), "left_anti")
+      case None => withTf
+    }
+    val joined = masked.join(dls, "doc_id")
       .crossJoin(broadcast(stats)).crossJoin(broadcast(dfRow))
     val dlNorm = col("dl").cast("double") / (col("sum_dl") / col("n_docs"))
     val termScore: Int => Column = { i =>
@@ -223,17 +262,34 @@ object PostingIndex {
     def pinned(table: String) = spark.read.parquet(s"$path/$table")
       .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch")
       .localCheckpoint()
+    // Lucene merge: tombstoned docs drop PHYSICALLY here, and df/stats
+    // are RECOMPUTED from the survivors (the moment stale statistics
+    // refresh). With no tombstones the recomputation equals the old
+    // delta pre-sum bit-for-bit: waves hold disjoint docs, so
+    // count(postings per term) = Σ per-wave dfs and the doclens
+    // count/sum = Σ per-wave stats — integer-valued doubles below
+    // 2^53 (spec-pinned by WaveCompactionSpec's bit-identical serve).
+    val tv = graft.model.WaveManifest.sideTable(spark, path, "tombs")
+      .map(_.filter(col("batch").isin(waves.map(Long.box): _*))
+        .select(col("doc_id").as("__tdoc")).distinct())
+    def maskDocs(df: DataFrame): DataFrame = tv match {
+      case Some(t) =>
+        df.join(t, col("doc_id") === col("__tdoc"), "left_anti")
+      case None => df
+    }
     def wv(df: DataFrame, table: String, parts: String*): Unit =
       df.withColumn("batch", lit(newWave))
         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch" +: parts: _*)
         .parquet(s"$path/$table")
-    wv(pinned("doclens"), "doclens")
-    wv(pinned("postings"), "postings", "bucket")
-    wv(pinned("terms").groupBy(col("term"))
-      .agg(sum(col("df")).as("df")), "terms")
-    wv(pinned("stats").agg(sum(col("n_docs")).as("n_docs"),
-      sum(col("sum_dl")).as("sum_dl")), "stats")
+    val doclens = maskDocs(pinned("doclens")).localCheckpoint()
+    val postings = maskDocs(pinned("postings")).localCheckpoint()
+    wv(doclens, "doclens")
+    wv(postings, "postings", "bucket")
+    wv(postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df")), "terms")
+    wv(doclens.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).cast("double").as("sum_dl")), "stats")
     // record coverage: every absorbed STREAM-space id is now refused
     // (batch append) or skipped (streaming replay) — the double-count
     // guard; absorbed compaction waves never raise the watermark

@@ -70,6 +70,23 @@ object WaveManifest {
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** An OPTIONAL wave-partitioned side table under `root/<table>` (the
+    * tombstone tables of the delete faces): Some(frame) only when the
+    * dir exists AND still holds at least one `batch=` wave — existence
+    * goes through the Hadoop FS of the path (a java.io check silently
+    * ignores the table on any non-local filesystem), and a dir emptied
+    * by [[expire]] reads as absent rather than failing schema
+    * inference. */
+  def sideTable(spark: SparkSession, root: String,
+      table: String): Option[org.apache.spark.sql.DataFrame] = {
+    val hp = new org.apache.hadoop.fs.Path(s"$root/$table")
+    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(hp) &&
+        f.listStatus(hp).exists(_.getPath.getName.startsWith("batch=")))
+      Some(spark.read.parquet(s"$root/$table"))
+    else None
+  }
+
   private def dir(root: String) = s"$root/_manifest"
 
   private val VersionFile = "^v=(\\d+)$".r
