@@ -2869,6 +2869,24 @@ object SparkEntry {
         terms = Seq("spark", "table", "join"), termBuckets = 64)
     }),
 
+    // ── Lucene-semantics DELETE, driver-visible: build, tombstone
+    //    every doc_id % 7 == 0, serve. Masked docs vanish from the
+    //    results while the survivors' scores stay computed against the
+    //    FULL corpus statistics (stale df/N/avgdl until compaction) —
+    //    which is exactly what the oracle expresses: the full-corpus
+    //    bm25 replay with the deleted ids excluded from the ROWS only.
+    "q_bm25_delete" -> ((s, dir) => {
+      val path = scratchDir(s, "q_bm25_delete")
+      val docs = Tables.documents(s, dir)
+      graft.ext.PostingIndex.build(docs, "doc_id", "text", path,
+        termBuckets = 64)
+      graft.ext.PostingIndex.deleteSave(path,
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+        "doc_id", wave = 1L)
+      graft.ext.PostingIndex.scoreQuery(s, path,
+        terms = Seq("spark", "table", "join"), termBuckets = 64)
+    }),
+
     // ── Incremental index growth (ext.PostingIndex.append): build on
     //    two-thirds of the corpus, fold the rest in WITHOUT re-reading
     //    the indexed docs — the wave lands as its own `batch=1`
@@ -3975,6 +3993,14 @@ object SparkEntry {
     "q_bm25_indexed" ->
       s"""SELECT * FROM ($bm25Oracle)
          WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0""",
+
+    // delete mask: full-corpus statistics (the subquery is the SAME
+    // bm25 replay), deleted ids excluded from the rows only — the
+    // stale-stats Lucene contract in one WHERE clause
+    "q_bm25_delete" ->
+      s"""SELECT * FROM ($bm25Oracle)
+         WHERE (tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0)
+           AND doc_id % 7 <> 0""",
 
     // append-then-serve ≡ build-on-everything: literally the same oracle
     // — a doubled posting, stale df, or missed stats delta anywhere in
