@@ -2144,6 +2144,28 @@ object SparkEntry {
         k = 10, nProbe = 2)
     }),
 
+    // ── IVF-PQ on-disk DELETE + pruned serve: persist, tombstone
+    //    every fifth vector, reload, serve — masked vids vanish and
+    //    the ranks close up. The oracle is the same serve replay with
+    //    the tombstoned vids excluded before ranking.
+    "q_ann_ivfpq_delete" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idxPath = registerTempIndexDir(
+        System.getProperty("java.io.tmpdir") +
+          "/graft_ivfpq_del_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid() + "_" + System.nanoTime())
+      val (model, codes) = graft.ext.IvfPq.trainEncode(emb,
+        "vec_id", "embedding",
+        nLists = 4, coarseRounds = 2, m = 4, k = 4, pqRounds = 2)
+      graft.ext.IvfPq.save(model, codes, idxPath)
+      graft.ext.IvfPq.deleteSave(idxPath,
+        emb.filter(col("vec_id") % 5 === 1).select(col("vec_id")),
+        "vec_id", wave = 1L)
+      graft.ext.IvfPq.searchPruned(graft.ext.IvfPq.load(s, idxPath),
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 10, nProbe = 2)
+    }),
+
     // ── ANN: DISTRIBUTED probe selection (IvfIndex.searchDistributed) —
     //    probe lists come from a broadcast-centroid argmin join, not
     //    search's driver-side collect, so the query batch can be
@@ -6130,6 +6152,10 @@ object SparkEntry {
     "q_ann_ivfpq_append" -> ivfPqOracle(nLists = 4, coarseRounds = 2,
       m = 4, k = 4, pqRounds = 2, nProbe = 2, serveTopK = 10,
       trainWhere = Some("vec_id % 3 <> 2")),
+    // delete mask: tombstoned vids excluded before ranking
+    "q_ann_ivfpq_delete" -> ivfPqOracle(nLists = 4, coarseRounds = 2,
+      m = 4, k = 4, pqRounds = 2, nProbe = 2, serveTopK = 10,
+      deleteWhere = Some("vid % 5 = 1")),
 
     "q_bpe_encode" ->
       """WITH w AS (SELECT doc_id,
@@ -6802,9 +6828,14 @@ object SparkEntry {
     * at output columns only. */
   private def ivfPqOracle(nLists: Int, coarseRounds: Int, m: Int, k: Int,
       pqRounds: Int, nProbe: Int, serveTopK: Int,
-      trainWhere: Option[String] = None): String = {
+      trainWhere: Option[String] = None,
+      deleteWhere: Option[String] = None): String = {
     val C = coarseRounds
     val R = pqRounds
+    // tombstone mask (q_ann_ivfpq_delete): excluded vids drop from the
+    // candidate set BEFORE ranking — ranks close up, the load-mask
+    // semantics exactly
+    val deleteAnd = deleteWhere.map(w => s" AND NOT ($w)").getOrElse("")
     // split-universe mode (the append face): codebooks train on the
     // filtered universe, but encode/serve cover EVERY vector — extra
     // aE/resE/paE CTEs re-run assignment over the full frame against
@@ -6923,7 +6954,8 @@ object SparkEntry {
                 CAST(adc AS BIGINT) AS adc_sqdist, CAST(rk AS INTEGER) AS rk
          FROM (SELECT qid, vid, adc, row_number() OVER (
                  PARTITION BY qid ORDER BY adc, vid) AS rk
-               FROM sc WHERE qid <> vid) WHERE rk <= $serveTopK"""
+               FROM sc WHERE qid <> vid$deleteAnd)
+         WHERE rk <= $serveTopK"""
   }
 
   private def kmeansOracle(k: Int, rounds: Int): String = {

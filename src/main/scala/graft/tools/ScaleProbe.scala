@@ -158,7 +158,10 @@ object ScaleProbe {
       "q_ann_ivfpq_append", "q_pq_recall", "q_sq8_codes", "q_ann_sq8",
       // r13g: k-center coreset (k fixed corpus passes — pure N each),
       // random projection (one pass, outDims map-side blowup)
-      "q_coreset", "q_random_projection")
+      "q_coreset", "q_random_projection",
+      // r13h: delete-masked BM25 serve (build scan carries the ×10;
+      // the mask is an anti join against a ×10 tombstone set)
+      "q_bm25_delete")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
