@@ -2066,6 +2066,29 @@ object SparkEntry {
         rng, emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
     }),
 
+    // ── SQ8 recall audit: same contract as q_pq_recall — the 8-bit
+    //    reconstruction keeps far more fidelity than the toy PQ
+    //    codebook, and the hash-gated counts SHOW it (near-perfect
+    //    intersection at these SFs), which is exactly the comparison a
+    //    quantization choice should be made on.
+    "q_sq8_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val rng = graft.ext.ScalarQuant.ranges(emb, "vec_id", "embedding")
+      val q = emb.filter(col("vec_id") < 3)
+      val adc = graft.ext.ScalarQuant.adcTopK(
+        graft.ext.ScalarQuant.encode(emb, "vec_id", "embedding", rng),
+        rng, q, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val ex = graft.ext.PqIndex.exactTopK(emb, q,
+        "vec_id", "embedding", k = 10)
+        .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+      adc.join(ex, col("query_id") === col("q2") &&
+          col("neighbor_id") === col("n2"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("n2")).cast("int").as("hits"))
+        .withColumn("k", lit(10))
+    }),
+
     // ── PQ recall AUDIT: ADC top-10 vs the exact-grid brute top-10,
     //    per-query intersection counts — approximation quality is a
     //    first-class, hash-gated output, not a hope. Both rankings are
@@ -6089,6 +6112,43 @@ object SparkEntry {
 
     // greedy k-center: unrolled farthest-point rounds
     "q_coreset" -> coresetOracle(k = 6),
+
+    // SQ8 recall audit: reconstruction ranking vs the exact brute
+    // ranking, per-query intersection counts
+    "q_sq8_recall" ->
+      """WITH comp AS (SELECT vec_id AS vid, i - 1 AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+         b AS (SELECT pos, min(q) AS qmin, max(q) AS qmax
+               FROM comp GROUP BY pos),
+         e AS (SELECT vid, pos,
+                 (255 * (least(greatest(q, qmin), qmax) - qmin))
+                   // greatest(qmax - qmin, 1) AS code
+               FROM comp JOIN b USING (pos)),
+         r AS (SELECT vid, pos,
+                 qmin + ((2 * code + 1) * (qmax - qmin)) // 510 AS rq
+               FROM e JOIN b USING (pos)),
+         qc AS (SELECT vid AS qid, pos, q AS qq FROM comp WHERE vid < 3),
+         d AS (SELECT qid, r.vid AS vid,
+                 sum((qq - rq) * (qq - rq)) AS adc
+               FROM r JOIN qc ON r.pos = qc.pos GROUP BY qid, r.vid),
+         adck AS (SELECT qid, vid FROM (
+                    SELECT qid, vid, row_number() OVER (
+                      PARTITION BY qid ORDER BY adc, vid) AS rk
+                    FROM d WHERE qid <> vid) WHERE rk <= 10),
+         bd AS (SELECT qc.qid AS qid, comp.vid AS vid,
+                  sum((qq - q) * (qq - q)) AS dx
+                FROM comp JOIN qc ON comp.pos = qc.pos
+                GROUP BY qc.qid, comp.vid),
+         brutek AS (SELECT qid, vid FROM (
+                      SELECT qid, vid, row_number() OVER (
+                        PARTITION BY qid ORDER BY dx, vid) AS rk
+                      FROM bd WHERE qid <> vid) WHERE rk <= 10)
+         SELECT a.qid AS query_id, CAST(count(bk.vid) AS INTEGER) AS hits,
+                CAST(10 AS INTEGER) AS k
+         FROM adck a LEFT JOIN brutek bk
+           ON a.qid = bk.qid AND a.vid = bk.vid
+         GROUP BY a.qid""",
 
     // seeded ±1 projection: the md5-nibble coin replayed per (pos, j)
     "q_random_projection" ->
