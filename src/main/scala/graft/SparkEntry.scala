@@ -2167,6 +2167,21 @@ object SparkEntry {
         k = 10, nProbe = 2)
     }),
 
+    // ── IVF-PQ two-stage REFINED serve: ADC proposes 30 candidates,
+    //    the exact quantized distance re-ranks them to the top-10 —
+    //    the production refine pattern that buys back quantization
+    //    recall at a bounded exact-compute price (queries × 30 rows
+    //    of float-width work; the corpus-wide scan stays code-only).
+    "q_ann_ivfpq_refine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (model, codes) = graft.ext.IvfPq.trainEncode(emb,
+        "vec_id", "embedding",
+        nLists = 4, coarseRounds = 2, m = 4, k = 4, pqRounds = 2)
+      graft.ext.IvfPq.adcRefineTopK(codes, model,
+        emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding",
+        k = 10, nProbe = 2, rerank = 30)
+    }),
+
     // ── IVF-PQ on-disk DELETE + pruned serve: persist, tombstone
     //    every fifth vector, reload, serve — masked vids vanish and
     //    the ranks close up. The oracle is the same serve replay with
@@ -6216,6 +6231,10 @@ object SparkEntry {
     "q_ann_ivfpq_delete" -> ivfPqOracle(nLists = 4, coarseRounds = 2,
       m = 4, k = 4, pqRounds = 2, nProbe = 2, serveTopK = 10,
       deleteWhere = Some("vid % 5 = 1")),
+    // two-stage refine: ADC top-30 candidates, exact re-rank to 10
+    "q_ann_ivfpq_refine" -> ivfPqOracle(nLists = 4, coarseRounds = 2,
+      m = 4, k = 4, pqRounds = 2, nProbe = 2, serveTopK = 10,
+      rerank = Some(30)),
 
     "q_bpe_encode" ->
       """WITH w AS (SELECT doc_id,
@@ -6889,7 +6908,8 @@ object SparkEntry {
   private def ivfPqOracle(nLists: Int, coarseRounds: Int, m: Int, k: Int,
       pqRounds: Int, nProbe: Int, serveTopK: Int,
       trainWhere: Option[String] = None,
-      deleteWhere: Option[String] = None): String = {
+      deleteWhere: Option[String] = None,
+      rerank: Option[Int] = None): String = {
     val C = coarseRounds
     val R = pqRounds
     // tombstone mask (q_ann_ivfpq_delete): excluded vids drop from the
@@ -7009,13 +7029,30 @@ object SparkEntry {
                 FROM $paF p JOIN lst l ON p.vid = l.vid
                   JOIN dt ON dt.list_id = l.list_id AND dt.sub = p.sub
                     AND dt.cid = p.cid
-                GROUP BY dt.qid, p.vid)
+                GROUP BY dt.qid, p.vid)""" + (rerank match {
+        case None => s"""
          SELECT qid AS query_id, vid AS neighbor_id,
                 CAST(adc AS BIGINT) AS adc_sqdist, CAST(rk AS INTEGER) AS rk
          FROM (SELECT qid, vid, adc, row_number() OVER (
                  PARTITION BY qid ORDER BY adc, vid) AS rk
                FROM sc WHERE qid <> vid$deleteAnd)
          WHERE rk <= $serveTopK"""
+        case Some(rr) => s""",
+         candk AS (SELECT qid, vid FROM (
+                     SELECT qid, vid, row_number() OVER (
+                       PARTITION BY qid ORDER BY adc, vid) AS rk
+                     FROM sc WHERE qid <> vid$deleteAnd) WHERE rk <= $rr),
+         ex AS (SELECT ck.qid AS qid, comp.vid AS vid,
+                  sum((qcf.q - comp.q) * (qcf.q - comp.q)) AS d
+                FROM comp JOIN candk ck ON comp.vid = ck.vid
+                  JOIN qc qcf ON qcf.qid = ck.qid AND qcf.pos = comp.pos
+                GROUP BY ck.qid, comp.vid)
+         SELECT qid AS query_id, vid AS neighbor_id,
+                CAST(d AS BIGINT) AS sqdist, CAST(rk AS INTEGER) AS rk
+         FROM (SELECT qid, vid, d, row_number() OVER (
+                 PARTITION BY qid ORDER BY d, vid) AS rk
+               FROM ex) WHERE rk <= $serveTopK"""
+      })
   }
 
   private def kmeansOracle(k: Int, rounds: Int): String = {

@@ -191,6 +191,39 @@ object IvfPq {
         col("adc").as("adc_sqdist"), col("rk"))
   }
 
+  /** Two-stage serve — the production refine pattern (FAISS
+    * `IndexRefine`): ADC proposes `rerank` candidates per query from
+    * the codes (cheap, approximate), then the EXACT quantized distance
+    * re-ranks just those candidates against the raw vectors and cuts
+    * to `k`. The corpus-wide scan stays code-only; the float-width
+    * vectors are touched for queries × rerank rows — the knob that
+    * buys back quantization recall at a bounded exact-compute price.
+    * `corpus` supplies the raw vectors (the store-aside table a coded
+    * index deployment keeps for exactly this). Output (query_id,
+    * neighbor_id, sqdist, rk) — sqdist now the EXACT distance. */
+  def adcRefineTopK(codes: DataFrame, model: IvfPqModel,
+      queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val cand = adcTopK(codes, model, queries, idCol, vecCol,
+      rerank, nProbe)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("vid"))
+    val qc = PqIndex.comps(queries, idCol, vecCol, m = 1)
+      .select(col("vid").as("qid"), col("pos"), col("q").as("qq"))
+    val diff = col("qq") - col("q")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("d"), col("vid"))
+    PqIndex.comps(corpus, idCol, vecCol, m = 1)
+      .join(broadcast(cand), "vid")
+      .join(broadcast(qc), Seq("qid", "pos"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(sum(diff * diff).as("d"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("d").as("sqdist"), col("rk"))
+  }
+
   /** (qid, list_id): each query's `nProbe` minimum-distance coarse
     * lists — one broadcast-centroid join + window cut, the SINGLE
     * probe rule every face shares ([[adcTopK]]'s distributed serve and

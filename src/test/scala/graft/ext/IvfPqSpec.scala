@@ -95,6 +95,26 @@ class IvfPqSpec extends SparkSpec {
     assert(wide === Set(2L, 3L, 4L))
   }
 
+  test("refine with full probes and full rerank IS the exact ranking") {
+    // nProbe = nLists and rerank = corpus size: every vector is a
+    // candidate, so the exact re-rank must reproduce exactTopK
+    // row-for-row no matter how lossy the codes are
+    val vecs = (1L to 20L).map(i =>
+      i -> Seq(0.05 * (i % 4), 0.03 * (i % 5), 0.02 * (i % 3), 0.04 * (i % 2)))
+    val model = IvfPq.train(df(vecs), "id", "vec",
+      nLists = 2, coarseRounds = 2, m = 2, k = 2, pqRounds = 1)
+    val codes = IvfPq.encode(df(vecs), "id", "vec", model)
+    val q = df(vecs.take(2))
+    val refined = IvfPq.adcRefineTopK(codes, model, q, df(vecs),
+      "id", "vec", k = 5, nProbe = 2, rerank = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    val exact = PqIndex.exactTopK(df(vecs), q, "id", "vec", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    assert(refined === exact)
+  }
+
   test("partition layout never changes the result") {
     val vecs = (1L to 40L).map(i =>
       i -> Seq(0.01 * (i % 7), 0.03 * (i % 5), 0.02 * (i % 3), 0.05 * (i % 2)))
