@@ -89,46 +89,64 @@ object Perceptron {
   def train(features: DataFrame, yCol: String, xCols: Seq[String],
       rounds: Int): Model = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    var w = Array.fill(xCols.size + 1)(0L)
+    (1 to rounds).foreach { _ =>
+      w = round(features, yCol, xCols, w, allowEmpty = false)
+    }
+    Model(xCols, w)
+  }
+
+  /** ONE batch-perceptron round from the given starting weights — the
+    * unit [[train]] iterates and [[graft.streaming.PerceptronStream]]
+    * applies per micro-batch (online mini-batch learning): score every
+    * row against `w`, aggregate one update from the misclassified
+    * rows, return w + Δw. Bounds (margin AND update) are re-checked
+    * against THIS frame's max|x| before the pass that could wrap.
+    * `allowEmpty` makes an empty frame a no-op (streaming micro-
+    * batches can be empty; a training corpus must not be). */
+  def round(features: DataFrame, yCol: String, xCols: Seq[String],
+      w0: Array[Long], allowEmpty: Boolean = true): Array[Long] = {
     require(xCols.nonEmpty, "at least one feature column")
+    require(w0.length == xCols.size + 1,
+      s"weights length ${w0.length} != ${xCols.size + 1} (bias + features)")
     val f = features.select(
       (col(yCol).cast("long").as("y") +:
         xCols.map(c => col(c).cast("long").as(c))): _*)
-    // one upfront bounds pass: max|x| per feature + row count + label
-    // domain check — everything the per-round overflow guard needs
     val boundAggs = Seq(count(lit(1)).as("n"),
       count(when(col("y") =!= 1L && col("y") =!= -1L, 1)).as("bad")) ++
       xCols.map(c => max(abs(col(c))).as(c))
     val boundsRow = f.agg(boundAggs.head, boundAggs.tail: _*).head()
     val n = boundsRow.getLong(0)
-    require(n > 0, "Perceptron needs a non-empty feature frame")
+    if (n == 0L) {
+      require(allowEmpty, "Perceptron needs a non-empty feature frame")
+      return w0.clone()
+    }
     require(boundsRow.getLong(1) == 0L,
       s"${boundsRow.getLong(1)} row(s) carry a label outside {-1, +1}")
     val maxAbs = 1L +: xCols.indices.map { j =>
       if (boundsRow.isNullAt(j + 2)) 0L else boundsRow.getLong(j + 2)
     }
-    val w = Array.fill(xCols.size + 1)(0L)
     val Lim = Long.MaxValue / 4
-    (1 to rounds).foreach { _ =>
-      // margin bound |m| ≤ Σ|wⱼ|·max|xⱼ|, update bound |Δwⱼ| ≤ n·max|xⱼ|
-      // — both checked BEFORE the pass that could wrap
-      val mBound =
-        try w.indices.map(j => Math.multiplyExact(math.abs(w(j)), maxAbs(j)))
-          .foldLeft(0L)(Math.addExact)
-        catch {
-          case _: ArithmeticException => throw new ArithmeticException(
-            "perceptron margin bound exceeds BIGINT — rescale features")
-        }
-      require(mBound < Lim && maxAbs.forall(m => m == 0L || m < Lim / n),
-        "perceptron bounds exceed BIGINT — rescale features or shard")
-      val model = Model(xCols, w.clone())
-      val mis = col("y") * model.marginCol <= 0
-      val updAggs = sum(when(mis, col("y"))).as("d0") +:
-        xCols.map(c => sum(when(mis, col("y") * col(c))).as(c))
-      val upd = f.agg(updAggs.head, updAggs.tail: _*).head()
-      (0 until w.length).foreach { j =>
-        if (!upd.isNullAt(j)) w(j) += upd.getLong(j)
+    // margin bound |m| ≤ Σ|wⱼ|·max|xⱼ|, update bound |Δwⱼ| ≤ n·max|xⱼ|
+    // — both checked BEFORE the pass that could wrap
+    val mBound =
+      try w0.indices.map(j => Math.multiplyExact(math.abs(w0(j)), maxAbs(j)))
+        .foldLeft(0L)(Math.addExact)
+      catch {
+        case _: ArithmeticException => throw new ArithmeticException(
+          "perceptron margin bound exceeds BIGINT — rescale features")
       }
+    require(mBound < Lim && maxAbs.forall(m => m == 0L || m < Lim / n),
+      "perceptron bounds exceed BIGINT — rescale features or shard")
+    val model = Model(xCols, w0.clone())
+    val mis = col("y") * model.marginCol <= 0
+    val updAggs = sum(when(mis, col("y"))).as("d0") +:
+      xCols.map(c => sum(when(mis, col("y") * col(c))).as(c))
+    val upd = f.agg(updAggs.head, updAggs.tail: _*).head()
+    val w = w0.clone()
+    (0 until w.length).foreach { j =>
+      if (!upd.isNullAt(j)) w(j) += upd.getLong(j)
     }
-    Model(xCols, w)
+    w
   }
 }
