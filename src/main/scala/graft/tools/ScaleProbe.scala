@@ -161,7 +161,11 @@ object ScaleProbe {
       "q_coreset", "q_random_projection",
       // r13h: delete-masked BM25 serve (build scan carries the ×10;
       // the mask is an anti join against a ×10 tombstone set)
-      "q_bm25_delete")
+      "q_bm25_delete",
+      // r13i: tombstone-masked coded serve, two-stage refine (exact
+      // re-rank bounded at queries × 30), SQ8 recall audit (one brute
+      // corpus pass at fixed query count)
+      "q_ann_ivfpq_delete", "q_ann_ivfpq_refine", "q_sq8_recall")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
