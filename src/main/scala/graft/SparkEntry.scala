@@ -2047,6 +2047,18 @@ object SparkEntry {
       graft.ext.Coreset.kCenter(Tables.embeddings(s, dir),
         "vec_id", "embedding", k = 6)),
 
+    // ── Coreset COVERAGE map: every vector routed to its nearest of
+    //    the 6 chosen exemplars — the assignment that turns a coreset
+    //    into strata (sampling quotas, routing keys). The exemplar set
+    //    is the k-center run's own picks (bounded collect of k ids).
+    "q_coreset_assign" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val picks = graft.ext.Coreset.kCenter(emb,
+        "vec_id", "embedding", k = 6)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      graft.ext.Coreset.assign(emb, "vec_id", "embedding", picks)
+    }),
+
     // ── SQ8 scalar quantization (ScalarQuant): per-DIMENSION affine
     //    ranges + 8-bit codes — 4× smaller than float32, the third leg
     //    of the quantization family (PQ / IVF-PQ / SQ8). Ranges, codes,
@@ -2314,6 +2326,27 @@ object SparkEntry {
     "q_image_dedup" -> ((s, dir) =>
       graft.ext.ImageHash.nearDupPairs(imageDedupFps(s, dir), "dhash",
         maxHamming = 3)),
+
+    // ── Threshold SWEEP for the Hamming dedup family: pair counts and
+    //    cumulative counts per distance 0..3 in one banded pass — the
+    //    tuning curve an operator choice is made on (how many pairs
+    //    does each extra bit of tolerance admit?), hash-gated instead
+    //    of eyeballed. The sweep stays INSIDE the banded join's
+    //    pigeonhole guarantee (4 bands ⇒ complete for Hamming ≤ 3);
+    //    beyond it the candidate set would be band-recall-dependent
+    //    and the counts unquotable — the honest boundary, stated.
+    "q_dedup_sweep" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = graft.ext.ImageHash.nearDupPairs(
+        imageDedupFps(s, dir), "dhash", maxHamming = 3)
+      pairs.groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cum_pairs", sum(col("n_pairs")).over(
+          Window.orderBy(col("hamming"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("hamming").cast("int").as("hamming"),
+          col("n_pairs"), col("cum_pairs"))
+    }),
 
     // ── Image near-dup CLUSTERS + keep-one policy: the SemDeDup shape
     //    on the image pair graph — pairs close transitively
@@ -5848,6 +5881,22 @@ object SparkEntry {
          WHERE ((doc_id // 10) // 3) % 2 = 1
            AND doc_id NOT IN (SELECT doc_id FROM dropped)""",
 
+    // threshold sweep inside the pigeonhole-complete region: all-pairs
+    // bit_count histogram + running sum
+    "q_dedup_sweep" ->
+      s"""WITH ${imageFpCtes()},
+         p AS (SELECT bit_count(xor(a.f, b.f)) AS hamming
+               FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.f, b.f)) <= 3),
+         h AS (SELECT CAST(hamming AS INTEGER) AS hamming,
+                      CAST(count(*) AS BIGINT) AS n_pairs
+               FROM p GROUP BY 1)
+         SELECT hamming, n_pairs,
+                CAST(sum(n_pairs) OVER (ORDER BY hamming
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_pairs
+         FROM h""",
+
     // the image filter oracle with the audio/video fingerprint replays
     // swapped in — FingerprintDedupStream's keep rule is modality-blind
     "q_audio_neardup_filter" ->
@@ -6127,6 +6176,8 @@ object SparkEntry {
 
     // greedy k-center: unrolled farthest-point rounds
     "q_coreset" -> coresetOracle(k = 6),
+    // coverage assignment against the same unrolled picks
+    "q_coreset_assign" -> coresetOracle(k = 6, assign = true),
 
     // SQ8 recall audit: reconstruction ranking vs the exact brute
     // ranking, per-query intersection counts
@@ -6781,7 +6832,7 @@ object SparkEntry {
   /** The greedy k-center replay: unrolled farthest-point rounds —
     * per round an argmax pick (ORDER BY dmin DESC, vid LIMIT 1) and a
     * least()-folded distance update against the pick's components. */
-  private def coresetOracle(k: Int): String = {
+  private def coresetOracle(k: Int, assign: Boolean = false): String = {
     val prelude =
       """comp AS (SELECT vec_id AS vid, i - 1 AS pos,
              CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
@@ -6805,11 +6856,30 @@ object SparkEntry {
       s"""r$r AS (SELECT vid, dmin FROM d${r - 1}
                ORDER BY dmin DESC, vid LIMIT 1)$update"""
     }
-    val finals = (s"""SELECT CAST((SELECT cid FROM s0) AS BIGINT) AS vec_id,
+    val finals =
+      if (!assign)
+        (s"""SELECT CAST((SELECT cid FROM s0) AS BIGINT) AS vec_id,
              CAST(0 AS INTEGER) AS rk, CAST(0 AS BIGINT) AS radius""" +:
-      (1 until k).map(r =>
-        s"SELECT vid, CAST($r AS INTEGER), CAST(dmin AS BIGINT) FROM r$r"))
-      .mkString("\n         UNION ALL ")
+          (1 until k).map(r =>
+            s"SELECT vid, CAST($r AS INTEGER), CAST(dmin AS BIGINT) FROM r$r"))
+          .mkString("\n         UNION ALL ")
+      else {
+        val centers = (s"SELECT cid AS vid FROM s0" +:
+          (1 until k).map(r => s"SELECT vid FROM r$r"))
+          .mkString(" UNION ALL ")
+        s"""SELECT vid AS vec_id, cid AS exemplar_id,
+                CAST(d AS BIGINT) AS sqdist
+         FROM (SELECT comp.vid AS vid, cf.cid AS cid,
+                 sum((comp.q - cf.cq) * (comp.q - cf.cq)) AS d,
+                 row_number() OVER (PARTITION BY comp.vid
+                   ORDER BY sum((comp.q - cf.cq) * (comp.q - cf.cq)),
+                            cf.cid) AS rn
+               FROM comp JOIN (
+                 SELECT c.vid AS cid, comp.pos AS pos, comp.q AS cq
+                 FROM ($centers) c JOIN comp ON comp.vid = c.vid) cf
+                 ON cf.pos = comp.pos
+               GROUP BY comp.vid, cf.cid) WHERE rn = 1"""
+      }
     (Seq(prelude) ++ perRound)
       .mkString("WITH ", ",\n         ", "\n         ") + finals
   }

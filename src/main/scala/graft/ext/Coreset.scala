@@ -64,4 +64,28 @@ object Coreset {
     }
     picks.toSeq.toDF(idCol, "rk", "radius")
   }
+
+  /** Assign every point to its nearest chosen exemplar — the coverage
+    * map that makes a coreset actionable (strata for sampling, routing
+    * keys, per-exemplar quotas): (vec_id, exemplar_id, sqdist), ties
+    * to the lowest exemplar id. One broadcast join against the
+    * exemplars' k·D components + one partial-aggregated argmin — the
+    * [[PqIndex.assign]] shape with exemplar ids as the codebook. */
+  def assign(vecs: DataFrame, idCol: String, vecCol: String,
+      exemplarIds: Seq[Long]): DataFrame = {
+    require(exemplarIds.nonEmpty, "at least one exemplar id")
+    val comp = PqIndex.comps(vecs, idCol, vecCol, m = 1)
+      .select(col("vid"), col("pos"), col("q"))
+    val cents = comp
+      .filter(col("vid").isin(exemplarIds.map(Long.box): _*))
+      .select(col("vid").as("cid"), col("pos"), col("q").as("cq"))
+    val diff = col("q") - col("cq")
+    comp.join(broadcast(cents), "pos")
+      .groupBy(col("vid"), col("cid"))
+      .agg(sum(diff * diff).as("d"))
+      .groupBy(col("vid"))
+      .agg(min(struct(col("d"), col("cid"))).as("a"))
+      .select(col("vid").as(idCol), col("a.cid").as("exemplar_id"),
+        col("a.d").as("sqdist"))
+  }
 }
