@@ -165,7 +165,10 @@ object ScaleProbe {
       // r13i: tombstone-masked coded serve, two-stage refine (exact
       // re-rank bounded at queries × 30), SQ8 recall audit (one brute
       // corpus pass at fixed query count)
-      "q_ann_ivfpq_delete", "q_ann_ivfpq_refine", "q_sq8_recall")
+      "q_ann_ivfpq_delete", "q_ann_ivfpq_refine", "q_sq8_recall",
+      // r13j: coreset coverage (k+1 corpus passes), threshold sweep
+      // (one banded pass, ×10 disjoint-group pairs)
+      "q_coreset_assign", "q_dedup_sweep")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
