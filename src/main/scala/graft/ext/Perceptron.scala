@@ -89,9 +89,16 @@ object Perceptron {
   def train(features: DataFrame, yCol: String, xCols: Seq[String],
       rounds: Int): Model = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    require(xCols.nonEmpty, "at least one feature column")
+    val f = select(features, yCol, xCols).localCheckpoint()
+    // ONE bounds pass for the whole run — the frame is fixed across
+    // rounds (re-deriving it per round would double every round's
+    // aggregate count for nothing; the per-round guard only needs the
+    // current weights against these constants)
+    val (n, maxAbs) = bounds(f, xCols, allowEmpty = false)
     var w = Array.fill(xCols.size + 1)(0L)
     (1 to rounds).foreach { _ =>
-      w = round(features, yCol, xCols, w, allowEmpty = false)
+      w = step(f, xCols, w, n, maxAbs)
     }
     Model(xCols, w)
   }
@@ -109,9 +116,22 @@ object Perceptron {
     require(xCols.nonEmpty, "at least one feature column")
     require(w0.length == xCols.size + 1,
       s"weights length ${w0.length} != ${xCols.size + 1} (bias + features)")
-    val f = features.select(
+    val f = select(features, yCol, xCols)
+    val (n, maxAbs) = bounds(f, xCols, allowEmpty)
+    if (n == 0L) w0.clone() else step(f, xCols, w0, n, maxAbs)
+  }
+
+  private def select(features: DataFrame, yCol: String,
+      xCols: Seq[String]): DataFrame =
+    features.select(
       (col(yCol).cast("long").as("y") +:
         xCols.map(c => col(c).cast("long").as(c))): _*)
+
+  /** One pass: row count, label-domain check, max|x| per feature —
+    * everything the per-round overflow guard needs. n = 0 only when
+    * `allowEmpty`. */
+  private def bounds(f: DataFrame, xCols: Seq[String],
+      allowEmpty: Boolean): (Long, Seq[Long]) = {
     val boundAggs = Seq(count(lit(1)).as("n"),
       count(when(col("y") =!= 1L && col("y") =!= -1L, 1)).as("bad")) ++
       xCols.map(c => max(abs(col(c))).as(c))
@@ -119,16 +139,22 @@ object Perceptron {
     val n = boundsRow.getLong(0)
     if (n == 0L) {
       require(allowEmpty, "Perceptron needs a non-empty feature frame")
-      return w0.clone()
+      return (0L, Seq.empty)
     }
     require(boundsRow.getLong(1) == 0L,
       s"${boundsRow.getLong(1)} row(s) carry a label outside {-1, +1}")
-    val maxAbs = 1L +: xCols.indices.map { j =>
+    (n, 1L +: xCols.indices.map { j =>
       if (boundsRow.isNullAt(j + 2)) 0L else boundsRow.getLong(j + 2)
-    }
+    })
+  }
+
+  /** One guarded update pass over a pre-selected frame with known
+    * bounds: margin bound |m| ≤ Σ|wⱼ|·max|xⱼ| and update bound
+    * |Δwⱼ| ≤ n·max|xⱼ| are both checked BEFORE the pass that could
+    * wrap. */
+  private def step(f: DataFrame, xCols: Seq[String], w0: Array[Long],
+      n: Long, maxAbs: Seq[Long]): Array[Long] = {
     val Lim = Long.MaxValue / 4
-    // margin bound |m| ≤ Σ|wⱼ|·max|xⱼ|, update bound |Δwⱼ| ≤ n·max|xⱼ|
-    // — both checked BEFORE the pass that could wrap
     val mBound =
       try w0.indices.map(j => Math.multiplyExact(math.abs(w0(j)), maxAbs(j)))
         .foldLeft(0L)(Math.addExact)
