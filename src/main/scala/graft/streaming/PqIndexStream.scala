@@ -59,6 +59,11 @@ object PqIndexStream {
     // batch's codes already live in the compacted wave
     if (wave <= graft.model.WaveManifest.compactedThrough(spark, path))
       return
+    // idle-trigger no-op: encode refuses an empty frame (loud by
+    // design on the batch face), and an empty wave has nothing to
+    // commit — skipping leaves a gap in the wave ids, which the
+    // manifest is explicitly fine with
+    if (batch.isEmpty) return
     val model = graft.ext.IvfPq.load(spark, path).model
     graft.ext.IvfPq.appendSave(path,
       graft.ext.IvfPq.encode(batch, idCol, vecCol, model)

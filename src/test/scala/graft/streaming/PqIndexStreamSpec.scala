@@ -109,6 +109,18 @@ class PqIndexStreamSpec extends SparkSpec {
     assert(loaded.codes.select("vid").distinct().count() == data.size.toLong)
   }
 
+  test("an empty micro-batch (idle trigger) is a no-op, not a crash") {
+    val data = mkData(71)
+    val path = Files.createTempDirectory("pqstream-empty").toString
+    trainSave(data.toDF("vec_id", "embedding"), path)
+    val before = graft.model.WaveManifest.pinned(spark, path)
+    PqIndexStream.appendBatch(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path, 0L)
+    assert(graft.model.WaveManifest.pinned(spark, path) === before)
+    assert(IvfPq.load(spark, path).codes.count() > 0)
+  }
+
   test("a batch arriving AFTER an auto-compaction keeps every " +
       "pre-compaction code (disjoint compaction id space)") {
     val data = mkData(24)
