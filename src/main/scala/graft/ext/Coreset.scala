@@ -39,7 +39,9 @@ object Coreset {
     import spark.implicits._
     val comp = PqIndex.comps(vecs, idCol, vecCol, m = 1)
       .select(col("vid"), col("pos"), col("q")).localCheckpoint()
-    val seed = comp.agg(min(col("vid"))).head().getLong(0)
+    val seedRow = comp.agg(min(col("vid"))).head()
+    require(!seedRow.isNullAt(0), "Coreset needs a non-empty vector frame")
+    val seed = seedRow.getLong(0)
 
     def distTo(center: Long): DataFrame = {
       val c = comp.filter(col("vid") === center)
@@ -79,6 +81,10 @@ object Coreset {
     val cents = comp
       .filter(col("vid").isin(exemplarIds.map(Long.box): _*))
       .select(col("vid").as("cid"), col("pos"), col("q").as("cq"))
+    // a silently empty coverage map (no exemplar id present in the
+    // frame) would read as "nothing to assign" — raise instead
+    require(!cents.isEmpty,
+      "none of the exemplar ids exist in the vector frame")
     val diff = col("q") - col("cq")
     comp.join(broadcast(cents), "pos")
       .groupBy(col("vid"), col("cid"))

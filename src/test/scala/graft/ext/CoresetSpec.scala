@@ -61,6 +61,19 @@ class CoresetSpec extends SparkSpec {
     assert(lastRadius > 0)
   }
 
+  test("guards: empty frame and absent exemplars raise loudly") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "vec")
+    val ex1 = intercept[IllegalArgumentException] {
+      Coreset.kCenter(empty, "id", "vec", k = 2)
+    }
+    assert(ex1.getMessage.contains("non-empty"))
+    val vecs = df(Seq(1L -> Seq(0.1), 2L -> Seq(0.2)))
+    val ex2 = intercept[IllegalArgumentException] {
+      Coreset.assign(vecs, "id", "vec", Seq(99L))
+    }
+    assert(ex2.getMessage.contains("exemplar"))
+  }
+
   test("partition layout never changes the selection") {
     val vecs = (1L to 40L).map(i =>
       i -> Seq(0.01 * (i % 7), 0.03 * (i % 5), 0.02 * (i % 3)))
