@@ -2059,6 +2059,26 @@ object SparkEntry {
       graft.ext.Coreset.assign(emb, "vec_id", "embedding", picks)
     }),
 
+    // ── Balanced stratum sample off the coverage map: the 2 nearest
+    //    vectors per exemplar (ties by id) — the deterministic
+    //    "representatives per region" draw a curation pipeline uses
+    //    for eval panels and spot checks; k-center picks the regions,
+    //    the coverage map routes, the window cuts the quota.
+    "q_coreset_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val picks = graft.ext.Coreset.kCenter(emb,
+        "vec_id", "embedding", k = 6)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      val w = Window.partitionBy(col("exemplar_id"))
+        .orderBy(col("sqdist"), col("vec_id"))
+      graft.ext.Coreset.assign(emb, "vec_id", "embedding", picks)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("exemplar_id"), col("vec_id"), col("sqdist"),
+          col("rk"))
+    }),
+
     // ── SQ8 scalar quantization (ScalarQuant): per-DIMENSION affine
     //    ranges + 8-bit codes — 4× smaller than float32, the third leg
     //    of the quantization family (PQ / IVF-PQ / SQ8). Ranges, codes,
@@ -6178,6 +6198,13 @@ object SparkEntry {
     "q_coreset" -> coresetOracle(k = 6),
     // coverage assignment against the same unrolled picks
     "q_coreset_assign" -> coresetOracle(k = 6, assign = true),
+    // the 2-per-exemplar quota over the assignment
+    "q_coreset_sample" ->
+      s"""SELECT exemplar_id, vec_id, sqdist, CAST(rk AS INTEGER) AS rk
+         FROM (SELECT exemplar_id, vec_id, sqdist, row_number() OVER (
+                 PARTITION BY exemplar_id ORDER BY sqdist, vec_id) AS rk
+               FROM (${coresetOracle(k = 6, assign = true)}))
+         WHERE rk <= 2""",
 
     // SQ8 recall audit: reconstruction ranking vs the exact brute
     // ranking, per-query intersection counts
