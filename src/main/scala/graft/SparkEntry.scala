@@ -1907,6 +1907,32 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, bucketBits = 8)
     }),
 
+    // ── Range (radius) search: every neighbor within grid sqdist ≤ r²
+    //    of a query — the FAISS range_search face; the dedup contract
+    //    "drop anything within distance r" that top-k can't express
+    //    (it truncates dense regions, pads sparse ones). Integer-exact
+    //    on the 10⁻⁶ grid via three codegen'd decimal dot folds
+    //    (qq − 2qc + cc, every term < 2⁵³); one broadcast-NLJ corpus
+    //    pass, no shuffle, no window, no per-component row blowup.
+    "q_ann_radius" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ext.RangeSearch.exact(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", r2 = 1450000000000L)
+    }),
+
+    // ── Range search over the IVF-probed path (the persisted/100 TB
+    //    serve: only the probed lists' partitions are read). Driver
+    //    contract = the exhaustive-probe identity (nProbe = nLists ≡
+    //    the exact face, the q_ann_ivf discipline); pruned-probe
+    //    subset/recall behavior is spec-gated (RangeSearchSpec).
+    "q_ann_radius_probed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.ext.IvfIndex.build(emb, "vec_id", "embedding",
+        nLists = 4)
+      graft.ext.RangeSearch.probed(model, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", r2 = 1450000000000L, nProbe = 4)
+    }),
+
     // ── ANN: IVF (k-means coarse quantizer, probe nearest lists). The
     //    DRIVER-HASHABLE contract is the exhaustive-probe identity:
     //    nProbe = nLists must recover brute-force top-k EXACTLY (same
@@ -5550,6 +5576,12 @@ object SparkEntry {
          SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rk
          FROM r WHERE rk <= 5""",
 
+    // range search: exact BIGINT grid sqdist, pairs under the radius —
+    // and the probed face at full probes answers IDENTICALLY (the
+    // exhaustive-probe identity), so both rows share this oracle
+    "q_ann_radius" -> rangeSearchOracle,
+    "q_ann_radius_probed" -> rangeSearchOracle,
+
     // exhaustive-probe IVF (nProbe = nLists) ≡ brute force — the oracle
     // IS the brute-force top-3; see the query comment for why pruned
     // recall has no deterministic floor on uniform random embeddings
@@ -6859,6 +6891,21 @@ object SparkEntry {
   /** The greedy k-center replay: unrolled farthest-point rounds —
     * per round an argmax pick (ORDER BY dmin DESC, vid LIMIT 1) and a
     * least()-folded distance update against the pick's components. */
+  /** Range search: exact grid sqdist per (query, corpus) pair, cut at
+    * the radius — shared by q_ann_radius and q_ann_radius_probed (the
+    * probed face at nProbe = nLists is row-identical by construction). */
+  private def rangeSearchOracle: String =
+    """WITH comp AS (SELECT vec_id AS vid, i - 1 AS pos,
+           CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+       qc AS (SELECT * FROM comp WHERE vid < 5),
+       d AS (SELECT qc.vid AS query_id, c.vid AS neighbor_id,
+               CAST(sum((c.q - qc.q) * (c.q - qc.q)) AS BIGINT) AS sqdist
+             FROM comp c JOIN qc ON qc.pos = c.pos AND qc.vid <> c.vid
+             GROUP BY 1, 2)
+       SELECT query_id, neighbor_id, sqdist
+       FROM d WHERE sqdist <= 1450000000000""".stripMargin
+
   private def coresetOracle(k: Int, assign: Boolean = false): String = {
     val prelude =
       """comp AS (SELECT vec_id AS vid, i - 1 AS pos,
