@@ -1298,6 +1298,25 @@ object SparkEntry {
       m.predict(f, "doc_id")
     }),
 
+    // ── AVERAGED perceptron (Collins 2002): weights = Σᵣ wᵣ — the
+    //    ×rounds scaling of the average, sign- and order-identical to
+    //    the averaged classifier but BIGINT-exact, so the variance-
+    //    damped model hash-gates too (weights AND its served margins).
+    "q_perceptron_avg" -> ((s, dir) => {
+      import s.implicits._
+      val m = graft.ext.Perceptron.trainAveraged(
+        perceptronFeatures(s, dir), "y", PerceptronX, rounds = 8)
+      m.w.toSeq.zipWithIndex.map { case (v, j) => (j, v) }
+        .toDF("j", "weight")
+    }),
+
+    "q_perceptron_avg_score" -> ((s, dir) => {
+      val f = perceptronFeatures(s, dir)
+      val m = graft.ext.Perceptron.trainAveraged(f, "y", PerceptronX,
+        rounds = 8)
+      m.predict(f, "doc_id")
+    }),
+
     // ── Language ID: marker-token voting with lexicographic tie-break.
     "q_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -5109,6 +5128,11 @@ object SparkEntry {
     // the trained model
     "q_perceptron" -> perceptronOracle(rounds = 8, score = false),
     "q_perceptron_score" -> perceptronOracle(rounds = 8, score = true),
+    // the averaged face: running Σᵣ wᵣ CTEs alongside the same walk
+    "q_perceptron_avg" ->
+      perceptronOracle(rounds = 8, score = false, avg = true),
+    "q_perceptron_avg_score" ->
+      perceptronOracle(rounds = 8, score = true, avg = true),
 
     "q_lang_id" ->
       """WITH s AS (SELECT doc_id, lang,
@@ -7237,7 +7261,8 @@ object SparkEntry {
     * `score = false` emits the trained weight vector (long format);
     * `score = true` adds one more margin pass under the final weights
     * and emits per-doc (margin, pred). */
-  private def perceptronOracle(rounds: Int, score: Boolean): String = {
+  private def perceptronOracle(rounds: Int, score: Boolean,
+      avg: Boolean = false): String = {
     val w0 =
       s"""f AS (SELECT doc_id,
              CASE WHEN $qualityFormulaSql >= 0.55 THEN 1 ELSE -1 END AS y,
@@ -7251,6 +7276,16 @@ object SparkEntry {
                        CAST(0 AS BIGINT) AS vl)"""
     val last = if (score) rounds + 1 else rounds
     val perRound = (1 to last).map { r =>
+      val accum = // the averaged face: running Σᵣ wᵣ alongside the walk
+        if (!avg || r == rounds + 1) ""
+        else {
+          val prev = if (r == 1) "w0" else s"a${r - 1}" // a0 ≡ w0 (zeros)
+          s""",
+         a$r AS (SELECT av.b + wv.b AS b, av.vo + wv.vo AS vo,
+                        av.vs + wv.vs AS vs, av.vp + wv.vp AS vp,
+                        av.vl + wv.vl AS vl
+                 FROM $prev av, w$r wv)"""
+        }
       val tail =
         if (r == rounds + 1) "" // score-only margin pass: no update CTEs
         else s""",
@@ -7264,11 +7299,14 @@ object SparkEntry {
          w$r AS (SELECT wv.b + u.db AS b, wv.vo + u.do_ AS vo,
                         wv.vs + u.ds AS vs, wv.vp + u.dp AS vp,
                         wv.vl + u.dl AS vl
-                 FROM w${r - 1} wv, u$r u)"""
+                 FROM w${r - 1} wv, u$r u)$accum"""
+      // the score-only pass reads the AVERAGED weights when avg is on
+      val src = if (r == rounds + 1 && avg) s"a$rounds" else s"w${r - 1}"
       s"""g$r AS (SELECT f.*,
              wv.b + wv.vo * xo + wv.vs * xs + wv.vp * xp + wv.vl * xl AS mg
-           FROM f, w${r - 1} wv)$tail"""
+           FROM f, $src wv)$tail"""
     }
+    val wsrc = if (avg) s"a$rounds" else s"w$rounds"
     val finalSelect =
       if (score)
         s"""SELECT doc_id, mg AS margin,
@@ -7276,7 +7314,7 @@ object SparkEntry {
            FROM g$last"""
       else
         (0 to 4).zip(Seq("b", "vo", "vs", "vp", "vl")).map { case (j, v) =>
-          s"SELECT CAST($j AS INTEGER) AS j, $v AS weight FROM w$rounds"
+          s"SELECT CAST($j AS INTEGER) AS j, $v AS weight FROM $wsrc"
         }.mkString(" UNION ALL ")
     (Seq(qualityTCte, w0) ++ perRound)
       .mkString("WITH ", ",\n         ", "\n") + finalSelect

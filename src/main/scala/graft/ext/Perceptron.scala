@@ -103,6 +103,44 @@ object Perceptron {
     Model(xCols, w)
   }
 
+  /** AVERAGED batch perceptron (Freund–Schapire voting collapsed to
+    * its practical form, Collins 2002): the returned weights are the
+    * SUM of the weight vectors after each round, Σᵣ wᵣ — a positive
+    * scaling (×rounds) of the true average, so every margin sign and
+    * every margin ORDERING is identical to the averaged classifier
+    * while staying BIGINT-exact (no division, no rationals — the
+    * integer-µ discipline). Averaging is the variance-reduction step
+    * production linear trainers ship by default: the final-round
+    * weights oscillate on non-separable data (each round's bulk update
+    * can overshoot), while the average damps the oscillation without
+    * touching the update rule — and because it is a pure fold over the
+    * same recurrence, it hash-gates (q_perceptron_avg) exactly like
+    * the final-round face.
+    *
+    * Same scale shape as [[train]] (rounds corpus scans, dim+1-long
+    * driver state, bounds checked before any pass); the accumulator
+    * adds dim+1 `addExact`s per round — overflow raises loudly. */
+  def trainAveraged(features: DataFrame, yCol: String, xCols: Seq[String],
+      rounds: Int): Model = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    require(xCols.nonEmpty, "at least one feature column")
+    val f = select(features, yCol, xCols).localCheckpoint()
+    val (n, maxAbs) = bounds(f, xCols, allowEmpty = false)
+    var w = Array.fill(xCols.size + 1)(0L)
+    val acc = Array.fill(xCols.size + 1)(0L)
+    (1 to rounds).foreach { _ =>
+      w = step(f, xCols, w, n, maxAbs)
+      try (0 until acc.length).foreach(j =>
+        acc(j) = Math.addExact(acc(j), w(j)))
+      catch {
+        case _: ArithmeticException => throw new ArithmeticException(
+          "averaged-perceptron accumulator exceeds BIGINT — rescale " +
+            "features or reduce rounds")
+      }
+    }
+    Model(xCols, acc)
+  }
+
   /** ONE batch-perceptron round from the given starting weights — the
     * unit [[train]] iterates and [[graft.streaming.PerceptronStream]]
     * applies per micro-batch (online mini-batch learning): score every

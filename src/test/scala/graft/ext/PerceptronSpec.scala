@@ -48,6 +48,50 @@ class PerceptronSpec extends SparkSpec {
     assert(fit(1) === fit(13))
   }
 
+  test("averaged weights are the exact running sum of per-round " +
+      "weights") {
+    val f = (1L to 40L).map(i =>
+      (i, if (i % 3 == 0) 1L else -1L, i % 7, i % 5)).toDF("id", "y", "a", "b")
+    val rounds = 5
+    // replay: fold round() by hand, accumulating after each round
+    var w = Array.fill(3)(0L)
+    val want = Array.fill(3)(0L)
+    (1 to rounds).foreach { _ =>
+      w = Perceptron.round(f, "y", Seq("a", "b"), w, allowEmpty = false)
+      (0 until 3).foreach(j => want(j) += w(j))
+    }
+    val m = Perceptron.trainAveraged(f, "y", Seq("a", "b"), rounds)
+    assert(m.w.toSeq === want.toSeq)
+  }
+
+  test("averaged model on separable data: fixed point makes the sum " +
+      "rounds x the converged weights, and predictions agree with " +
+      "train's") {
+    val f = ((-5L to -1L).map(i => (i, -1L, i)) ++
+      (1L to 5L).map(i => (i, 1L, i))).toDF("id", "y", "x")
+    val avg = Perceptron.trainAveraged(f, "y", Seq("x"), rounds = 4)
+    // round 1 reaches (0, 30) and rounds 2..4 are fixed points, so the
+    // accumulated sum is 4 x (0, 30) — positive scaling, same classifier
+    assert(avg.w.toSeq === Seq(0L, 120L))
+    val fin = Perceptron.train(f, "y", Seq("x"), rounds = 4)
+    val a = avg.predict(f, "id").select(col("id"), col("pred"))
+      .as[(Long, Int)].collect().toMap
+    val b = fin.predict(f, "id").select(col("id"), col("pred"))
+      .as[(Long, Int)].collect().toMap
+    assert(a === b)
+  }
+
+  test("averaged accumulator overflow raises loudly, not wraps") {
+    // weights after round 1 are huge (bounds pass admits them), so the
+    // repeated accumulation must trip addExact's loud guard — or the
+    // per-round bounds guard, either way an exception not a wrap
+    val big = Long.MaxValue / 8
+    val f = Seq((1L, 1L, big), (2L, 1L, big)).toDF("id", "y", "x")
+    intercept[Exception] {
+      Perceptron.trainAveraged(f, "y", Seq("x"), rounds = 6)
+    }
+  }
+
   test("guards: bad labels, empty frame, and overflow raise loudly") {
     val bad = Seq((1L, 2L, 3L)).toDF("id", "y", "x")
     val ex1 = intercept[IllegalArgumentException] {
