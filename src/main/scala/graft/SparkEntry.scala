@@ -2697,6 +2697,35 @@ object SparkEntry {
         .withColumn("n_files_after", lit(after.toLong))
     }),
 
+    // ── Count-Min sketch (ext.CountMin): the d×w point-frequency
+    //    summary with one-sided error — est ≥ true always, merge =
+    //    cell-wise add. Buckets come from the engine-shared md5 coin
+    //    (4 nibbles mod w), so the WHOLE sketch table hash-gates: no
+    //    tolerance, no sampled audit. One corpus pass, ×d map-side
+    //    blowup, partial-agg exchange ≤ d·w cells per executor.
+    "q_countmin" -> ((s, dir) =>
+      graft.ext.CountMin.sketch(
+        Tables.lineitem(s, dir).select(col("l_partkey")),
+        "l_partkey", d = 4, w = 512)),
+
+    // ── CM estimates vs exact truth, in one row: (key, est, true_cnt,
+    //    over_ok) — the one-sided-error CONTRACT (est ≥ true) rides
+    //    the row as a pinned-TRUE boolean at every SF (the tolerance-
+    //    twin discipline), while est itself stays hash-exact because
+    //    the md5 buckets replay in SQL.
+    "q_countmin_est" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_partkey"))
+      val sk = graft.ext.CountMin.sketch(li, "l_partkey", d = 4, w = 512)
+      val est = graft.ext.CountMin.estimate(sk,
+        li.filter(col("l_partkey") < 50), "l_partkey", d = 4, w = 512)
+      val truth = li.filter(col("l_partkey") < 50)
+        .groupBy(col("l_partkey").cast("string").as("key"))
+        .agg(count(lit(1)).as("true_cnt"))
+      est.join(truth, "key")
+        .select(col("key"), col("est"), col("true_cnt"),
+          (col("est") >= col("true_cnt")).as("over_ok"))
+    }),
+
     // ── Sketch-guided EXACT heavy hitters over word bigrams
     //    (ext.FrequentItems + functions.MisraGriesAgg): one mergeable
     //    Misra–Gries pass finds a guaranteed-superset candidate set
@@ -6061,6 +6090,11 @@ object SparkEntry {
     // exact heavy hitters: the sketch only prunes the plan, never the
     // answer, so the oracle is the plain exact GROUP BY + HAVING (pure
     // integer threshold arithmetic on both sides)
+    // Count-Min: the sketch table is md5-bucket exact; the estimate
+    // row carries the one-sided-error contract as a pinned boolean
+    "q_countmin" -> countMinOracle(est = false),
+    "q_countmin_est" -> countMinOracle(est = true),
+
     "q_heavy_hitters" -> heavyHittersOracle,
 
     // the persisted-slice rollup path must be indistinguishable from
@@ -6915,6 +6949,42 @@ object SparkEntry {
   /** The greedy k-center replay: unrolled farthest-point rounds —
     * per round an argmax pick (ORDER BY dmin DESC, vid LIMIT 1) and a
     * least()-folded distance update against the pick's components. */
+  /** Count-Min: 4-nibble md5 buckets (the engine-shared coin) over
+    * lineitem part keys — the sketch table, or the estimate-vs-truth
+    * audit row with the one-sided-error boolean. */
+  private def countMinOracle(est: Boolean): String = {
+    val (d, w) = (4, 512)
+    val arg = "'42|'||CAST(i AS VARCHAR)||'|'||k"
+    val bucket =
+      s"""((strpos('0123456789abcdef', substr(md5($arg), 1, 1)) - 1) * 4096 +
+           (strpos('0123456789abcdef', substr(md5($arg), 2, 1)) - 1) * 256 +
+           (strpos('0123456789abcdef', substr(md5($arg), 3, 1)) - 1) * 16 +
+           (strpos('0123456789abcdef', substr(md5($arg), 4, 1)) - 1)) % $w"""
+    val sketch =
+      s"""ks AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+         cells AS (SELECT t.i AS i, $bucket AS j
+                   FROM ks CROSS JOIN range($d) t(i)),
+         sk AS (SELECT CAST(i AS INTEGER) AS i, CAST(j AS BIGINT) AS j,
+                  count(*) AS cnt
+                FROM cells GROUP BY 1, 2)"""
+    if (!est) s"WITH $sketch SELECT i, j, cnt FROM sk"
+    else
+      s"""WITH $sketch,
+         q AS (SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS k
+               FROM lineitem WHERE l_partkey < 50),
+         qb AS (SELECT k, CAST(t.i AS INTEGER) AS i,
+                  CAST($bucket AS BIGINT) AS j
+                FROM q CROSS JOIN range($d) t(i)),
+         e AS (SELECT qb.k AS key, min(coalesce(sk.cnt, 0)) AS est
+               FROM qb LEFT JOIN sk ON sk.i = qb.i AND sk.j = qb.j
+               GROUP BY 1),
+         tr AS (SELECT CAST(l_partkey AS VARCHAR) AS key,
+                  count(*) AS true_cnt
+                FROM lineitem WHERE l_partkey < 50 GROUP BY 1)
+         SELECT e.key AS key, est, true_cnt, est >= true_cnt AS over_ok
+         FROM e JOIN tr ON tr.key = e.key"""
+  }
+
   /** Range search: exact grid sqdist per (query, corpus) pair, cut at
     * the radius — shared by q_ann_radius and q_ann_radius_probed (the
     * probed face at nProbe = nLists is row-identical by construction). */

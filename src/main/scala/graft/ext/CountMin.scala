@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch (Cormode–Muthukrishnan 2005): a d×w grid of
+  * counters answering point-frequency queries with one-sided error —
+  * est(k) ≥ true(k) always, est(k) ≤ true(k) + εN with probability
+  * 1 − δ at w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉. The fixed-size frequency summary
+  * a 100 TB pipeline keeps when the key domain is unbounded (URL
+  * hosts, n-grams, user ids) and Misra-Gries' top-k contract is the
+  * wrong shape: CM answers ANY key after the fact, and two sketches
+  * MERGE by cell-wise addition — shards, days, or streams combine
+  * without touching raw data. Completes the sketch family next to
+  * [[FrequentItems]] (heavy hitters), HLL (distinct), and
+  * [[Quantiles]] (ranks).
+  *
+  * Determinism: row i's bucket for key k is the first 4 md5 nibbles
+  * of "seed|i|k" mod w — the engine-shared md5 coin (the
+  * [[RandomProjection]]/simhash/walks precedent), so the ENTIRE
+  * sketch table and every estimate replay bit-for-bit in SQL
+  * (q_countmin / q_countmin_est); no RNG-seeded hash family an
+  * external engine can't reproduce.
+  *
+  * Scale shape: ONE corpus pass; the map-side ×d row blowup feeds a
+  * partial-aggregated groupBy(i, j), so the exchange is at most
+  * d·w·executors cells regardless of corpus size, and the sketch
+  * itself (≤ d·w rows) is driver/broadcast-sized by construction.
+  * [[estimate]] broadcasts the sketch into the query batch — one
+  * hash-join, no corpus anywhere. [[merge]] is a union + re-sum:
+  * merge-only rollups, the [[Sketches]] discipline.
+  */
+object CountMin {
+
+  /** Bucket of `k` (a string column) in row `i`: first 4 md5 nibbles
+    * of "seed|i|k", mod w — 16 bits of coin, so w must stay ≤ 2¹⁶ for
+    * the bucket distribution to cover every cell. */
+  private def bucket(seed: Long, i: Column, k: Column, w: Int): Column =
+    conv(substring(md5(concat_ws("|", lit(seed), i, k)), 1, 4), 16, 10)
+      .cast("long") % w
+
+  private def checkShape(d: Int, w: Int): Unit = {
+    require(d >= 1, s"d must be >= 1: $d")
+    require(w >= 1 && w <= 65536,
+      s"w must be in [1, 65536] (4 md5 nibbles of coin): $w")
+  }
+
+  /** Build the sketch: (i, j, cnt) for hash rows i ∈ [0, d), buckets
+    * j ∈ [0, w) — only touched cells appear (absent cell ≡ 0; keeps
+    * the exchange sparse when n ≪ d·w). Null keys are REJECTED loudly:
+    * silently dropping them would understate every estimate. */
+  def sketch(df: DataFrame, keyCol: String, d: Int, w: Int,
+      seed: Long = 42L): DataFrame = {
+    checkShape(d, w)
+    val k = col(keyCol).cast("string")
+    val nNull = df.filter(k.isNull).limit(1).count()
+    require(nNull == 0L,
+      s"CountMin: NULL $keyCol rows would silently vanish from counts")
+    df.select(k.as("k"),
+        explode(expr(s"sequence(0, ${d - 1})")).as("i"))
+      .select(col("i"), bucket(seed, col("i"), col("k"), w).as("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for a key batch: (key, est) with
+    * est = minᵢ cnt(i, bucket(i, key)) and untouched cells read as 0.
+    * The sketch (≤ d·w rows) broadcasts; `keys` is never shuffled. */
+  def estimate(sk: DataFrame, keys: DataFrame, keyCol: String,
+      d: Int, w: Int, seed: Long = 42L): DataFrame = {
+    checkShape(d, w)
+    val k = col(keyCol).cast("string")
+    keys.select(k.as("key"))
+      .distinct()
+      .select(col("key"), explode(expr(s"sequence(0, ${d - 1})")).as("i"))
+      .withColumn("j", bucket(seed, col("i"), col("key"), w))
+      .join(broadcast(sk), Seq("i", "j"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Cell-wise sum of two sketches built with the SAME (d, w, seed) —
+    * sketch(A ⊎ B) exactly (spec-pinned). The caller owns the shape
+    * agreement; mismatched shapes would silently mis-bucket. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("cnt")).as("cnt"))
+}
