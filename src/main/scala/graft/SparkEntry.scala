@@ -2726,6 +2726,33 @@ object SparkEntry {
           (col("est") >= col("true_cnt")).as("over_ok"))
     }),
 
+    // ── CM SERVING over the batch-partitioned store (streaming face's
+    //    batch twin): the corpus lands as 3 per-batch cell tables,
+    //    estimates read the merged cells only — and because CM cells
+    //    add exactly, the answer is bit-identical to the one-shot
+    //    build: SAME oracle as q_countmin_est, batching invisible.
+    "q_countmin_serve" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_partkey"))
+      val path = registerTempIndexDir(
+        System.getProperty("java.io.tmpdir") +
+          "/graft_cm_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+          "_" + ProcessHandle.current().pid() + "_" + System.nanoTime())
+      (0 until 3).foreach { i =>
+        graft.ext.CountMin.sketch(
+          li.filter(pmod(col("l_partkey"), lit(3)) === i),
+          "l_partkey", d = 4, w = 512)
+          .write.mode("overwrite").parquet(s"$path/batch=$i")
+      }
+      val est = graft.streaming.CountMinStream.estimate(s, path,
+        li.filter(col("l_partkey") < 50), "l_partkey", d = 4, w = 512)
+      val truth = li.filter(col("l_partkey") < 50)
+        .groupBy(col("l_partkey").cast("string").as("key"))
+        .agg(count(lit(1)).as("true_cnt"))
+      est.join(truth, "key")
+        .select(col("key"), col("est"), col("true_cnt"),
+          (col("est") >= col("true_cnt")).as("over_ok"))
+    }),
+
     // ── Sketch-guided EXACT heavy hitters over word bigrams
     //    (ext.FrequentItems + functions.MisraGriesAgg): one mergeable
     //    Misra–Gries pass finds a guaranteed-superset candidate set
@@ -6094,6 +6121,9 @@ object SparkEntry {
     // row carries the one-sided-error contract as a pinned boolean
     "q_countmin" -> countMinOracle(est = false),
     "q_countmin_est" -> countMinOracle(est = true),
+    // merge-is-exact: the batch-partitioned store serves the identical
+    // answer, so the serve row rides the SAME oracle
+    "q_countmin_serve" -> countMinOracle(est = true),
 
     "q_heavy_hitters" -> heavyHittersOracle,
 

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.ext.CountMin
+
+/** Streaming maintenance of the Count-Min sketch — the streaming face
+  * of [[graft.ext.CountMin]], on the [[SketchStream]] discipline: each
+  * micro-batch reduces to its own ≤ d·w cell table (one map-side-
+  * combinable aggregate over the batch) landed under `batch=<id>`;
+  * estimates merge the persisted cells and never re-read raw rows.
+  * Because CM cells ADD exactly, the stream-maintained sketch is
+  * bit-identical to a one-shot batch sketch over everything ingested —
+  * spec-asserted, and the q_countmin_serve driver row rides the SAME
+  * oracle as the batch estimate face.
+  *
+  * State lives in the sketch parquet, not the state store: restart
+  * needs only the files, and a replayed batch OVERWRITES its own
+  * `batch=<id>` dir (the sketch is a pure function of the batch), so
+  * at-least-once delivery never double-counts.
+  */
+object CountMinStream {
+
+  /** Maintain a CM sketch of `keyCol` at `path`, one cell-table
+    * partition per micro-batch. Shape (d, w, seed) is the caller's
+    * contract — every batch and every reader must agree on it. */
+  def maintain(
+      stream: DataFrame,
+      keyCol: String,
+      path: String,
+      d: Int, w: Int, seed: Long = 42L,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          CountMin.sketch(batch, keyCol, d, w, seed)
+            .write.mode("overwrite").parquet(s"$path/batch=$id")
+        }
+      }
+
+  /** The merged sketch over everything ingested so far — cell-wise sum
+    * of the persisted batch partitions (kilobytes in, ≤ d·w rows out). */
+  def rollup(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimates against the merged persisted sketch. */
+  def estimate(spark: SparkSession, path: String, keys: DataFrame,
+      keyCol: String, d: Int, w: Int, seed: Long = 42L): DataFrame =
+    CountMin.estimate(rollup(spark, path), keys, keyCol, d, w, seed)
+}
