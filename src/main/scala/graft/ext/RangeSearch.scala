@@ -41,16 +41,21 @@ object RangeSearch {
   /** Loud input validation (the [[PqIndex.comps]] posture): ragged or
     * null vectors would silently null out distances and drop pairs. */
   private def validate(df: DataFrame, vecCol: String, side: String): Unit = {
-    val stats = df.select(size(col(vecCol)).as("d"))
-      .agg(min(col("d")).as("mn"), max(col("d")).as("mx"),
-        count(when(col("d").isNull || col("d") < 0, 1)).as("nNull"))
+    // count(*) separately from the size stats: a min-null early return
+    // would also pass a frame whose EVERY vector is NULL — exactly the
+    // silent-drop this guard exists to catch (review r13, low)
+    val stats = df
+      .agg(count(lit(1)).as("n"), count(col(vecCol)).as("nVec"),
+        min(size(col(vecCol))).as("mn"), max(size(col(vecCol))).as("mx"))
       .head()
-    if (stats.isNullAt(0)) return // empty frame: result is just empty
-    require(stats.getLong(2) == 0L,
-      s"RangeSearch: ${stats.getLong(2)} $side row(s) carry a NULL $vecCol")
-    require(stats.getInt(0) == stats.getInt(1),
+    val n = stats.getLong(0)
+    if (n == 0L) return // truly empty frame: result is just empty
+    val nNull = n - stats.getLong(1)
+    require(nNull == 0L,
+      s"RangeSearch: $nNull $side row(s) carry a NULL $vecCol")
+    require(stats.getInt(2) == stats.getInt(3),
       s"RangeSearch: ragged $side vectors " +
-        s"(dims ${stats.getInt(0)}..${stats.getInt(1)})")
+        s"(dims ${stats.getInt(2)}..${stats.getInt(3)})")
   }
 
   /** All (query_id, neighbor_id, sqdist) with sqdist ≤ r2 on the 10⁻⁶

@@ -25,23 +25,39 @@ object CountMinStream {
 
   /** Maintain a CM sketch of `keyCol` at `path`, one cell-table
     * partition per micro-batch. Shape (d, w, seed) is the caller's
-    * contract — every batch and every reader must agree on it. */
+    * contract — every batch and every reader must agree on it.
+    *
+    * Batch dirs land at `base + epochId` with the run-scoped base from
+    * [[DedupState.resolveBase]]: a SECOND run against the same path
+    * with a fresh checkpoint restarts epoch ids at 0, and without the
+    * base its overwrites of `batch=0..n` would silently clobber the
+    * first run's cell tables — losing counts and breaking the
+    * one-sided est ≥ true contract. A checkpoint RESTART keeps its
+    * recorded base (the marker is keyed by the streaming queryId), so
+    * replays still overwrite their own dirs. */
   def maintain(
       stream: DataFrame,
       keyCol: String,
       path: String,
       d: Int, w: Int, seed: Long = 42L,
       trigger: Trigger = Trigger.AvailableNow()
-  ): DataStreamWriter[Row] =
+  ): DataStreamWriter[Row] = {
+    val baseRef = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     stream.writeStream
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          if (baseRef.get == Long.MinValue)
+            baseRef.set(DedupState.resolveBase(spark, path,
+              DedupState.queryId(spark)))
           CountMin.sketch(batch, keyCol, d, w, seed)
-            .write.mode("overwrite").parquet(s"$path/batch=$id")
+            .write.mode("overwrite")
+            .parquet(s"$path/batch=${baseRef.get + id}")
         }
       }
+  }
 
   /** The merged sketch over everything ingested so far — cell-wise sum
     * of the persisted batch partitions (kilobytes in, ≤ d·w rows out). */

@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   *     after their dirs are expired.
   *
   * Pre-manifest indexes (legacy dirs) keep working: reads fall back to
-  * the `batch=` dir listing.
+  * the `batch=` dir listing, and the FIRST manifest commit over such an
+  * index seeds the pinned set with every legacy dir
+  * ([[commitAndMaybeCompact]]) so upgrading never hides the
+  * accumulated corpus.
   */
 private[streaming] object DedupState {
 
@@ -92,18 +95,49 @@ private[streaming] object DedupState {
     * underscore-prefixed, so parquet partition discovery ignores it.
     * Single-writer (one ingest stream per index), like the index. */
   def resolveBase(spark: SparkSession, indexPath: String,
-      queryId: String): Long = {
+      queryId: String): Long =
+    resolveBaseWith(spark, indexPath, queryId, math.max(
+      existingBatches(spark, indexPath).foldLeft(-1L)(math.max),
+      graft.model.WaveManifest.compactedThrough(spark, indexPath)) + 1L)
+
+  /** [[resolveBase]]'s marker discipline with the fresh-base rule
+    * injected — the single-table rule above globs root `batch=` dirs,
+    * which multi-table wave indexes (postings under per-table subdirs)
+    * and weight-chain stores (base = LATEST wave, not one past) cannot
+    * use. `fresh` is evaluated at most once, only for an unseen
+    * queryId. */
+  def resolveBaseWith(spark: SparkSession, indexPath: String,
+      queryId: String, fresh: => Long): Long = {
     val (fs, root) = fileSystem(spark, indexPath)
     val marker = new Path(root, MarkerName)
     val entries = readMarker(fs, marker)
     entries.getOrElse(queryId, {
-      val base = math.max(
-        existingBatches(spark, indexPath).foldLeft(-1L)(math.max),
-        graft.model.WaveManifest.compactedThrough(spark, indexPath)) + 1L
+      val base = fresh
       writeMarker(fs, marker, entries + (queryId -> base))
       base
     })
   }
+
+  /** Highest pinned STREAM-space wave, −1 when none — the fresh-base
+    * floor for manifest-backed indexes whose `batch=` dirs live under
+    * per-table subdirs (nothing to glob at the root). */
+  def maxPinnedStreamWave(spark: SparkSession, path: String): Long =
+    graft.model.WaveManifest.pinned(spark, path)
+      .map(_.filter(_ < graft.model.WaveManifest.CompactBase)
+        .foldLeft(-1L)(math.max))
+      .getOrElse(-1L)
+
+  /** Fresh run base in EPOCH-ID space for the manifest-backed index
+    * streams (their wave = base + epochId + 1): one slot past every
+    * pinned stream-space wave and past the compaction watermark,
+    * floored at 0 so a first run over a [[graft.ext.PostingIndex
+    * .build]]-created index still starts at wave 1 (wave 0 is the
+    * build's). Without this, a SECOND stream run with a fresh
+    * checkpoint restarts epoch ids at 0 and its dynamic overwrite of
+    * `batch=1..n` silently clobbers the first run's waves. */
+  def indexRunBase(spark: SparkSession, path: String): Long =
+    math.max(0L, math.max(maxPinnedStreamWave(spark, path),
+      graft.model.WaveManifest.compactedThrough(spark, path)))
 
   /** The single wave write path (stream batches and [[compactTable]]):
     * dynamic partition overwrite of `batch=<wave>` — a replay replaces
@@ -148,10 +182,23 @@ private[streaming] object DedupState {
   /** Data landed for `eff` — make it visible (skipped on a replay of an
     * already-pinned wave), then auto-compact if the pinned wave count
     * reached `compactEvery` (> 0; same foreachBatch thread — the
-    * compactor never races ingest). */
+    * compactor never races ingest).
+    *
+    * Legacy migration: when NO manifest exists yet, the first commit
+    * seeds the pinned set with every pre-manifest `batch=` dir, not
+    * just `eff` — a manifest pinning only the new wave would hide the
+    * accumulated corpus from [[corpusWaves]]/[[pinnedIndex]] from the
+    * next batch on, silently disabling cross-batch dedup against every
+    * legacy survivor. */
   def commitAndMaybeCompact(spark: SparkSession, indexPath: String,
       eff: Long, compactEvery: Int): Unit = {
-    graft.model.WaveManifest.commitWave(spark, indexPath, eff)
+    if (graft.model.WaveManifest.latestVersion(spark, indexPath).isEmpty) {
+      val legacy = existingBatches(spark, indexPath).filterNot(_ == eff)
+      if (legacy.nonEmpty) {
+        graft.model.WaveManifest.commit(spark, indexPath, legacy :+ eff)
+        ()
+      } else graft.model.WaveManifest.commitWave(spark, indexPath, eff)
+    } else graft.model.WaveManifest.commitWave(spark, indexPath, eff)
     if (compactEvery > 0 &&
       graft.model.WaveManifest.pinned(spark, indexPath)
         .exists(_.size >= compactEvery)) {

@@ -38,12 +38,19 @@ object FrequentStream {
       summaryPath: String,
       capacity: Int,
       trigger: Trigger = Trigger.AvailableNow()
-  ): DataStreamWriter[Row] =
+  ): DataStreamWriter[Row] = {
+    // run-scoped base (DedupState.resolveBase): a second fresh-
+    // checkpoint run must append new dirs, not clobber batch=0..n
+    val baseRef = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     stream.writeStream
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          if (baseRef.get == Long.MinValue)
+            baseRef.set(DedupState.resolveBase(spark, summaryPath,
+              DedupState.queryId(spark)))
           // one aggregate over the batch; the buffer-sized result rides
           // through sliceSummaries' grouped path on a constant key
           FrequentItems.sliceSummaries(
@@ -51,9 +58,11 @@ object FrequentStream {
               itemCol, capacity)
             .drop("_slice")
             .coalesce(1)
-            .write.mode("overwrite").parquet(s"$summaryPath/batch=$id")
+            .write.mode("overwrite")
+            .parquet(s"$summaryPath/batch=${baseRef.get + id}")
         }
       }
+  }
 
   /** Merged candidates over everything ingested so far:
     * (item, lb, total) — summary-only, raw events never re-read. */

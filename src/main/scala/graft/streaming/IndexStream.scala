@@ -30,17 +30,41 @@ object IndexStream {
     * (idCol, textCol). `compactEvery > 0` auto-compacts whenever the
     * pinned wave count reaches it (the small-files lifecycle inline in
     * the maintenance loop — same single foreachBatch thread, so the
-    * compactor never races ingest). */
+    * compactor never races ingest).
+    *
+    * Epoch ids are offset by a RUN-SCOPED base ([[DedupState
+    * .resolveBaseWith]] with [[DedupState.indexRunBase]] — one slot
+    * past every pinned stream wave and the compaction watermark): a
+    * second run with a fresh checkpoint restarts epoch ids at 0, and
+    * without the base its dynamic overwrites would clobber the first
+    * run's waves 1..n. A checkpoint RESTART keeps its marker-recorded
+    * base, preserving replay idempotence.
+    *
+    * One-time migration hazard (documented, by design): a checkpoint
+    * created BEFORE the run-scoped mapping replays its last
+    * uncommitted-by-checkpoint batch under a shifted wave id — if that
+    * batch's docs were already committed under the old mapping, they
+    * land twice (both waves pinned, postings double-counted). Migrate
+    * by letting the old query drain fully (AvailableNow, clean stop)
+    * before upgrading, or rebuild the index. */
   def start(docs: DataFrame, idCol: String, textCol: String,
             path: String, checkpoint: String,
-            termBuckets: Int = 64, compactEvery: Int = 0): StreamingQuery =
+            termBuckets: Int = 64, compactEvery: Int = 0): StreamingQuery = {
+    val baseRef =
+      new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        appendBatch(batch, idCol, textCol, path, id, termBuckets,
-          compactEvery)
+        val spark = batch.sparkSession
+        if (baseRef.get == Long.MinValue)
+          baseRef.set(DedupState.resolveBaseWith(spark, path,
+            DedupState.queryId(spark),
+            DedupState.indexRunBase(spark, path)))
+        appendBatch(batch, idCol, textCol, path, baseRef.get + id,
+          termBuckets, compactEvery)
       }
       .start()
+  }
 
   /** One wave under `batch=<batchId + 1>` with dynamic partition
     * overwrite (replay-idempotent) — DELEGATES to the index's single

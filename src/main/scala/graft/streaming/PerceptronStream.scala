@@ -30,21 +30,51 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object PerceptronStream {
 
   /** Start the maintenance query over a STREAMING feature frame
-    * carrying `yCol` and `xCols`. */
+    * carrying `yCol` and `xCols`.
+    *
+    * Chain positions are `base + epochId` with a run-scoped base
+    * ([[DedupState.resolveBaseWith]]) set to the HIGHEST pinned wave:
+    * a fresh-checkpoint run therefore READS the previous chain's final
+    * weights as its starting state (warm continuation) and extends the
+    * chain above everything pinned — without the base, its epoch ids
+    * restart at 0, re-read wave 0 (zeros), and overwrite waves 1..n
+    * while higher waves stay pinned, so [[model]] would keep serving
+    * the stale chain's tail over a silently diverged prefix. A
+    * checkpoint RESTART keeps its marker-recorded base, preserving
+    * replay idempotence. */
   def start(features: DataFrame, yCol: String, xCols: Seq[String],
-            path: String, checkpoint: String): StreamingQuery =
+            path: String, checkpoint: String): StreamingQuery = {
+    val baseRef =
+      new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     features.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        appendBatch(batch, yCol, xCols, path, id)
+        val spark = batch.sparkSession
+        if (baseRef.get == Long.MinValue)
+          baseRef.set(DedupState.resolveBaseWith(spark, path,
+            DedupState.queryId(spark),
+            math.max(0L, DedupState.maxPinnedStreamWave(spark, path))))
+        appendBatch(batch, yCol, xCols, path, baseRef.get + id)
       }
       .start()
+  }
 
   /** One round from wave `batchId`'s weights into wave `batchId + 1`.
-    * Public so specs can drive replays directly. */
+    * Public so specs can drive replays directly. Refuses a write that
+    * would FORK the chain: a target wave strictly below the highest
+    * pinned one means the caller's ids belong to a different chain
+    * (exactly the fresh-checkpoint hazard [[start]]'s run base
+    * prevents) — overwriting mid-chain waves while later ones stay
+    * pinned would serve inconsistent state with no error. A replay of
+    * the LAST wave (target == max pinned) is legal and idempotent. */
   def appendBatch(batch: DataFrame, yCol: String, xCols: Seq[String],
                   path: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    val maxPinned = DedupState.maxPinnedStreamWave(spark, path)
+    require(batchId + 1L >= maxPinned,
+      s"wave ${batchId + 1} would fork the weight chain: waves up to " +
+        s"$maxPinned are pinned under $path — a fresh run must base its " +
+        "ids past the pinned chain (PerceptronStream.start does)")
     val w0 = weightsAt(spark, path, batchId, xCols.size + 1)
     val w1 = graft.ext.Perceptron.round(batch, yCol, xCols, w0)
     import spark.implicits._

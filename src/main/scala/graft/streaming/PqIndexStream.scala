@@ -36,13 +36,25 @@ object PqIndexStream {
     * reaches it (same foreachBatch thread — never races ingest). */
   def start(vectors: DataFrame, idCol: String, vecCol: String,
             path: String, checkpoint: String,
-            compactEvery: Int = 0): StreamingQuery =
+            compactEvery: Int = 0): StreamingQuery = {
+    // run-scoped base (DedupState.indexRunBase): a fresh-checkpoint
+    // second run must slot past the first run's pinned waves, not
+    // clobber them — see IndexStream.start for the full contract
+    val baseRef =
+      new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        appendBatch(batch, idCol, vecCol, path, id, compactEvery)
+        val spark = batch.sparkSession
+        if (baseRef.get == Long.MinValue)
+          baseRef.set(DedupState.resolveBaseWith(spark, path,
+            DedupState.queryId(spark),
+            DedupState.indexRunBase(spark, path)))
+        appendBatch(batch, idCol, vecCol, path, baseRef.get + id,
+          compactEvery)
       }
       .start()
+  }
 
   /** One wave under `batch=<batchId + 1>` — encode with the loaded
     * model's codebooks (the same coarse-routing + residual-assignment

@@ -28,23 +28,34 @@ import graft.ext.Quantiles
 object SketchStream {
 
   /** Maintain a per-`keys` sketch of `valCol` at `sketchPath`, one
-    * bucket-count partition per micro-batch. */
+    * bucket-count partition per micro-batch — at `base + epochId` with
+    * the run-scoped base from [[DedupState.resolveBase]], so a second
+    * fresh-checkpoint run appends new dirs instead of clobbering the
+    * first run's `batch=0..n` (the [[CountMinStream.maintain]]
+    * hazard). */
   def maintain(
       stream: DataFrame,
       keys: Seq[String],
       valCol: String,
       sketchPath: String,
       trigger: Trigger = Trigger.AvailableNow()
-  ): DataStreamWriter[Row] =
+  ): DataStreamWriter[Row] = {
+    val baseRef = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     stream.writeStream
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          if (baseRef.get == Long.MinValue)
+            baseRef.set(DedupState.resolveBase(spark, sketchPath,
+              DedupState.queryId(spark)))
           Quantiles.sketch(batch, keys, valCol)
-            .write.mode("overwrite").parquet(s"$sketchPath/batch=$id")
+            .write.mode("overwrite")
+            .parquet(s"$sketchPath/batch=${baseRef.get + id}")
         }
       }
+  }
 
   /** Quantiles over everything ingested so far: rollup-merge of the
     * persisted batch partitions (kilobytes), then the estimate walk.

@@ -103,6 +103,15 @@ class RangeSearchSpec extends SparkSpec {
       RangeSearch.exact(vecs, vecs, "id", "vec", -1L)
     }
     assert(e3.getMessage.contains("r2"))
+    // EVERY vector null must raise too — a min(size)-null early return
+    // would wave this frame through and the null rows would silently
+    // drop from the pair results (review r13, low)
+    val allNull = Seq((1L, null: Seq[Double]), (2L, null: Seq[Double]))
+      .toDF("id", "vec")
+    val e4 = intercept[IllegalArgumentException] {
+      RangeSearch.exact(allNull, vecs, "id", "vec", 1L)
+    }
+    assert(e4.getMessage.contains("NULL"))
   }
 
   test("plan: corpus side joins by broadcast NLJ, no shuffle exchange " +

@@ -76,13 +76,22 @@ class CountMinStreamSpec extends SparkSpec {
       d = 2, w = 16, trigger = Trigger.ProcessingTime("0 seconds")).start()
     try { m1.addData(b0: _*); q1.processAllAvailable() } finally q1.stop()
 
-    // a NEW stream (fresh checkpoint-less writer) lands the next batch
-    // under a disjoint id — the store carries all history
-    CountMin.sketch(b1.toDF("k"), "k", d = 2, w = 16)
-      .write.mode("overwrite").parquet(s"$dir/batch=7")
+    // a REAL second maintain() stream with a fresh checkpoint restarts
+    // epoch ids at 0 — the run-scoped base must land its batch under a
+    // NEW dir instead of clobbering the first run's batch=0 cells
+    // (silently losing counts would break est ≥ true)
+    val m2 = MemoryStream[String]
+    val q2 = CountMinStream.maintain(m2.toDF().toDF("k"), "k", dir,
+      d = 2, w = 16, trigger = Trigger.ProcessingTime("0 seconds")).start()
+    try { m2.addData(b1: _*); q2.processAllAvailable() } finally q2.stop()
+
     val streamed = cellsOf(CountMinStream.rollup(spark, dir))
     val direct = cellsOf(CountMin.sketch((b0 ++ b1).toDF("k"), "k",
       d = 2, w = 16))
     assert(streamed === direct)
+    // two distinct batch dirs on disk — nothing overwrote run 1
+    val dirs = Option(new java.io.File(dir).listFiles()).get
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq.sorted
+    assert(dirs.size == 2, dirs.toString)
   }
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import graft.ext.FrequentItems
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming frequent-items contracts: the stream-maintained summary
@@ -63,12 +64,13 @@ class FrequentStreamSpec extends SparkSpec {
         shareDen = 60, spark, dir, capacity = 256)
       .as[(String, Long)].collect().toMap
 
-    // simulate at-least-once replay: a fresh stream re-lands batch 0
-    // (possibly a different-but-valid MG summary of the same rows)
-    val mem2 = MemoryStream[String]
-    val q2 = FrequentStream.maintain(mem2.toDF().toDF("item"), "item", dir,
-      capacity = 256, trigger = Trigger.ProcessingTime("0 seconds")).start()
-    try { mem2.addData(data: _*); q2.processAllAvailable() } finally q2.stop()
+    // at-least-once replay: the SAME effective batch re-lands its own
+    // dir (possibly a different-but-valid MG summary of the same rows)
+    FrequentItems.sliceSummaries(
+        data.toDF("item").withColumn("_slice", lit(1)), Seq("_slice"),
+        "item", 256)
+      .drop("_slice").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/batch=0")
 
     val after = FrequentStream.exactOver(data.toDF("item"), "item",
         shareDen = 60, spark, dir, capacity = 256)
@@ -76,6 +78,22 @@ class FrequentStreamSpec extends SparkSpec {
     assert(after == before)
     assert(spark.read.parquet(dir).count() == 1,
       "replay must overwrite batch=0, not append a sibling")
+
+    // a FRESH second stream is NOT a replay: its epoch ids restart at 0
+    // but its items are NEW — the run-scoped base lands them under a
+    // new dir and the merged candidates cover BOTH runs' heavy items
+    val extra = Seq.fill(2000)("zz") ++ rows(4001, 4400)
+    val mem2 = MemoryStream[String]
+    val q2 = FrequentStream.maintain(mem2.toDF().toDF("item"), "item", dir,
+      capacity = 256, trigger = Trigger.ProcessingTime("0 seconds")).start()
+    try { mem2.addData(extra: _*); q2.processAllAvailable() } finally q2.stop()
+    assert(spark.read.parquet(dir).count() == 2,
+      "a fresh run must append its own batch dir, not clobber run 1's")
+    val both = FrequentStream.exactOver((data ++ extra).toDF("item"),
+        "item", shareDen = 60, spark, dir, capacity = 256)
+      .as[(String, Long)].collect().toMap
+    assert(both == brute(data ++ extra, shareDen = 60) &&
+      both.keySet.contains("zz"), both.toString)
   }
 
   test("serving threshold below the cross-batch merge bound is rejected") {

@@ -101,6 +101,29 @@ class IndexStreamSpec extends SparkSpec {
     assert(n === 5.0)
   }
 
+  test("a SECOND stream run with a fresh checkpoint slots past the " +
+      "first run's waves instead of clobbering them") {
+    val path = fresh()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def runOnce(data: Seq[(Long, String)]): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      mem.addData(data: _*)
+      val q = IndexStream.start(mem.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", path, fresh(), termBuckets = 8)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce(Seq((1L, "spark join table scan fast"),
+      (2L, "slow table scan table scan")))
+    // fresh checkpoint → epoch ids restart at 0; without the run-scoped
+    // base this run's wave 1 dynamically overwrote run 1's postings
+    runOnce(Seq((3L, "spark spark join"),
+      (4L, "nothing relevant here at all"), (5L, "join")))
+    assert(served(path) === batchBuilt())
+    val n = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs"))).collect().head.getDouble(0)
+    assert(n === 5.0)
+  }
+
   test("a micro-batch arriving AFTER an auto-compaction does not " +
       "clobber the compacted wave (disjoint compaction id space)") {
     val path = fresh()

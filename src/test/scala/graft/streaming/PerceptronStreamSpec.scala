@@ -77,6 +77,52 @@ class PerceptronStreamSpec extends SparkSpec {
     assert(streamed === w.toSeq)
   }
 
+  test("a fresh-checkpoint second stream continues the chain WARM — " +
+      "never re-reads zeros or overwrites pinned waves") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = Files.createTempDirectory("pstream-w2").toString
+    val b0 = Seq((1L, 5L), (-1L, -3L), (1L, 2L))
+    val b1 = Seq((-1L, -1L), (1L, 4L))
+    def runOnce(rows: Seq[(Long, Long)]): Unit = {
+      val mem = MemoryStream[(Long, Long)]
+      mem.addData(rows: _*)
+      val q = PerceptronStream.start(mem.toDS().toDF("y", "x"),
+        "y", xCols, path,
+        Files.createTempDirectory("pstream-ck").toString)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce(b0)
+    val w1 = Perceptron.round(b0.toDF("y", "x"), "y", xCols,
+      Array.fill(2)(0L))
+    assert(PerceptronStream.model(spark, path, xCols).w.toSeq === w1.toSeq)
+    // run 2 restarts epoch ids at 0 — its base must map batch 0 to
+    // READ the pinned chain's latest wave (warm start), not wave 0's
+    // zeros, and to WRITE above everything pinned
+    runOnce(b1)
+    val w2 = Perceptron.round(b1.toDF("y", "x"), "y", xCols, w1)
+    assert(PerceptronStream.model(spark, path, xCols).w.toSeq === w2.toSeq)
+  }
+
+  test("appendBatch refuses a wave that would fork behind the pinned " +
+      "chain; replay of the LAST wave stays legal") {
+    val path = Files.createTempDirectory("pstream-f").toString
+    val b0 = Seq((1L, 3L), (-1L, -2L)).toDF("y", "x")
+    val b1 = Seq((1L, 6L)).toDF("y", "x")
+    PerceptronStream.appendBatch(b0, "y", xCols, path, 0L)
+    PerceptronStream.appendBatch(b1, "y", xCols, path, 1L) // pinned {1,2}
+    val before = PerceptronStream.model(spark, path, xCols).w.toSeq
+    // replaying the last position (target wave 2 == max pinned) is the
+    // at-least-once contract — identical content, same model
+    PerceptronStream.appendBatch(b1, "y", xCols, path, 1L)
+    assert(PerceptronStream.model(spark, path, xCols).w.toSeq === before)
+    // but a target wave BEHIND the pinned max is a chain fork — loud
+    val e = intercept[IllegalArgumentException] {
+      PerceptronStream.appendBatch(b1, "y", xCols, path, 0L)
+    }
+    assert(e.getMessage.contains("fork"))
+  }
+
   test("an empty micro-batch carries the chain forward") {
     val path = Files.createTempDirectory("pstream-e").toString
     val b0 = Seq((1L, 3L), (-1L, -2L)).toDF("y", "x")

@@ -44,7 +44,8 @@ class SketchStreamSpec extends SparkSpec {
     assert(est.exceptAll(twin).isEmpty && twin.exceptAll(est).isEmpty)
   }
 
-  test("replayed batch overwrites its own partition — no double count") {
+  test("replayed batch overwrites its own partition; a FRESH second " +
+      "stream accumulates instead of clobbering") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("sketch2").toString + "/sk"
     val data = rows(1, 500)
@@ -57,15 +58,29 @@ class SketchStreamSpec extends SparkSpec {
     val once = Quantiles.rollup(spark.read.parquet(dir), Seq("k"))
       .orderBy("k", "qd", "qlead").collect()
 
-    // ...then simulate an at-least-once retry of the SAME batch id by a
-    // fresh stream over the same data (its first batch is also id 0)
+    // an at-least-once retry of the SAME effective batch re-lands its
+    // own dir with identical content (the sketch is a pure function of
+    // the batch) — a no-op for the rollup
+    Quantiles.sketch(data.toDF("k", "v"), Seq("k"), "v")
+      .write.mode("overwrite").parquet(s"$dir/batch=0")
+    val twice = Quantiles.rollup(spark.read.parquet(dir), Seq("k"))
+      .orderBy("k", "qd", "qlead").collect()
+    assert(once.toSeq == twice.toSeq)
+
+    // a FRESH second stream is NOT a replay: its epoch ids restart at 0
+    // but its batches are NEW events — the run-scoped base must land
+    // them under a new dir so the store accumulates, never clobbers
+    val extra = rows(501, 900)
     val mem2 = MemoryStream[(String, Double)]
     val q2 = SketchStream.maintain(mem2.toDF().toDF("k", "v"), Seq("k"), "v",
       dir, trigger = Trigger.ProcessingTime("0 seconds")).start()
-    try { mem2.addData(data: _*); q2.processAllAvailable() } finally q2.stop()
-    val twice = Quantiles.rollup(spark.read.parquet(dir), Seq("k"))
-      .orderBy("k", "qd", "qlead").collect()
-
-    assert(once.toSeq == twice.toSeq)
+    try { mem2.addData(extra: _*); q2.processAllAvailable() } finally q2.stop()
+    val streamed = Quantiles.rollup(spark.read.parquet(dir), Seq("k"))
+      .select(col("k"), col("qd"), col("qlead"), col("cnt").cast("long"))
+    val direct = Quantiles.sketch((data ++ extra).toDF("k", "v"),
+        Seq("k"), "v")
+      .select(col("k"), col("qd"), col("qlead"), col("cnt").cast("long"))
+    assert(streamed.exceptAll(direct).isEmpty &&
+      direct.exceptAll(streamed).isEmpty)
   }
 }

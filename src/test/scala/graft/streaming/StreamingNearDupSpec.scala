@@ -129,6 +129,39 @@ class StreamingNearDupSpec extends SparkSpec {
       eff = eff, onSurvivors = onSurvivors, onDuplicates = (_, _) => (),
       compactEvery = compactEvery)
 
+  test("upgrading a LEGACY (pre-manifest) index: the first commit pins " +
+      "every legacy wave — cross-batch dedup and serving keep the " +
+      "accumulated corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup-legacy")
+      .toString + "/idx"
+    // build a pre-manifest index: batch dirs only, manifest stripped —
+    // exactly the layout every pre-upgrade StreamingNearDup index has
+    runBatch(dir, b0, 0L)
+    val mdir = new java.io.File(s"$dir/_manifest")
+    mdir.listFiles().foreach(f => assert(f.delete()))
+    assert(mdir.delete())
+    assert(graft.model.WaveManifest.pinned(spark, dir).isEmpty)
+    // first post-upgrade batch: doc 4 must still drop against LEGACY
+    // doc 1, and the FIRST manifest commit must pin wave 0 alongside
+    // wave 1 — pinning only the new wave would hide the accumulated
+    // corpus from every later batch (review r13, high)
+    var calls = Vector.empty[(Long, Vector[Long])]
+    runBatch(dir, b1, 1L, (df, id) =>
+      calls :+= id -> df.select("doc_id").as[Long].collect().toVector.sorted)
+    assert(calls == Vector(1L -> Vector(5L)), calls.toString)
+    assert(graft.model.WaveManifest.pinned(spark, dir).get == Seq(0L, 1L))
+    // the pinned serve face sees legacy survivors too
+    assert(StreamingNearDup.index(spark, dir)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 5L))
+    // and the NEXT batch's corpus probe resolves via the manifest and
+    // still dedups against the legacy wave
+    runBatch(dir, Seq((20L, base.replace(" ", "    ")),
+      (21L, "entirely fresh text that matches no indexed document")),
+      2L, (df, id) => calls :+= id ->
+        df.select("doc_id").as[Long].collect().toVector.sorted)
+    assert(calls.last == 2L -> Vector(21L), calls.toString)
+  }
+
   test("a reader pinned BEFORE a batch answers the pre-batch snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("neardup5").toString + "/idx"
     runBatch(dir, b0, 0L)
