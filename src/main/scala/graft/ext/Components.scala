@@ -89,13 +89,56 @@ object Components {
       .select(explode(array(col("a"), col("b"))).as("node"))
       .distinct()
       .localCheckpoint()
+    val cur = starEdges(base, maxIter, strict)
+    // at the fixpoint every edge is (root=a, child=b): children label
+    // from their root, roots and isolated nodes label themselves. The
+    // min-aggregate is the identity on a converged star forest (one
+    // parent per child) and, in the strict=false unconverged case, keeps
+    // the one-label-per-node contract instead of emitting a row per
+    // remaining parent. The final round's checkpoint (and `nodes`) stay
+    // persisted — the returned frame reads them lazily; the context
+    // cleaner frees them once the caller drops the frame.
+    nodes.join(cur.groupBy(col("b").as("node")).agg(min(col("a")).as("root")),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("root"), col("node")).as("component"))
+  }
+
+  /** The L/S contraction loop alone: the FIXPOINT edge set (root=a,
+    * child=b), checkpoint-materialized. Callers that already know every
+    * node's stand-in label ([[connectedAdaptive]]'s contraction-reuse
+    * path) compose against this directly and skip [[starFrom]]'s
+    * node-table re-attachment. */
+  private def starEdges(base: DataFrame, maxIter: Int,
+      strict: Boolean): DataFrame = {
+    // LAZY checkpoints in this loop: the fingerprint aggregate right
+    // after each one is a FULL scan, so it both materializes the blocks
+    // (one job, not two) and measures them; nothing unpersists a frame
+    // before its fingerprint ran
     var cur = base
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
-      .localCheckpoint()
-    var curCount = cur.count()
+      .localCheckpoint(false)
+    // (count, Σ xxhash64(a, b) as decimal) — a cheap multiset
+    // fingerprint over the materialized checkpoint blocks (one map-side
+    // aggregate job, replacing the plain count). Counts alone CANNOT
+    // gate convergence: on trees every round keeps edges = nodes −
+    // components, so the count matches from round 1 and the two-sided
+    // exceptAll shuffle ran every round (measured: the dominant cost of
+    // the deep-chain fixture). The decimal sum is exact (≤ 2⁶³ per row,
+    // < 10³⁸ total for any feasible edge count — no overflow, no ANSI
+    // trap), so hash equality is wrong only on an engineered collision;
+    // the exceptAll below still PROVES set equality before the loop
+    // exits, keeping the operator exact.
+    def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    var (curCount, curHash) = fingerprint(cur)
     var round = 0
     var converged = curCount == 0L
     while (!converged && round < maxIter) {
@@ -108,10 +151,13 @@ object Components {
         .select(col("e.a").as("u"), col("e.nb").as("v"))
       val lsMins = sym.groupBy(col("u"))
         .agg(least(col("u"), min(col("v"))).as("m"))
+      // no mid-round distinct: duplicate (big, small) rows (two u's
+      // attaching the same v to the same m) are bounded by the sym row
+      // count, don't affect the small-star min, and the round-end
+      // distinct removes them anyway — one fewer exchange per round
       val afterLarge = sym.join(lsMins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("big"), col("m").as("small"))
-        .distinct()
       // ── small-star: key each edge by its larger endpoint; u and all
       //    its smaller neighbors attach to the local minimum. Every
       //    emitted pair keeps big > small, no self loops possible.
@@ -124,18 +170,25 @@ object Components {
         .select(col("e.x").as("b"), col("e.m").as("a"))
         .filter(col("b") =!= col("a"))
         .distinct()
-        .localCheckpoint()
-      val nextCount = next.count()
+        .localCheckpoint(false)
       // star forest ⇔ one L/S round is the identity on the edge set;
-      // counts match first (free — both frames are materialized), then
-      // one anti-join proves set equality
-      converged = nextCount == curCount &&
+      // the fingerprint gates first (count + hash-sum, one cheap job),
+      // then ONE anti-join proves set equality — in practice it runs
+      // exactly once, at the true fixpoint
+      val (nextCount, nextHash) = fingerprint(
+        next.select(col("a"), col("b")))
+      val probe = nextCount == curCount && nextHash == curHash
+      converged = probe &&
         next.exceptAll(cur.select(col("a"), col("b"))
           .select(col("b"), col("a"))).limit(1).count() == 0L
+      if (log.isInfoEnabled)
+        log.info(s"star round ${round + 1}: $curCount -> $nextCount edges" +
+          (if (probe) ", set-equality probe ran" else ""))
       checkpointRdd(cur).foreach(_.unpersist(false))
       // canonical (small=a, large=b) orientation for the next round
       cur = next.select(col("a"), col("b"))
       curCount = nextCount
+      curHash = nextHash
       round += 1
     }
     if (!converged) {
@@ -144,17 +197,7 @@ object Components {
       if (strict) throw new IllegalStateException(msg)
       else log.warn(msg)
     }
-    // at the fixpoint every edge is (root=a, child=b): children label
-    // from their root, roots and isolated nodes label themselves. The
-    // min-aggregate is the identity on a converged star forest (one
-    // parent per child) and, in the strict=false unconverged case, keeps
-    // the one-label-per-node contract instead of emitting a row per
-    // remaining parent. The final round's checkpoint (and `nodes`) stay
-    // persisted — the returned frame reads them lazily; the context
-    // cleaner frees them once the caller drops the frame.
-    nodes.join(cur.groupBy(col("b").as("node")).agg(min(col("a")).as("root")),
-        Seq("node"), "left_outer")
-      .select(col("node"), coalesce(col("root"), col("node")).as("component"))
+    cur
   }
 
   /** Min-label with an automatic structural fallback: run [[connected]]
@@ -178,13 +221,42 @@ object Components {
     } else {
       log.info(s"min-label did not converge in $minLabelRounds rounds; " +
         "switching to large-star/small-star contraction")
-      checkpointRdd(labels).foreach(_.unpersist(false))
-      // the fallback starts from propagate's already-materialized
-      // symmetrized frame — the expensive upstream pair computation is
-      // NOT evaluated again (same components: sym is the same graph)
-      val out = starFrom(sym, starMaxIter, strict = true)
+      // the aborted min-label rounds are NOT wasted work: after k
+      // rounds each partial label names a connected ≤(k+1)-hop region
+      // of its component, so rewriting every edge into label space
+      // CONTRACTS the graph (deep chains shrink ~(k+1)×) before the
+      // star phase — fewer star rounds, each over a smaller edge set.
+      // Exactness: label graphs have the same component structure, and
+      // each component's global-minimum node m keeps label m (min-label
+      // only ever decreases toward it), so the star fixpoint's
+      // min-label-per-component IS the original min node id, and
+      // composing star(root-of-label) over label(node) reproduces
+      // [[connectedStar]]'s answer bit-for-bit (AdaptProbe-verified).
+      val la = labels.select(col("node").as("a"), col("component").as("ca"))
+      val lb = labels.select(col("node").as("b"), col("component").as("cb"))
+      val contracted = sym
+        .join(la, Seq("a")).join(lb, Seq("b"))
+        .select(col("ca").as("a"), col("cb").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint()
       checkpointRdd(sym).foreach(_.unpersist(false))
-      out
+      // [[starEdges]], not [[starFrom]]: every label-space node already
+      // has a stand-in (its own label) in the compose below, so the
+      // node-table re-attachment — one explode + distinct + checkpoint
+      // job — is pure overhead here
+      val fix = starEdges(contracted, starMaxIter, strict = true)
+      checkpointRdd(contracted).foreach(_.unpersist(false))
+      // compose: node → partial label → star root; labels absent from
+      // the fixpoint's child side (roots, and components fully
+      // collapsed during min-label) keep their partial label, which is
+      // already the component min. `labels` stays checkpoint-persisted —
+      // the returned frame reads it lazily; the context cleaner frees
+      // it with the frame.
+      labels.join(fix.groupBy(col("b").as("component"))
+          .agg(min(col("a")).as("root")), Seq("component"), "left_outer")
+        .select(col("node"),
+          coalesce(col("root"), col("component")).as("component"))
     }
   }
 
