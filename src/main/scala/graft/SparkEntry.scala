@@ -1200,6 +1200,24 @@ object SparkEntry {
         maxDupFrac = 0.65, maxNll = 3.6)
     }),
 
+    // ── END-TO-END curation (the demo row a real user reads first):
+    //    the six text gates + the media near-dup gate + mixture +
+    //    token budgets + packing, ONE audited report — every stage's
+    //    counters hash-gate against a full SQL replay (funnel CTEs +
+    //    the recursive media closure + the mix/budget/pack rules).
+    "q_e2e_curation" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.ext.CurationE2e.report(
+        d, d.filter(col("doc_id") % 10 === 0), "doc_id", "text", "lang",
+        keepLangs = Seq("en", "de", "fr"), minTokens = 20L, maxTokens = 90L,
+        minQuality = 0.55, stopwords = ExtConfig.stopwords,
+        maxDupFrac = 0.65, maxNll = 3.6,
+        mediaDrop = mediaDropDocs(s, dir),
+        upFactors = Map("en" -> 1.5, "de" -> 0.5),
+        budgets = Map("en" -> 300L, "de" -> 150L, "fr" -> 150L),
+        packTokens = 128L)
+    }),
+
     // ── Split-leakage audit (ext.Splits.leakageAudit): a simulated
     //    re-crawl (every doc duplicated under a shifted id) is split by
     //    id hash; fingerprints spanning ≥2 splits are the leaked groups —
@@ -1347,6 +1365,19 @@ object SparkEntry {
       // verify joins go map-side against the docset table
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5, broadcastCandidates = true)),
+
+    // ── N-gram Jaccard with the hot-key cap DERIVED from a Count-Min
+    //    sketch (X63 guards stop taking cap lists on caller faith): one
+    //    md5-bucket sketch pass over the postings, shingles estimating
+    //    ≥ 20 drop from candidate generation. LOSSY by design, so —
+    //    unlike q_ngram_jaccard — the oracle must model the prefix
+    //    windows exactly: a pair whose only in-prefix shared shingles
+    //    are capped is gone even if rarer shared shingles exist beyond
+    //    the prefixes. The SQL replays sketch, cap list, rank windows,
+    //    and full-set verification.
+    "q_ngram_sketch_capped" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsSketchCapped(Tables.documents(s, dir),
+        "doc_id", "text", n = 3, threshold = 0.5, minEst = 20)),
 
     // ── MinHash + LSH banding with exact-Jaccard verification.
     "q_minhash_lsh" -> ((s, dir) =>
@@ -2189,6 +2220,63 @@ object SparkEntry {
         .withColumn("k", lit(10))
     }),
 
+    // ── OPQ-style rotation ahead of PQ, recall-audited: the EXACT
+    //    RATIONAL rotation (seeded 3-4-5 Givens chain — integer
+    //    arithmetic end-to-end, the only rotation a hash gate can
+    //    replay) feeds the standard PQ faces and the hits count against
+    //    ORIGINAL-space brute ground truth. Honest reading, documented
+    //    in COVERAGE.md: these embeddings are near-isotropic, so the
+    //    rotated counts sit in the same band as q_pq_recall — the row
+    //    gates the rotation+PQ+audit MECHANICS; the recall LEVER on
+    //    isotropic data is capacity (q_pq_recall_tuned below), and the
+    //    parametric OPQ face (Opq.fitParametric) earns its keep on
+    //    correlated corpora (OpqSpec's fixture).
+    "q_opq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val rot = graft.ext.Opq.rationalRotation(seed = 7, dim, steps = 16)
+      val rotated = graft.ext.Opq.rotateExact(emb, "vec_id", "embedding",
+        rot).localCheckpoint()
+      val cb = graft.ext.PqIndex.codebooks(rotated, "vec_id", "rvec",
+        m = 4, k = 4, rounds = 2)
+      val codes = graft.ext.PqIndex.encode(rotated, "vec_id", "rvec", cb)
+      val adc = graft.ext.PqIndex.adcTopK(codes, cb,
+        rotated.filter(col("vec_id") < 3), "vec_id", "rvec", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val ex = graft.ext.PqIndex.exactTopK(emb,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
+        .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+      adc.join(ex, col("query_id") === col("q2") &&
+          col("neighbor_id") === col("n2"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("n2")).cast("int").as("hits"))
+        .withColumn("k", lit(10))
+    }),
+
+    // ── The HONEST recall lever on this corpus: codebook capacity.
+    //    m=16×k=16 (64 bits/vector vs the toy row's 8) lifts the gated
+    //    intersection totals 6/4/4 → 13/11/12 across the three SFs —
+    //    measured first, then pinned here; rotation cannot do that on
+    //    an isotropic spectrum (eigenvalues 0.028…0.016, simulated
+    //    OPQ/RR deltas ±1 — see COVERAGE.md).
+    "q_pq_recall_tuned" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = graft.ext.PqIndex.codebooks(emb, "vec_id", "embedding",
+        m = 16, k = 16, rounds = 4)
+      val codes = graft.ext.PqIndex.encode(emb, "vec_id", "embedding", cb)
+      val adc = graft.ext.PqIndex.adcTopK(codes, cb,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val ex = graft.ext.PqIndex.exactTopK(emb,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
+        .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+      adc.join(ex, col("query_id") === col("q2") &&
+          col("neighbor_id") === col("n2"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("n2")).cast("int").as("hits"))
+        .withColumn("k", lit(10))
+    }),
+
     // ── IVF-PQ (IvfPq): the coarse-quantizer + residual-PQ composition
     //    (FAISS IVFPQ) — codes are residuals from the routed list's
     //    centroid, so memory (m codes/vector) and serve work
@@ -2541,23 +2629,11 @@ object SparkEntry {
     //    one drop list over every media family, keeper = cluster
     //    minimum. Oracle: recursive closure over the three fingerprint
     //    replays (prefixed CTEs) unioned with the same offsets.
-    "q_media_dedup_keep" -> ((s, dir) => {
-      val img = graft.ext.ImageHash.nearDupPairs(
-        imageDedupFps(s, dir), "dhash", maxHamming = 3)
-        .select(col("doc_a"), col("doc_b"))
-      val aud = graft.ext.AudioHash.nearDupPairs(
-        audioDedupFps(s, dir), maxHamming = 3)
-        .select((col("doc_a") + MediaAudioOff).as("doc_a"),
-          (col("doc_b") + MediaAudioOff).as("doc_b"))
-      val vid = graft.ext.VideoHash.nearDupPairs(
-        videoDedupFps(s, dir), maxHamming = 3)
-        .select((col("doc_a") + MediaVideoOff).as("doc_a"),
-          (col("doc_b") + MediaVideoOff).as("doc_b"))
+    "q_media_dedup_keep" -> ((s, dir) =>
       graft.ext.Components.connectedAdaptive(
-        img.unionByName(aud).unionByName(vid), "doc_a", "doc_b")
+          mediaPairGraph(s, dir), "doc_a", "doc_b")
         .filter(col("node") =!= col("component"))
-        .select(col("node").as("doc_id"), col("component").as("kept_id"))
-    }),
+        .select(col("node").as("doc_id"), col("component").as("kept_id"))),
 
     // ── pHash made driver-visible via the tolerance-twin pattern
     //    (q_hll_daily / q_triangles_approx shape): the exact dHash
@@ -3442,6 +3518,40 @@ object SparkEntry {
   private val MediaAudioOff: Long = 1L << 40
   private val MediaVideoOff: Long = 1L << 41
 
+  /** The unified cross-modality near-dup pair graph (offset id spaces)
+    * — shared by q_media_dedup_keep (the keep/drop election) and
+    * q_e2e_curation (the media gate). */
+  private def mediaPairGraph(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val img = graft.ext.ImageHash.nearDupPairs(
+      imageDedupFps(s, dir), "dhash", maxHamming = 3)
+      .select(col("doc_a"), col("doc_b"))
+    val aud = graft.ext.AudioHash.nearDupPairs(
+      audioDedupFps(s, dir), maxHamming = 3)
+      .select((col("doc_a") + MediaAudioOff).as("doc_a"),
+        (col("doc_b") + MediaAudioOff).as("doc_b"))
+    val vid = graft.ext.VideoHash.nearDupPairs(
+      videoDedupFps(s, dir), maxHamming = 3)
+      .select((col("doc_a") + MediaVideoOff).as("doc_a"),
+        (col("doc_b") + MediaVideoOff).as("doc_b"))
+    img.unionByName(aud).unionByName(vid)
+  }
+
+  /** DOC-space drop list from the media keep election: a doc appears
+    * when ANY of its attached media (all three families key media by
+    * the owning doc_id) lost its cluster's keep-min election. Bounded
+    * by the media count — broadcastable by construction. */
+  private def mediaDropDocs(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.ext.Components.connectedAdaptive(
+        mediaPairGraph(s, dir), "doc_a", "doc_b")
+      .filter(col("node") =!= col("component"))
+      .select((col("node") - when(col("node") >= MediaVideoOff,
+          lit(MediaVideoOff))
+        .when(col("node") >= MediaAudioOff, lit(MediaAudioOff))
+        .otherwise(lit(0L))).as("doc_id"))
+      .distinct()
+
   /** The image-dedup fingerprint replay (cells → comparisons → 63-bit
     * fp), shared by the q_image_* family — one source of truth for the
     * fingerprint semantics, like minhashLshOracle. CTE names take a
@@ -3583,6 +3693,69 @@ object SparkEntry {
                   CAST(sum(b * (CAST(1 AS BIGINT) << CAST(j AS INT)))
                        AS BIGINT) AS f
            FROM ${p}bits GROUP BY doc_id)"""
+
+  /** The funnel gate CTEs (dw through gated: per-doc signals,
+    * p1..p6 flags, keep-min dedup) — shared by q_corpus_funnel and
+    * q_e2e_curation. Requires $qualityTCte earlier in the WITH. */
+  private val funnelGatedCtes: String =
+    s"""dw AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS w
+           FROM documents),
+         ref AS (SELECT w FROM dw WHERE doc_id % 10 = 0),
+         uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu
+                 FROM (SELECT unnest(w) AS w1 FROM ref) GROUP BY 1),
+         bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS cb
+                FROM (SELECT w[i] || ' ' || w[i+1] AS gram
+                      FROM ref, UNNEST(range(1, len(w))) t(i)) GROUP BY 1),
+         consts AS (SELECT CAST((SELECT count(*) FROM uni) AS BIGINT) AS v,
+                           CAST((SELECT sum(cu) FROM uni) AS BIGINT) AS n),
+         cand AS (SELECT doc_id, w FROM dw WHERE len(w) >= 1),
+         ft AS (SELECT doc_id, CAST(1 AS BIGINT) AS toks,
+                 CAST(floor((ln(COALESCE(cu, 0) + 1) - ln(n + v)) * 1000000)
+                   AS BIGINT) AS t2
+                FROM (SELECT doc_id, w[1] AS w1 FROM cand)
+                LEFT JOIN uni USING (w1), consts),
+         bg AS (SELECT doc_id, w1, gram, CAST(count(*) AS BIGINT) AS cnt
+                FROM (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS gram
+                      FROM cand, UNNEST(range(1, len(w))) t(i))
+                GROUP BY 1, 2, 3),
+         bt AS (SELECT doc_id, cnt AS toks,
+                 CAST(floor(cnt * (ln(COALESCE(cb, 0) + 1)
+                                   - ln(COALESCE(cu, 0) + v)) * 1000000)
+                   AS BIGINT) AS t2
+                FROM bg LEFT JOIN bi USING (gram)
+                        LEFT JOIN uni USING (w1), consts),
+         ppl AS (SELECT doc_id,
+                  CAST((-20000 * CAST(sum(t2) AS BIGINT)
+                        + 1000000 * CAST(sum(toks) AS BIGINT))
+                       // (2000000 * CAST(sum(toks) AS BIGINT))
+                       AS DOUBLE) / 10000.0 AS nll
+                 FROM (SELECT * FROM ft UNION ALL SELECT * FROM bt)
+                 GROUP BY 1),
+         sig AS (SELECT d.doc_id, d.lang, t.w AS toks,
+                  $qualityFormulaSql AS quality,
+                  CAST(floor((2*(len(string_split_regex(lower(trim(d.text)), '\\s+'))
+                       - len(list_distinct(string_split_regex(lower(trim(d.text)), '\\s+'))))*10000
+                       + greatest(len(string_split_regex(lower(trim(d.text)), '\\s+')), 1))
+                      / (2*greatest(len(string_split_regex(lower(trim(d.text)), '\\s+')), 1)))
+                    AS DOUBLE) / 10000 AS dup_frac,
+                  md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp,
+                  ppl.nll
+                 FROM documents d JOIN t ON d.doc_id = t.doc_id
+                 LEFT JOIN ppl ON d.doc_id = ppl.doc_id),
+         flag AS (SELECT *,
+                  (lang IN ('en', 'de', 'fr')) AS p1,
+                  (p1 AND toks BETWEEN 20 AND 90) AS p2,
+                  (p2 AND quality >= 0.55) AS p3,
+                  (p3 AND dup_frac <= 0.65) AS p4,
+                  (p4 AND COALESCE(nll <= 3.6, false)) AS p5
+                 FROM sig),
+         keepmin AS (SELECT fp, min(doc_id) AS keep_id FROM flag
+                     WHERE p5 GROUP BY 1),
+         gated AS (SELECT flag.*,
+                    (p5 AND flag.doc_id = keep_id) AS p6
+                   FROM flag LEFT JOIN keepmin USING (fp))"""
 
   private val closureOracle: String =
     """sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -4883,64 +5056,7 @@ object SparkEntry {
     // for the sequential gates; HUGEINT sums cast to BIGINT
     "q_corpus_funnel" ->
       s"""WITH $qualityTCte,
-         dw AS (SELECT doc_id,
-             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                         x -> x <> '') AS w
-           FROM documents),
-         ref AS (SELECT w FROM dw WHERE doc_id % 10 = 0),
-         uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu
-                 FROM (SELECT unnest(w) AS w1 FROM ref) GROUP BY 1),
-         bi AS (SELECT gram, CAST(count(*) AS BIGINT) AS cb
-                FROM (SELECT w[i] || ' ' || w[i+1] AS gram
-                      FROM ref, UNNEST(range(1, len(w))) t(i)) GROUP BY 1),
-         consts AS (SELECT CAST((SELECT count(*) FROM uni) AS BIGINT) AS v,
-                           CAST((SELECT sum(cu) FROM uni) AS BIGINT) AS n),
-         cand AS (SELECT doc_id, w FROM dw WHERE len(w) >= 1),
-         ft AS (SELECT doc_id, CAST(1 AS BIGINT) AS toks,
-                 CAST(floor((ln(COALESCE(cu, 0) + 1) - ln(n + v)) * 1000000)
-                   AS BIGINT) AS t2
-                FROM (SELECT doc_id, w[1] AS w1 FROM cand)
-                LEFT JOIN uni USING (w1), consts),
-         bg AS (SELECT doc_id, w1, gram, CAST(count(*) AS BIGINT) AS cnt
-                FROM (SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS gram
-                      FROM cand, UNNEST(range(1, len(w))) t(i))
-                GROUP BY 1, 2, 3),
-         bt AS (SELECT doc_id, cnt AS toks,
-                 CAST(floor(cnt * (ln(COALESCE(cb, 0) + 1)
-                                   - ln(COALESCE(cu, 0) + v)) * 1000000)
-                   AS BIGINT) AS t2
-                FROM bg LEFT JOIN bi USING (gram)
-                        LEFT JOIN uni USING (w1), consts),
-         ppl AS (SELECT doc_id,
-                  CAST((-20000 * CAST(sum(t2) AS BIGINT)
-                        + 1000000 * CAST(sum(toks) AS BIGINT))
-                       // (2000000 * CAST(sum(toks) AS BIGINT))
-                       AS DOUBLE) / 10000.0 AS nll
-                 FROM (SELECT * FROM ft UNION ALL SELECT * FROM bt)
-                 GROUP BY 1),
-         sig AS (SELECT d.doc_id, d.lang, t.w AS toks,
-                  $qualityFormulaSql AS quality,
-                  CAST(floor((2*(len(string_split_regex(lower(trim(d.text)), '\\s+'))
-                       - len(list_distinct(string_split_regex(lower(trim(d.text)), '\\s+'))))*10000
-                       + greatest(len(string_split_regex(lower(trim(d.text)), '\\s+')), 1))
-                      / (2*greatest(len(string_split_regex(lower(trim(d.text)), '\\s+')), 1)))
-                    AS DOUBLE) / 10000 AS dup_frac,
-                  md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp,
-                  ppl.nll
-                 FROM documents d JOIN t ON d.doc_id = t.doc_id
-                 LEFT JOIN ppl ON d.doc_id = ppl.doc_id),
-         flag AS (SELECT *,
-                  (lang IN ('en', 'de', 'fr')) AS p1,
-                  (p1 AND toks BETWEEN 20 AND 90) AS p2,
-                  (p2 AND quality >= 0.55) AS p3,
-                  (p3 AND dup_frac <= 0.65) AS p4,
-                  (p4 AND COALESCE(nll <= 3.6, false)) AS p5
-                 FROM sig),
-         keepmin AS (SELECT fp, min(doc_id) AS keep_id FROM flag
-                     WHERE p5 GROUP BY 1),
-         gated AS (SELECT flag.*,
-                    (p5 AND flag.doc_id = keep_id) AS p6
-                   FROM flag LEFT JOIN keepmin USING (fp)),
+         $funnelGatedCtes,
          wide AS (SELECT count(*) AS c0,
                   count(*) FILTER (WHERE p1) AS c1,
                   count(*) FILTER (WHERE p2) AS c2,
@@ -4963,6 +5079,109 @@ object SparkEntry {
          UNION ALL SELECT 5, 'perplexity', c4, c5, c4 - c5, td5 FROM wide
          UNION ALL SELECT 6, 'dedup', c5, c6, c5 - c6, td6 FROM wide""",
 
+    // the WHOLE pipeline replayed: funnel gates + the recursive media
+    // closure (doc-space drop list) + the mix/budget/pack rules — all
+    // BIGINT counters
+    "q_e2e_curation" ->
+      s"""WITH RECURSIVE $qualityTCte,
+         $funnelGatedCtes,
+         ${imageFpCtes("i_")},
+         ${audioFpCtes("a_")},
+         ${videoFpCtes("v_")},
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM i_fp a JOIN i_fp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.f, b.f)) <= 3
+           UNION ALL
+           SELECT a.doc_id + $MediaAudioOff, b.doc_id + $MediaAudioOff
+           FROM a_fp a JOIN a_fp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.f, b.f)) <= 3
+           UNION ALL
+           SELECT a.doc_id + $MediaVideoOff, b.doc_id + $MediaVideoOff
+           FROM v_fp a JOIN v_fp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.f, b.f)) <= 3),
+         $closureOracle,
+         mdrop AS (SELECT DISTINCT node
+                    - CASE WHEN node >= $MediaVideoOff THEN $MediaVideoOff
+                           WHEN node >= $MediaAudioOff THEN $MediaAudioOff
+                           ELSE 0 END AS doc_id
+                   FROM comp WHERE node <> cluster_id),
+         g7 AS (SELECT gated.*,
+                  (COALESCE(p6, false) AND
+                   gated.doc_id NOT IN (SELECT doc_id FROM mdrop)) AS p7
+                FROM gated),
+         wide AS (SELECT count(*) AS c0,
+                  count(*) FILTER (WHERE p1) AS c1,
+                  count(*) FILTER (WHERE p2) AS c2,
+                  count(*) FILTER (WHERE p3) AS c3,
+                  count(*) FILTER (WHERE p4) AS c4,
+                  count(*) FILTER (WHERE p5) AS c5,
+                  count(*) FILTER (WHERE COALESCE(p6, false)) AS c6,
+                  count(*) FILTER (WHERE p7) AS c7,
+                  CAST(COALESCE(sum(toks) FILTER (WHERE p1), 0) AS BIGINT) AS t1,
+                  CAST(COALESCE(sum(toks) FILTER (WHERE p2), 0) AS BIGINT) AS t2,
+                  CAST(COALESCE(sum(toks) FILTER (WHERE p3), 0) AS BIGINT) AS t3,
+                  CAST(COALESCE(sum(toks) FILTER (WHERE p4), 0) AS BIGINT) AS t4,
+                  CAST(COALESCE(sum(toks) FILTER (WHERE p5), 0) AS BIGINT) AS t5,
+                  CAST(COALESCE(sum(toks) FILTER (WHERE COALESCE(p6, false)), 0) AS BIGINT) AS t6,
+                  CAST(COALESCE(sum(toks) FILTER (WHERE p7), 0) AS BIGINT) AS t7
+                 FROM g7),
+         surv AS (SELECT doc_id, lang, toks FROM g7 WHERE p7),
+         mixn AS (SELECT doc_id, lang, toks,
+                  CASE lang WHEN 'en' THEN 1 + CASE WHEN bucket < 32768 THEN 1 ELSE 0 END
+                            WHEN 'de' THEN CASE WHEN bucket < 32768 THEN 1 ELSE 0 END
+                            ELSE 1 END AS n
+                  FROM (SELECT doc_id, lang, toks,
+                        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS bucket
+                        FROM surv)),
+         mix AS (SELECT doc_id, lang, toks,
+                   unnest(range(CAST(n AS BIGINT))) AS copy_idx
+                 FROM mixn WHERE n >= 1),
+         bud AS (SELECT doc_id, lang, toks, copy_idx,
+                  CAST(COALESCE(sum(toks) OVER (PARTITION BY lang
+                    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                             doc_id, copy_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS tokens_before
+                 FROM mix),
+         kept AS (SELECT doc_id, lang, toks, copy_idx FROM bud
+                  WHERE tokens_before <
+                    CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 150
+                              WHEN 'fr' THEN 150 ELSE 0 END),
+         pk AS (SELECT lang, toks,
+                  CAST(floor(CAST(COALESCE(sum(toks) OVER (
+                    PARTITION BY lang ORDER BY doc_id, copy_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) / 128.0) AS BIGINT) AS pack_id
+                FROM kept),
+         s8 AS (SELECT (SELECT c7 FROM wide) AS n_in,
+                  count(*) AS n_out,
+                  CAST(COALESCE(sum(toks), 0) AS BIGINT) AS tokens_out
+                FROM mix),
+         s9 AS (SELECT (SELECT count(*) FROM mix) AS n_in,
+                  count(*) AS n_out,
+                  CAST(COALESCE(sum(toks), 0) AS BIGINT) AS tokens_out
+                FROM kept),
+         s10 AS (SELECT (SELECT count(*) FROM kept) AS n_in,
+                  count(DISTINCT (lang, pack_id)) AS n_out,
+                  CAST(COALESCE(sum(toks), 0) AS BIGINT) AS tokens_out
+                 FROM pk)
+         SELECT CAST(1 AS BIGINT) AS stage, 'lang' AS gate, c0 AS n_in,
+                c1 AS n_out, t1 AS tokens_out FROM wide
+         UNION ALL SELECT 2, 'length', c1, c2, t2 FROM wide
+         UNION ALL SELECT 3, 'quality', c2, c3, t3 FROM wide
+         UNION ALL SELECT 4, 'repetition', c3, c4, t4 FROM wide
+         UNION ALL SELECT 5, 'perplexity', c4, c5, t5 FROM wide
+         UNION ALL SELECT 6, 'dedup', c5, c6, t6 FROM wide
+         UNION ALL SELECT 7, 'media_dedup', c6, c7, t7 FROM wide
+         UNION ALL SELECT 8, 'mixture', n_in, n_out, tokens_out FROM s8
+         UNION ALL SELECT 9, 'token_budget', n_in, n_out, tokens_out FROM s9
+         UNION ALL SELECT 10, 'pack', n_in, n_out, tokens_out FROM s10""",
+
+    
     // same 4-nibble bucket arithmetic as q_split; pos ranks by the raw
     // md5 string (fixed-width lowercase hex = byte order in both engines)
     "q_shuffle_shard" ->
@@ -5240,6 +5459,60 @@ object SparkEntry {
          JOIN cnt na ON doc_a = na.doc_id
          JOIN cnt nb ON doc_b = nb.doc_id
          WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5""",
+
+    // sketch-derived cap: the CM sketch, the est >= minEst hot list, the
+    // per-doc (df, shingle) rank windows, the in-prefix non-hot shared-
+    // shingle candidates, and full-set Jaccard verification — the prefix
+    // MUST be modeled here because the cap makes candidate generation
+    // lossy (a pair whose only in-prefix shared shingles are hot is
+    // dropped even when rarer shared shingles exist past the prefix)
+    "q_ngram_sketch_capped" -> {
+      val arg = "'42|'||CAST(t.i AS VARCHAR)||'|'||s"
+      val bucket =
+        s"""((strpos('0123456789abcdef', substr(md5($arg), 1, 1)) - 1) * 4096 +
+             (strpos('0123456789abcdef', substr(md5($arg), 2, 1)) - 1) * 256 +
+             (strpos('0123456789abcdef', substr(md5($arg), 3, 1)) - 1) * 16 +
+             (strpos('0123456789abcdef', substr(md5($arg), 4, 1)) - 1)) % 65536"""
+      s"""WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                        FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
+                FROM words, UNNEST(range(1, len(w)-1)) t(i)),
+         cells AS (SELECT t.i AS i, $bucket AS j
+                   FROM sh CROSS JOIN range(4) t(i)),
+         sk AS (SELECT i, j, count(*) AS cnt FROM cells GROUP BY 1, 2),
+         keys AS (SELECT DISTINCT s FROM sh),
+         qb AS (SELECT s, t.i AS i, $bucket AS j
+                FROM keys CROSS JOIN range(4) t(i)),
+         est AS (SELECT qb.s AS s, min(coalesce(sk.cnt, 0)) AS est
+                 FROM qb LEFT JOIN sk ON sk.i = qb.i AND sk.j = qb.j
+                 GROUP BY 1),
+         hot AS (SELECT s FROM est WHERE est >= 20),
+         dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+         rk AS (SELECT sh.doc_id, sh.s, dfreq.df,
+                  row_number() OVER (PARTITION BY sh.doc_id
+                                     ORDER BY dfreq.df, sh.s) AS rk,
+                  count(*) OVER (PARTITION BY sh.doc_id) AS n
+                FROM sh JOIN dfreq USING (s)),
+         pr AS (SELECT doc_id, s FROM rk
+                WHERE rk <= CAST(floor(0.5 * n + 1e-9) AS INT) + 1
+                  AND s NOT IN (SELECT s FROM hot)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id),
+         inter AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+                     count(*) AS c
+                   FROM sh sa JOIN sh sb ON sa.s = sb.s
+                     AND sa.doc_id < sb.doc_id
+                   JOIN cand ON cand.doc_a = sa.doc_id
+                     AND cand.doc_b = sb.doc_id
+                   GROUP BY 1, 2),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+         SELECT doc_a, doc_b,
+                round(CAST(c AS DOUBLE)/(na.n + nb.n - c), 4) AS jaccard
+         FROM inter
+         JOIN cnt na ON doc_a = na.doc_id
+         JOIN cnt nb ON doc_b = nb.doc_id
+         WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5"""
+    },
 
     "q_minhash_lsh" -> minhashLshOracle,
 
@@ -6314,6 +6587,12 @@ object SparkEntry {
     // PQ recall audit: both rankings from the same comp CTE
     "q_pq_recall" -> pqRecallOracle(m = 4, k = 4, rounds = 2, topK = 10),
 
+    "q_opq_recall" -> opqRecallOracle(seed = 7, dim = 64, steps = 16,
+      m = 4, k = 4, rounds = 2, topK = 10),
+
+    "q_pq_recall_tuned" ->
+      pqRecallOracle(m = 16, k = 16, rounds = 4, topK = 10),
+
     // greedy k-center: unrolled farthest-point rounds
     "q_coreset" -> coresetOracle(k = 6),
     // coverage assignment against the same unrolled picks
@@ -7114,16 +7393,12 @@ object SparkEntry {
            ON a.qid = b.qid AND a.vid = b.vid
          GROUP BY a.qid"""
 
-  /** comp/init/c0 + the sub-keyed training rounds — shared by
-    * [[pqOracle]] and [[pqRecallOracle]]. */
-  private def pqCoreCtes(m: Int, k: Int, rounds: Int): String = {
-    val prelude =
-      s"""comp AS (SELECT vec_id AS vid,
-               CAST((i - 1) // (len(embedding) // $m) AS INTEGER) AS sub,
-               i - 1 AS pos,
-               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
-             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
-         init AS (SELECT vec_id AS vid,
+  /** init/c0 + the sub-keyed training rounds over a CTE named `comp` —
+    * shared by [[pqOracle]], [[pqRecallOracle]], and (with a ROTATED
+    * comp) [[opqRecallOracle]]. */
+  private def pqTrainCtes(k: Int, rounds: Int): String = {
+    val initC0 =
+      s"""init AS (SELECT vec_id AS vid,
                     CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
                   FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
          c0 AS (SELECT cid, pos, q AS cq FROM init JOIN comp USING (vid))"""
@@ -7141,7 +7416,83 @@ object SparkEntry {
                      PARTITION BY vid, sub ORDER BY d, cid) AS rn
                    FROM d$r) WHERE rn = 1)$update"""
     }
-    (Seq(prelude) ++ perRound).mkString("WITH ", ",\n         ", "")
+    (Seq(initC0) ++ perRound).mkString(",\n         ")
+  }
+
+  /** comp/init/c0 + the sub-keyed training rounds — shared by
+    * [[pqOracle]] and [[pqRecallOracle]]. */
+  private def pqCoreCtes(m: Int, k: Int, rounds: Int): String = {
+    val prelude =
+      s"""comp AS (SELECT vec_id AS vid,
+               CAST((i - 1) // (len(embedding) // $m) AS INTEGER) AS sub,
+               i - 1 AS pos,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i))"""
+    "WITH " + prelude + ",\n         " + pqTrainCtes(k, rounds)
+  }
+
+  /** The q_opq_recall replay: rebuild the exact-rational rotation
+    * matrix from the SAME (p, q, sign) step literals the Spark side
+    * uses (16 window-CTEs over the 64×64 integer identity — every
+    * entry exact BIGINT, every sum order-free), rotate the quantized
+    * components, floor-divide back to the grid, then the standard PQ
+    * train/ADC CTEs over the ROTATED comps and the brute ranking over
+    * the ORIGINAL comps — recall is always measured against original-
+    * space ground truth. */
+  private def opqRecallOracle(seed: Long, dim: Int, steps: Int, m: Int,
+      k: Int, rounds: Int, topK: Int): String = {
+    val sched = graft.ext.Opq.schedule(seed, dim, steps)
+    val denom = (0 until steps).foldLeft(1L)((a, _) => a * 5L)
+    val stepCtes = sched.zipWithIndex.map { case ((p, q, s), t0) =>
+      val t = t0 + 1
+      s"""r$t AS (SELECT r, c,
+                CASE WHEN r = $p THEN 3 * wp + ($s) * 4 * wq
+                     WHEN r = $q THEN -($s) * 4 * wp + 3 * wq
+                     ELSE 5 * w END AS w
+              FROM (SELECT r, c, w,
+                      MAX(CASE WHEN r = $p THEN w END) OVER (PARTITION BY c) AS wp,
+                      MAX(CASE WHEN r = $q THEN w END) OVER (PARTITION BY c) AS wq
+                    FROM r${t - 1}))"""
+    }.mkString(",\n         ")
+    s"""WITH comp0 AS (SELECT vec_id AS vid, i - 1 AS pos,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+         r0 AS (SELECT ti.i::INTEGER AS r, tj.j::INTEGER AS c,
+                  CASE WHEN ti.i = tj.j THEN 1::BIGINT ELSE 0::BIGINT END AS w
+                FROM range($dim) ti(i), range($dim) tj(j)),
+         $stepCtes,
+         rott AS (SELECT vid, rr.r AS pos, SUM(rr.w * comp0.q) AS u
+                  FROM r$steps rr JOIN comp0 ON comp0.pos = rr.c
+                  GROUP BY vid, rr.r),
+         comp AS (SELECT vid, CAST(pos // ${dim / m} AS INTEGER) AS sub,
+                    pos, u // $denom AS q
+                  FROM rott),
+         ${pqTrainCtes(k, rounds)},
+         qc AS (SELECT vid AS qid, sub, pos, q FROM comp WHERE vid < 3),
+         dt AS (SELECT qid, sub, cid, sum((q - cq) * (q - cq)) AS dtv
+                FROM qc JOIN c${rounds - 1} USING (pos)
+                GROUP BY qid, sub, cid),
+         sc AS (SELECT qid, a.vid AS vid, sum(dtv) AS adc
+                FROM a$rounds a JOIN dt ON a.sub = dt.sub AND a.cid = dt.cid
+                GROUP BY qid, a.vid),
+         adck AS (SELECT qid, vid FROM (
+                    SELECT qid, vid, row_number() OVER (
+                      PARTITION BY qid ORDER BY adc, vid) AS rk
+                    FROM sc WHERE qid <> vid) WHERE rk <= $topK),
+         bq AS (SELECT vid AS qid, pos, q FROM comp0 WHERE vid < 3),
+         bd AS (SELECT bq.qid AS qid, comp0.vid AS vid,
+                  sum((bq.q - comp0.q) * (bq.q - comp0.q)) AS d
+                FROM comp0 JOIN bq ON comp0.pos = bq.pos
+                GROUP BY bq.qid, comp0.vid),
+         brutek AS (SELECT qid, vid FROM (
+                      SELECT qid, vid, row_number() OVER (
+                        PARTITION BY qid ORDER BY d, vid) AS rk
+                      FROM bd WHERE qid <> vid) WHERE rk <= $topK)
+         SELECT a.qid AS query_id, CAST(count(b.vid) AS INTEGER) AS hits,
+                CAST($topK AS INTEGER) AS k
+         FROM adck a LEFT JOIN brutek b
+           ON a.qid = b.qid AND a.vid = b.vid
+         GROUP BY a.qid"""
   }
 
   private def pqOracle(m: Int, k: Int, rounds: Int,

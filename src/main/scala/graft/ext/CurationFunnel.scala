@@ -33,7 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object CurationFunnel {
 
-  def report(docs: DataFrame, reference: DataFrame, idCol: String,
+  /** The per-doc gate frame behind [[report]]: (idCol, lang, toks,
+    * quality, dup_frac, fp, nll, p1..p6) — exposed so compositions that
+    * need the SURVIVOR SET (the end-to-end curation pipeline,
+    * `q_e2e_curation`) share one definition of the gates with the
+    * counter report. */
+  def gates(docs: DataFrame, reference: DataFrame, idCol: String,
       textCol: String, langCol: String, keepLangs: Seq[String],
       minTokens: Long, maxTokens: Long, minQuality: Double,
       stopwords: Seq[String], maxDupFrac: Double,
@@ -62,8 +67,17 @@ object CurationFunnel {
       .groupBy(col("fp")).agg(min(col(idCol)).as("keep_id"))
     // fp-keyed join, NOT broadcast: the survivor fingerprint table is
     // corpus-sized at scale
-    val gated = flagged.join(keepMin, Seq("fp"), "left")
+    flagged.join(keepMin, Seq("fp"), "left")
       .withColumn("p6", col("p5") && col(idCol) === col("keep_id"))
+  }
+
+  def report(docs: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, langCol: String, keepLangs: Seq[String],
+      minTokens: Long, maxTokens: Long, minQuality: Double,
+      stopwords: Seq[String], maxDupFrac: Double,
+      maxNll: Double): DataFrame = {
+    val gated = gates(docs, reference, idCol, textCol, langCol, keepLangs,
+      minTokens, maxTokens, minQuality, stopwords, maxDupFrac, maxNll)
 
     val wide = gated.agg(
       count(lit(1)).as("c0"),

@@ -80,7 +80,8 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDF: Option[Long] = None,
-      broadcastCandidates: Boolean = false
+      broadcastCandidates: Boolean = false,
+      hotShingles: Option[DataFrame] = None
   ): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
     // Global rarity df stays a WINDOW count (one shuffle+sort on the
@@ -127,10 +128,30 @@ object Dedup {
           s"CAST(floor((1.0 - $threshold) * n_doc + 1e-9) AS INT) + 1)")))
       .select(col(idCol), col("n_doc"), (col("pos") + 1).as("rk"),
         col("col.shingle").as("shingle"), col("col.df").as("df"))
-    val prefix = (maxShingleDF match {
+    val prefixDf = (maxShingleDF match {
       case Some(cap) => prefixRaw.filter(col("df") <= cap)
       case None => prefixRaw
     }).select(col(idCol), col("shingle"), col("n_doc"), col("rk"))
+    // sketch-derived hot list (`hotShingles`, a DISTINCT one-column
+    // frame — see ngramJaccardPairsSketchCapped): listed shingles drop
+    // from candidate generation AFTER rank assignment, the exact
+    // maxShingleDF discipline (slots consumed, verification still full
+    // sets). Same LOSSY caveat, same observe-metric audit; the list is
+    // bounded by postings/minEst, so the broadcast is safe by
+    // construction.
+    val prefix = hotShingles match {
+      case Some(hs) =>
+        val flagged = prefixDf.join(
+          broadcast(hs.select(col("shingle"), lit(true).as("__hot"))),
+          Seq("shingle"), "left")
+        SkewGuard.observeDropCount(flagged, "ngram_hot",
+          sum(when(col("__hot"), 1L)),
+          dropped => s"ngramJaccardPairs: sketch-derived hot-key cap " +
+            s"dropped $dropped prefix posting(s) from candidate " +
+            "generation (scores remain exact Jaccard over full sets)")
+          .filter(col("__hot").isNull).drop("__hot")
+      case None => prefixDf
+    }
     // Candidate pairs from POSTING LISTS, not a self-join: group the prefix
     // index by shingle and expand id pairs in-row. A self-join would plan
     // the whole windowed chain twice (Spark 4.1 AQE does not reuse
@@ -184,6 +205,49 @@ object Dedup {
       .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
       .filter(jac >= threshold)
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+  }
+
+  /** [[ngramJaccardPairs]] with the hot-key cap DERIVED from a Count-Min
+    * sketch instead of handed in by the caller (review r13 #7: the X63
+    * guards took cap inputs on faith): one map-side-combinable sketch
+    * pass over the postings, then every distinct shingle probes it and
+    * the ones estimating ≥ `minEst` become the cap list. CM's one-sided
+    * est ≥ true guarantee means a genuinely hot shingle can NEVER dodge
+    * the cap; collisions can cap an innocent rare shingle (lossy in the
+    * same direction the cap already is — candidate generation only,
+    * scores stay exact full-set Jaccard, drops audited by the observe
+    * metric). Deterministic md5 buckets make the whole derivation
+    * SQL-replayable, so the capped pair set hash-gates
+    * (q_ngram_sketch_capped).
+    *
+    * Production shape: the sketch here is built in-query for the gated
+    * row; a continuous pipeline serves the SAME derivation from the
+    * [[graft.streaming.CountMinStream]]-maintained sketch store —
+    * merge-is-exact makes the two indistinguishable. */
+  def ngramJaccardPairsSketchCapped(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      minEst: Long,
+      d: Int = 4,
+      w: Int = 65536,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(minEst >= 2, s"minEst must be >= 2: $minEst")
+    // one text parse for both sketch and probe keys; the pair operator
+    // re-derives its own shingle frame from df (it materializes it as
+    // perDoc anyway)
+    val sh = shingles(df, idCol, textCol, n).localCheckpoint()
+    val sk = CountMin.sketch(sh.select(col("shingle")), "shingle",
+      d, w, seed)
+    val hot = CountMin.estimate(sk, sh.select(col("shingle")), "shingle",
+      d, w, seed)
+      .filter(col("est") >= minEst)
+      .select(col("key").as("shingle"))
+    ngramJaccardPairs(df, idCol, textCol, n, threshold,
+      hotShingles = Some(hot))
   }
 
   /** MinHash signatures as one wide aggregation: column sig_h =

@@ -79,16 +79,20 @@ object Gram {
   final case class PcaModel(components: Array[Array[Double]],
       means: Array[Double])
 
-  /** Fit a [[PcaModel]] from one [[secondMoment]] pass. (No id column:
-    * the moment sums are row-identity-agnostic by construction —
-    * [[project]] is the face that needs ids.) */
-  def fitPca(vecs: DataFrame, vecCol: String, k: Int): PcaModel = {
+  /** The FULL eigensystem [[fitPca]] truncates: all dim components
+    * (rows, descending eigenvalue), their eigenvalues, and the means —
+    * what a rotation consumer ([[Opq]]) needs, since allocation
+    * decisions read the SPECTRUM, not just the leading directions. */
+  final case class EigModel(components: Array[Array[Double]],
+      eigenvalues: Array[Double], means: Array[Double])
+
+  /** Fit the full [[EigModel]] from one [[secondMoment]] pass. */
+  def fitEig(vecs: DataFrame, vecCol: String): EigModel = {
     val rows = secondMoment(vecs, vecCol).collect()
     val n = rows.find(r => r.getInt(0) == -1 && r.getInt(1) == -1)
       .map(_.getLong(2).toDouble)
       .getOrElse(throw new IllegalArgumentException("empty input"))
     val dim = rows.iterator.map(_.getInt(1)).max + 1
-    require(k >= 1 && k <= dim, s"k must be in [1, $dim]")
     val mean = new Array[Double](dim)
     val cov = Array.ofDim[Double](dim, dim)
     rows.foreach { r =>
@@ -102,7 +106,18 @@ object Gram {
         cov(i)(j) = c; cov(j)(i) = c
       }
     }
-    PcaModel(jacobiTopK(cov, k), mean)
+    val (vecsOut, vals) = jacobiAll(cov)
+    EigModel(vecsOut, vals, mean)
+  }
+
+  /** Fit a [[PcaModel]] from one [[secondMoment]] pass. (No id column:
+    * the moment sums are row-identity-agnostic by construction —
+    * [[project]] is the face that needs ids.) */
+  def fitPca(vecs: DataFrame, vecCol: String, k: Int): PcaModel = {
+    val e = fitEig(vecs, vecCol)
+    val dim = e.means.length
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim]")
+    PcaModel(e.components.take(k), e.means)
   }
 
   /** (id, pc ARRAY<DOUBLE>[k]): mean-centered projection onto the
@@ -122,9 +137,11 @@ object Gram {
     vecs.select(col(idCol).as("id"), pcs.as("pc"))
   }
 
-  /** Cyclic Jacobi with fixed sweeps — deterministic by construction. */
-  private def jacobiTopK(a0: Array[Array[Double]], k: Int)
-      : Array[Array[Double]] = {
+  /** Cyclic Jacobi with fixed sweeps — deterministic by construction.
+    * Returns (components desc by eigenvalue, eigenvalues in the same
+    * order). */
+  private def jacobiAll(a0: Array[Array[Double]])
+      : (Array[Array[Double]], Array[Double]) = {
     val dim = a0.length
     val a = a0.map(_.clone())
     val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
@@ -179,11 +196,12 @@ object Gram {
     }
     // (eigenvalue desc, index asc) total order; sign: largest-|entry|
     // component positive (ties at equal |entry| → first index wins)
-    val order = (0 until dim).sortBy(i => (-a(i)(i), i)).take(k)
-    order.map { col =>
+    val order = (0 until dim).sortBy(i => (-a(i)(i), i))
+    val comps = order.map { col =>
       val vec = Array.tabulate(dim)(r => v(r)(col))
       val m = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
       if (vec(m) < 0) vec.map(-_) else vec
     }.toArray
+    (comps, order.map(i => a(i)(i)).toArray)
   }
 }

@@ -151,43 +151,102 @@ object WaveManifest {
   def pinned(spark: SparkSession, root: String): Option[Seq[Long]] =
     latestVersion(spark, root).map(wavesAt(spark, root, _))
 
+  /** Loud signal that another committer won the version CAS: the wave
+    * set this commit was derived from is stale. Re-read the manifest
+    * and retry ([[commitWave]] does) — never force the write through. */
+  final class ConcurrentCommitException(msg: String)
+    extends java.io.IOException(msg)
+
   /** Commit `waves` as the next snapshot version and flip the pointer;
     * returns the new version number. Call AFTER the wave's data write
     * completes — the manifest is the only thing that makes a wave
-    * visible. Version numbering skips any existing file (a crashed
-    * commit's number is never reused). `through` records the highest
-    * ABSORBED wave id as a `#through=` marker, so replays of absorbed
-    * waves are refused/skipped downstream: None carries the prior
-    * version's marker forward (append commits), Some(n) sets it
-    * explicitly — compactions pass Some(absorbed max), a full rebuild
-    * passes Some(-1) to RESET coverage (fresh index, all ids legal). */
+    * visible. `through` records the highest ABSORBED wave id as a
+    * `#through=` marker, so replays of absorbed waves are
+    * refused/skipped downstream: None carries the prior version's
+    * marker forward (append commits), Some(n) sets it explicitly —
+    * compactions pass Some(absorbed max), a full rebuild passes
+    * Some(-1) to RESET coverage (fresh index, all ids legal).
+    *
+    * Reads the current pointer as its CAS base — callers whose wave
+    * set derives from an EARLIER read should use [[commitBasedOn]]
+    * with that read's version so a racing commit in between fails
+    * loudly instead of silently dropping the other writer's waves. */
   def commit(spark: SparkSession, root: String, waves: Seq[Long],
-      through: Option[Long] = None): Long = {
+      through: Option[Long] = None): Long =
+    commitBasedOn(spark, root, waves, through, latestVersion(spark, root))
+
+  /** [[commit]] with OPTIMISTIC CONCURRENCY: the new version number is
+    * exactly `basedOn + 1`, and the atomic no-overwrite rename of the
+    * version file IS the compare-and-swap — if any other committer
+    * produced that version since `basedOn` was read, the rename fails
+    * and a [[ConcurrentCommitException]] surfaces the lost-update race
+    * the old fresh-listing numbering silently absorbed (review r13 #5:
+    * two racing commitWaves each pinned THEIR wave set; the second
+    * version dropped the first writer's wave with no error).
+    *
+    * Crash resume stays idempotent: if `v=<basedOn+1>` already exists
+    * WITH BYTE-IDENTICAL CONTENT (our own crashed attempt between
+    * rename and pointer flip, or an at-least-once replay of the same
+    * commit), the commit proceeds straight to the pointer flip instead
+    * of failing. A reader never observes a mixed wave set either way:
+    * version files are immutable once renamed and the pointer flip is
+    * a single atomic overwrite-rename. */
+  // per-root JVM lock serializing the CAS section: Hadoop's LOCAL
+  // FileSystem.rename is check-then-act (two same-JVM racers — e.g.
+  // two streaming queries on one Spark driver, the realistic race —
+  // could both pass the dst-exists check and POSIX-rename over each
+  // other). Cross-JVM safety rides the filesystem's atomic
+  // no-overwrite rename (HDFS), the same contract the pointer flip
+  // already documents for object stores.
+  private val casLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def commitBasedOn(spark: SparkSession, root: String, waves: Seq[Long],
+      through: Option[Long], basedOn: Option[Long]): Long = {
     val f = fs(spark, root)
     val d = new org.apache.hadoop.fs.Path(dir(root))
     if (!f.exists(d)) f.mkdirs(d)
     val marker = through.getOrElse(compactedThrough(spark, root))
-    val next = versions(spark, root).lastOption.getOrElse(-1L) + 1
+    val next = basedOn.getOrElse(-1L) + 1
     val body = (if (marker >= 0) Seq(s"#through=$marker") else Nil)
       .++(waves.distinct.sorted.map(_.toString)).mkString("\n")
-    // tmp-write + rename: a concurrent reader of v=<n> never sees a
-    // partial wave list
-    val tmp = new org.apache.hadoop.fs.Path(dir(root), s".tmp.v$next")
-    val out = f.create(tmp, true)
-    out.write(body.getBytes("UTF-8"))
-    out.close()
-    val vfile = new org.apache.hadoop.fs.Path(dir(root), s"v=$next")
-    if (!f.rename(tmp, vfile))
-      throw new java.io.IOException(
-        s"manifest commit collision: could not rename to $vfile")
-    val ptmp = new org.apache.hadoop.fs.Path(dir(root), s".tmp._latest.$next")
-    val pout = f.create(ptmp, true)
-    pout.write(next.toString.getBytes("UTF-8"))
-    pout.close()
-    val latest = new org.apache.hadoop.fs.Path(dir(root), "_latest")
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(ptmp, latest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val lock = casLocks.computeIfAbsent(root, _ => new Object)
+    lock.synchronized {
+      // tmp-write + rename: a concurrent reader of v=<n> never sees a
+      // partial wave list; the tmp name carries a nonce so two racing
+      // committers never overwrite each other's staging file
+      val tmp = new org.apache.hadoop.fs.Path(dir(root),
+        s".tmp.v$next.${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = f.create(tmp, true)
+      out.write(body.getBytes("UTF-8"))
+      out.close()
+      val vfile = new org.apache.hadoop.fs.Path(dir(root), s"v=$next")
+      if (f.exists(vfile) || !f.rename(tmp, vfile)) {
+        f.delete(tmp, false)
+        val theirs = if (f.exists(vfile)) readFile(f, vfile) else ""
+        if (theirs != body)
+          throw new ConcurrentCommitException(
+            s"manifest CAS failed under $root: v=$next already exists " +
+              "with different content — another committer won; re-read " +
+              "the manifest and retry")
+        // identical content: our own crashed attempt / replay — fall
+        // through to the pointer flip
+      }
+      val ptmp =
+        new org.apache.hadoop.fs.Path(dir(root), s".tmp._latest.$next")
+      val pout = f.create(ptmp, true)
+      pout.write(next.toString.getBytes("UTF-8"))
+      pout.close()
+      val latest = new org.apache.hadoop.fs.Path(dir(root), "_latest")
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.getUri, spark.sparkContext.hadoopConfiguration)
+      // never move the pointer BACKWARDS: if a later commit (based on
+      // ours, read between our rename and this flip) already advanced
+      // it, overwriting would un-pin that commit's waves for new readers
+      if (latestVersion(spark, root).forall(_ < next))
+        fc.rename(ptmp, latest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      else f.delete(ptmp, false)
+    }
     next
   }
 
@@ -197,12 +256,30 @@ object WaveManifest {
     * wave re-writes identical data and must not spin new manifest
     * versions, and a replay of an ABSORBED wave must not re-commit it
     * (its rows already live in the compacted wave — re-pinning would
-    * double-count them). */
+    * double-count them). Read-modify-write is CAS-protected
+    * ([[commitBasedOn]]) and retried on conflict: exactly one of two
+    * racing committers wins each version; the loser re-reads the
+    * winner's set and lands on top of it — no wave is ever silently
+    * dropped. */
   def commitWave(spark: SparkSession, root: String, wave: Long): Unit = {
-    val cur = pinned(spark, root).getOrElse(Seq.empty)
-    if (!cur.contains(wave) && wave > compactedThrough(spark, root))
-      commit(spark, root, cur :+ wave)
-    ()
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val base = latestVersion(spark, root)
+      val cur = base.map(wavesAt(spark, root, _)).getOrElse(Seq.empty)
+      if (cur.contains(wave) || wave <= compactedThrough(spark, root))
+        done = true
+      else {
+        try {
+          commitBasedOn(spark, root, cur :+ wave, None, base)
+          done = true
+        } catch {
+          case e: ConcurrentCommitException =>
+            attempts += 1
+            if (attempts >= 32) throw e
+        }
+      }
+    }
   }
 
   /** Retention: drop manifest versions older than the newest
