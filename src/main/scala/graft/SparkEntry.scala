@@ -3697,7 +3697,11 @@ object SparkEntry {
   /** The funnel gate CTEs (dw through gated: per-doc signals,
     * p1..p6 flags, keep-min dedup) — shared by q_corpus_funnel and
     * q_e2e_curation. Requires $qualityTCte earlier in the WITH. */
-  private val funnelGatedCtes: String =
+  // a def, not a val: it interpolates qualityFormulaSql, which is
+  // declared LATER in this object — a val here would capture null
+  // during initialization (measured: the oracle silently computed
+  // `null AS quality` and zeroed every stage past 2)
+  private def funnelGatedCtes: String =
     s"""dw AS (SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                          x -> x <> '') AS w
