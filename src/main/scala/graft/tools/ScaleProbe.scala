@@ -340,17 +340,30 @@ object ScaleProbe {
     // per query: warm-up at sf0.1, then min-of-3 at each SF (the PERF.md
     // adjudication standard) — rows printed so the ×10 structural
     // expectation is itself checked. SPARK_GRAFT_SCALE_QUERIES narrows
-    // the list for a single-family session.
+    // the list for a single-family session; SPARK_GRAFT_SF_SMALL_DIR
+    // (e.g. /root/testdata/sf0.01) adds a third, smaller point so the
+    // output is a two-decade CURVE with per-decade exponents
+    // (alpha = log10(t_next/t_prev): 1.0 = linear, 1.5 = m^1.5, ...).
+    // Small-point times are floor-dominated (session fixed costs), so
+    // the 0.1→1 exponent is the load-bearing one.
     val queries = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).toSeq).getOrElse(Queries)
+    val tinyDir = sys.env.get("SPARK_GRAFT_SF_SMALL_DIR")
     queries.foreach { q =>
       run(q, base)
+      val tiny = tinyDir.map(d => (1 to 3).map(_ => run(q, d)))
       val small = (1 to 3).map(_ => run(q, base))
       val large = (1 to 3).map(_ => run(q, sf1))
       val (sMin, lMin) = (small.map(_._2).min, large.map(_._2).min)
-      println(f"[scaleprobe] $q%-22s sf0.1 $sMin%6.2f s (rows=${small.head._1})" +
+      val tinyPart = tiny.map { t =>
+        val tMin = t.map(_._2).min
+        f"sf0.01 $tMin%6.2f s (rows=${t.head._1})  " +
+          f"a01=${math.log10(sMin / tMin)}%4.2f  "
+      }.getOrElse("")
+      println(f"[scaleprobe] $q%-22s $tinyPart" +
+        f"sf0.1 $sMin%6.2f s (rows=${small.head._1})" +
         f"  sf1 $lMin%7.2f s (rows=${large.head._1})" +
-        f"  ratio ${lMin / sMin}%5.2f x")
+        f"  ratio ${lMin / sMin}%5.2f x  a1=${math.log10(lMin / sMin)}%4.2f")
     }
     spark.stop()
   }
