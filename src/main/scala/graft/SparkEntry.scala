@@ -1837,6 +1837,15 @@ object SparkEntry {
           col("n_aliases"), col("n_members"))
     }),
 
+    // ── Embedding isotropy diagnostic (ext.Gram.isotropy): the
+    //    covariance participation ratio (tr C)²/tr C² from the one-pass
+    //    gram summary, INTEGER-EXACT (no eigensolve, no floats) — the
+    //    gated number behind this round's OPQ finding: PR/dim ≈ 0.9
+    //    here (near-isotropic), so rotations can't buy PQ recall on
+    //    this corpus; capacity can.
+    "q_embed_isotropy" -> ((s, dir) =>
+      graft.ext.Gram.isotropy(Tables.embeddings(s, dir), "embedding")),
+
     // ── Exact edit-distance-1 pairs over supplier names (ext.EditSim):
     //    FastSS deletion-neighborhood blocking (L+1 in-row variants,
     //    codegen) + exact levenshtein verify — the oracle is the plain
@@ -6576,6 +6585,38 @@ object SparkEntry {
          SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, s FROM up
          UNION ALL SELECT CAST(i AS INTEGER), CAST(j AS INTEGER), s FROM fm
          UNION ALL SELECT CAST(i AS INTEGER), CAST(j AS INTEGER), s FROM cnt""",
+
+    // the gram CTEs + exact numerator arithmetic: num = s·n − m_i·m_j,
+    // floor-scaled by 1e4 (// floors, matching the operator's
+    // pmod/decimal floor-div), squares through HUGEINT, PR as one
+    // integer division — zero float operations anywhere
+    "q_embed_isotropy" ->
+      """WITH comp AS (SELECT vec_id, i - 1 AS pos,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
+         up AS (SELECT a.pos AS i, b.pos AS j, CAST(sum(a.q * b.q) AS BIGINT) AS s
+                FROM comp a JOIN comp b
+                ON a.vec_id = b.vec_id AND a.pos <= b.pos
+                GROUP BY 1, 2),
+         fm AS (SELECT pos AS j, CAST(sum(q) AS BIGINT) AS s
+                FROM comp GROUP BY 1),
+         cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         num AS (SELECT up.i, up.j,
+                  (up.s * (SELECT n FROM cnt) - fi.s * fj.s) // 10000 AS num
+                 FROM up JOIN fm fi ON fi.j = up.i
+                         JOIN fm fj ON fj.j = up.j),
+         tr AS (SELECT
+                  CAST(sum(CASE WHEN i = j THEN num END) AS BIGINT) AS tr_c,
+                  sum(CASE WHEN i = j THEN CAST(num AS HUGEINT) * num
+                           ELSE 2 * CAST(num AS HUGEINT) * num END) AS tr_c2,
+                  CAST(min(CASE WHEN i = j THEN num END) AS BIGINT) AS var_num_min,
+                  CAST(max(CASE WHEN i = j THEN num END) AS BIGINT) AS var_num_max,
+                  CAST(max(j) + 1 AS INTEGER) AS dim
+                FROM num)
+         SELECT (SELECT n FROM cnt) AS n, dim,
+                CAST((CAST(tr_c AS HUGEINT) * tr_c * 10000) // tr_c2 AS BIGINT) AS pr_x10000,
+                var_num_min, var_num_max
+         FROM tr""",
 
     // unrolled Lloyd rounds on the 10⁻⁶ BIGINT grid: identical
     // quantization, tie rule (d, cid), and half-up centroid division as

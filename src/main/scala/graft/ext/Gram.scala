@@ -137,6 +137,61 @@ object Gram {
     vecs.select(col(idCol).as("id"), pcs.as("pc"))
   }
 
+  /** Isotropy diagnostic from the one-pass gram summary, INTEGER-EXACT
+    * end-to-end — the number that decides whether a rotation (OPQ /
+    * whitening) can help an embedding corpus at all: the covariance
+    * participation ratio PR = (tr C)² / tr(C²) ∈ [1, dim] (= dim for a
+    * perfectly isotropic spectrum, → 1 when one direction dominates;
+    * the effective-rank measure, a.k.a. inverse participation ratio).
+    *
+    * No eigensolve and no floats: on the 10⁻⁶ grid,
+    * cov_ij ∝ num_ij = Σq_i·q_j·n − Σq_i·Σq_j (the n² denominator
+    * cancels inside PR), each num floor-divided by 10⁴ so squares and
+    * their Σ fit DECIMAL(38,0) for any feasible (n, dim), off-diagonal
+    * squares doubled (upper triangle → full trace), and PR emitted as
+    * `pr_x10000 = ⌊(tr²·10⁴)/trC2⌋` — every step replays in SQL, so
+    * the diagnostic hash-gates (q_embed_isotropy). Exactness bounds:
+    * |num| ≤ 2·n·max|s| ≤ 2⁶³ for n ≤ ~3·10⁶ grid-unit vectors (the
+    * secondMoment contract); beyond that, pre-scale the grid.
+    *
+    * One row out: (n, dim, pr_x10000, var_num_min, var_num_max) — the
+    * variance-numerator extremes expose per-dimension imbalance at the
+    * same exactness. */
+  def isotropy(vecs: DataFrame, vecCol: String): DataFrame = {
+    val mom = secondMoment(vecs, vecCol).localCheckpoint()
+    val nRow = mom.filter(col("i") === -1 && col("j") === -1)
+      .select(col("s").as("n"))
+    val firsts = mom.filter(col("i") === -1 && col("j") >= 0)
+      .select(col("j").as("d"), col("s").as("m"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pairs = mom.filter(col("i") >= 0)
+      .join(broadcast(firsts.select(col("d").as("i"), col("m").as("mi"))),
+        Seq("i"))
+      .join(broadcast(firsts.select(col("d").as("j"), col("m").as("mj"))),
+        Seq("j"))
+      .crossJoin(broadcast(nRow))
+      .select(col("i"), col("j"),
+        (col("s") * col("n") - col("mi") * col("mj")).as("num0"))
+    // floor division by 10⁴ (NOT Spark's toward-zero long division —
+    // off-diagonal numerators go negative and DuckDB's // floors)
+    val scaled = pairs.select(col("i"), col("j"),
+      ((col("num0") - pmod(col("num0"), lit(10000L))).cast(dec)
+        / lit(10000L)).cast("long").as("num"))
+    val traces = scaled.agg(
+      sum(when(col("i") === col("j"), col("num"))).as("tr_c"),
+      sum((col("num").cast(dec) * col("num").cast(dec)) *
+        when(col("i") =!= col("j"), lit(2)).otherwise(lit(1)))
+        .as("tr_c2"),
+      min(when(col("i") === col("j"), col("num"))).as("var_num_min"),
+      max(when(col("i") === col("j"), col("num"))).as("var_num_max"),
+      (max(col("j")) + 1).as("dim"))
+    traces.crossJoin(broadcast(nRow))
+      .select(col("n"), col("dim"),
+        floor(col("tr_c").cast(dec) * col("tr_c").cast(dec) * lit(10000L)
+          / col("tr_c2")).cast("long").as("pr_x10000"),
+        col("var_num_min"), col("var_num_max"))
+  }
+
   /** Cyclic Jacobi with fixed sweeps — deterministic by construction.
     * Returns (components desc by eigenvalue, eigenvalues in the same
     * order). */
