@@ -2313,6 +2313,25 @@ object SparkEntry {
         k = 10, nProbe = 2)
     }),
 
+    // ── The FAISS "OPQ..,IVF..,PQ.." factory composition: the exact-
+    //    rational rotation feeds the UNCHANGED IVF-PQ faces (coarse
+    //    routing, residual codebooks, probed ADC all operate on the
+    //    rotated grid), and the whole chain still hash-gates — the
+    //    rotation CTEs simply replace the oracle's comp prelude.
+    "q_ann_opq_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val rot = graft.ext.Opq.rationalRotation(seed = 7, dim, steps = 16)
+      val rotated = graft.ext.Opq.rotateExact(emb, "vec_id", "embedding",
+        rot).localCheckpoint()
+      val (model, codes) = graft.ext.IvfPq.trainEncode(rotated,
+        "vec_id", "rvec",
+        nLists = 4, coarseRounds = 2, m = 4, k = 4, pqRounds = 2)
+      graft.ext.IvfPq.adcTopK(codes, model,
+        rotated.filter(col("vec_id") < 3), "vec_id", "rvec",
+        k = 10, nProbe = 2)
+    }),
+
     // ── IVF-PQ on-disk APPEND + pruned serve: build on ⅔ of the
     //    corpus, persist, encode the remainder against the LOADED
     //    model and land it as wave 1, reload, serve with static
@@ -6745,6 +6764,11 @@ object SparkEntry {
       m = 4, k = 4, pqRounds = 2, nProbe = 0, serveTopK = 0),
     "q_ann_ivfpq" -> ivfPqOracle(nLists = 4, coarseRounds = 2,
       m = 4, k = 4, pqRounds = 2, nProbe = 2, serveTopK = 10),
+
+    // the factory composition: rotation CTEs swap in as the comp prelude
+    "q_ann_opq_ivfpq" -> ivfPqOracle(nLists = 4, coarseRounds = 2,
+      m = 4, k = 4, pqRounds = 2, nProbe = 2, serveTopK = 10,
+      rotate = Some((7L, 64, 16))),
     // split-universe replay: codebooks train on ⅔, encode/serve on all
     "q_ann_ivfpq_append" -> ivfPqOracle(nLists = 4, coarseRounds = 2,
       m = 4, k = 4, pqRounds = 2, nProbe = 2, serveTopK = 10,
@@ -7484,8 +7508,13 @@ object SparkEntry {
     * train/ADC CTEs over the ROTATED comps and the brute ranking over
     * the ORIGINAL comps — recall is always measured against original-
     * space ground truth. */
-  private def opqRecallOracle(seed: Long, dim: Int, steps: Int, m: Int,
-      k: Int, rounds: Int, topK: Int): String = {
+  /** The exact-rational rotation as CTEs: comp0 (raw grid comps),
+    * r0..r<steps> (the integer matrix built from the SAME step
+    * literals the Spark side uses), rott (BIGINT dots — order-free
+    * integer sums), and a ROTATED `comp` in the standard (vid, sub,
+    * pos, q) shape every PQ/IVF-PQ oracle consumes. */
+  private def rationalRotationCtes(seed: Long, dim: Int, steps: Int,
+      m: Int): String = {
     val sched = graft.ext.Opq.schedule(seed, dim, steps)
     val denom = (0 until steps).foldLeft(1L)((a, _) => a * 5L)
     val stepCtes = sched.zipWithIndex.map { case ((p, q, s), t0) =>
@@ -7499,7 +7528,7 @@ object SparkEntry {
                       MAX(CASE WHEN r = $q THEN w END) OVER (PARTITION BY c) AS wq
                     FROM r${t - 1}))"""
     }.mkString(",\n         ")
-    s"""WITH comp0 AS (SELECT vec_id AS vid, i - 1 AS pos,
+    s"""comp0 AS (SELECT vec_id AS vid, i - 1 AS pos,
                CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
              FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)),
          r0 AS (SELECT ti.i::INTEGER AS r, tj.j::INTEGER AS c,
@@ -7511,7 +7540,12 @@ object SparkEntry {
                   GROUP BY vid, rr.r),
          comp AS (SELECT vid, CAST(pos // ${dim / m} AS INTEGER) AS sub,
                     pos, u // $denom AS q
-                  FROM rott),
+                  FROM rott)"""
+  }
+
+  private def opqRecallOracle(seed: Long, dim: Int, steps: Int, m: Int,
+      k: Int, rounds: Int, topK: Int): String = {
+    s"""WITH ${rationalRotationCtes(seed, dim, steps, m)},
          ${pqTrainCtes(k, rounds)},
          qc AS (SELECT vid AS qid, sub, pos, q FROM comp WHERE vid < 3),
          dt AS (SELECT qid, sub, cid, sum((q - cq) * (q - cq)) AS dtv
@@ -7573,7 +7607,8 @@ object SparkEntry {
       pqRounds: Int, nProbe: Int, serveTopK: Int,
       trainWhere: Option[String] = None,
       deleteWhere: Option[String] = None,
-      rerank: Option[Int] = None): String = {
+      rerank: Option[Int] = None,
+      rotate: Option[(Long, Int, Int)] = None): String = {
     val C = coarseRounds
     val R = pqRounds
     // tombstone mask (q_ann_ivfpq_delete): excluded vids drop from the
@@ -7591,12 +7626,22 @@ object SparkEntry {
       s""",
          tcomp AS (SELECT * FROM comp WHERE vid IN (
                      SELECT vec_id FROM embeddings$tWhere))""").getOrElse("")
-    val prelude =
-      s"""comp AS (SELECT vec_id AS vid,
+    // rotate = Some((seed, dim, steps)): comp is the exact-rational
+    // ROTATED component frame (the FAISS "OPQ..,IVF..,PQ.." factory
+    // composition) — everything downstream (coarse, residuals, PQ,
+    // probe, ADC) consumes the same (vid, sub, pos, q) shape untouched
+    val compCte = rotate match {
+      case Some((seed, dim, steps)) =>
+        rationalRotationCtes(seed, dim, steps, m)
+      case None =>
+        s"""comp AS (SELECT vec_id AS vid,
                CAST((i - 1) // (len(embedding) // $m) AS INTEGER) AS sub,
                i - 1 AS pos,
                CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS q
-             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i))$tcomp,
+             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i))"""
+    }
+    val prelude =
+      s"""$compCte$tcomp,
          init AS (SELECT vec_id AS vid,
                     CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
                   FROM (SELECT vec_id FROM embeddings$tWhere

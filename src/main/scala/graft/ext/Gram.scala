@@ -172,10 +172,13 @@ object Gram {
       .crossJoin(broadcast(nRow))
       .select(col("i"), col("j"),
         (col("s") * col("n") - col("mi") * col("mj")).as("num0"))
-    // floor division by 10⁴ (NOT Spark's toward-zero long division —
-    // off-diagonal numerators go negative and DuckDB's // floors)
+    // TRUNCATED division by 10⁴ — DuckDB's `//` truncates toward zero
+    // on negatives (measured: −7//5 = −1), and off-diagonal numerators
+    // go negative, so the Spark side must truncate too: u − (u % d) is
+    // the truncation multiple (Spark % carries the dividend's sign) and
+    // the decimal division of the exact multiple has no float path
     val scaled = pairs.select(col("i"), col("j"),
-      ((col("num0") - pmod(col("num0"), lit(10000L))).cast(dec)
+      ((col("num0") - col("num0") % lit(10000L)).cast(dec)
         / lit(10000L)).cast("long").as("num"))
     val traces = scaled.agg(
       sum(when(col("i") === col("j"), col("num"))).as("tr_c"),

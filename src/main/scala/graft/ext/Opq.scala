@@ -153,12 +153,13 @@ object Opq {
   /** (id, rvec): the exact rational rotation on the 10⁻⁶ grid —
     * q = round(x·1e6) BIGINT, u_i = Σ_j R_ij·q_j exact (bound
     * ‖R_i‖₂·‖q‖₂ = 5^steps·1e6·‖x‖₂ < 2⁶³ for any sane embedding),
-    * then FLOOR(u/denom) back onto the grid and /1e6 into a DOUBLE
-    * array. The floor is exact integer arithmetic — u − pmod(u, denom)
-    * is an exact multiple of denom (pmod is the non-negative remainder,
-    * so this floors for BOTH signs, matching DuckDB's `//`), and the
-    * decimal division of the exact multiple has no float path at all.
-    * A plain long `/` here would silently route through DOUBLE and
+    * then u/denom TRUNCATED TOWARD ZERO back onto the grid and /1e6
+    * into a DOUBLE array. Truncation, not floor: DuckDB's `//`
+    * truncates on negatives (−7//5 = −1 — measured; a floor here cost
+    * ±1 on 18% of rotated comps before the oracle caught it), so the
+    * Spark side uses u − (u % denom) (Spark's % carries the dividend's
+    * sign — the truncation multiple) and divides the exact multiple in
+    * DECIMAL. A plain long `/` would silently route through DOUBLE and
     * lose low bits past 2⁵³. The grid values are ≤ ~1e8, so the
     * standard [[PqIndex]] round(·1e6) quantization recovers the
     * integers exactly — PQ over `rvec` IS PQ over the integers the
@@ -185,10 +186,11 @@ object Opq {
     val u = comps.join(rdf, Seq("pos"))
       .groupBy(col(idCol), col("oi"))
       .agg(sum(col("w") * col("q")).as("u"))
-    val floored = ((col("u") - pmod(col("u"), lit(rot.denom)))
+    val truncated = ((col("u") - col("u") % lit(rot.denom))
       .cast(org.apache.spark.sql.types.DecimalType(38, 0))
       / lit(rot.denom)).cast("long")
-    u.select(col(idCol), col("oi"), (floored.cast("double") / lit(GRID)).as("r"))
+    u.select(col(idCol), col("oi"),
+        (truncated.cast("double") / lit(GRID)).as("r"))
       .groupBy(col(idCol))
       .agg(transform(sort_array(collect_list(struct(col("oi"), col("r")))),
         x => x.getField("r")).as("rvec"))

@@ -34,8 +34,8 @@ class OpqSpec extends SparkSpec {
       Opq.rationalRotation(8, 8, 16).num.toSeq.map(_.toSeq))
   }
 
-  test("rotateExact ≡ a plain-Scala BigInt replay, including the floor " +
-      "of negative dots") {
+  test("rotateExact ≡ a plain-Scala BigInt replay, including the " +
+      "toward-zero truncation of negative dots (the DuckDB // rule)") {
     val vecs = Seq(
       1L -> Seq(0.30, -0.75, 0.01, 0.44, -0.20, 0.00, 0.91, -0.33),
       2L -> Seq(-0.90, 0.12, 0.55, -0.01, 0.27, -0.64, 0.08, 0.40))
@@ -46,12 +46,8 @@ class OpqSpec extends SparkSpec {
       val q = x.map(v => math.round(v * 1e6))
       val expect = rot.num.map { row =>
         val u = row.zip(q).map { case (w, qq) => BigInt(w) * qq }.sum
-        // floor division (BigInt / truncates toward zero — adjust)
-        val fd = {
-          val (quot, rem) = u /% BigInt(rot.denom)
-          if (rem < 0) quot - 1 else quot
-        }
-        fd.toDouble / 1e6
+        // BigInt / truncates toward zero — exactly the engine rule
+        (u / BigInt(rot.denom)).toDouble / 1e6
       }.toSeq
       assert(got(id) === expect, s"id $id")
     }
