@@ -20,8 +20,24 @@ import graft.ext.CountMin
   * needs only the files, and a replayed batch OVERWRITES its own
   * `batch=<id>` dir (the sketch is a pure function of the batch), so
   * at-least-once delivery never double-counts.
+  *
+  * The store rides the full [[DedupState]]/[[graft.model.WaveManifest]]
+  * lifecycle: per-batch waves commit to the manifest (legacy dirs are
+  * seeded into the first commit), [[compact]] collapses the pinned
+  * waves into ONE cell-merged compaction wave (cells ADD, so the merge
+  * is exact and the serve answer is invariant — the small-files
+  * lifecycle every other wave store already has), [[expire]] reclaims
+  * unreferenced dirs, and serving pins the manifest snapshot so a
+  * batch committing mid-read is invisible. A crash between the
+  * compacted wave's data and its manifest commit leaves an invisible
+  * wave the re-run overwrites — counts can never double.
   */
 object CountMinStream {
+
+  /** The cell-merge rule for compaction: (i, j) cells ADD exactly. */
+  private val mergeCells: org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame =
+    df => df.groupBy(col("i"), col("j")).agg(sum(col("cnt")).as("cnt"))
 
   /** Maintain a CM sketch of `keyCol` at `path`, one cell-table
     * partition per micro-batch. Shape (d, w, seed) is the caller's
@@ -40,7 +56,8 @@ object CountMinStream {
       keyCol: String,
       path: String,
       d: Int, w: Int, seed: Long = 42L,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0
   ): DataStreamWriter[Row] = {
     val baseRef = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     stream.writeStream
@@ -52,19 +69,37 @@ object CountMinStream {
           if (baseRef.get == Long.MinValue)
             baseRef.set(DedupState.resolveBase(spark, path,
               DedupState.queryId(spark)))
-          CountMin.sketch(batch, keyCol, d, w, seed)
-            .write.mode("overwrite")
-            .parquet(s"$path/batch=${baseRef.get + id}")
+          val eff = baseRef.get + id
+          // a replay of a compaction-absorbed wave must be a no-op:
+          // its cells already live in the merged wave
+          if (!DedupState.absorbed(spark, path, eff)) {
+            DedupState.writeWave(
+              CountMin.sketch(batch, keyCol, d, w, seed), path, eff)
+            DedupState.commitAndMaybeCompact(spark, path, eff,
+              compactEvery, mergeCells)
+          }
         }
       }
   }
 
   /** The merged sketch over everything ingested so far — cell-wise sum
-    * of the persisted batch partitions (kilobytes in, ≤ d·w rows out). */
+    * of the PINNED waves (manifest-less legacy stores scan every dir).
+    * Kilobytes in, ≤ d·w rows out. */
   def rollup(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    DedupState.pinnedIndex(spark, path, None)
       .groupBy(col("i"), col("j"))
       .agg(sum(col("cnt")).as("cnt"))
+
+  /** Collapse the pinned waves into one cell-merged compaction wave —
+    * the small-files lifecycle; serving is invariant (cells add). */
+  def compact(spark: SparkSession, path: String): Long =
+    DedupState.compactTable(spark, path, mergeCells)
+
+  /** Retention: drop old manifest versions, reclaim unreferenced
+    * `batch=` dirs. */
+  def expire(spark: SparkSession, path: String,
+      keepVersions: Int = 1): Seq[Long] =
+    DedupState.expireTable(spark, path, keepVersions)
 
   /** Point-frequency estimates against the merged persisted sketch. */
   def estimate(spark: SparkSession, path: String, keys: DataFrame,

@@ -191,7 +191,8 @@ private[streaming] object DedupState {
     * next batch on, silently disabling cross-batch dedup against every
     * legacy survivor. */
   def commitAndMaybeCompact(spark: SparkSession, indexPath: String,
-      eff: Long, compactEvery: Int): Unit = {
+      eff: Long, compactEvery: Int,
+      reduce: DataFrame => DataFrame = identity): Unit = {
     if (graft.model.WaveManifest.latestVersion(spark, indexPath).isEmpty) {
       val legacy = existingBatches(spark, indexPath).filterNot(_ == eff)
       if (legacy.nonEmpty) {
@@ -202,7 +203,7 @@ private[streaming] object DedupState {
     if (compactEvery > 0 &&
       graft.model.WaveManifest.pinned(spark, indexPath)
         .exists(_.size >= compactEvery)) {
-      compactTable(spark, indexPath)
+      compactTable(spark, indexPath, reduce)
       ()
     }
   }
@@ -224,20 +225,27 @@ private[streaming] object DedupState {
   }
 
   /** Collapse the pinned wave set into ONE compaction-space wave and
-    * re-pin — rows are disjoint across waves (each doc entered exactly
-    * one batch), so the rewrite is a pure union and every later probe
-    * sees the identical corpus. Data first, manifest after; old waves
-    * remain for pinned readers until expire. Single-committer.
+    * re-pin — by default rows are carried as a pure union (dedup-index
+    * rows are disjoint across waves: each doc entered exactly one
+    * batch), so every later probe sees the identical corpus. Stores
+    * whose read face AGGREGATES across waves (the Count-Min cell
+    * tables, where (i, j) rows repeat per batch and serving sums them)
+    * pass `reduce` to merge rows during the rewrite — the answer is
+    * unchanged either way (the serve-side aggregate is associative);
+    * reducing just makes the compacted wave minimal. Data first,
+    * manifest after; old waves remain for pinned readers until expire.
+    * Single-committer.
     * @return the new wave id */
-  def compactTable(spark: SparkSession, indexPath: String): Long = {
+  def compactTable(spark: SparkSession, indexPath: String,
+      reduce: DataFrame => DataFrame = identity): Long = {
     val waves = graft.model.WaveManifest.pinned(spark, indexPath)
       .getOrElse(throw new IllegalArgumentException(
         s"no manifest under $indexPath — compact needs a manifest-pinned " +
           "index (legacy indexes predate the snapshot discipline)"))
     require(waves.nonEmpty, s"manifest under $indexPath pins no waves")
     val newWave = graft.model.WaveManifest.nextCompactionWave(waves)
-    val rows = spark.read.parquet(indexPath)
-      .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch")
+    val rows = reduce(spark.read.parquet(indexPath)
+      .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch"))
       .localCheckpoint() // the rewrite scans the path it overwrites
     writeWave(rows, indexPath, newWave)
     graft.model.WaveManifest.commit(spark, indexPath, Seq(newWave),

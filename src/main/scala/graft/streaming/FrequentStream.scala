@@ -37,7 +37,8 @@ object FrequentStream {
       itemCol: String,
       summaryPath: String,
       capacity: Int,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0
   ): DataStreamWriter[Row] = {
     // run-scoped base (DedupState.resolveBase): a second fresh-
     // checkpoint run must append new dirs, not clobber batch=0..n
@@ -51,25 +52,43 @@ object FrequentStream {
           if (baseRef.get == Long.MinValue)
             baseRef.set(DedupState.resolveBase(spark, summaryPath,
               DedupState.queryId(spark)))
-          // one aggregate over the batch; the buffer-sized result rides
-          // through sliceSummaries' grouped path on a constant key
-          FrequentItems.sliceSummaries(
-              batch.withColumn("_slice", lit(1)), Seq("_slice"),
-              itemCol, capacity)
-            .drop("_slice")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(s"$summaryPath/batch=${baseRef.get + id}")
+          val eff = baseRef.get + id
+          if (!DedupState.absorbed(spark, summaryPath, eff)) {
+            // one aggregate over the batch; the buffer-sized result
+            // rides through sliceSummaries' grouped path on a constant
+            // key
+            DedupState.writeWave(
+              FrequentItems.sliceSummaries(
+                  batch.withColumn("_slice", lit(1)), Seq("_slice"),
+                  itemCol, capacity)
+                .drop("_slice")
+                .coalesce(1),
+              summaryPath, eff)
+            DedupState.commitAndMaybeCompact(spark, summaryPath, eff,
+              compactEvery)
+          }
         }
       }
   }
+
+  /** Small-files lifecycle: carry the pinned summary ROWS into one
+    * compaction wave (summaries stay per-batch rows — MG merging
+    * happens at read in [[candidates]], so compaction only bounds the
+    * directory count) and reclaim old dirs with [[expire]]. */
+  def compact(spark: SparkSession, summaryPath: String): Long =
+    DedupState.compactTable(spark, summaryPath)
+
+  def expire(spark: SparkSession, summaryPath: String,
+      keepVersions: Int = 1): Seq[Long] =
+    DedupState.expireTable(spark, summaryPath, keepVersions)
 
   /** Merged candidates over everything ingested so far:
     * (item, lb, total) — summary-only, raw events never re-read. */
   def candidates(spark: SparkSession, summaryPath: String,
       capacity: Int): DataFrame =
     FrequentItems.rollupCandidates(
-      spark.read.parquet(summaryPath).select(col("total"), col("items")),
+      DedupState.pinnedIndex(spark, summaryPath, None)
+        .select(col("total"), col("items")),
       Nil, capacity)
 
   /** Exact heavy hitters over an ARCHIVE of the ingested events (the
@@ -81,7 +100,7 @@ object FrequentStream {
       s"shareDen=$shareDen needs capacity+1 > ${2 * shareDen} to cover " +
         "the cross-batch merge bound")
     val cand = candidates(spark, summaryPath, capacity)
-    val total = spark.read.parquet(summaryPath)
+    val total = DedupState.pinnedIndex(spark, summaryPath, None)
       .agg(coalesce(sum(col("total")), lit(0L))).head().getLong(0)
     FrequentItems.exactFromCandidates(archive, itemCol, shareDen, total,
       cand.select(col("item").as(itemCol)))

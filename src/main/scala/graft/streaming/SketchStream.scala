@@ -38,7 +38,8 @@ object SketchStream {
       keys: Seq[String],
       valCol: String,
       sketchPath: String,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0
   ): DataStreamWriter[Row] = {
     val baseRef = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     stream.writeStream
@@ -50,20 +51,35 @@ object SketchStream {
           if (baseRef.get == Long.MinValue)
             baseRef.set(DedupState.resolveBase(spark, sketchPath,
               DedupState.queryId(spark)))
-          Quantiles.sketch(batch, keys, valCol)
-            .write.mode("overwrite")
-            .parquet(s"$sketchPath/batch=${baseRef.get + id}")
+          val eff = baseRef.get + id
+          if (!DedupState.absorbed(spark, sketchPath, eff)) {
+            DedupState.writeWave(
+              Quantiles.sketch(batch, keys, valCol), sketchPath, eff)
+            DedupState.commitAndMaybeCompact(spark, sketchPath, eff,
+              compactEvery)
+          }
         }
       }
   }
 
   /** Quantiles over everything ingested so far: rollup-merge of the
-    * persisted batch partitions (kilobytes), then the estimate walk.
-    * Hash-gated by `q_sketch_serve` (a batch-partitioned store read
-    * back against the whole-corpus sketch oracle — merge-is-exact makes
-    * the answer batching-independent). */
+    * PINNED waves (kilobytes; legacy stores scan every dir), then the
+    * estimate walk. Hash-gated by `q_sketch_serve` (a batch-partitioned
+    * store read back against the whole-corpus sketch oracle —
+    * merge-is-exact makes the answer batching-independent). */
   def quantiles(spark: SparkSession, sketchPath: String, keys: Seq[String],
       qs: Seq[(String, Int, Int)]): DataFrame =
     Quantiles.estimate(
-      Quantiles.rollup(spark.read.parquet(sketchPath), keys), keys, qs)
+      Quantiles.rollup(DedupState.pinnedIndex(spark, sketchPath, None)
+        .drop("batch"), keys), keys, qs)
+
+  /** Small-files lifecycle: collapse the pinned waves into one
+    * compaction wave (bucket counts ADD — the serve answer is
+    * invariant) and reclaim old dirs with [[expire]]. */
+  def compact(spark: SparkSession, sketchPath: String): Long =
+    DedupState.compactTable(spark, sketchPath)
+
+  def expire(spark: SparkSession, sketchPath: String,
+      keepVersions: Int = 1): Seq[Long] =
+    DedupState.expireTable(spark, sketchPath, keepVersions)
 }

@@ -64,6 +64,47 @@ class CountMinStreamSpec extends SparkSpec {
     assert(once === twice)
   }
 
+  test("auto-compaction merges cells exactly; expire leaves one dir; " +
+      "a fresh run after compaction bases past the burned watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cm4").toString + "/cm"
+    val b0 = (1 to 150).map(i => s"k${i % 7}")
+    val b1 = (1 to 100).map(i => s"k${i % 5}")
+    val b2 = (1 to 80).map(i => s"k${i % 3}")
+
+    val m1 = MemoryStream[String]
+    val q1 = CountMinStream.maintain(m1.toDF().toDF("k"), "k", dir,
+      d = 2, w = 16, trigger = Trigger.ProcessingTime("0 seconds"),
+      compactEvery = 2).start()
+    try {
+      m1.addData(b0: _*); q1.processAllAvailable()
+      m1.addData(b1: _*); q1.processAllAvailable()
+    } finally q1.stop()
+    // batch 1 hit compactEvery=2: one compaction-space wave pinned,
+    // cell-merged — the rollup answer is invariant
+    assert(graft.model.WaveManifest.pinned(spark, dir).get ===
+      Seq(graft.model.WaveManifest.CompactBase))
+    val direct01 = cellsOf(CountMin.sketch((b0 ++ b1).toDF("k"), "k",
+      d = 2, w = 16))
+    assert(cellsOf(CountMinStream.rollup(spark, dir)) === direct01)
+    // retention reclaims the absorbed dirs — ONE dir remains
+    CountMinStream.expire(spark, dir)
+    val dirs = Option(new java.io.File(dir).listFiles()).get
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(dirs ===
+      Seq(s"batch=${graft.model.WaveManifest.CompactBase}"))
+    assert(cellsOf(CountMinStream.rollup(spark, dir)) === direct01)
+    // a FRESH run bases itself past the burned watermark and the store
+    // keeps accumulating
+    val m2 = MemoryStream[String]
+    val q2 = CountMinStream.maintain(m2.toDF().toDF("k"), "k", dir,
+      d = 2, w = 16, trigger = Trigger.ProcessingTime("0 seconds")).start()
+    try { m2.addData(b2: _*); q2.processAllAvailable() } finally q2.stop()
+    assert(cellsOf(CountMinStream.rollup(spark, dir)) ===
+      cellsOf(CountMin.sketch((b0 ++ b1 ++ b2).toDF("k"), "k",
+        d = 2, w = 16)))
+  }
+
   test("restart from files alone: a second stream continues the store") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("cm3").toString

@@ -96,6 +96,33 @@ class FrequentStreamSpec extends SparkSpec {
       both.keySet.contains("zz"), both.toString)
   }
 
+  test("auto-compaction + expire: one wave remains, exact serving " +
+      "unchanged") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("mgcompact")
+      .toString + "/mg"
+    val (b0, b1) = (rows(1, 2500), rows(2501, 6000))
+    val mem = MemoryStream[String]
+    val q = FrequentStream.maintain(mem.toDF().toDF("item"), "item", dir,
+      capacity = 256, trigger = Trigger.ProcessingTime("0 seconds"),
+      compactEvery = 2).start()
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.model.WaveManifest.pinned(spark, dir).get ===
+      Seq(graft.model.WaveManifest.CompactBase))
+    FrequentStream.expire(spark, dir)
+    val dirs = Option(new java.io.File(dir).listFiles()).get
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(dirs === Seq(s"batch=${graft.model.WaveManifest.CompactBase}"))
+    val all = b0 ++ b1
+    val got = FrequentStream.exactOver(all.toDF("item"), "item",
+        shareDen = 60, spark, dir, capacity = 256)
+      .as[(String, Long)].collect().toMap
+    assert(got == brute(all, shareDen = 60) && got.nonEmpty)
+  }
+
   test("serving threshold below the cross-batch merge bound is rejected") {
     intercept[IllegalArgumentException] {
       FrequentStream.exactOver(Seq("a").toDF("item"), "item",

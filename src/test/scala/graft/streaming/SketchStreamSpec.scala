@@ -44,6 +44,33 @@ class SketchStreamSpec extends SparkSpec {
     assert(est.exceptAll(twin).isEmpty && twin.exceptAll(est).isEmpty)
   }
 
+  test("auto-compaction + expire: one wave remains, the quantile " +
+      "answers are invariant") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sketch3").toString + "/sk"
+    val (b0, b1) = (rows(1, 400), rows(401, 900))
+    val mem = MemoryStream[(String, Double)]
+    val q = SketchStream.maintain(mem.toDF().toDF("k", "v"), Seq("k"), "v",
+      dir, trigger = Trigger.ProcessingTime("0 seconds"),
+      compactEvery = 2).start()
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.model.WaveManifest.pinned(spark, dir).get ===
+      Seq(graft.model.WaveManifest.CompactBase))
+    SketchStream.expire(spark, dir)
+    val dirs = Option(new java.io.File(dir).listFiles()).get
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(dirs === Seq(s"batch=${graft.model.WaveManifest.CompactBase}"))
+    val est = SketchStream.quantiles(spark, dir, Seq("k"),
+      Seq(("p50_x200", 1, 2)))
+    val twin = Quantiles.estimate(
+      Quantiles.sketch((b0 ++ b1).toDF("k", "v"), Seq("k"), "v"),
+      Seq("k"), Seq(("p50_x200", 1, 2)))
+    assert(est.exceptAll(twin).isEmpty && twin.exceptAll(est).isEmpty)
+  }
+
   test("replayed batch overwrites its own partition; a FRESH second " +
       "stream accumulates instead of clobbering") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
