@@ -5185,7 +5185,9 @@ object SparkEntry {
                               WHEN 'fr' THEN 150 ELSE 0 END),
          pk AS (SELECT lang, toks,
                   CAST(floor(CAST(COALESCE(sum(toks) OVER (
-                    PARTITION BY lang ORDER BY doc_id, copy_idx
+                    PARTITION BY lang
+                    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                             doc_id, copy_idx
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                     AS BIGINT) / 128.0) AS BIGINT) AS pack_id
                 FROM kept),

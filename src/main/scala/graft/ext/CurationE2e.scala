@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The WHOLE curation pipeline as one audited run — [[CurationFunnel]]'s
@@ -22,9 +21,11 @@ import org.apache.spark.sql.functions._
   *        rule with the copy-aware (md5, id, copy_idx) tie-break — the
   *        row set must be a pure function of the data, copies
   *        included);
-  *   10   `pack` — fixed-budget sequence packing ([[Packing]]'s rule,
-  *        copy-aware order); n_out = PACKED BINS, the unit downstream
-  *        training jobs consume.
+  *   10   `pack` — fixed-budget sequence packing ([[Packing]]'s rule
+  *        under the same (md5, id, copy_idx) order as stage 9 — one
+  *        total order through assembly, and hash rank IS the
+  *        trainer-shuffled order); n_out = PACKED BINS, the unit
+  *        downstream training jobs consume.
   *
   * One row per stage: (stage, gate, n_in, n_out, tokens_out) — counts
   * are BIGINT-exact, every rule is deterministic, and the whole report
@@ -33,8 +34,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: stages 1–7 are the funnel's scan arithmetic + one
   * broadcast join against the (bounded) media drop list; 8 is a row
-  * explode; 9 and 10 are one ordered window each per language — no
-  * stage introduces driver-side state beyond the final 10-row report.
+  * explode; 9 and 10 are two-level exact prefix sums
+  * ([[PrefixSums.hashOrderedExclusiveSum]]) — windows partitioned by
+  * (language, hash shard), so the dominant language never serializes
+  * through one task. No stage introduces driver-side state beyond the
+  * final 10-row report.
   */
 object CurationE2e {
 
@@ -82,28 +86,25 @@ object CurationE2e {
     // stage 9: tokenBudget's rule with the copy-aware tie-break — two
     // copies of one doc share its md5 rank, so copy_idx must break the
     // tie or the window's token attribution (and the kept ROW SET at a
-    // budget boundary) would be nondeterministic
-    val wB = Window.partitionBy(col("lang"))
-      .orderBy(Splits.hashBucket(col(idCol), nibbles = 8), col(idCol),
-        col("copy_idx"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // budget boundary) would be nondeterministic. Two-level prefix sums
+    // (PrefixSums): the dominant language never serializes one task.
     val budgetCol = budgets.toSeq.sortBy(_._1)
       .foldRight(lit(0L): Column) { case ((d, b), elseCol) =>
         when(col("lang") === d, lit(b)).otherwise(elseCol)
       }
-    val kept = mixed
-      .withColumn("tokens_before",
-        coalesce(sum(col("toks")).over(wB), lit(0L)))
+    val kept = PrefixSums.hashOrderedExclusiveSum(mixed, Seq("lang"),
+        idCol, "toks", tieCols = Seq("copy_idx"),
+        outCol = "tokens_before")
       .filter(col("tokens_before") < budgetCol)
       .localCheckpoint()
 
-    // stage 10: the packing rule, copy-aware order
-    val wP = Window.partitionBy(col("lang"))
-      .orderBy(col(idCol), col("copy_idx"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val packed = kept
-      .withColumn("start_tok",
-        coalesce(sum(col("toks")).over(wP), lit(0L)))
+    // stage 10: the packing rule under the SAME (md5, id, copy_idx)
+    // total order as stage 9 — one order through assembly, and the hash
+    // rank is the trainer-shuffled order (adjacent ids land far apart,
+    // Splits.shardOrder's point). Same two-level prefix-sum shape.
+    val packed = PrefixSums.hashOrderedExclusiveSum(
+        kept.drop("tokens_before"), Seq("lang"), idCol, "toks",
+        tieCols = Seq("copy_idx"), outCol = "start_tok")
       .withColumn("pack_id", floor(col("start_tok") / packTokens))
 
     // each assembly stage is one 1-row aggregate pair stitched with a

@@ -151,8 +151,11 @@ object Gram {
     * squares doubled (upper triangle → full trace), and PR emitted as
     * `pr_x10000 = ⌊(tr²·10⁴)/trC2⌋` — every step replays in SQL, so
     * the diagnostic hash-gates (q_embed_isotropy). Exactness bounds:
-    * |num| ≤ 2·n·max|s| ≤ 2⁶³ for n ≤ ~3·10⁶ grid-unit vectors (the
-    * secondMoment contract); beyond that, pre-scale the grid.
+    * the num_ij products run in DECIMAL(38,0) (s·n and the moment
+    * product reach n²·10¹² — Long would overflow silently from
+    * n ≈ 3·10³ worst-case), so the binding constraint is
+    * [[secondMoment]]'s own Σ-fits-BIGINT contract (~3·10⁷ rows at
+    * |x| ≤ 1); beyond that, pre-scale the grid.
     *
     * One row out: (n, dim, pr_x10000, var_num_min, var_num_max) — the
     * variance-numerator extremes expose per-dimension imbalance at the
@@ -170,15 +173,24 @@ object Gram {
       .join(broadcast(firsts.select(col("d").as("j"), col("m").as("mj"))),
         Seq("j"))
       .crossJoin(broadcast(nRow))
+      // DECIMAL(38,0) BEFORE the products (advice r14, low): in
+      // LongType, s·n reaches n²·10¹² and mi·mj reaches (n·10⁶)² —
+      // silent 2⁶³ overflow from n ≈ 3·10³ worst-case, far below the
+      // documented secondMoment bound, and Spark's non-ANSI Long math
+      // would corrupt the diagnostic quietly while DuckDB's BIGINT
+      // errors loudly. Decimal keeps every term exact to 38 digits
+      // (n ≤ ~10¹³ at grid-unit components — secondMoment's own Σ
+      // bound binds first).
       .select(col("i"), col("j"),
-        (col("s") * col("n") - col("mi") * col("mj")).as("num0"))
+        (col("s").cast(dec) * col("n").cast(dec) -
+          col("mi").cast(dec) * col("mj").cast(dec)).as("num0"))
     // TRUNCATED division by 10⁴ — DuckDB's `//` truncates toward zero
     // on negatives (measured: −7//5 = −1), and off-diagonal numerators
     // go negative, so the Spark side must truncate too: u − (u % d) is
     // the truncation multiple (Spark % carries the dividend's sign) and
     // the decimal division of the exact multiple has no float path
     val scaled = pairs.select(col("i"), col("j"),
-      ((col("num0") - col("num0") % lit(10000L)).cast(dec)
+      ((col("num0") - col("num0") % lit(10000L))
         / lit(10000L)).cast("long").as("num"))
     val traces = scaled.agg(
       sum(when(col("i") === col("j"), col("num"))).as("tr_c"),

@@ -272,8 +272,12 @@ object IvfIndex {
     * [[graft.model.WaveManifest.expire]]. Single-committer contract.
     * @return the new wave id */
   def compact(spark: SparkSession, path: String): Long = {
-    val waves = graft.model.WaveManifest.pinned(spark, path).getOrElse(
-      throw new IllegalArgumentException(
+    // version-pinned read → CAS'd commit: a wave landed mid-compaction
+    // survives into the new snapshot (advice r14; commitCompaction)
+    val baseV = graft.model.WaveManifest.latestVersion(spark, path)
+    val waves = baseV
+      .map(v => graft.model.WaveManifest.wavesAt(spark, path, v))
+      .getOrElse(throw new IllegalArgumentException(
         s"no manifest under $path — compact needs a manifest-pinned index"))
     require(waves.nonEmpty, s"manifest under $path pins no waves")
     // DISJOINT compaction id space (>= 2^60): `waves.max + 1` collided
@@ -296,9 +300,11 @@ object IvfIndex {
     writeListsWave(rows, path, newWave, dynamic = true)
     // coverage marker: absorbed STREAM-space ids are refused/skipped
     // from here on; absorbed compaction waves never raise the watermark
-    graft.model.WaveManifest.commit(spark, path, Seq(newWave),
-      through = Some(graft.model.WaveManifest.throughAfterCompaction(
-        waves, graft.model.WaveManifest.compactedThrough(spark, path))))
+    graft.model.WaveManifest.commitCompaction(spark, path,
+      absorbed = waves, newWave = newWave,
+      through = graft.model.WaveManifest.throughAfterCompaction(
+        waves, graft.model.WaveManifest.compactedThrough(spark, path)),
+      basedOn = baseV)
     newWave
   }
 

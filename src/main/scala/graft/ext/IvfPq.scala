@@ -369,8 +369,12 @@ object IvfPq {
     * @return the new wave id */
   def compact(spark: org.apache.spark.sql.SparkSession,
       path: String): Long = {
-    val waves = graft.model.WaveManifest.pinned(spark, path).getOrElse(
-      throw new IllegalArgumentException(
+    // version-pinned read → CAS'd commit: a wave landed mid-compaction
+    // survives into the new snapshot (advice r14; commitCompaction)
+    val baseV = graft.model.WaveManifest.latestVersion(spark, path)
+    val waves = baseV
+      .map(v => graft.model.WaveManifest.wavesAt(spark, path, v))
+      .getOrElse(throw new IllegalArgumentException(
         s"no manifest under $path — compact needs a manifest-pinned index"))
     require(waves.nonEmpty, s"manifest under $path pins no waves")
     val newWave = graft.model.WaveManifest.nextCompactionWave(waves)
@@ -384,9 +388,11 @@ object IvfPq {
       case None => live
     }).localCheckpoint()
     writeCodesWave(rows, path, newWave, dynamic = true)
-    graft.model.WaveManifest.commit(spark, path, Seq(newWave),
-      through = Some(graft.model.WaveManifest.throughAfterCompaction(
-        waves, graft.model.WaveManifest.compactedThrough(spark, path))))
+    graft.model.WaveManifest.commitCompaction(spark, path,
+      absorbed = waves, newWave = newWave,
+      through = graft.model.WaveManifest.throughAfterCompaction(
+        waves, graft.model.WaveManifest.compactedThrough(spark, path)),
+      basedOn = baseV)
     newWave
   }
 
@@ -399,12 +405,14 @@ object IvfPq {
       .parquet(s"$path/codes")
 
   /** [[adcTopK]] over a loaded index with STATIC partition pruning:
-    * the probed list set is materialized driver-side first (bounded by
-    * queries × nProbe — the serving-batch contract) and pushed as an
-    * `isin` literal, so the code scan prunes to exactly the probed
-    * `list_id=` partitions at plan time. The probe rule is
-    * [[probeFrame]] — the same one `adcTopK` re-applies inside, so the
-    * prefilter can never drop a list the serve would score. */
+    * probe selection itself is DISTRIBUTED ([[probeFrame]] — the query
+    * batch never touches the driver, any offline batch size works);
+    * only the DISTINCT probed-list set is collected (≤ nLists ints —
+    * the bounded payload static pruning needs) and pushed as an `isin`
+    * literal, so the code scan prunes to exactly the probed `list_id=`
+    * partitions at plan time. The probe rule is [[probeFrame]] — the
+    * same one `adcTopK` re-applies inside, so the prefilter can never
+    * drop a list the serve would score. */
   def searchPruned(disk: IvfPqDisk, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nProbe: Int): DataFrame = {
     val m = 1 + disk.model.pq.agg(max(col("sub"))).head().getInt(0)

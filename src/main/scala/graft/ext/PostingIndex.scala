@@ -246,8 +246,12 @@ object PostingIndex {
     * them. Single-committer contract (do not race ingest).
     * @return the new wave id */
   def compact(spark: SparkSession, path: String): Long = {
-    val waves = graft.model.WaveManifest.pinned(spark, path).getOrElse(
-      throw new IllegalArgumentException(
+    // version-pinned read → CAS'd commit: a wave landed mid-compaction
+    // survives into the new snapshot (advice r14; commitCompaction)
+    val baseV = graft.model.WaveManifest.latestVersion(spark, path)
+    val waves = baseV
+      .map(v => graft.model.WaveManifest.wavesAt(spark, path, v))
+      .getOrElse(throw new IllegalArgumentException(
         s"no manifest under $path — compact needs a manifest-pinned index"))
     require(waves.nonEmpty, s"manifest under $path pins no waves")
     // the new wave id comes from the DISJOINT compaction space (>= 2^60):
@@ -293,9 +297,11 @@ object PostingIndex {
     // record coverage: every absorbed STREAM-space id is now refused
     // (batch append) or skipped (streaming replay) — the double-count
     // guard; absorbed compaction waves never raise the watermark
-    graft.model.WaveManifest.commit(spark, path, Seq(newWave),
-      through = Some(graft.model.WaveManifest.throughAfterCompaction(
-        waves, graft.model.WaveManifest.compactedThrough(spark, path))))
+    graft.model.WaveManifest.commitCompaction(spark, path,
+      absorbed = waves, newWave = newWave,
+      through = graft.model.WaveManifest.throughAfterCompaction(
+        waves, graft.model.WaveManifest.compactedThrough(spark, path)),
+      basedOn = baseV)
     newWave
   }
 

@@ -80,6 +80,38 @@ object RangeSearch {
       .select(col("query_id"), col("neighbor_id"), col("sqdist"))
   }
 
+  /** (query_id, list_id): each query's `nProbe` minimum-distance IVF
+    * lists, selected DISTRIBUTED — every query row scores the (tiny,
+    * broadcast) centroid table and a per-query window keeps the nProbe
+    * nearest; the query batch never touches the driver. Arithmetic is
+    * the SAME double fold as [[IvfIndex.search]]'s driver-side rule
+    * (left-to-right Σ(c−q)², NaN components replaced by the 1e6
+    * stand-in, zip-truncated dims), so the two faces probe identical
+    * lists; ties break by (distance, list id). */
+  private def probeSelect(model: IvfIndex.IvfModel, queries: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = model.centroids.toSeq.toDF("list_id", "centroid")
+    val nc = least(size(col("centroid")), size(col("qv")))
+    val qs = transform(slice(col("qv"), lit(1), nc),
+      x => when(isnan(x), lit(1e6)).otherwise(x))
+    val d = aggregate(
+      zip_with(slice(col("centroid"), lit(1), nc), qs,
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    queries
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", d)
+      .withColumn("prk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("d"), col("list_id"))))
+      .filter(col("prk") <= nProbe)
+      .select(col("query_id"), col("list_id").cast("int").as("list_id"))
+  }
+
   /** [[exact]] restricted to the `nProbe` IVF lists nearest each query —
     * the persisted/100 TB serve: an on-disk [[IvfIndex]] layout prunes to
     * exactly the probed `list_id=` partitions (static isin, the
@@ -87,38 +119,35 @@ object RangeSearch {
     * (recall = the probed lists' share of true neighbors, spec-bounded
     * as a subset of [[exact]]); nProbe ≥ nLists reproduces [[exact]]
     * row-for-row — the exhaustive-probe identity the driver row gates.
-    */
+    *
+    * Probe selection is DISTRIBUTED ([[probeSelect]] — the
+    * [[IvfIndex.searchDistributed]] posture): an offline batch of any
+    * size works, nothing query-sized ever reaches the driver. The only
+    * collect is the DISTINCT probed-list set (≤ nLists ints — the
+    * bounded payload static partition pruning needs). With
+    * `broadcastProbes` (default) the (queries × nProbe)-row probe frame
+    * broadcasts into the corpus join — pass false for huge offline
+    * batches; both sides then shuffle on `list_id`. */
   def probed(model: IvfIndex.IvfModel, queries: DataFrame,
-      idCol: String, vecCol: String, r2: Long, nProbe: Int): DataFrame = {
+      idCol: String, vecCol: String, r2: Long, nProbe: Int,
+      broadcastProbes: Boolean = true): DataFrame = {
     require(r2 >= 0L, s"r2 must be >= 0: $r2")
     require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
     validate(queries, vecCol, "query")
-    val spark = queries.sparkSession
-    import spark.implicits._
-    // driver-side probe selection: same distance + NaN stand-in + tie
-    // rule as IvfIndex.search, so the two faces probe identical lists
-    val probePairs = queries
-      .select(col(idCol).cast("long").as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .as[(Long, Array[Double])].collect()
-      .flatMap { case (qid, qv) =>
-        val q = qv.map(x => if (x.isNaN) 1e6 else x)
-        model.centroids.map { case (lid, cent) =>
-          val d = cent.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum
-          (qid, lid, d)
-        }.sortBy(_._3).take(nProbe).map { case (q2, lid, _) => (q2, lid) }
-      }.toSeq
+    val sel = probeSelect(model, queries, idCol, vecCol, nProbe)
+      .localCheckpoint() // probe pairs reused: list-id prune + the join
     val q = queries.select(col(idCol).cast("long").as("query_id"),
         grid(col(vecCol)).as("gq"))
       .withColumn("qq", Similarity.dot(col("gq"), col("gq")))
-    val probes = probePairs.toDF("query_id", "list_id")
-      .join(q, Seq("query_id"))
-    val probedLists = probePairs.map(_._2).distinct.sorted
+    val probes0 = sel.join(q, Seq("query_id"))
+    val probes = if (broadcastProbes) broadcast(probes0) else probes0
+    val probedLists = sel.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
     model.assigned
       .filter(col("list_id").isin(probedLists.map(Int.box): _*))
       .select(col("neighbor_id"), grid(col("cv")).as("gc"), col("list_id"))
       .withColumn("cc", Similarity.dot(col("gc"), col("gc")))
-      .join(broadcast(probes), Seq("list_id"))
+      .join(probes, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sqdist",
         (col("qq") - lit(2.0) * Similarity.dot(col("gq"), col("gc")) +

@@ -71,26 +71,25 @@ object Sampling {
     * greedy-prefix rule; trim in-document if exact budgets matter).
     * Domains absent from `budgets` get `defaultBudget` (0 = excluded).
     *
-    * Shape: ONE ordered window per domain (the same shuffle a sort-based
-    * aggregate would pay) — no driver-side iteration, no second pass;
-    * adds `tokens_before`. Budgets larger than a domain's total keep the
+    * Shape: [[PrefixSums.hashOrderedExclusiveSum]] — two-level exact
+    * prefix sums (per-shard subtotals → exclusive shard offsets over
+    * the tiny subtotal table → within-(domain, shard) window), so the
+    * dominant domain of a 100 TB corpus never serializes through one
+    * task's sort; bit-identical to the single-window form. Adds
+    * `tokens_before`. Budgets larger than a domain's total keep the
     * whole domain — under-supplied domains surface by comparing
     * `tokens_before + tokens` of their last kept row to the budget. */
   def tokenBudget(df: DataFrame, domainCol: String, idCol: String,
       tokenCol: String, budgets: Map[String, Long],
-      defaultBudget: Long = 0L): DataFrame = {
+      defaultBudget: Long = 0L, shards: Int = 64): DataFrame = {
     require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
       "budgets must be non-negative")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(domainCol))
-      .orderBy(Splits.hashBucket(col(idCol), nibbles = 8), col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val budget = budgets.toSeq.sortBy(_._1)
       .foldRight(lit(defaultBudget): Column) { case ((d, b), elseCol) =>
         when(col(domainCol) === d, lit(b)).otherwise(elseCol)
       }
-    df.withColumn("tokens_before",
-        coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+    PrefixSums.hashOrderedExclusiveSum(df, Seq(domainCol), idCol,
+        tokenCol, tieCols = Nil, outCol = "tokens_before", shards = shards)
       .filter(col("tokens_before") < budget)
   }
 

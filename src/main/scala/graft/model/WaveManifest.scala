@@ -224,30 +224,83 @@ object WaveManifest {
       if (f.exists(vfile) || !f.rename(tmp, vfile)) {
         f.delete(tmp, false)
         val theirs = if (f.exists(vfile)) readFile(f, vfile) else ""
-        if (theirs != body)
+        if (theirs != body) {
+          // ADOPT-THE-ORPHAN liveness (advice r14, medium): v=next is a
+          // COMPLETE immutable manifest whose data waves landed before
+          // it (the data-first contract) — either another committer
+          // mid-flip, or a commit that crashed between rename and flip
+          // and was never replayed. If the pointer still reads basedOn,
+          // nothing will ever advance it past the orphan: every future
+          // retry would recompute the same `next` and collide forever,
+          // wedging the root. Perform exactly the pointer flip the
+          // orphan's writer would have done, so the retry that follows
+          // this exception re-reads v=next as its base and lands on top.
+          if (latestVersion(spark, root) == basedOn)
+            flipPointer(spark, f, root, next)
           throw new ConcurrentCommitException(
             s"manifest CAS failed under $root: v=$next already exists " +
               "with different content — another committer won; re-read " +
               "the manifest and retry")
+        }
         // identical content: our own crashed attempt / replay — fall
         // through to the pointer flip
       }
-      val ptmp =
-        new org.apache.hadoop.fs.Path(dir(root), s".tmp._latest.$next")
-      val pout = f.create(ptmp, true)
-      pout.write(next.toString.getBytes("UTF-8"))
-      pout.close()
-      val latest = new org.apache.hadoop.fs.Path(dir(root), "_latest")
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        f.getUri, spark.sparkContext.hadoopConfiguration)
-      // never move the pointer BACKWARDS: if a later commit (based on
-      // ours, read between our rename and this flip) already advanced
-      // it, overwriting would un-pin that commit's waves for new readers
-      if (latestVersion(spark, root).forall(_ < next))
-        fc.rename(ptmp, latest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      else f.delete(ptmp, false)
+      flipPointer(spark, f, root, next)
     }
     next
+  }
+
+  /** Advance `_latest` to `next` via tmp-write + atomic overwrite-rename
+    * — but never BACKWARDS: if a later commit (based on ours, read
+    * between our rename and this flip) already advanced it, overwriting
+    * would un-pin that commit's waves for new readers. */
+  private def flipPointer(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, root: String,
+      next: Long): Unit = {
+    val ptmp =
+      new org.apache.hadoop.fs.Path(dir(root), s".tmp._latest.$next")
+    val pout = f.create(ptmp, true)
+    pout.write(next.toString.getBytes("UTF-8"))
+    pout.close()
+    val latest = new org.apache.hadoop.fs.Path(dir(root), "_latest")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    if (latestVersion(spark, root).forall(_ < next))
+      fc.rename(ptmp, latest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    else f.delete(ptmp, false)
+  }
+
+  /** Commit a COMPACTION: replace exactly the `absorbed` waves (the set
+    * the rewrite actually read, pinned at `basedOn`) with `newWave`,
+    * CAS-retried — a wave another committer landed between the pin and
+    * this commit SURVIVES into the new snapshot instead of being
+    * silently dropped (advice r14, low: the compact faces derived their
+    * wave set from an earlier pinned read but committed via [[commit]],
+    * which re-reads the current pointer as its CAS base — the exact
+    * lost-update race [[commitBasedOn]] exists to surface). On conflict
+    * the retry re-reads the winner's set, keeps its non-absorbed waves,
+    * and lands `newWave` on top; the rewrite itself is NOT redone (it
+    * covers `absorbed` regardless of what landed since). `through` is
+    * the compaction coverage marker ([[throughAfterCompaction]] of the
+    * absorbed set). Returns the committed version. */
+  def commitCompaction(spark: SparkSession, root: String,
+      absorbed: Seq[Long], newWave: Long, through: Long,
+      basedOn: Option[Long]): Long = {
+    val absorbedSet = absorbed.toSet
+    var base = basedOn
+    var attempts = 0
+    while (true) {
+      val cur = base.map(wavesAt(spark, root, _)).getOrElse(Seq.empty)
+      val newSet = cur.filterNot(absorbedSet.contains) :+ newWave
+      try return commitBasedOn(spark, root, newSet, Some(through), base)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts >= 32) throw e
+          base = latestVersion(spark, root)
+      }
+    }
+    -1L // unreachable
   }
 
   /** Commit `pinned ∪ {wave}` unless `wave` is already pinned OR was

@@ -238,7 +238,14 @@ private[streaming] object DedupState {
     * @return the new wave id */
   def compactTable(spark: SparkSession, indexPath: String,
       reduce: DataFrame => DataFrame = identity): Long = {
-    val waves = graft.model.WaveManifest.pinned(spark, indexPath)
+    // pin the VERSION the wave set came from: the commit below is CAS'd
+    // against it, so a wave another committer lands between this read
+    // and the commit survives into the new snapshot instead of being
+    // silently dropped (advice r14 — the lost-update race commitBasedOn
+    // exists to surface)
+    val baseV = graft.model.WaveManifest.latestVersion(spark, indexPath)
+    val waves = baseV
+      .map(v => graft.model.WaveManifest.wavesAt(spark, indexPath, v))
       .getOrElse(throw new IllegalArgumentException(
         s"no manifest under $indexPath — compact needs a manifest-pinned " +
           "index (legacy indexes predate the snapshot discipline)"))
@@ -248,9 +255,11 @@ private[streaming] object DedupState {
       .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch"))
       .localCheckpoint() // the rewrite scans the path it overwrites
     writeWave(rows, indexPath, newWave)
-    graft.model.WaveManifest.commit(spark, indexPath, Seq(newWave),
-      through = Some(graft.model.WaveManifest.throughAfterCompaction(
-        waves, graft.model.WaveManifest.compactedThrough(spark, indexPath))))
+    graft.model.WaveManifest.commitCompaction(spark, indexPath,
+      absorbed = waves, newWave = newWave,
+      through = graft.model.WaveManifest.throughAfterCompaction(
+        waves, graft.model.WaveManifest.compactedThrough(spark, indexPath)),
+      basedOn = baseV)
     newWave
   }
 

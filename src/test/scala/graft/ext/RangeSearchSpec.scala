@@ -114,6 +114,49 @@ class RangeSearchSpec extends SparkSpec {
     assert(e4.getMessage.contains("NULL"))
   }
 
+  test("distributed probe selection matches the driver-side rule list " +
+      "for list (pruned face, every nProbe)") {
+    // replay IvfIndex.search's driver loop in the test and demand the
+    // pruned result equal exact-restricted-to-those-lists — pinning that
+    // probeSelect's broadcast-centroid argmin picks the SAME lists the
+    // old collect-based selection did, at every probe width
+    val rnd = new scala.util.Random(23)
+    val vecs = (1L to 90L).map(i => i -> Seq.fill(4)(rnd.nextDouble()))
+    val qs = vecs.filter(_._1 <= 4)
+    val model = IvfIndex.build(df(vecs), "id", "vec", nLists = 5)
+    val r2 = 300000000000L
+    val exact = pairs(RangeSearch.exact(df(vecs), df(qs), "id", "vec", r2))
+    val listOf = model.assigned.select(col("neighbor_id"), col("list_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (nProbe <- 1 to 5) {
+      val wantLists = qs.map { case (qid, qv) =>
+        qid -> model.centroids.map { case (lid, c) =>
+          val d = c.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum
+          (lid, d)
+        }.sortBy(_._2).take(nProbe).map(_._1).toSet
+      }.toMap
+      val want = exact.filter { case (qid, nid, _) =>
+        wantLists(qid).contains(listOf(nid)) }
+      val got = pairs(RangeSearch.probed(model, df(qs), "id", "vec", r2,
+        nProbe))
+      assert(got === want, s"nProbe=$nProbe")
+    }
+  }
+
+  test("probed without probe broadcast (huge-offline-batch posture) " +
+      "returns the identical pair set") {
+    val rnd = new scala.util.Random(29)
+    val vecs = (1L to 70L).map(i => i -> Seq.fill(4)(rnd.nextDouble()))
+    val qs = vecs.filter(_._1 <= 3)
+    val model = IvfIndex.build(df(vecs), "id", "vec", nLists = 4)
+    val r2 = 300000000000L
+    val a = pairs(RangeSearch.probed(model, df(qs), "id", "vec", r2,
+      nProbe = 2))
+    val b = pairs(RangeSearch.probed(model, df(qs), "id", "vec", r2,
+      nProbe = 2, broadcastProbes = false))
+    assert(a === b)
+  }
+
   test("plan: corpus side joins by broadcast NLJ, no shuffle exchange " +
       "on the corpus scan") {
     val rnd = new scala.util.Random(19)

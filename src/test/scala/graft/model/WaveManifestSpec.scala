@@ -72,6 +72,60 @@ class WaveManifestSpec extends SparkSpec {
     assert(WaveManifest.pinned(spark, root).get === Seq(0L, 1L, 2L))
   }
 
+  test("an ABANDONED orphan version above the pointer is adopted: the " +
+      "next commit flips forward to it and the retry lands on top " +
+      "(the wedged-root liveness fix, advice r14)") {
+    val root = fresh()
+    WaveManifest.commit(spark, root, Seq(0L))
+    val base = WaveManifest.latestVersion(spark, root)
+    // a commit that renamed its v-file but crashed before the pointer
+    // flip AND is never replayed (run abandoned): orphan v=base+1 with
+    // content a future retry will NOT reproduce
+    WaveManifest.commitBasedOn(spark, root, Seq(0L, 7L), None, base)
+    val hp = new org.apache.hadoop.fs.Path(s"$root/_manifest/_latest")
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(hp, true)
+    out.write(base.get.toString.getBytes("UTF-8"))
+    out.close()
+    assert(WaveManifest.latestVersion(spark, root) === base)
+    // pre-fix: commitWave recomputed the same next, collided with the
+    // orphan 32 times, and threw — the root was permanently wedged.
+    // post-fix: the conflict adopts the orphan (flips the pointer to
+    // it — its data waves landed before it, the data-first contract)
+    // and the retry lands wave 2 on top of wave 7.
+    WaveManifest.commitWave(spark, root, 2L)
+    assert(WaveManifest.pinned(spark, root).get === Seq(0L, 2L, 7L))
+  }
+
+  test("commitCompaction: a wave landed between the pin and the commit " +
+      "SURVIVES — the compaction retries on top of the racer") {
+    val root = fresh()
+    WaveManifest.commit(spark, root, Seq(0L, 1L, 2L))
+    val baseV = WaveManifest.latestVersion(spark, root)
+    val absorbed = WaveManifest.wavesAt(spark, root, baseV.get)
+    // racer: a streaming append commits wave 3 after the compaction
+    // pinned its read set
+    WaveManifest.commitWave(spark, root, 3L)
+    val newWave = WaveManifest.nextCompactionWave(absorbed)
+    val v = WaveManifest.commitCompaction(spark, root, absorbed, newWave,
+      through = WaveManifest.throughAfterCompaction(absorbed, -1L),
+      basedOn = baseV)
+    // the racer's wave is still pinned; the absorbed ones are gone
+    assert(WaveManifest.pinned(spark, root).get ===
+      Seq(3L, newWave).sorted)
+    assert(WaveManifest.compactedThrough(spark, root) === 2L)
+    assert(v === WaveManifest.latestVersion(spark, root).get)
+    // no race: the same call from a current base commits first try
+    val baseV2 = WaveManifest.latestVersion(spark, root)
+    val abs2 = WaveManifest.wavesAt(spark, root, baseV2.get)
+    val w2 = WaveManifest.nextCompactionWave(abs2)
+    WaveManifest.commitCompaction(spark, root, abs2, w2,
+      through = WaveManifest.throughAfterCompaction(abs2, 2L),
+      basedOn = baseV2)
+    assert(WaveManifest.pinned(spark, root).get === Seq(w2))
+    assert(WaveManifest.compactedThrough(spark, root) === 3L)
+  }
+
   test("hammering commitWave from many threads loses no wave and every " +
       "version is a committed predecessor plus one wave") {
     val root = fresh()
