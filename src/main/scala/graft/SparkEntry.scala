@@ -1385,6 +1385,17 @@ object SparkEntry {
         shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5,
         broadcastCandidates = true)),
 
+    // ── MinHash-LSH with the SKETCH-DERIVED hot-band cap (X162's
+    //    Count-Min derivation extended to the band keys, VERDICT r14
+    //    #6): bands estimating ≥ 3 docs drop from candidate generation
+    //    — at every SF the cap bites (the df=3 flood bands go, df=2
+    //    bands survive), and the oracle models sketch, cap list, and
+    //    banding exactly, so the LOSSY pair set still hash-gates.
+    "q_minhash_sketch_capped" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5,
+        broadcastCandidates = true, bandHotMinEst = Some(3L))),
+
     // ── Near-dup pairs → dedup CLUSTERS: connected components over the
     //    minhash pair graph (transitive closure), one row per cluster with
     //    its min-id label, size, and sorted member list — the form a
@@ -1938,6 +1949,15 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 3)),
 
+    // ── SimHash pairs with the sketch-derived hot-CHUNK cap — the
+    //    bandHotMinEst discipline on the Hamming family's (b, chunk)
+    //    keys (df reaches ~28 on the most popular chunk: the cap
+    //    bites at every SF; recall loss is pigeonhole-bounded and the
+    //    oracle replays the same sketch + drop rule).
+    "q_simhash_sketch_capped" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3, chunkHotMinEst = Some(10L))),
+
     // ── Embedding-cosine near-dup pairs within sign-LSH buckets.
     "q_embed_dedup" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), "vec_id",
@@ -2284,6 +2304,26 @@ object SparkEntry {
         .groupBy(col("query_id"))
         .agg(count(col("n2")).cast("int").as("hits"))
         .withColumn("k", lit(10))
+    }),
+
+    // ── PQ capacity SWEEP, gated (X140 discipline): the r14 isotropy
+    //    finding (q_embed_isotropy PR/dim 0.88–0.97) says CAPACITY, not
+    //    rotation, is the recall lever on this corpus — this row
+    //    measures the recall/memory trade as data: three codebook
+    //    capacities (8 → 32 → 40 bits/vector), same queries, same
+    //    brute ground truth, per-query gated intersection counts. The
+    //    memory column is the 100 TB design input: recall buys bytes
+    //    per vector, and the row makes the exchange rate a hash-gated
+    //    measurement instead of a hope.
+    "q_pq_recall_capacity" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Seq(("m4k4", 8, 4, 4), ("m8k16", 32, 8, 16), ("m8k32", 40, 8, 32))
+        .map { case (cfg, bits, m, k) =>
+          pqRecallDf(emb, m = m, k = k, rounds = 2)
+            .select(lit(cfg).as("cfg"),
+              lit(bits).cast("int").as("bits_per_vec"),
+              col("query_id"), col("hits"), col("k"))
+        }.reduce(_ unionByName _)
     }),
 
     // ── IVF-PQ (IvfPq): the coarse-quantizer + residual-PQ composition
@@ -5550,6 +5590,57 @@ object SparkEntry {
 
     "q_minhash_lsh" -> minhashLshOracle,
 
+    // the band-key Count-Min cap modeled IN the oracle (the
+    // q_ngram_sketch_capped discipline): sketch over the (band, bsig)
+    // postings, est >= 3 keys drop before banding, then the standard
+    // candidate + exact-Jaccard verification over the SURVIVING postings
+    "q_minhash_sketch_capped" -> {
+      val arg = "'42|'||CAST(t.i AS VARCHAR)||'|'||k"
+      val bucket =
+        s"""((strpos('0123456789abcdef', substr(md5($arg), 1, 1)) - 1) * 4096 +
+             (strpos('0123456789abcdef', substr(md5($arg), 2, 1)) - 1) * 256 +
+             (strpos('0123456789abcdef', substr(md5($arg), 3, 1)) - 1) * 16 +
+             (strpos('0123456789abcdef', substr(md5($arg), 4, 1)) - 1)) % 65536"""
+      s"""WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                        FROM documents),
+         sh AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS s
+                FROM words, UNNEST(range(1, len(w)-1)) t(i)),
+         sig AS (SELECT doc_id, h, min(md5(h || '|' || s)) AS sg
+                 FROM sh, UNNEST(range(12)) t(h) GROUP BY 1, 2),
+         bands AS (SELECT doc_id, CAST(floor(h/4) AS INT) AS band,
+                          md5(string_agg(h||':'||sg, '|' ORDER BY h||':'||sg)) AS bsig
+                   FROM sig GROUP BY 1, 2),
+         bk AS (SELECT doc_id, band, bsig,
+                       CAST(band AS VARCHAR)||':'||bsig AS k
+                FROM bands),
+         cells AS (SELECT t.i AS i, $bucket AS j
+                   FROM bk CROSS JOIN range(4) t(i)),
+         sk AS (SELECT i, j, count(*) AS cnt FROM cells GROUP BY 1, 2),
+         keys AS (SELECT DISTINCT k FROM bk),
+         qb AS (SELECT k, t.i AS i, $bucket AS j
+                FROM keys CROSS JOIN range(4) t(i)),
+         est AS (SELECT qb.k AS k, min(coalesce(sk.cnt, 0)) AS est
+                 FROM qb LEFT JOIN sk ON sk.i = qb.i AND sk.j = qb.j
+                 GROUP BY 1),
+         hot AS (SELECT k FROM est WHERE est >= 3),
+         bc AS (SELECT doc_id, band, bsig FROM bk
+                WHERE k NOT IN (SELECT k FROM hot)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bc a JOIN bc b
+                  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+                   GROUP BY 1, 2),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+         SELECT doc_a, doc_b,
+                round(CAST(c AS DOUBLE)/(na.n + nb.n - c), 4) AS jaccard
+         FROM inter
+         JOIN cnt na ON doc_a = na.doc_id
+         JOIN cnt nb ON doc_b = nb.doc_id
+         WHERE CAST(c AS DOUBLE)/(na.n + nb.n - c) >= 0.5"""
+    },
+
     // transitive closure of the SAME pair query via a recursive CTE, then
     // per-component min label / size / sorted member list
     "q_dedup_clusters" ->
@@ -5925,6 +6016,57 @@ object SparkEntry {
                   ON a.b = b2.b AND a.chunk = b2.chunk
                      AND a.doc_id < b2.doc_id)
          SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3""",
+
+    // the chunk-key Count-Min cap modeled in the oracle: sketch over
+    // the (b, chunk) postings, est >= 10 keys drop before pairing
+    "q_simhash_sketch_capped" -> {
+      val arg = "'42|'||CAST(t.i AS VARCHAR)||'|'||k"
+      val bucket =
+        s"""((strpos('0123456789abcdef', substr(md5($arg), 1, 1)) - 1) * 4096 +
+             (strpos('0123456789abcdef', substr(md5($arg), 2, 1)) - 1) * 256 +
+             (strpos('0123456789abcdef', substr(md5($arg), 3, 1)) - 1) * 16 +
+             (strpos('0123456789abcdef', substr(md5($arg), 4, 1)) - 1)) % 65536"""
+      s"""WITH w AS (SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+              FROM documents),
+         h AS (SELECT doc_id, substr(md5(word), 1, 16) AS hh FROM w),
+         bits AS (SELECT doc_id, j,
+                strpos('0123456789abcdef',
+                       substr(hh, 1 + CAST(floor(j/4) AS INT), 1)) - 1 AS nib
+              FROM h, UNNEST(range(63)) t(j)),
+         votes AS (SELECT doc_id, j,
+                sum(CASE WHEN ((nib >> CAST(3 - j%4 AS INT)) & 1) = 1
+                         THEN 1 ELSE -1 END) AS v
+              FROM bits GROUP BY 1, 2),
+         fp AS (SELECT doc_id,
+                CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id),
+         bandsr AS (SELECT doc_id, simhash, b,
+                          (simhash >> CAST(b * 16 AS INT)) & 65535 AS chunk
+                   FROM fp, UNNEST(range(4)) t(b)),
+         bk AS (SELECT doc_id, simhash, b, chunk,
+                       CAST(b AS VARCHAR)||':'||CAST(chunk AS VARCHAR) AS k
+                FROM bandsr),
+         cells AS (SELECT t.i AS i, $bucket AS j
+                   FROM bk CROSS JOIN range(4) t(i)),
+         sk AS (SELECT i, j, count(*) AS cnt FROM cells GROUP BY 1, 2),
+         keys AS (SELECT DISTINCT k FROM bk),
+         qb AS (SELECT k, t.i AS i, $bucket AS j
+                FROM keys CROSS JOIN range(4) t(i)),
+         est AS (SELECT qb.k AS k, min(coalesce(sk.cnt, 0)) AS est
+                 FROM qb LEFT JOIN sk ON sk.i = qb.i AND sk.j = qb.j
+                 GROUP BY 1),
+         hot AS (SELECT k FROM est WHERE est >= 10),
+         bc AS (SELECT doc_id, simhash, b, chunk FROM bk
+                WHERE k NOT IN (SELECT k FROM hot)),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                         bit_count(xor(a.simhash, b2.simhash)) AS hamming
+                  FROM bc a JOIN bc b2
+                  ON a.b = b2.b AND a.chunk = b2.chunk
+                     AND a.doc_id < b2.doc_id)
+         SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3"""
+    },
 
     "q_embed_dedup" ->
       s"""WITH $embedPairCtes
@@ -6658,6 +6800,17 @@ object SparkEntry {
 
     "q_pq_recall_tuned" ->
       pqRecallOracle(m = 16, k = 16, rounds = 4, topK = 10),
+
+    // capacity sweep: three full train→ADC→gate replays, one per
+    // codebook capacity, each a derived table over the shared
+    // pqRecallOracle body (DuckDB allows WITH inside a subquery)
+    "q_pq_recall_capacity" ->
+      Seq(("m4k4", 8, 4, 4), ("m8k16", 32, 8, 16), ("m8k32", 40, 8, 32))
+        .map { case (cfg, bits, m, k) =>
+          s"""SELECT '$cfg' AS cfg, CAST($bits AS INTEGER) AS bits_per_vec,
+                query_id, hits, k
+              FROM (${pqRecallOracle(m = m, k = k, rounds = 2, topK = 10)})"""
+        }.mkString("\n UNION ALL \n"),
 
     // greedy k-center: unrolled farthest-point rounds
     "q_coreset" -> coresetOracle(k = 6),
@@ -7436,6 +7589,28 @@ object SparkEntry {
     * per-query intersection counts — both rankings derived from the
     * SAME comp CTE (the exact distance is the full-pos sum, the ADC
     * the trained-table sum), so recall is hash-exact, not sampled. */
+  /** One PQ recall measurement (train → encode → ADC top-k vs brute
+    * top-k → per-query gated intersection counts) — the shape
+    * q_pq_recall/q_pq_recall_tuned inline, factored for the capacity
+    * sweep. Output (query_id, hits, k). */
+  private def pqRecallDf(emb: org.apache.spark.sql.DataFrame, m: Int,
+      k: Int, rounds: Int): org.apache.spark.sql.DataFrame = {
+    val cb = graft.ext.PqIndex.codebooks(emb, "vec_id", "embedding",
+      m = m, k = k, rounds = rounds)
+    val codes = graft.ext.PqIndex.encode(emb, "vec_id", "embedding", cb)
+    val adc = graft.ext.PqIndex.adcTopK(codes, cb,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val ex = graft.ext.PqIndex.exactTopK(emb,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 10)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    adc.join(ex, col("query_id") === col("q2") &&
+        col("neighbor_id") === col("n2"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("n2")).cast("int").as("hits"))
+      .withColumn("k", lit(10))
+  }
+
   private def pqRecallOracle(m: Int, k: Int, rounds: Int,
       topK: Int): String =
     pqCoreCtes(m, k, rounds) + s""",

@@ -326,6 +326,21 @@ object Dedup {
         expr(s"stack($nBands, $stackArgs) AS (band, band_sig)"))
   }
 
+  /** @param bandHotMinEst sketch-DERIVED hot-band cap (the X162
+    *        `ngramJaccardPairsSketchCapped` discipline extended to the
+    *        band keys): one Count-Min pass over the (band, band_sig)
+    *        postings (d=4, w=65536, seed=42 — the engine-shared md5
+    *        coin), then every posting probes it and keys estimating
+    *        ≥ the floor are dropped from candidate generation. CM's
+    *        one-sided est ≥ true guarantee means a genuinely flooded
+    *        band can NEVER dodge the cap; a collision can cap an
+    *        innocent band (lossy in the direction the cap already is
+    *        — candidates only, verification stays exact Jaccard,
+    *        drops audited via the observe metric). The derivation is
+    *        SQL-replayable, so the capped pair set hash-gates
+    *        (q_minhash_sketch_capped). Composes with `maxBandDF`
+    *        (exact window count) — production pipelines serve the
+    *        sketch from the CountMinStream store instead. */
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,
@@ -335,7 +350,8 @@ object Dedup {
       bandSize: Int = 4,
       threshold: Double = 0.7,
       broadcastCandidates: Boolean = false,
-      maxBandDF: Option[Long] = None
+      maxBandDF: Option[Long] = None,
+      bandHotMinEst: Option[Long] = None
   ): DataFrame = {
     // signatures, the doc's set size, AND its verification shingle set in
     // ONE HashAggregate over ONE pass of the shingle subtree, materialized
@@ -368,10 +384,33 @@ object Dedup {
           .drop("bdf")
       case None => bandsDet0
     }
+    // sketch-derived hot-band cap (see the scaladoc): est ≥ floor drops
+    // the posting; hot keys are bounded by postings/minEst → broadcast
+    // is safe by construction
+    val bandsFinal = bandHotMinEst match {
+      case Some(minEst) =>
+        require(minEst >= 2, s"bandHotMinEst must be >= 2: $minEst")
+        val keyed = bandsDet.withColumn("__bk",
+          concat_ws(":", col("band"), col("band_sig")))
+        val keys = keyed.select(col("__bk"))
+        val sk = CountMin.sketch(keys, "__bk", d = 4, w = 65536)
+        val hot = CountMin.estimate(sk, keys, "__bk", d = 4, w = 65536)
+          .filter(col("est") >= minEst)
+          .select(col("key").as("__hotbk"))
+        val flagged = keyed.join(broadcast(hot),
+          col("__bk") === col("__hotbk"), "left")
+        SkewGuard.observeDropCount(flagged, "minhash_band_sketch",
+          sum(when(col("__hotbk").isNotNull, 1L)),
+          dropped => s"minhashLshPairs: sketch-derived hot-band cap " +
+            s"dropped $dropped (doc, band) posting(s) from candidate " +
+            "generation (verification stays exact Jaccard over full sets)")
+          .filter(col("__hotbk").isNull).drop("__bk", "__hotbk")
+      case None => bandsDet
+    }
 
-    val ca = bandsDet.select(col(idCol).as("doc_a"), col("band"),
+    val ca = bandsFinal.select(col(idCol).as("doc_a"), col("band"),
       col("band_sig"), col("n_sh").as("n_a"))
-    val cb = bandsDet.select(col(idCol).as("doc_b"), col("band"),
+    val cb = bandsFinal.select(col(idCol).as("doc_b"), col("band"),
       col("band_sig"), col("n_sh").as("n_b"))
     // sizes are constant per doc, so carrying them through the distinct
     // leaves the candidate cardinality unchanged
@@ -525,13 +564,15 @@ object Dedup {
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxChunkDF: Option[Long] = None): DataFrame = {
+      maxHamming: Int = 3, maxChunkDF: Option[Long] = None,
+      chunkHotMinEst: Option[Long] = None): DataFrame = {
     // materialize the fingerprints once: the band frame self-joins, and
     // without the checkpoint the whole simhash subtree (scan + two
     // aggregates + vocab join) plans TWICE — AQE does not reuse sibling
     // stages (PERF.md). One row per doc, two fixed-width columns.
     val fp = simhash(df, idCol, textCol).localCheckpoint()
-    hammingPairs63(fp, idCol, "simhash", maxHamming, maxChunkDF)
+    hammingPairs63(fp, idCol, "simhash", maxHamming, maxChunkDF,
+      chunkHotMinEst)
   }
 
   /** Near-dup pairs over ANY 63-bit fingerprint column — the banded
@@ -544,15 +585,21 @@ object Dedup {
     * verify with exact `bit_count(a^b)`. Caller contract: `fpCol` holds
     * values in [0, 2⁶³) and the frame is already materialized
     * (checkpointed) — the band frame self-joins. */
+  /** @param chunkHotMinEst sketch-derived hot-chunk cap — the
+    *        [[minhashLshPairs]] `bandHotMinEst` contract on the
+    *        (b, chunk) keys (Count-Min d=4/w=65536/seed=42; est ≥
+    *        floor drops the posting from candidate generation, audited
+    *        and SQL-replayable — q_simhash_sketch_capped). */
   def hammingPairs63(
       fp: DataFrame, idCol: String, fpCol: String,
-      maxHamming: Int = 3, maxChunkDF: Option[Long] = None): DataFrame = {
+      maxHamming: Int = 3, maxChunkDF: Option[Long] = None,
+      chunkHotMinEst: Option[Long] = None): DataFrame = {
     val bands0 = fp.select(col(idCol), col(fpCol).as("simhash"),
         explode(expr("sequence(0, 3)")).as("b"))
       .withColumn("chunk", expr("shiftright(simhash, CAST(b * 16 AS INT)) & 65535"))
     // opt-in hot-chunk guard — same contract as minhashLshPairs.maxBandDF
     // (identical-doc floods share all four 16-bit chunks)
-    val bands = maxChunkDF match {
+    val bands1 = maxChunkDF match {
       case Some(cap) =>
         require(cap >= 2, "maxChunkDF must be >= 2")
         val withDf = bands0.withColumn("cdf", count(lit(1))
@@ -566,6 +613,27 @@ object Dedup {
           .filter(col("cdf") <= cap)
           .drop("cdf")
       case None => bands0
+    }
+    // sketch-derived hot-chunk cap (see the scaladoc)
+    val bands = chunkHotMinEst match {
+      case Some(minEst) =>
+        require(minEst >= 2, s"chunkHotMinEst must be >= 2: $minEst")
+        val keyed = bands1.withColumn("__ck",
+          concat_ws(":", col("b"), col("chunk")))
+        val keys = keyed.select(col("__ck"))
+        val sk = CountMin.sketch(keys, "__ck", d = 4, w = 65536)
+        val hot = CountMin.estimate(sk, keys, "__ck", d = 4, w = 65536)
+          .filter(col("est") >= minEst)
+          .select(col("key").as("__hotck"))
+        val flagged = keyed.join(broadcast(hot),
+          col("__ck") === col("__hotck"), "left")
+        SkewGuard.observeDropCount(flagged, "simhash_chunk_sketch",
+          sum(when(col("__hotck").isNotNull, 1L)),
+          dropped => s"hammingPairs63: sketch-derived hot-chunk cap " +
+            s"dropped $dropped (doc, chunk) posting(s) from candidate " +
+            "generation (verification stays exact bit_count)")
+          .filter(col("__hotck").isNull).drop("__ck", "__hotck")
+      case None => bands1
     }
     val ca = bands.select(col(idCol).as("doc_a"), col("simhash").as("sh_a"),
       col("b"), col("chunk"))

@@ -40,13 +40,19 @@ object IndexStream {
     * run's waves 1..n. A checkpoint RESTART keeps its marker-recorded
     * base, preserving replay idempotence.
     *
-    * One-time migration hazard (documented, by design): a checkpoint
-    * created BEFORE the run-scoped mapping replays its last
-    * uncommitted-by-checkpoint batch under a shifted wave id — if that
-    * batch's docs were already committed under the old mapping, they
-    * land twice (both waves pinned, postings double-counted). Migrate
-    * by letting the old query drain fully (AvailableNow, clean stop)
-    * before upgrading, or rebuild the index. */
+    * One-time migration hazard, now DETECTED (advice/VERDICT r14 #7):
+    * a checkpoint created BEFORE the run-scoped mapping replays its
+    * last uncommitted-by-checkpoint batch under a shifted wave id — if
+    * that batch's docs were already committed under the OLD mapping
+    * (wave = raw epoch id + 1), they would land twice (both waves
+    * pinned, postings double-counted). [[appendBatchGuarded]] checks
+    * exactly that case before writing: when the base is shifted AND
+    * the un-shifted wave is pinned holding EXACTLY this batch's doc
+    * set, the batch already landed pre-upgrade and the replay is
+    * skipped idempotently. The check reads one partition-pruned
+    * doclens wave only when both conditions can hold — normal batches
+    * never pay it. A clean AvailableNow drain before upgrading remains
+    * the zero-risk migration. */
   def start(docs: DataFrame, idCol: String, textCol: String,
             path: String, checkpoint: String,
             termBuckets: Int = 64, compactEvery: Int = 0): StreamingQuery = {
@@ -60,10 +66,44 @@ object IndexStream {
           baseRef.set(DedupState.resolveBaseWith(spark, path,
             DedupState.queryId(spark),
             DedupState.indexRunBase(spark, path)))
-        appendBatch(batch, idCol, textCol, path, baseRef.get + id,
+        appendBatchGuarded(batch, idCol, textCol, path, id, baseRef.get,
           termBuckets, compactEvery)
       }
       .start()
+  }
+
+  /** [[appendBatch]] under the run-scoped base, with the pre-upgrade
+    * double-land detection described on [[start]]. Public so specs can
+    * replay a pre-upgrade checkpoint directly. */
+  def appendBatchGuarded(batch: DataFrame, idCol: String, textCol: String,
+                         path: String, rawEpochId: Long, base: Long,
+                         termBuckets: Int, compactEvery: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    if (base > 0 &&
+        alreadyLandedPreUpgrade(spark, path, rawEpochId + 1, batch, idCol))
+      return
+    appendBatch(batch, idCol, textCol, path, base + rawEpochId,
+      termBuckets, compactEvery)
+  }
+
+  /** True iff wave `oldWave` (the PRE-run-scoped mapping of this epoch)
+    * is pinned and its doclens doc set equals the batch's — the replay
+    * already landed under the old mapping. Exact set equality, both
+    * directions (a pinned wave from a DIFFERENT run that merely shares
+    * some ids stays false and proceeds to the normal shifted write —
+    * where the doc-ids-new-across-batches precondition governs, as
+    * ever). */
+  private[streaming] def alreadyLandedPreUpgrade(spark: SparkSession,
+      path: String, oldWave: Long, batch: DataFrame,
+      idCol: String): Boolean = {
+    import org.apache.spark.sql.functions.col
+    if (!graft.model.WaveManifest.pinned(spark, path)
+        .exists(_.contains(oldWave))) return false
+    val old = spark.read.parquet(s"$path/doclens")
+      .filter(col("batch") === oldWave).select(col("doc_id"))
+    val ids = batch.select(col(idCol).as("doc_id")).distinct()
+    ids.join(old, Seq("doc_id"), "left_anti").limit(1).count() == 0L &&
+      old.join(ids, Seq("doc_id"), "left_anti").limit(1).count() == 0L
   }
 
   /** One wave under `batch=<batchId + 1>` with dynamic partition

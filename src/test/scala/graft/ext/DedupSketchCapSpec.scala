@@ -49,6 +49,59 @@ class DedupSketchCapSpec extends SparkSpec {
     assert(capped((1L, 2L)) === 0.7778)
   }
 
+  // the band/chunk cap tests need a pair with GUARANTEED banding
+  // recall: a byte-identical small dup group (df = 2, far under the
+  // cap) collides on every band/chunk, whereas a merely-similar pair
+  // may probabilistically miss all bands (the prefix-filter family
+  // above has exact candidate recall, so it can use a similar pair)
+  private val dupPair = Seq(
+    1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+  private def bandDocs = (flood ++ dupPair ++ lone).toDF("doc_id", "text")
+
+  test("minhash band cap: the flood's bands are capped out of " +
+      "generation; the small dup group keeps its exact Jaccard") {
+    val uncapped = Dedup.minhashLshPairs(bandDocs, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // identical flood docs share EVERY band: the quadratic adversary
+    assert(uncapped.count { case (a, b) => a >= 100L && b >= 100L } === 190)
+    assert(uncapped.contains((1L, 2L)))
+
+    val capped = Dedup.minhashLshPairs(bandDocs, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bandSize = 4, threshold = 0.5,
+      bandHotMinEst = Some(10L))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // every flood band has df = 20 ≥ minEst and est ≥ df — capped;
+    // flood pairs vanish entirely
+    assert(!capped.keySet.exists { case (a, b) => a >= 100L && b >= 100L },
+      capped.keySet.toString)
+    // the dup pair's bands have df = 2 < minEst (false-hot collision
+    // astronomically unlikely at w=65536 over ~70 band keys) — kept,
+    // exact full-set score
+    assert(capped.get((1L, 2L)) === Some(1.0), capped.keySet.toString)
+  }
+
+  test("simhash chunk cap: the flood's chunks are capped; the small " +
+      "dup group survives exact hamming verification") {
+    val uncapped = Dedup.simhashPairs(bandDocs, "doc_id", "text",
+      maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.count { case (a, b) => a >= 100L && b >= 100L } === 190)
+    assert(uncapped.contains((1L, 2L)))
+
+    val capped = Dedup.simhashPairs(bandDocs, "doc_id", "text",
+      maxHamming = 3, chunkHotMinEst = Some(10L))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // identical flood docs share every chunk with df = 20 ≥ minEst —
+    // all four bands capped, flood pairs gone
+    assert(!capped.exists { case (a, b) => a >= 100L && b >= 100L },
+      capped.toString)
+    // the dup pair's chunks have df = 2 — kept (hamming 0)
+    assert(capped.contains((1L, 2L)), capped.toString)
+  }
+
   test("the cap never misses a hot key: est >= true df, so df >= minEst " +
       "implies membership in the derived list") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 3).localCheckpoint()

@@ -90,4 +90,57 @@ class IndexStreamRecoverySpec extends SparkSpec {
       .filter(col("doc_id") === 999L).count()
     assert(dl999 === 0L)
   }
+
+  test("pre-upgrade checkpoint replay: a batch already committed under " +
+      "the old un-shifted mapping is skipped, not double-landed") {
+    val path = Files.createTempDirectory("istream-upg-idx").toString
+    val b0 = Seq((1L, "spark join table scan fast"),
+      (2L, "slow table scan table scan")).toDF("doc_id", "text")
+    // PRE-upgrade run: batch 0 lands directly as wave 1 (no run base)
+    // and its data commits — but the checkpoint "dies" before recording
+    // the batch, the exact at-least-once gap the migration hazard needs
+    IndexStream.appendBatch(b0, "doc_id", "text", path, 0L, 8)
+    assert(graft.model.WaveManifest.pinned(spark, path).get === Seq(1L))
+
+    // POST-upgrade restart from that checkpoint: the run-scoped base
+    // resolves past the pinned wave, and the replayed epoch 0 would
+    // land the same docs AGAIN as wave base+1 — the guard must see
+    // wave 1 pinned with exactly this doc set and skip
+    val base = DedupState.indexRunBase(spark, path)
+    assert(base >= 1L)
+    IndexStream.appendBatchGuarded(b0, "doc_id", "text", path,
+      rawEpochId = 0L, base = base, termBuckets = 8)
+    assert(graft.model.WaveManifest.pinned(spark, path).get === Seq(1L))
+
+    // a genuinely NEW batch from the upgraded run lands normally under
+    // the shifted mapping (old wave 2 is unpinned -> no skip)
+    val b1 = Seq((3L, "spark spark join")).toDF("doc_id", "text")
+    IndexStream.appendBatchGuarded(b1, "doc_id", "text", path,
+      rawEpochId = 1L, base = base, termBuckets = 8)
+    assert(graft.model.WaveManifest.pinned(spark, path).get ===
+      Seq(1L, base + 2L))
+
+    // df/stats identical to a one-shot build: nothing double-counted
+    val oneShot = Files.createTempDirectory("istream-upg-full").toString
+    PostingIndex.build(Seq(
+        (1L, "spark join table scan fast"),
+        (2L, "slow table scan table scan"),
+        (3L, "spark spark join")).toDF("doc_id", "text"),
+      "doc_id", "text", oneShot, termBuckets = 8)
+    val terms = Seq("spark", "table", "join")
+    def rows(p: String) =
+      PostingIndex.scoreQuery(spark, p, terms, termBuckets = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          (2 to 4).map(r.getLong), r.getDouble(5))).sortBy(_._1).toSeq
+    assert(rows(path) === rows(oneShot))
+
+    // a batch that merely SHARES ids with the old wave is NOT treated
+    // as a pre-upgrade replay (exact set equality, both directions)
+    val partial = Seq((1L, "x"), (9L, "y")).toDF("doc_id", "text")
+    assert(!IndexStream.alreadyLandedPreUpgrade(spark, path, 1L,
+      partial, "doc_id"))
+    val subset = Seq((1L, "x")).toDF("doc_id", "text")
+    assert(!IndexStream.alreadyLandedPreUpgrade(spark, path, 1L,
+      subset, "doc_id"))
+  }
 }

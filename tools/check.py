@@ -50,7 +50,9 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
+        if p.is_dir():  # Spark-written table dir (GateData's sf1 layout)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     n_pass = n_fail = 0
