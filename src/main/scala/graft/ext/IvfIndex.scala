@@ -269,7 +269,10 @@ object IvfIndex {
     * across waves — the append precondition), so search over the
     * compacted index is bit-identical (spec-pinned). Data first,
     * manifest after; old waves remain for pinned readers until
-    * [[graft.model.WaveManifest.expire]]. Single-committer contract.
+    * [[graft.model.WaveManifest.expire]]. Appends may race this
+    * compaction (CAS-retried commit keeps their waves —
+    * WaveRaceSpec); compactions must not race each other (shared
+    * rewrite target wave id).
     * @return the new wave id */
   def compact(spark: SparkSession, path: String): Long = {
     // version-pinned read → CAS'd commit: a wave landed mid-compaction

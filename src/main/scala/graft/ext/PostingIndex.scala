@@ -243,7 +243,12 @@ object PostingIndex {
     * idempotent), the manifest flips after; a crash in between leaves
     * the old manifest serving the old waves. Old waves stay on disk for
     * pinned readers until [[graft.model.WaveManifest.expire]] reclaims
-    * them. Single-committer contract (do not race ingest).
+    * them. An append landing mid-compaction is SAFE: the commit is
+    * CAS'd against the pin-time version ([[graft.model.WaveManifest
+    * .commitCompaction]]), so the racing wave survives into the new
+    * snapshot (WaveRaceSpec races the two). Compactions themselves
+    * stay single-threaded per index — two racing compactions share a
+    * rewrite target wave id.
     * @return the new wave id */
   def compact(spark: SparkSession, path: String): Long = {
     // version-pinned read → CAS'd commit: a wave landed mid-compaction

@@ -66,9 +66,22 @@ object WaveManifest {
     math.max(pinnedWaves.filter(_ < CompactBase)
       .reduceOption(_ max _).getOrElse(-1L), prior)
 
+  // RAW (checksum-free) filesystem for every manifest file operation:
+  // on a ChecksumFileSystem (the local FS), each file carries a .crc
+  // sidecar, so the pointer flip's "atomic" rename is really TWO
+  // renames — a reader racing the flip can pair one writer's _latest
+  // bytes with another's sidecar and die on ChecksumException
+  // (surfaced by WaveRaceSpec's vector race). Manifest files are
+  // tiny, rewritten whole, and content-checked by the CAS protocol
+  // itself; dropping the sidecar makes the data rename the single
+  // atomic unit. HDFS/object stores are not ChecksumFileSystems and
+  // pass through unchanged.
   private def fs(spark: SparkSession, root: String) =
     new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
 
   /** An OPTIONAL wave-partitioned side table under `root/<table>` (the
     * tombstone tables of the delete faces): Some(frame) only when the

@@ -234,7 +234,9 @@ private[streaming] object DedupState {
     * unchanged either way (the serve-side aggregate is associative);
     * reducing just makes the compacted wave minimal. Data first,
     * manifest after; old waves remain for pinned readers until expire.
-    * Single-committer.
+    * Appends may race this compaction (the commit is CAS'd against
+    * the pin-time version — racing waves survive); compactions must
+    * not race each other.
     * @return the new wave id */
   def compactTable(spark: SparkSession, indexPath: String,
       reduce: DataFrame => DataFrame = identity): Long = {
