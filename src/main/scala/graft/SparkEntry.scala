@@ -93,6 +93,74 @@ object SparkEntry {
         errPredicate = col("value") >= 30.0
       )),
 
+    // ── S1 as a CAPABILITY, not just an encoding: the reference sends
+    //    its rollup INTO ClickHouse as SQL and receives aggregated rows
+    //    (etl_deepflow/neptune_etl_deepflow.py:633-646); the DSv2
+    //    warehouse source does the same — the filter and the whole
+    //    GROUP BY compile into warehouse SQL (COMPLETE aggregate
+    //    pushdown: no Aggregate node on the Spark side;
+    //    WarehouseSourceSpec pins the plan). Embedded Derby stands in
+    //    for the network warehouse; staging loads the deterministic
+    //    event_id%10 demo subset with value pre-quantized to integer
+    //    cents (toward-zero truncation — both engines agree on it).
+    "q_warehouse_rollup" -> ((s, dir) => {
+      val url = graft.sources.Warehouse.memoryUrl("graftwh")
+      val tbl = "evw" + math.abs(dir.hashCode).toString
+      graft.sources.Warehouse.stage(
+        Tables.events(s, dir)
+          .filter(col("event_id") % 10 === 0)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            (col("value") * 100).cast("long").as("cents")),
+        url, tbl)
+      s.read.format("graft.sources.WarehouseSource")
+        .option("url", url).option("dbtable", tbl).load()
+        .filter(col("cents") >= 500L)
+        .groupBy(col("event_type"))
+        .agg(count(col("event_id")).as("n_events"),
+          sum(col("cents")).as("sum_cents"),
+          max(col("user_id")).as("max_user"))
+    }),
+
+    // ── The same source's row face: pushed filters + pruned SELECT
+    //    list (the scan reads exactly two columns and ships exactly
+    //    the matching rows — nothing re-filters Spark-side).
+    "q_warehouse_scan" -> ((s, dir) => {
+      val url = graft.sources.Warehouse.memoryUrl("graftwh")
+      val tbl = "evw" + math.abs(dir.hashCode).toString
+      graft.sources.Warehouse.stage(
+        Tables.events(s, dir)
+          .filter(col("event_id") % 10 === 0)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            (col("value") * 100).cast("long").as("cents")),
+        url, tbl)
+      s.read.format("graft.sources.WarehouseSource")
+        .option("url", url).option("dbtable", tbl).load()
+        .filter(col("event_type") === "click" && col("cents") >= 1000L)
+        .select(col("event_id"), col("cents"))
+    }),
+
+    // ── And its TOP-N face: ORDER BY + LIMIT compile into the
+    //    warehouse query too (FETCH FIRST; the reference sends LIMIT to
+    //    ClickHouse the same way) — Spark's Sort/Limit nodes vanish,
+    //    the source's cut IS the global cut. Total-order tiebreak
+    //    (cents DESC, event_id) keeps the row SET deterministic.
+    "q_warehouse_topn" -> ((s, dir) => {
+      val url = graft.sources.Warehouse.memoryUrl("graftwh")
+      val tbl = "evw" + math.abs(dir.hashCode).toString
+      graft.sources.Warehouse.stage(
+        Tables.events(s, dir)
+          .filter(col("event_id") % 10 === 0)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            (col("value") * 100).cast("long").as("cents")),
+        url, tbl)
+      s.read.format("graft.sources.WarehouseSource")
+        .option("url", url).option("dbtable", tbl).load()
+        .filter(col("event_type") === "view")
+        .select(col("event_id"), col("cents"))
+        .orderBy(col("cents").desc, col("event_id"))
+        .limit(20)
+    }),
+
     // ── A3: per-server latency/error profile (p50/p99/rps/error-rate) —
     //    etl_deepflow:143-153.
     "q_metric_profile" -> ((s, dir) =>
@@ -3958,6 +4026,33 @@ object SparkEntry {
          HAVING count(*) >= 2
          ORDER BY calls DESC, user_id, event_type
          LIMIT 100""",
+
+    "q_warehouse_rollup" ->
+      """SELECT event_type,
+         count(event_id) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS sum_cents,
+         max(user_id) AS max_user
+         FROM (SELECT event_id, user_id, event_type,
+                      CAST(trunc(value * 100) AS BIGINT) AS cents
+               FROM events WHERE event_id % 10 = 0) w
+         WHERE cents >= 500
+         GROUP BY event_type""",
+
+    "q_warehouse_scan" ->
+      """SELECT event_id, cents
+         FROM (SELECT event_id, event_type,
+                      CAST(trunc(value * 100) AS BIGINT) AS cents
+               FROM events WHERE event_id % 10 = 0) w
+         WHERE event_type = 'click' AND cents >= 1000""",
+
+    "q_warehouse_topn" ->
+      """SELECT event_id, cents
+         FROM (SELECT event_id, event_type,
+                      CAST(trunc(value * 100) AS BIGINT) AS cents
+               FROM events WHERE event_id % 10 = 0) w
+         WHERE event_type = 'view'
+         ORDER BY cents DESC, event_id
+         LIMIT 20""",
 
     "q_metric_profile" ->
       """SELECT event_type,
