@@ -2555,7 +2555,13 @@ object SparkEntry {
         col("media_id"), col("format"), col("n_bytes"), col("content_md5"),
         col("n_frames"),
         col("features")(0).as("f_len"),
-        round(col("features")(1), 4).as("f_mean"),
+        // half-up quantization, NOT round(): Spark's round works on the
+        // shortest decimal repr, DuckDB's on the binary double — they
+        // disagree on boundary means (94.10124999… rounded 94.1013 vs
+        // 94.1012, caught by the sf1 gate). floor(v·1e4+0.5)/1e4 is
+        // IEEE-identical in both engines.
+        (floor(col("features")(1) * lit(10000.0) + lit(0.5)) /
+          lit(10000.0)).as("f_mean"),
         col("features")(2).as("f_head"))
     }),
 
@@ -6447,9 +6453,10 @@ object SparkEntry {
                 md5(text) AS content_md5,
                 CAST(ceil(strlen(text)/1024.0) AS INT) AS n_frames,
                 CAST(strlen(text) AS DOUBLE) AS f_len,
-                round(CAST(list_sum(list_transform(range(1, strlen(text) + 1),
+                floor(CAST(list_sum(list_transform(range(1, strlen(text) + 1),
                         i -> unicode(substr(text, CAST(i AS INT), 1)))) AS DOUBLE)
-                      / CAST(strlen(text) AS DOUBLE), 4) AS f_mean,
+                      / CAST(strlen(text) AS DOUBLE) * 10000.0 + 0.5)
+                  / 10000.0 AS f_mean,
                 CAST(unicode(substr(text, 1, 1)) AS DOUBLE) AS f_head
          FROM documents""",
 

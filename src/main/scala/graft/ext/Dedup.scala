@@ -166,7 +166,7 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col(idCol).as("id"),
         col("n_doc").as("n"), col("rk").as("rk")))).as("docs"))
       .filter(size(col("docs")) >= 2)
-    val candidates = postings
+    val paired = postings
       .select(explode(expr(
         """flatten(transform(docs, (x, i) ->
           |  transform(slice(docs, i + 2, size(docs)), y -> struct(x, y))))"""
@@ -174,16 +174,28 @@ object Dedup {
       .select(col("p.x.id").as("doc_a"), col("p.y.id").as("doc_b"),
         col("p.x.n").as("n_a"), col("p.y.n").as("n_b"),
         col("p.x.rk").as("rk_a"), col("p.y.rk").as("rk_b"))
-      // size filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t
+      // size filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t — rank-free, so it
+      // stays sound whether or not a cap thinned the prefix
       .filter(col("n_b") >= col("n_a") * threshold - lit(1e-9) &&
         col("n_a") >= col("n_b") * threshold - lit(1e-9))
-      // positional filter (PPJoin): a shared shingle at ranks (rkA, rkB)
-      // bounds the overlap by 1 + min(|A|−rkA, |B|−rkB); J ≥ t needs
-      // overlap ≥ t/(1+t)·(|A|+|B|). True pairs pass for EVERY shared
-      // prefix shingle (the bound always dominates the real overlap), so
-      // filtering before the distinct is lossless.
-      .filter(lit(1) + least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b"))
-        >= lit(threshold / (1.0 + threshold)) * (col("n_a") + col("n_b")) - lit(1e-9))
+    // positional filter (PPJoin): a shared shingle at ranks (rkA, rkB)
+    // bounds the overlap by 1 + min(|A|−rkA, |B|−rkB); J ≥ t needs
+    // overlap ≥ t/(1+t)·(|A|+|B|). A true pair's FIRST common prefix
+    // shingle always passes (no shared element can precede it, so the
+    // bound dominates the real overlap) and the pair survives the ANY-
+    // witness distinct. That argument needs the first common witness to
+    // EXIST in the pairing frame — a df/hot cap can remove it, leaving
+    // only later witnesses whose bounds are blind to the capped shared
+    // shingles before them (sf1 gate: 62 true pairs lost to a 21-vs-24.3
+    // bound on the one uncapped witness). UNSOUND under a cap → skipped;
+    // the cap already made generation lossy in the modeled direction,
+    // and the oracle's cand CTE has no positional term.
+    val capActive = maxShingleDF.isDefined || hotShingles.isDefined
+    val candidates = (if (capActive) paired
+      else paired.filter(
+        lit(1) + least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b"))
+          >= lit(threshold / (1.0 + threshold)) * (col("n_a") + col("n_b"))
+            - lit(1e-9)))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
       .distinct()
 

@@ -168,7 +168,16 @@ object ScaleProbe {
       "q_ann_ivfpq_delete", "q_ann_ivfpq_refine", "q_sq8_recall",
       // r13j: coreset coverage (k+1 corpus passes), threshold sweep
       // (one banded pass, ×10 disjoint-group pairs)
-      "q_coreset_assign", "q_dedup_sweep")
+      "q_coreset_assign", "q_dedup_sweep",
+      // r15: the two-level prefix-sum rewrite (VERDICT r14 #1) — the
+      // per-language running sum no longer serializes one task per
+      // language, so the decade ratio must read the SHARDED profile:
+      // per-(lang, shard) subtotals ×10 rows, broadcast offsets fixed
+      // at langs×shards, in-shard windows ×10. The budgets are fixed
+      // token counts, so the KEPT set stays ~constant — the time is
+      // pure selection-machinery scaling. q_pack rides the same
+      // helper on the packing order.
+      "q_token_budget", "q_pack")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {

@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local emulation of the driver's DuckDB-oracle compare (t2 gate).
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [q1,q2,...]
+
+The optional third arg restricts the compare to those queries — one
+fresh process per heavy query keeps DuckDB's buffer pool from
+accumulating across the whole 200+-query sweep at large SFs.
 
 Reads each <verifyOutDir>/<name>/ parquet result written by graft.Verify,
 runs the matching SQL from oracle_sql.json in DuckDB against the raw
@@ -46,6 +50,7 @@ def table_of(rows, cols):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in TABLES:
@@ -60,6 +65,8 @@ def main():
         if not d.is_dir():
             continue
         name = d.name
+        if only is not None and name not in only:
+            continue
         err = d / "_GRAFT_ERROR.txt"
         if err.exists():
             # Verify's no-silent-absence sentinel: the query failed at run
