@@ -156,10 +156,18 @@ class PlanContractSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).nonEmpty, p.take(400))
   }
 
-  test("token-budget mixing is ONE ordered window: one shuffle, no join") {
+  test("token-budget mixing: SHARDED windows (no per-language single " +
+      "task) with broadcast shard offsets — never a sort-merge join") {
+    // the r15 two-level prefix-sum shape (VERDICT r14 #1): every window
+    // partitions on (lang, __shard) or orders the subtotal table by
+    // __shard — the dominant language can no longer serialize through
+    // one task's sort chain; offsets come back via a broadcast join
     val p = plan("q_token_budget")
-    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(600))
-    assert("Window".r.findAllIn(p).nonEmpty && !p.contains("Join"), p.take(400))
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("__shard")),
+      p.take(800))
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      p.take(400))
   }
 
   test("topology run report: one full-outer count join, never cartesian") {
