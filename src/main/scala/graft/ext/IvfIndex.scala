@@ -274,42 +274,26 @@ object IvfIndex {
     * WaveRaceSpec); compactions must not race each other (shared
     * rewrite target wave id).
     * @return the new wave id */
-  def compact(spark: SparkSession, path: String): Long = {
-    // version-pinned read → CAS'd commit: a wave landed mid-compaction
-    // survives into the new snapshot (advice r14; commitCompaction)
-    val baseV = graft.model.WaveManifest.latestVersion(spark, path)
-    val waves = baseV
-      .map(v => graft.model.WaveManifest.wavesAt(spark, path, v))
-      .getOrElse(throw new IllegalArgumentException(
-        s"no manifest under $path — compact needs a manifest-pinned index"))
-    require(waves.nonEmpty, s"manifest under $path pins no waves")
-    // DISJOINT compaction id space (>= 2^60): `waves.max + 1` collided
-    // with the next streaming micro-batch's id (batchId + 1), whose
-    // dynamic overwrite replaced the compacted wave's touched lists while
-    // commitWave skipped the already-pinned id (review r12)
-    val newWave = graft.model.WaveManifest.nextCompactionWave(waves)
-    // materialized BEFORE the write (the rewrite scans the path it
-    // overwrites; Spark refuses the lazy form). Tombstoned rows are
-    // PHYSICALLY removed here and the mask resets to empty.
-    val live = spark.read.parquet(s"$path/lists")
-      .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch")
-    val rows = (tombs(spark, path) match {
-      case Some(t) =>
-        val tv = t.filter(col("batch").isin(waves.map(Long.box): _*))
-          .select(col("vid").as("__tvid")).distinct()
-        live.join(tv, col("neighbor_id") === col("__tvid"), "left_anti")
-      case None => live
-    }).localCheckpoint()
-    writeListsWave(rows, path, newWave, dynamic = true)
-    // coverage marker: absorbed STREAM-space ids are refused/skipped
-    // from here on; absorbed compaction waves never raise the watermark
-    graft.model.WaveManifest.commitCompaction(spark, path,
-      absorbed = waves, newWave = newWave,
-      through = graft.model.WaveManifest.throughAfterCompaction(
-        waves, graft.model.WaveManifest.compactedThrough(spark, path)),
-      basedOn = baseV)
-    newWave
-  }
+  def compact(spark: SparkSession, path: String): Long =
+    // unique claimed rewrite id + CAS'd commit + superseded-loser retry
+    // (WaveManifest.runCompaction): appends racing this compaction keep
+    // their waves; compactions racing each other stay correct too
+    graft.model.WaveManifest.runCompaction(spark, path,
+        Seq("lists")) { (waves, newWave) =>
+      // materialized BEFORE the write (the rewrite scans the path it
+      // overwrites; Spark refuses the lazy form). Tombstoned rows are
+      // PHYSICALLY removed here and the mask resets to empty.
+      val live = spark.read.parquet(s"$path/lists")
+        .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch")
+      val rows = (tombs(spark, path) match {
+        case Some(t) =>
+          val tv = t.filter(col("batch").isin(waves.map(Long.box): _*))
+            .select(col("vid").as("__tvid")).distinct()
+          live.join(tv, col("neighbor_id") === col("__tvid"), "left_anti")
+        case None => live
+      }).localCheckpoint()
+      writeListsWave(rows, path, newWave, dynamic = true)
+    }
 
   /** The single lists write path every persisted face shares ([[
     * IvfModel.save]] wave 0 static, [[appendSave]] + [[graft.streaming

@@ -368,33 +368,23 @@ object IvfPq {
     * [[graft.model.WaveManifest.expire]] (tables `codes` + `tombs`).
     * @return the new wave id */
   def compact(spark: org.apache.spark.sql.SparkSession,
-      path: String): Long = {
-    // version-pinned read → CAS'd commit: a wave landed mid-compaction
-    // survives into the new snapshot (advice r14; commitCompaction)
-    val baseV = graft.model.WaveManifest.latestVersion(spark, path)
-    val waves = baseV
-      .map(v => graft.model.WaveManifest.wavesAt(spark, path, v))
-      .getOrElse(throw new IllegalArgumentException(
-        s"no manifest under $path — compact needs a manifest-pinned index"))
-    require(waves.nonEmpty, s"manifest under $path pins no waves")
-    val newWave = graft.model.WaveManifest.nextCompactionWave(waves)
-    val live = spark.read.parquet(s"$path/codes")
-      .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch")
-    val rows = (tombs(spark, path) match {
-      case Some(t) =>
-        val tv = t.filter(col("batch").isin(waves.map(Long.box): _*))
-          .select(col("vid").as("__tvid")).distinct()
-        live.join(tv, col("vid") === col("__tvid"), "left_anti")
-      case None => live
-    }).localCheckpoint()
-    writeCodesWave(rows, path, newWave, dynamic = true)
-    graft.model.WaveManifest.commitCompaction(spark, path,
-      absorbed = waves, newWave = newWave,
-      through = graft.model.WaveManifest.throughAfterCompaction(
-        waves, graft.model.WaveManifest.compactedThrough(spark, path)),
-      basedOn = baseV)
-    newWave
-  }
+      path: String): Long =
+    // unique claimed rewrite id + CAS'd commit + superseded-loser retry
+    // (WaveManifest.runCompaction): appends racing this compaction keep
+    // their waves; compactions racing each other stay correct too
+    graft.model.WaveManifest.runCompaction(spark, path,
+        Seq("codes")) { (waves, newWave) =>
+      val live = spark.read.parquet(s"$path/codes")
+        .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch")
+      val rows = (tombs(spark, path) match {
+        case Some(t) =>
+          val tv = t.filter(col("batch").isin(waves.map(Long.box): _*))
+            .select(col("vid").as("__tvid")).distinct()
+          live.join(tv, col("vid") === col("__tvid"), "left_anti")
+        case None => live
+      }).localCheckpoint()
+      writeCodesWave(rows, path, newWave, dynamic = true)
+    }
 
   private def writeCodesWave(codes: DataFrame, path: String, wave: Long,
       dynamic: Boolean): Unit =

@@ -246,25 +246,19 @@ object PostingIndex {
     * them. An append landing mid-compaction is SAFE: the commit is
     * CAS'd against the pin-time version ([[graft.model.WaveManifest
     * .commitCompaction]]), so the racing wave survives into the new
-    * snapshot (WaveRaceSpec races the two). Compactions themselves
-    * stay single-threaded per index — two racing compactions share a
-    * rewrite target wave id.
+    * snapshot. Compactions racing EACH OTHER are safe too: each claims
+    * a unique rewrite wave id and the superseded loser redoes on fresh
+    * state ([[graft.model.WaveManifest.runCompaction]]; WaveRaceSpec
+    * races all of it).
     * @return the new wave id */
-  def compact(spark: SparkSession, path: String): Long = {
-    // version-pinned read → CAS'd commit: a wave landed mid-compaction
-    // survives into the new snapshot (advice r14; commitCompaction)
-    val baseV = graft.model.WaveManifest.latestVersion(spark, path)
-    val waves = baseV
-      .map(v => graft.model.WaveManifest.wavesAt(spark, path, v))
-      .getOrElse(throw new IllegalArgumentException(
-        s"no manifest under $path — compact needs a manifest-pinned index"))
-    require(waves.nonEmpty, s"manifest under $path pins no waves")
+  def compact(spark: SparkSession, path: String): Long =
+    graft.model.WaveManifest.runCompaction(spark, path,
+        Seq("doclens", "postings", "terms", "stats")) { (waves, newWave) =>
     // the new wave id comes from the DISJOINT compaction space (>= 2^60):
     // `waves.max + 1` was exactly the id the next micro-batch would use,
     // and its dynamic partition overwrite replaced the compacted wave's
     // partitions while commitWave silently skipped the already-pinned id
     // — the whole pre-compaction index vanished from serving (review r12)
-    val newWave = graft.model.WaveManifest.nextCompactionWave(waves)
     // materialized (localCheckpoint) BEFORE the write: the rewrite
     // reads the same table paths it overwrites, and Spark refuses a
     // write whose lazy input scans its own output path
@@ -299,15 +293,8 @@ object PostingIndex {
       .agg(count(lit(1)).cast("double").as("df")), "terms")
     wv(doclens.agg(count(lit(1)).cast("double").as("n_docs"),
       sum(col("dl")).cast("double").as("sum_dl")), "stats")
-    // record coverage: every absorbed STREAM-space id is now refused
-    // (batch append) or skipped (streaming replay) — the double-count
-    // guard; absorbed compaction waves never raise the watermark
-    graft.model.WaveManifest.commitCompaction(spark, path,
-      absorbed = waves, newWave = newWave,
-      through = graft.model.WaveManifest.throughAfterCompaction(
-        waves, graft.model.WaveManifest.compactedThrough(spark, path)),
-      basedOn = baseV)
-    newWave
+    // runCompaction commits: absorbed-coverage marker, CAS'd against
+    // the pin-time version, superseded-loser retry included
   }
 
   /** The distinct posting buckets a term list touches — the mirror of

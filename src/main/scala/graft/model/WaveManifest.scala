@@ -53,10 +53,43 @@ object WaveManifest {
     * just the pinned set — each compaction's id is strictly greater than
     * every earlier one's, and the latest compaction wave stays pinned
     * until the next compaction (or a rebuild, which statically overwrites
-    * all waves anyway). */
+    * all waves anyway). Single-compactor arithmetic — RACING compactors
+    * must go through [[claimCompactionWave]], which makes this id merely
+    * the starting bid. */
   def nextCompactionWave(pinnedWaves: Seq[Long]): Long =
     pinnedWaves.filter(_ >= CompactBase)
       .reduceOption(_ max _).map(_ + 1L).getOrElse(CompactBase)
+
+  /** Atomically claim a UNIQUE compaction wave id: two compactors pinned
+    * to the same snapshot would compute the same [[nextCompactionWave]]
+    * and dynamic-partition-overwrite each other's rewrite mid-flight —
+    * the one corruption the CAS'd commit cannot catch, because it
+    * happens in the DATA, before any manifest write. The claim is an
+    * exclusive-create marker file (`_manifest/.claim_w=<id>`; atomic on
+    * local/HDFS `create(overwrite=false)`; object stores need their
+    * conditional-put flavor here, the same caveat as the pointer
+    * rename): the loser's create throws and it bids `id+1`. Claims are
+    * never deleted — a claimed-but-abandoned id must stay burned, or a
+    * later compactor could claim it and collide with the orphan's
+    * leftover `batch=` dirs. */
+  def claimCompactionWave(spark: SparkSession, root: String,
+      pinnedWaves: Seq[Long]): Long = {
+    val f = fs(spark, root)
+    var id = nextCompactionWave(pinnedWaves)
+    while (true) {
+      val p = new org.apache.hadoop.fs.Path(dir(root), s".claim_w=$id")
+      try {
+        val out = f.create(p, false)
+        out.write(id.toString.getBytes("UTF-8"))
+        out.close()
+        return id
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => id += 1L
+        case _: java.io.IOException if f.exists(p) => id += 1L
+      }
+    }
+    -1L // unreachable
+  }
 
   /** The `#through=` watermark a compaction of `pinnedWaves` must record:
     * the highest absorbed STREAM-space id, floored at the prior watermark
@@ -168,6 +201,15 @@ object WaveManifest {
     * set this commit was derived from is stale. Re-read the manifest
     * and retry ([[commitWave]] does) — never force the write through. */
   final class ConcurrentCommitException(msg: String)
+    extends java.io.IOException(msg)
+
+  /** A racing compaction absorbed (some of) this compaction's input
+    * waves first: retrying the COMMIT can never help — the rewrite
+    * itself is stale (it read waves that no longer exist in any current
+    * snapshot, and committing it would double-count their rows next to
+    * the winner's wave). The whole compaction must redo from fresh
+    * pinned state ([[runCompaction]] does, bounded). */
+  final class CompactionSupersededException(msg: String)
     extends java.io.IOException(msg)
 
   /** Commit `waves` as the next snapshot version and flip the pointer;
@@ -304,6 +346,15 @@ object WaveManifest {
     var attempts = 0
     while (true) {
       val cur = base.map(wavesAt(spark, root, _)).getOrElse(Seq.empty)
+      // a RACING COMPACTION already absorbed (part of) our input: the
+      // rewrite is stale — committing it next to the winner's wave
+      // would serve those rows twice. Not retryable at commit level.
+      if (!absorbedSet.subsetOf(cur.toSet))
+        throw new CompactionSupersededException(
+          s"compaction into wave $newWave superseded: absorbed wave(s) " +
+            s"${absorbedSet.diff(cur.toSet).toSeq.sorted.mkString(",")} " +
+            s"are no longer pinned at version $base — another compaction " +
+            "won; redo the rewrite from fresh pinned state")
       val newSet = cur.filterNot(absorbedSet.contains) :+ newWave
       try return commitBasedOn(spark, root, newSet, Some(through), base)
       catch {
@@ -311,6 +362,55 @@ object WaveManifest {
           attempts += 1
           if (attempts >= 32) throw e
           base = latestVersion(spark, root)
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Optimistic-concurrency driver for a whole compaction: pin the
+    * current snapshot, CLAIM a unique rewrite wave id
+    * ([[claimCompactionWave]] — racing compactors can no longer write
+    * into the same `batch=` dirs), run the face's `rewrite`, then
+    * [[commitCompaction]]. A loser superseded by a racing compaction
+    * deletes its orphan `batch=` dirs (they are referenced by no
+    * version, so [[expire]] would never reclaim them) and redoes the
+    * whole thing on fresh pinned state — bounded at 3 attempts, which
+    * only a pathological compact-storm exceeds. Appends racing the
+    * compaction are already safe (their waves survive via the CAS'd
+    * commit); this extends the guarantee to compactions racing each
+    * other. `tables` are the face's wave-partitioned dirs ("" = waves
+    * directly under the root, the [[expire]] convention).
+    * @return the committed wave id */
+  def runCompaction(spark: SparkSession, root: String, tables: Seq[String])(
+      rewrite: (Seq[Long], Long) => Unit): Long = {
+    val f = fs(spark, root)
+    var attempts = 0
+    while (true) {
+      val baseV = latestVersion(spark, root)
+      val waves = baseV
+        .map(wavesAt(spark, root, _))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no manifest under $root — compact needs a manifest-pinned index"))
+      require(waves.nonEmpty, s"manifest under $root pins no waves")
+      val newWave = claimCompactionWave(spark, root, waves)
+      rewrite(waves, newWave)
+      try {
+        commitCompaction(spark, root, absorbed = waves, newWave = newWave,
+          through = throughAfterCompaction(
+            waves, compactedThrough(spark, root)),
+          basedOn = baseV)
+        return newWave
+      } catch {
+        case e: CompactionSupersededException =>
+          tables.foreach { t =>
+            val p =
+              if (t.isEmpty)
+                new org.apache.hadoop.fs.Path(root, s"batch=$newWave")
+              else new org.apache.hadoop.fs.Path(root, s"$t/batch=$newWave")
+            if (f.exists(p)) f.delete(p, true)
+          }
+          attempts += 1
+          if (attempts >= 3) throw e
       }
     }
     -1L // unreachable

@@ -239,31 +239,18 @@ private[streaming] object DedupState {
     * not race each other.
     * @return the new wave id */
   def compactTable(spark: SparkSession, indexPath: String,
-      reduce: DataFrame => DataFrame = identity): Long = {
-    // pin the VERSION the wave set came from: the commit below is CAS'd
-    // against it, so a wave another committer lands between this read
-    // and the commit survives into the new snapshot instead of being
-    // silently dropped (advice r14 — the lost-update race commitBasedOn
-    // exists to surface)
-    val baseV = graft.model.WaveManifest.latestVersion(spark, indexPath)
-    val waves = baseV
-      .map(v => graft.model.WaveManifest.wavesAt(spark, indexPath, v))
-      .getOrElse(throw new IllegalArgumentException(
-        s"no manifest under $indexPath — compact needs a manifest-pinned " +
-          "index (legacy indexes predate the snapshot discipline)"))
-    require(waves.nonEmpty, s"manifest under $indexPath pins no waves")
-    val newWave = graft.model.WaveManifest.nextCompactionWave(waves)
-    val rows = reduce(spark.read.parquet(indexPath)
-      .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch"))
-      .localCheckpoint() // the rewrite scans the path it overwrites
-    writeWave(rows, indexPath, newWave)
-    graft.model.WaveManifest.commitCompaction(spark, indexPath,
-      absorbed = waves, newWave = newWave,
-      through = graft.model.WaveManifest.throughAfterCompaction(
-        waves, graft.model.WaveManifest.compactedThrough(spark, indexPath)),
-      basedOn = baseV)
-    newWave
-  }
+      reduce: DataFrame => DataFrame = identity): Long =
+    // unique claimed rewrite id + CAS'd commit + superseded-loser retry
+    // (WaveManifest.runCompaction): a wave another committer lands
+    // mid-compaction survives; compactions racing each other stay
+    // correct too ("" = waves directly under the root)
+    graft.model.WaveManifest.runCompaction(spark, indexPath,
+        Seq("")) { (waves, newWave) =>
+      val rows = reduce(spark.read.parquet(indexPath)
+        .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch"))
+        .localCheckpoint() // the rewrite scans the path it overwrites
+      writeWave(rows, indexPath, newWave)
+    }
 
   /** Retention: drop old manifest versions and reclaim every `batch=`
     * dir no surviving version references — [[graft.model.WaveManifest

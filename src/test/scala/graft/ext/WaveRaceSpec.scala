@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   *    serve equals the full one-shot build (the commitCompaction CAS —
   *    a wave landing mid-compaction survives into the new snapshot);
   *   - the expire race never deletes live data: every wave the final
-  *    manifest references still reads.
-  * Compactors themselves stay single-threaded per index (two racing
-  * compactions share a rewrite target — the documented contract).
+  *    manifest references still reads;
+  *   - compactions racing EACH OTHER stay correct: each claims a unique
+  *    rewrite wave id (no shared `batch=` dir to overwrite mid-flight),
+  *    the superseded loser redoes on fresh pinned state, and no row is
+  *    ever served twice (a double-landed posting wave would double
+  *    df/stats and shift every BM25 score off the one-shot answer).
   */
 class WaveRaceSpec extends SparkSpec {
   import spark.implicits._
@@ -127,6 +130,42 @@ class WaveRaceSpec extends SparkSpec {
     race(Seq(appender, compactor, server))
 
     assert(neighbors() === legal.last) // all four waves survived
+  }
+
+  test("compactions racing each other: unique claimed rewrite ids, " +
+      "superseded losers redo cleanly, no row is ever served twice") {
+    val path = tmp("wave-race-compactors")
+    val docs = (1 to 8).map(i => (i.toLong, s"term$i spark common words"))
+    PostingIndex.build(Seq(docs.head).toDF("doc_id", "text"), "doc_id",
+      "text", path, termBuckets = 4)
+    docs.zipWithIndex.slice(1, 6).foreach { case (d, i) =>
+      PostingIndex.append(Seq(d).toDF("doc_id", "text"), "doc_id",
+        "text", path, wave = i.toLong, termBuckets = 4)
+    }
+
+    val oneShot = tmp("wave-race-compactors-oneshot")
+    PostingIndex.build(docs.toDF("doc_id", "text"), "doc_id", "text",
+      oneShot, termBuckets = 4)
+    def serveRows(p: String): Seq[String] =
+      PostingIndex.scoreQuery(spark, p, Seq("spark"), termBuckets = 4)
+        .collect().map(_.toString).sorted.toSeq
+
+    val appender = () => docs.zipWithIndex.drop(6).foreach { case (d, i) =>
+      PostingIndex.append(Seq(d).toDF("doc_id", "text"), "doc_id",
+        "text", path, wave = i.toLong, termBuckets = 4)
+    }
+    val compactor = () => { PostingIndex.compact(spark, path); () }
+    race(Seq(appender, compactor, compactor, compactor))
+
+    // every doc served exactly ONCE with one-shot scores: a superseded
+    // rewrite that landed anyway would double df/stats for its docs
+    assert(serveRows(path) === serveRows(oneShot))
+    // the claim protocol really burned distinct ids: claims ≥ commits
+    val f = new org.apache.hadoop.fs.Path(s"$path/_manifest")
+    val fsys = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claims = fsys.listStatus(f).map(_.getPath.getName)
+      .count(_.startsWith(".claim_w="))
+    assert(claims >= 3, s"expected >= 3 claimed compaction ids, got $claims")
   }
 
   test("expire racing appends never deletes live data: every wave the " +
