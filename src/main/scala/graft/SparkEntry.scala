@@ -5261,7 +5261,7 @@ object SparkEntry {
          ${imageFpCtes("i_")},
          ${audioFpCtes("a_")},
          ${videoFpCtes("v_")},
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM i_fp a JOIN i_fp b ON a.doc_id < b.doc_id
            WHERE bit_count(xor(a.f, b.f)) <= 3
@@ -5945,26 +5945,30 @@ object SparkEntry {
 
     // 3 unrolled peel rounds; keep-set filtering via inner joins on the
     // distinct keep list (= left-semi, DuckDB-efficient)
+    // AS MATERIALIZED on every peel stage: DuckDB inlines un-hinted
+    // CTEs, so each ek re-computed the quadratic e0 self-join — at the
+    // sf1 gate that nested join tree spilled past the free disk; hinted
+    // it runs in 11 s (evaluation strategy only, same rows)
     "q_kcore" ->
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-         e0 AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS x,
+         e0 AS MATERIALIZED (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS x,
                        greatest(a.l_partkey, b.l_partkey) AS y
                 FROM li a JOIN li b USING (l_orderkey)
                 WHERE a.l_partkey < b.l_partkey),
-         d1 AS (SELECT n, count(*) AS c FROM
+         d1 AS MATERIALIZED (SELECT n, count(*) AS c FROM
                 (SELECT x AS n FROM e0 UNION ALL SELECT y FROM e0) GROUP BY 1),
-         k1 AS (SELECT n FROM d1 WHERE c >= 60),
-         e1 AS (SELECT x, y FROM e0 JOIN k1 ka ON e0.x = ka.n
+         k1 AS MATERIALIZED (SELECT n FROM d1 WHERE c >= 60),
+         e1 AS MATERIALIZED (SELECT x, y FROM e0 JOIN k1 ka ON e0.x = ka.n
                                     JOIN k1 kb ON e0.y = kb.n),
-         d2 AS (SELECT n, count(*) AS c FROM
+         d2 AS MATERIALIZED (SELECT n, count(*) AS c FROM
                 (SELECT x AS n FROM e1 UNION ALL SELECT y FROM e1) GROUP BY 1),
-         k2 AS (SELECT n FROM d2 WHERE c >= 60),
-         e2 AS (SELECT x, y FROM e1 JOIN k2 ka ON e1.x = ka.n
+         k2 AS MATERIALIZED (SELECT n FROM d2 WHERE c >= 60),
+         e2 AS MATERIALIZED (SELECT x, y FROM e1 JOIN k2 ka ON e1.x = ka.n
                                     JOIN k2 kb ON e1.y = kb.n),
-         d3 AS (SELECT n, count(*) AS c FROM
+         d3 AS MATERIALIZED (SELECT n, count(*) AS c FROM
                 (SELECT x AS n FROM e2 UNION ALL SELECT y FROM e2) GROUP BY 1),
-         k3 AS (SELECT n FROM d3 WHERE c >= 60),
-         e3 AS (SELECT x, y FROM e2 JOIN k3 ka ON e2.x = ka.n
+         k3 AS MATERIALIZED (SELECT n FROM d3 WHERE c >= 60),
+         e3 AS MATERIALIZED (SELECT x, y FROM e2 JOIN k3 ka ON e2.x = ka.n
                                     JOIN k3 kb ON e2.y = kb.n)
          SELECT n AS node, count(*) AS core_deg FROM
          (SELECT x AS n FROM e3 UNION ALL SELECT y FROM e3) GROUP BY 1""",
@@ -6621,7 +6625,7 @@ object SparkEntry {
       s"""WITH RECURSIVE ${imageFpCtes("i_")},
          ${audioFpCtes("a_")},
          ${videoFpCtes("v_")},
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM i_fp a JOIN i_fp b ON a.doc_id < b.doc_id
            WHERE bit_count(xor(a.f, b.f)) <= 3
@@ -8142,13 +8146,18 @@ object SparkEntry {
 
   private def unigramTrainOracle(rounds: Int, vocabSize: Int,
       maxLen: Int, encode: Boolean = false): String = {
+    // AS MATERIALIZED on every CTE a reach$r recursion reads: DuckDB
+    // inlines un-hinted CTEs into the recursive plan and re-evaluates
+    // the whole corpus regex-split PER ITERATION — the sf1 gate
+    // measured the encode oracle at 25+ min; hinted, it runs in 0.6 s
+    // with identical results (the hint is evaluation strategy only).
     val base =
-      s"""hist AS (SELECT word, CAST(count(*) AS BIGINT) AS wcount
+      s"""hist AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS wcount
            FROM (SELECT regexp_replace(
                    unnest(string_split_regex(lower(trim(text)), '\\s+')),
                    '[^a-z0-9]', '', 'g') AS word FROM documents)
            WHERE word <> '' GROUP BY 1),
-         cand AS (SELECT piece, CAST(sum(wcount) AS BIGINT) AS freq
+         cand AS MATERIALIZED (SELECT piece, CAST(sum(wcount) AS BIGINT) AS freq
            FROM (SELECT unnest(flatten(list_transform(range(1, ${maxLen + 1}),
                    l -> list_transform(range(1, len(word) - l + 2),
                         i -> word[i : i + l - 1])))) AS piece, wcount
@@ -8156,7 +8165,7 @@ object SparkEntry {
            GROUP BY 1),
          topk AS (SELECT piece, freq FROM cand
                   ORDER BY freq DESC, piece LIMIT $vocabSize),
-         c0 AS (SELECT piece, max(freq) AS cnt FROM (
+         c0 AS MATERIALIZED (SELECT piece, max(freq) AS cnt FROM (
                   SELECT piece, freq FROM topk
                   UNION ALL
                   SELECT piece, freq FROM cand WHERE len(piece) = 1)
@@ -8166,7 +8175,7 @@ object SparkEntry {
     // and therefore never evaluated)
     val lastRound = if (encode) rounds + 1 else rounds
     val perRound = (1 to lastRound).map { r =>
-      s"""s$r AS (SELECT piece,
+      s"""s$r AS MATERIALIZED (SELECT piece,
              CAST(floor((ln(cnt + 1) - ln(tot.t + tot.v)) * 1000000)
                   AS BIGINT) AS s
            FROM c${r - 1}, (SELECT CAST(sum(cnt) AS BIGINT) AS t,
@@ -8180,12 +8189,12 @@ object SparkEntry {
            FROM reach$r r JOIN s$r v
              ON r.i + len(v.piece) <= len(r.word)
             AND v.piece = r.word[r.i + 1 : r.i + len(v.piece)]),
-         seg$r AS (SELECT word, wcount, path FROM (
+         seg$r AS MATERIALIZED (SELECT word, wcount, path FROM (
              SELECT word, wcount, path,
                     row_number() OVER (PARTITION BY word
                                        ORDER BY score DESC, path) AS rk
              FROM reach$r WHERE i = len(word)) WHERE rk = 1),
-         c$r AS (SELECT c.piece, CAST(COALESCE(u.n, 0) AS BIGINT) AS cnt
+         c$r AS MATERIALIZED (SELECT c.piece, CAST(COALESCE(u.n, 0) AS BIGINT) AS cnt
            FROM c${r - 1} c LEFT JOIN (
              SELECT piece, sum(wcount) AS n
              FROM (SELECT unnest(string_split(path, ' ')) AS piece, wcount
