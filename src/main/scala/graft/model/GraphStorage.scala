@@ -39,11 +39,16 @@ object GraphStorage {
 
   // ── Versioned snapshots (time travel) ──────────────────────────────
   // The Delta-style pattern without a table format dependency: each
-  // commit writes an IMMUTABLE `v=<n>` directory, then flips a `_latest`
-  // manifest via atomic rename — readers pinned to a version see a
+  // commit writes an IMMUTABLE `v=<n>` directory whose parquet-job
+  // `_SUCCESS` marker is the atomic visibility event — "latest" is the
+  // highest COMPLETE version dir. Readers pinned to a version see a
   // complete snapshot forever (GC/merge mistakes are undoable), and
-  // readers of "latest" never observe a half-written version because the
-  // manifest only moves after the data write completes. At 100 TB each
+  // readers of "latest" never observe a half-written version because
+  // `_SUCCESS` lands only after the data write completes. There is
+  // deliberately NO `_latest` pointer file: its overwrite-rename flip
+  // was delete-then-rename on the local FS, so a reader racing a
+  // commit transiently saw NO pointer at all (the round-15 wave-race
+  // root cause, fixed the same way in WaveManifest). At 100 TB each
   // version dir is itself label-partitioned; old versions retire by
   // deleting dirs older than the retention horizon.
 
@@ -64,18 +69,12 @@ object GraphStorage {
       .collect { case VersionDir(n) => n.toLong }.sorted
   }
 
-  /** The `_latest` pointer's version, if any commit ever completed. */
+  /** The latest COMPLETE version, if any commit ever finished: the
+    * highest `v=<n>` dir carrying its `_SUCCESS` marker. `_SUCCESS`
+    * files only ever appear (atomically, at job commit) — no pointer
+    * file, no transient-absence window. */
   private def latestCommitted(spark: SparkSession,
-      root: String): Option[Long] = {
-    val latest = new org.apache.hadoop.fs.Path(root, "_latest")
-    val f = fs(spark, root)
-    if (!f.exists(latest)) None
-    else {
-      val in = f.open(latest)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
-      finally in.close()
-    }
-  }
+      root: String): Option[Long] = versions(spark, root).lastOption
 
   /** COMPLETE version numbers, ascending: a `v=<n>` dir counts only with
     * its parquet job's `_SUCCESS` marker — a crashed commit's
@@ -90,38 +89,27 @@ object GraphStorage {
 
   /** Write `df` as the next snapshot version; returns its number.
     * Single-committer contract (the reference's ETL runs are serialized
-    * per store); READERS are fully concurrent-safe — the pointer flip is
-    * one atomic overwrite-rename, so `_latest` always names a complete
-    * version and a failed rename raises instead of losing the pointer.
-    * Version numbering skips over ANY existing dir (even a crashed
-    * commit's half-written one — never clobber, never reuse a number).
-    * Atomicity caveat: the overwrite-rename pointer flip is atomic on
-    * HDFS and local filesystems; object stores without atomic rename
-    * (e.g. S3A) do NOT honor this contract — front the pointer with a
-    * consistent store (HDFS/DBFS) or a table format there. */
+    * per store); READERS are fully concurrent-safe — the version
+    * becomes visible exactly when the parquet job's `_SUCCESS` marker
+    * appears, an atomic file creation, and until then [[versions]]
+    * simply does not list it. Version numbering skips over ANY
+    * existing dir (even a crashed commit's half-written one — never
+    * clobber, never reuse a number). Object-store caveat: `_SUCCESS`
+    * creation is atomic-as-existence everywhere, but the version dir's
+    * task-file renames need a store with consistent listing (HDFS/
+    * local; S3A with a committer). */
   def commitSnapshot(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
     val next = allVersionDirs(spark, root).lastOption.getOrElse(-1L) + 1
     df.write.mode("errorifexists").parquet(s"$root/v=$next")
-    val f = fs(spark, root)
-    val tmp = new org.apache.hadoop.fs.Path(root, s"_latest.tmp.$next")
-    val out = f.create(tmp, true)
-    out.write(next.toString.getBytes("UTF-8"))
-    out.close()
-    val latest = new org.apache.hadoop.fs.Path(root, "_latest")
-    // atomic overwrite-rename (FileContext throws on failure — never a
-    // silently dropped pointer, never a delete+rename visibility window)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, latest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     next
   }
 
-  /** Retention: delete complete versions older than the newest `keepLast`
-    * at-or-below the `_latest` pointer. Half-written dirs (no `_SUCCESS`)
-    * are never counted — they can neither consume a retention slot nor be
-    * mistaken for history; dirs past the pointer are never touched (an
-    * in-flight commit). Readers pinned to an expired version fail on
+  /** Retention: delete complete versions older than the newest
+    * `keepLast`. Half-written dirs (no `_SUCCESS`) are never counted —
+    * they can neither consume a retention slot nor be mistaken for
+    * history, and an in-flight commit's dir is never touched because
+    * it is not yet a version. Readers pinned to an expired version fail on
     * their next read — the documented retention trade, same as any table
     * format's VACUUM. Returns the versions actually deleted (a failed
     * delete is dropped from the result, not misreported). */
@@ -140,7 +128,7 @@ object GraphStorage {
     }
   }
 
-  /** The committed `_latest` pointer, if any — the "does state exist
+  /** The latest committed version, if any — the "does state exist
     * yet" probe stream maintainers need before their first batch. */
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     latestCommitted(spark, root)

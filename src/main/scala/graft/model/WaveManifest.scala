@@ -8,10 +8,10 @@ import org.apache.spark.sql.SparkSession
   * scans "whatever partitions exist" can catch a wave mid-commit and mix
   * pre/post-append state across its table scans.
   *
-  * The [[GraphStorage]] versioned-pointer discipline, specialized to wave
-  * sets: every commit writes an IMMUTABLE `_manifest/v=<n>` file listing
-  * the COMPLETE wave ids of one index snapshot, then flips `_manifest/
-  * _latest` via atomic overwrite-rename. A reader resolves the pointer
+  * The [[GraphStorage]] versioned-snapshot discipline, specialized to
+  * wave sets: every commit writes an IMMUTABLE `_manifest/v=<n>` file
+  * listing the COMPLETE wave ids of one index snapshot; the highest
+  * committed version IS the latest snapshot. A reader resolves that
   * ONCE (driver-side, at plan/load time) and filters every table scan to
   * `batch IN (pinned waves)` — partition pruning makes the filter free,
   * and waves are immutable once committed (the only rewrite of a
@@ -22,10 +22,18 @@ import org.apache.spark.sql.SparkSession
   * Write protocol (single-committer, like GraphStorage): data wave first,
   * manifest after — a crash between the two leaves an unpinned wave that
   * no reader sees and the replay overwrites. Manifest files are
-  * tmp-write + rename so a reader never observes a half-written list;
-  * the pointer flip is the same FileContext overwrite-rename GraphStorage
-  * uses (atomic on HDFS/local; object stores without atomic rename need
-  * a consistent store fronting the pointer).
+  * tmp-write + rename so a reader never observes a half-written list,
+  * and the no-overwrite rename of `v=<n>` is BOTH the compare-and-swap
+  * and the visibility event: "latest" is simply the highest committed
+  * version file. There is deliberately NO mutable pointer file — the
+  * original `_latest` flip went through Hadoop's overwrite-rename,
+  * which on the local FS is delete-then-rename, so a reader racing a
+  * flip saw NO pointer at all, resolved `pinned = None`, and fell back
+  * to scan-every-wave — mixing absorbed waves with their compaction
+  * rewrites (the round-15 WaveRaceSpec failure: a hammer repro read
+  * the pointer as absent in 81% of reads during a commit storm).
+  * Deriving latest from the immutable version files closes the window
+  * structurally: version files only ever APPEAR, atomically.
   *
   * Absent manifest = legacy/quiesced index: readers fall back to
   * scanning every wave, the pre-manifest behavior.
@@ -60,35 +68,79 @@ object WaveManifest {
     pinnedWaves.filter(_ >= CompactBase)
       .reduceOption(_ max _).map(_ + 1L).getOrElse(CompactBase)
 
+  private val ClaimFile = "^\\.claim_w=(\\d+)$".r
+
   /** Atomically claim a UNIQUE compaction wave id: two compactors pinned
     * to the same snapshot would compute the same [[nextCompactionWave]]
     * and dynamic-partition-overwrite each other's rewrite mid-flight —
     * the one corruption the CAS'd commit cannot catch, because it
     * happens in the DATA, before any manifest write. The claim is an
-    * exclusive-create marker file (`_manifest/.claim_w=<id>`; atomic on
-    * local/HDFS `create(overwrite=false)`; object stores need their
-    * conditional-put flavor here, the same caveat as the pointer
-    * rename): the loser's create throws and it bids `id+1`. Claims are
-    * never deleted — a claimed-but-abandoned id must stay burned, or a
-    * later compactor could claim it and collide with the orphan's
-    * leftover `batch=` dirs. */
+    * exclusive-create marker file (`_manifest/.claim_w=<id>`): the
+    * loser bids `id+1`. A claimed-but-abandoned id must stay burned
+    * while its marker exists, or a later compactor could claim it and
+    * collide with the orphan's leftover `batch=` dirs.
+    *
+    * O(1), not a linear probe (review r15 #5): ONE listing finds the
+    * highest burned id and the bid starts past it — 100 abandoned
+    * claims cost one extra listing entry each, not 100 failed creates.
+    * [[expire]] reclaims markers at or below the pinned compaction
+    * watermark (bids always start past the pinned max, which only
+    * grows, so a reclaimed id can never be re-bid).
+    *
+    * Atomicity (advice r15, medium): Hadoop's `create(overwrite=false)`
+    * on the LOCAL filesystem is a non-atomic exists-check + truncating
+    * open, so same-host cross-JVM racers get a true O_EXCL create via
+    * java.nio there; same-JVM racers are additionally serialized by the
+    * per-root [[casLocks]] monitor (the realistic race: two streaming
+    * queries on one driver). HDFS create(false) is atomic natively;
+    * object stores need their conditional-put flavor here, the same
+    * caveat as the version-file rename. */
   def claimCompactionWave(spark: SparkSession, root: String,
       pinnedWaves: Seq[Long]): Long = {
     val f = fs(spark, root)
-    var id = nextCompactionWave(pinnedWaves)
-    while (true) {
-      val p = new org.apache.hadoop.fs.Path(dir(root), s".claim_w=$id")
-      try {
-        val out = f.create(p, false)
-        out.write(id.toString.getBytes("UTF-8"))
-        out.close()
-        return id
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => id += 1L
-        case _: java.io.IOException if f.exists(p) => id += 1L
+    val d = new org.apache.hadoop.fs.Path(dir(root))
+    if (!f.exists(d)) f.mkdirs(d)
+    val lock = casLocks.computeIfAbsent(root, _ => new Object)
+    lock.synchronized {
+      val burnedMax = f.listStatus(d).toSeq.map(_.getPath.getName)
+        .collect { case ClaimFile(n) => n.toLong }
+        .reduceOption(_ max _).getOrElse(CompactBase - 1L)
+      var id = math.max(nextCompactionWave(pinnedWaves), burnedMax + 1L)
+      while (true) {
+        val p = new org.apache.hadoop.fs.Path(d, s".claim_w=$id")
+        if (exclusiveCreate(f, p, id.toString.getBytes("UTF-8"))) return id
+        id += 1L // cross-JVM racer claimed it between listing and create
       }
+      -1L // unreachable
     }
-    -1L // unreachable
+  }
+
+  /** True exclusive create: O_EXCL via java.nio on the local FS (where
+    * Hadoop's create(overwrite=false) is check-then-open), the FS's own
+    * no-overwrite create elsewhere. Returns false iff the path already
+    * exists. */
+  private def exclusiveCreate(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, body: Array[Byte]): Boolean = f match {
+    case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p.toUri.getPath), body,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    case other =>
+      try {
+        val out = other.create(p, false)
+        out.write(body)
+        out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if other.exists(p) => false
+      }
   }
 
   /** The `#through=` watermark a compaction of `pinnedWaves` must record:
@@ -101,10 +153,10 @@ object WaveManifest {
 
   // RAW (checksum-free) filesystem for every manifest file operation:
   // on a ChecksumFileSystem (the local FS), each file carries a .crc
-  // sidecar, so the pointer flip's "atomic" rename is really TWO
-  // renames — a reader racing the flip can pair one writer's _latest
-  // bytes with another's sidecar and die on ChecksumException
-  // (surfaced by WaveRaceSpec's vector race). Manifest files are
+  // sidecar, so a version file's "atomic" rename is really TWO
+  // renames — a reader racing it can pair one writer's bytes with
+  // another's sidecar and die on ChecksumException (surfaced by
+  // WaveRaceSpec's vector race). Manifest files are
   // tiny, rewritten whole, and content-checked by the CAS protocol
   // itself; dropping the sidecar makes the data rename the single
   // atomic unit. HDFS/object stores are not ChecksumFileSystems and
@@ -154,12 +206,15 @@ object WaveManifest {
     finally in.close()
   }
 
-  /** The `_latest` pointer's version, if any commit ever completed. */
-  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
-    val latest = new org.apache.hadoop.fs.Path(dir(root), "_latest")
-    val f = fs(spark, root)
-    if (!f.exists(latest)) None else Some(readFile(f, latest).toLong)
-  }
+  /** The latest committed version, if any commit ever completed: the
+    * HIGHEST `v=<n>` file. Version files are immutable and appear
+    * atomically (no-overwrite rename), so this read has no in-between
+    * state — unlike the retired `_latest` pointer file, whose
+    * overwrite-rename flip on the local FS was delete-then-rename and
+    * transiently read as ABSENT mid-commit (the round-15 mixed-serve
+    * race: `pinned` fell back to scan-all). */
+  def latestVersion(spark: SparkSession, root: String): Option[Long] =
+    versions(spark, root).lastOption
 
   /** The wave ids of one committed version, sorted ascending
     * (`#`-prefixed marker lines — the compaction coverage record — are
@@ -240,12 +295,12 @@ object WaveManifest {
     * version dropped the first writer's wave with no error).
     *
     * Crash resume stays idempotent: if `v=<basedOn+1>` already exists
-    * WITH BYTE-IDENTICAL CONTENT (our own crashed attempt between
-    * rename and pointer flip, or an at-least-once replay of the same
-    * commit), the commit proceeds straight to the pointer flip instead
-    * of failing. A reader never observes a mixed wave set either way:
-    * version files are immutable once renamed and the pointer flip is
-    * a single atomic overwrite-rename. */
+    * WITH BYTE-IDENTICAL CONTENT (an at-least-once replay of the same
+    * commit), the commit is a no-op success instead of failing. A
+    * reader never observes a mixed wave set either way: version files
+    * are immutable once renamed, and renaming one IS the visibility
+    * event — there is no separate pointer to flip (see the class doc
+    * for why the pointer file was retired). */
   // per-root JVM lock serializing the CAS section: Hadoop's LOCAL
   // FileSystem.rename is check-then-act (two same-JVM racers — e.g.
   // two streaming queries on one Spark driver, the realistic race —
@@ -279,50 +334,17 @@ object WaveManifest {
       if (f.exists(vfile) || !f.rename(tmp, vfile)) {
         f.delete(tmp, false)
         val theirs = if (f.exists(vfile)) readFile(f, vfile) else ""
-        if (theirs != body) {
-          // ADOPT-THE-ORPHAN liveness (advice r14, medium): v=next is a
-          // COMPLETE immutable manifest whose data waves landed before
-          // it (the data-first contract) — either another committer
-          // mid-flip, or a commit that crashed between rename and flip
-          // and was never replayed. If the pointer still reads basedOn,
-          // nothing will ever advance it past the orphan: every future
-          // retry would recompute the same `next` and collide forever,
-          // wedging the root. Perform exactly the pointer flip the
-          // orphan's writer would have done, so the retry that follows
-          // this exception re-reads v=next as its base and lands on top.
-          if (latestVersion(spark, root) == basedOn)
-            flipPointer(spark, f, root, next)
+        if (theirs != body)
           throw new ConcurrentCommitException(
             s"manifest CAS failed under $root: v=$next already exists " +
               "with different content — another committer won; re-read " +
               "the manifest and retry")
-        }
-        // identical content: our own crashed attempt / replay — fall
-        // through to the pointer flip
+        // identical content: our own crashed attempt / at-least-once
+        // replay — v=next is already committed AND visible (the rename
+        // was the visibility event); no-op success
       }
-      flipPointer(spark, f, root, next)
     }
     next
-  }
-
-  /** Advance `_latest` to `next` via tmp-write + atomic overwrite-rename
-    * — but never BACKWARDS: if a later commit (based on ours, read
-    * between our rename and this flip) already advanced it, overwriting
-    * would un-pin that commit's waves for new readers. */
-  private def flipPointer(spark: SparkSession,
-      f: org.apache.hadoop.fs.FileSystem, root: String,
-      next: Long): Unit = {
-    val ptmp =
-      new org.apache.hadoop.fs.Path(dir(root), s".tmp._latest.$next")
-    val pout = f.create(ptmp, true)
-    pout.write(next.toString.getBytes("UTF-8"))
-    pout.close()
-    val latest = new org.apache.hadoop.fs.Path(dir(root), "_latest")
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, spark.sparkContext.hadoopConfiguration)
-    if (latestVersion(spark, root).forall(_ < next))
-      fc.rename(ptmp, latest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    else f.delete(ptmp, false)
   }
 
   /** Commit a COMPACTION: replace exactly the `absorbed` waves (the set
@@ -455,9 +477,14 @@ object WaveManifest {
     * .PostingIndex.compact]]/[[graft.ext.IvfIndex.compact]] create the
     * unreferenced waves this reclaims). Readers pinned to an expired
     * version fail on their next read — the same documented retention
-    * trade as [[GraphStorage.expireSnapshots]]. Versions past the
-    * pointer are never touched (an in-flight commit). Single-committer
-    * contract, like every write face. Returns the deleted wave ids. */
+    * trade as [[GraphStorage.expireSnapshots]]. Also reclaims
+    * compaction claim markers at or below the pinned compaction
+    * watermark (review r15 #5 — the `_manifest` listing must not grow
+    * forever): bids start past the pinned compaction max, which only
+    * grows, so a reclaimed id can never be re-bid; markers ABOVE the
+    * watermark stay, they are the crash-safety lock for in-flight
+    * compactions. Single-committer contract, like every write face.
+    * Returns the deleted wave ids. */
   def expire(spark: SparkSession, root: String, tables: Seq[String],
       keepVersions: Int): Seq[Long] = {
     val f = fs(spark, root)
@@ -503,6 +530,21 @@ object WaveManifest {
         expired.foreach { v =>
           if (wavesAt(spark, root, v).forall(w => !failed.contains(w)))
             f.delete(new org.apache.hadoop.fs.Path(dir(root), s"v=$v"), false)
+        }
+        // claim-marker retention: markers at or below the highest
+        // compaction wave the CURRENT snapshot pins are pure listing
+        // growth — every future bid starts past that (monotone) max,
+        // so the burned ids can never be re-claimed once reclaimed
+        val watermark = wavesAt(spark, root, pointer)
+          .filter(_ >= CompactBase).reduceOption(_ max _)
+        watermark.foreach { wm =>
+          f.listStatus(new org.apache.hadoop.fs.Path(dir(root))).toSeq
+            .map(_.getPath.getName)
+            .collect { case ClaimFile(n) if n.toLong <= wm => n.toLong }
+            .foreach { id =>
+              f.delete(new org.apache.hadoop.fs.Path(dir(root),
+                s".claim_w=$id"), false)
+            }
         }
         deleted
     }

@@ -59,8 +59,8 @@ object CcStream {
   def applyBatch(batch: DataFrame, srcCol: String, dstCol: String,
       labelsRoot: String): Long = {
     val spark = batch.sparkSession
-    // pin the PROBED version: re-resolving _latest inside readSnapshot
-    // would both double the pointer I/O and open a window where a
+    // pin the PROBED version: re-resolving latest inside readSnapshot
+    // would both double the listing I/O and open a window where a
     // concurrent expire/maintainer swaps the snapshot under us
     val prior = GraphStorage.latestVersion(spark, labelsRoot)
       .map(v => GraphStorage.readSnapshot(spark, labelsRoot, Some(v)))

@@ -32,23 +32,15 @@ class WaveManifestSpec extends SparkSpec {
     assert(WaveManifest.pinned(spark, root).get === Seq(0L, 1L, 2L))
   }
 
-  test("crash between version rename and pointer flip: the replay with " +
-      "identical content resumes to the flip instead of conflicting") {
+  test("an at-least-once REPLAY of a committed version (byte-identical " +
+      "content) is a no-op success, not a conflict") {
     val root = fresh()
     WaveManifest.commit(spark, root, Seq(0L))
     val base = WaveManifest.latestVersion(spark, root)
     val v1 = WaveManifest.commitBasedOn(spark, root, Seq(0L, 1L), None, base)
-    // simulate the crash: wind the pointer back to the base version —
-    // v=<v1> exists on disk but the flip "never happened" (write via
-    // the Hadoop FS so the checksum sidecar stays consistent)
-    val hp = new org.apache.hadoop.fs.Path(s"$root/_manifest/_latest")
-    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = hfs.create(hp, true)
-    out.write(base.get.toString.getBytes("UTF-8"))
-    out.close()
-    assert(WaveManifest.latestVersion(spark, root) === base)
-    // the at-least-once replay of the SAME commit: byte-identical
-    // content → no conflict, pointer flipped forward
+    // renaming v=<v1> WAS the commit — a crashed writer that got that
+    // far is already durable and visible; its replay reproduces the
+    // same body and must resolve cleanly to the same version
     val again = WaveManifest.commitBasedOn(
       spark, root, Seq(0L, 1L), None, base)
     assert(again === v1)
@@ -56,45 +48,110 @@ class WaveManifestSpec extends SparkSpec {
     assert(WaveManifest.pinned(spark, root).get === Seq(0L, 1L))
   }
 
-  test("the pointer never moves backwards: a straggler's flip after a " +
-      "later commit is a no-op") {
+  test("latest never moves backwards: a straggler's replay after a " +
+      "later commit changes nothing") {
     val root = fresh()
     WaveManifest.commit(spark, root, Seq(0L))
     val base = WaveManifest.latestVersion(spark, root)
     val v1 = WaveManifest.commitBasedOn(spark, root, Seq(0L, 1L), None, base)
-    WaveManifest.commitWave(spark, root, 2L) // pointer now past v1
+    WaveManifest.commitWave(spark, root, 2L) // latest now past v1
     val after = WaveManifest.latestVersion(spark, root).get
     assert(after > v1)
-    // a replay of the v1 commit (identical content) must NOT wind the
-    // pointer back and un-pin wave 2 for new readers
+    // a replay of the v1 commit (identical content) must NOT regress
+    // latest and un-pin wave 2 for new readers — with latest derived
+    // from the immutable version files, regression is structurally
+    // impossible (nothing is written at all)
     WaveManifest.commitBasedOn(spark, root, Seq(0L, 1L), None, base)
     assert(WaveManifest.latestVersion(spark, root).get === after)
     assert(WaveManifest.pinned(spark, root).get === Seq(0L, 1L, 2L))
   }
 
-  test("an ABANDONED orphan version above the pointer is adopted: the " +
-      "next commit flips forward to it and the retry lands on top " +
-      "(the wedged-root liveness fix, advice r14)") {
+  test("a commit that crashed right after its version rename is simply " +
+      "COMMITTED: the next committer lands on top of it (no orphan, no " +
+      "wedged root — the rename is the visibility event)") {
     val root = fresh()
     WaveManifest.commit(spark, root, Seq(0L))
     val base = WaveManifest.latestVersion(spark, root)
-    // a commit that renamed its v-file but crashed before the pointer
-    // flip AND is never replayed (run abandoned): orphan v=base+1 with
-    // content a future retry will NOT reproduce
+    // a writer that renamed v=base+1 and died on the spot: with the
+    // retired pointer design this was an "orphan" needing adoption;
+    // now it is just the latest version
     WaveManifest.commitBasedOn(spark, root, Seq(0L, 7L), None, base)
-    val hp = new org.apache.hadoop.fs.Path(s"$root/_manifest/_latest")
-    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = hfs.create(hp, true)
-    out.write(base.get.toString.getBytes("UTF-8"))
-    out.close()
-    assert(WaveManifest.latestVersion(spark, root) === base)
-    // pre-fix: commitWave recomputed the same next, collided with the
-    // orphan 32 times, and threw — the root was permanently wedged.
-    // post-fix: the conflict adopts the orphan (flips the pointer to
-    // it — its data waves landed before it, the data-first contract)
-    // and the retry lands wave 2 on top of wave 7.
     WaveManifest.commitWave(spark, root, 2L)
     assert(WaveManifest.pinned(spark, root).get === Seq(0L, 2L, 7L))
+  }
+
+  test("latest never reads ABSENT once the first commit landed — the " +
+      "pointer-vanish regression (round 16 #1): the retired _latest " +
+      "flip was delete-then-rename on the local FS, so a serve racing " +
+      "a commit storm resolved pinned=None and mixed waves") {
+    val root = fresh()
+    WaveManifest.commit(spark, root, Seq(0L))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val vanished = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          if (WaveManifest.latestVersion(spark, root).isEmpty)
+            vanished.incrementAndGet()
+        } catch {
+          case _: java.io.FileNotFoundException =>
+            vanished.incrementAndGet()
+        }
+        reads.incrementAndGet()
+      }
+    })
+    reader.start()
+    try (1L to 200L).foreach { w =>
+      WaveManifest.commit(spark, root, Seq(w))
+    } finally {
+      stop.set(true)
+      reader.join()
+    }
+    // pre-fix this read absent in ~81% of reads (399232/493400)
+    assert(vanished.get() === 0,
+      s"latest vanished ${vanished.get()} times in ${reads.get()} reads")
+  }
+
+  test("compaction claims are O(1) past abandoned markers: the bid " +
+      "starts one past the highest burned id, not a linear probe " +
+      "(review r15 #5)") {
+    val root = fresh()
+    WaveManifest.commit(spark, root, Seq(0L))
+    val pinned = Seq(0L)
+    // 100 claims, all abandoned (claimed, never committed)
+    val ids = (0 until 100).map(_ =>
+      WaveManifest.claimCompactionWave(spark, root, pinned))
+    assert(ids === (0 until 100).map(WaveManifest.CompactBase + _))
+    // the next bid jumps straight past every burned id in one create
+    assert(WaveManifest.claimCompactionWave(spark, root, pinned) ===
+      WaveManifest.CompactBase + 100)
+  }
+
+  test("expire reclaims claim markers at or below the pinned compaction " +
+      "watermark; markers above it (in-flight claims) survive") {
+    val root = fresh()
+    WaveManifest.commit(spark, root, Seq(0L, 1L))
+    val baseV = WaveManifest.latestVersion(spark, root)
+    val c0 = WaveManifest.claimCompactionWave(spark, root, Seq(0L, 1L))
+    val c1 = WaveManifest.claimCompactionWave(spark, root, Seq(0L, 1L))
+    val c2 = WaveManifest.claimCompactionWave(spark, root, Seq(0L, 1L))
+    assert(Seq(c0, c1, c2) === Seq(WaveManifest.CompactBase,
+      WaveManifest.CompactBase + 1, WaveManifest.CompactBase + 2))
+    // c1 commits (c0 abandoned below it, c2 still "in flight" above it)
+    WaveManifest.commitCompaction(spark, root, absorbed = Seq(0L, 1L),
+      newWave = c1, through = 1L, basedOn = baseV)
+    WaveManifest.expire(spark, root, Seq.empty, keepVersions = 1)
+    val d = new org.apache.hadoop.fs.Path(s"$root/_manifest")
+    val f = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = f.listStatus(d).map(_.getPath.getName)
+      .filter(_.startsWith(".claim_w=")).sorted.toSeq
+    assert(markers === Seq(s".claim_w=$c2"),
+      s"expected only the in-flight marker to survive, got $markers")
+    // a reclaimed id can never be re-bid: the next claim starts past
+    // the surviving marker, which is itself past the pinned max
+    assert(WaveManifest.claimCompactionWave(spark, root, Seq(c1)) ===
+      c2 + 1)
   }
 
   test("commitCompaction: a wave landed between the pin and the commit " +
