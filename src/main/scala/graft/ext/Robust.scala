@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Robust per-group outlier statistics: median + MAD (median absolute
@@ -12,19 +11,19 @@ import org.apache.spark.sql.functions._
   * "how many of this source's quality scores sit beyond 3 robust
   * sigmas" is a MAD question, not a z-score question.
   *
-  * Exactness discipline: EXACT interpolating `percentile` (≡ DuckDB
+  * Exactness discipline: EXACT interpolating percentiles (≡ DuckDB
   * `quantile_cont`, the [[Binning]]/`q_metric_profile` parity pair),
   * results rounded to 4 dp for the oracle boundary; the outlier
   * comparison runs on the UNROUNDED medians so the flag count is the
   * operator's own arithmetic, replayed identically in SQL.
   *
-  * ONE exchange total: both percentile passes are unordered windows
-  * over the same group key, and the final per-group aggregate reuses
-  * that partitioning (`EnsureRequirements` sees it satisfied — the
-  * same single-shuffle shape as [[Binning.winsorize]]). Exact
-  * percentiles hold the group's values in the window buffer — the
-  * documented trade for hash-exact oracles; at extreme group sizes
-  * swap `approx_percentile` and drop to a rows-only gate.
+  * Shape for 100 TB (review r15 #2): both medians come from
+  * distributed rank-select ([[RankSelect.percentiles]]) — two
+  * broadcast-joined order-statistic passes, no per-group in-memory
+  * percentile buffer, no task ever holding a whole group. The second
+  * pass necessarily re-reads the input (MAD's deviations depend on
+  * the first pass's median — that data dependency exists in any
+  * engine); both passes are fully parallel.
   *
   * Emits one row per group: (keys…, med DOUBLE 4dp, mad DOUBLE 4dp,
   * n_outliers BIGINT, n BIGINT).
@@ -34,12 +33,13 @@ object Robust {
   def madProfile(df: DataFrame, keys: Seq[String], valCol: String,
       k: Double): DataFrame = {
     require(keys.nonEmpty, "at least one group key")
-    val w = Window.partitionBy(keys.map(col): _*)
-    val withMed = df
-      .withColumn("med_x", expr(s"percentile($valCol, 0.5)").over(w))
+    val med = RankSelect.percentiles(df, keys, valCol,
+      Seq(0.5), Seq("med_x"))
+    val withMed = RankSelect.joinBack(df, med, keys)
       .withColumn("adev", abs(col(valCol) - col("med_x")))
-    val withMad = withMed
-      .withColumn("mad_x", expr("percentile(adev, 0.5)").over(w))
+    val mad = RankSelect.percentiles(withMed, keys, "adev",
+      Seq(0.5), Seq("mad_x"))
+    val withMad = RankSelect.joinBack(withMed, mad, keys)
     withMad.groupBy(keys.map(col): _*)
       .agg(
         round(max(col("med_x")), 4).as("med"),

@@ -38,13 +38,15 @@ class RobustSpec extends SparkSpec {
     assert(a === b && a.size === 3)
   }
 
-  test("one exchange: the windows and the aggregate share a partitioning") {
+  test("plan contract: medians come from sharded rank-select, never a " +
+      "per-group window over the big input (review r15 #2)") {
     val df = (1 to 50).map(i => (s"g${i % 2}", i.toDouble)).toDF("grp", "v")
     val q = Robust.madProfile(df, Seq("grp"), "v", 3.0)
-    q.collect()
     val p = q.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges === 1, s"expected 1 exchange, plan:\n${p.take(800)}")
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.contains("__shard")),
+      s"unsharded window in plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 }
