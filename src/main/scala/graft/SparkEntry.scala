@@ -121,6 +121,33 @@ object SparkEntry {
           max(col("user_id")).as("max_user"))
     }),
 
+    // ── The sharded posture of the same source (the 100×-scale shape,
+    //    review r15 #4): dbtable lists TWO shard tables, the source
+    //    refuses COMPLETE pushdown, each shard computes its own
+    //    GROUP-BY partial in warehouse SQL, and Spark plans the FINAL
+    //    merge (sum of counts, sum of sums, max of maxes) over
+    //    group-cardinality partial rows — never raw rows.
+    "q_warehouse_partial" -> ((s, dir) => {
+      val url = graft.sources.Warehouse.memoryUrl("graftwh")
+      val base = Tables.events(s, dir)
+        .filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          (col("value") * 100).cast("long").as("cents"))
+      val t0 = "evwp0" + math.abs(dir.hashCode).toString
+      val t1 = "evwp1" + math.abs(dir.hashCode).toString
+      graft.sources.Warehouse.stage(
+        base.filter(expr("(event_id div 10) % 2 = 0")), url, t0)
+      graft.sources.Warehouse.stage(
+        base.filter(expr("(event_id div 10) % 2 = 1")), url, t1)
+      s.read.format("graft.sources.WarehouseSource")
+        .option("url", url).option("dbtable", s"$t0,$t1").load()
+        .filter(col("cents") >= 500L)
+        .groupBy(col("event_type"))
+        .agg(count(col("event_id")).as("n_events"),
+          sum(col("cents")).as("sum_cents"),
+          max(col("user_id")).as("max_user"))
+    }),
+
     // ── The same source's row face: pushed filters + pruned SELECT
     //    list (the scan reads exactly two columns and ships exactly
     //    the matching rows — nothing re-filters Spark-side).
@@ -4034,6 +4061,17 @@ object SparkEntry {
          LIMIT 100""",
 
     "q_warehouse_rollup" ->
+      """SELECT event_type,
+         count(event_id) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS sum_cents,
+         max(user_id) AS max_user
+         FROM (SELECT event_id, user_id, event_type,
+                      CAST(trunc(value * 100) AS BIGINT) AS cents
+               FROM events WHERE event_id % 10 = 0) w
+         WHERE cents >= 500
+         GROUP BY event_type""",
+
+    "q_warehouse_partial" ->
       """SELECT event_type,
          count(event_id) AS n_events,
          CAST(sum(cents) AS BIGINT) AS sum_cents,

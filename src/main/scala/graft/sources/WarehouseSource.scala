@@ -28,18 +28,32 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `SupportsPushDownFilters` → WHERE compilation (comparison /
   *     null-test / IN / AND / OR / NOT / prefix-suffix-contains LIKE);
   *     non-compilable filters stay residual on the Spark side;
-  *   - `SupportsPushDownAggregates` (COMPLETE mode) → MIN / MAX /
-  *     SUM / COUNT / COUNT(*) over plain columns with GROUP BY plain
-  *     columns. Complete pushdown is only legal when the source
-  *     computes the WHOLE aggregate — true here because the scan is
-  *     one partition (one warehouse query). A sharded warehouse would
-  *     instead return `supportCompletePushDown = false` and let Spark
-  *     plan the final merge over per-shard partials; the compile step
-  *     below is identical in that posture, so this skeleton is the
-  *     scale path too, not a toy shortcut;
+  *   - `SupportsPushDownAggregates` → MIN / MAX / SUM / COUNT /
+  *     COUNT(*) over plain columns with GROUP BY plain columns. With a
+  *     single table the push is COMPLETE (the one warehouse query
+  *     computes the whole aggregate; no Aggregate node remains on the
+  *     Spark side). With a SHARDED table (`dbtable` = comma-separated
+  *     shard list) `supportCompletePushDown` returns false and Spark
+  *     plans the final merge over per-shard partials — min of mins,
+  *     sum of sums, sum of counts — exactly the 100×-scale posture
+  *     (review r15 #4): each shard reduces its own rows, only
+  *     group-cardinality partials cross the wire, and DISTINCT
+  *     aggregates refuse to push (distinct cannot merge across
+  *     shards). The compiled SQL is identical in both postures;
   *   - `SupportsPushDownLimit` / `SupportsPushDownTopN` → FETCH FIRST
-  *     (+ compiled ORDER BY with explicit null ordering), fully pushed
-  *     for the same one-query reason — Spark drops its Sort/Limit.
+  *     (+ compiled ORDER BY with explicit null ordering). Single
+  *     table: fully pushed, Spark drops its Sort/Limit. Sharded:
+  *     pushed per shard with `isPartiallyPushed = true`, so each shard
+  *     ships at most N rows and Spark keeps the global re-sort/cut.
+  *
+  * String comparison caveat (advice r15, low): warehouse SQL engines
+  * with padded CHAR-style comparison semantics (Derby: trailing blanks
+  * insignificant, `'click' = 'click '`) diverge from Spark's binary
+  * equality. Pushed predicates carrying a STRING literal therefore
+  * stay residual too — the scan still ships fewer rows (the push is a
+  * superset under padding), and Spark's re-check restores exact
+  * semantics. LIKE is pattern-exact in SQL, so the prefix/suffix/
+  * contains pushes need no residual twin.
   *
   * The executor-side reader opens its own JDBC connection, so on a
   * cluster the URL must be executor-reachable (a server, not
@@ -52,15 +66,43 @@ import org.apache.spark.unsafe.types.UTF8String
   * transport.
   */
 class WarehouseSource extends TableProvider {
+  // `dbtable` is one table, or a comma-separated shard list (all shards
+  // share one schema — inferred from the first)
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    WarehouseSource.tableSchema(options.get("url"), options.get("dbtable"))
+    WarehouseSource.tableSchema(options.get("url"),
+      WarehouseSource.shardsOf(options.get("dbtable")).head)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new WarehouseTable(schema, properties.get("url"), properties.get("dbtable"))
+    new WarehouseTable(schema, properties.get("url"),
+      WarehouseSource.shardsOf(properties.get("dbtable")))
 }
 
 object WarehouseSource {
+  /** `dbtable` → shard tables (one entry = the unsharded posture). */
+  private[sources] def shardsOf(dbtable: String): Seq[String] = {
+    require(dbtable != null, "WarehouseSource needs option dbtable")
+    val ts = dbtable.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(ts.nonEmpty, s"no tables in dbtable='$dbtable'")
+    ts
+  }
+
+  /** Does the filter compare against a STRING literal anywhere? Those
+    * pushes keep a residual Spark-side twin (padded-comparison caveat
+    * in the class doc). */
+  private[sources] def touchesString(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => v.isInstanceOf[String]
+    case GreaterThan(_, v) => v.isInstanceOf[String]
+    case GreaterThanOrEqual(_, v) => v.isInstanceOf[String]
+    case LessThan(_, v) => v.isInstanceOf[String]
+    case LessThanOrEqual(_, v) => v.isInstanceOf[String]
+    case In(_, vs) => vs.exists(_.isInstanceOf[String])
+    case And(l, r) => touchesString(l) || touchesString(r)
+    case Or(l, r) => touchesString(l) || touchesString(r)
+    case Not(c) => touchesString(c)
+    case _ => false
+  }
+
   /** Warehouse column types → Spark, via an empty probe query (the
     * inverse of [[Warehouse.ddlType]]; unknown JDBC types fail loud). */
   private[sources] def tableSchema(url: String, table: String): StructType = {
@@ -182,17 +224,17 @@ object WarehouseSource {
 }
 
 private[sources] class WarehouseTable(schema: StructType, url: String,
-    table: String) extends Table with SupportsRead {
-  override def name(): String = s"warehouse($table)"
+    tables: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"warehouse(${tables.mkString(",")})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarehouseScanBuilder(schema, url, table)
+    new WarehouseScanBuilder(schema, url, tables)
 }
 
 private[sources] class WarehouseScanBuilder(schema: StructType, url: String,
-    table: String) extends ScanBuilder
+    tables: Seq[String]) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -215,7 +257,11 @@ private[sources] class WarehouseScanBuilder(schema: StructType, url: String,
     val (ok, residual) = filters.partition(f => compileFilter(f).isDefined)
     pushed = ok
     whereSql = ok.map(f => compileFilter(f).get).toSeq
-    residual
+    // string-literal predicates push (the scan ships fewer rows) AND
+    // stay residual: padded-comparison warehouses ('x' = 'x ') return
+    // a SUPERSET under the pushed form, and Spark's re-check restores
+    // binary equality (advice r15, low)
+    residual ++ ok.filter(touchesString)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -223,20 +269,37 @@ private[sources] class WarehouseScanBuilder(schema: StructType, url: String,
       aggregation: Aggregation): Option[(Seq[String], StructType)] = {
     val groups = aggregation.groupByExpressions.map(refCol)
     val aggs = aggregation.aggregateExpressions.map(a => compileAgg(a, schema))
-    if (groups.exists(_.isEmpty) || aggs.exists(_.isEmpty)) None
+    // sharded: per-shard partials merge as min/max/sum/sum-of-counts —
+    // DISTINCT cannot merge across shards, refuse the push entirely
+    val distinctSharded = tables.size > 1 &&
+      aggregation.aggregateExpressions.exists {
+        case c: Count => c.isDistinct
+        case s: Sum => s.isDistinct
+        case _ => false
+      }
+    if (groups.exists(_.isEmpty) || aggs.exists(_.isEmpty) || distinctSharded)
+      None
     else {
       val gcols = groups.map(_.get)
       val gfields = gcols.map(c => schema.fields.find(_.name == c).get)
       val afields = aggs.map(_.get).zipWithIndex.map { case ((_, dt), i) =>
         StructField(s"agg_$i", dt, nullable = true)
       }
-      Some((gcols.toSeq ++ aggs.map(_.get._1).toSeq,
+      // aliased AS agg_i so the compiled SELECT list and readSchema
+      // agree by NAME, not just position — a pushed TopN whose sort
+      // key names an aggregate output then compiles to a column that
+      // exists (advice r15, low)
+      Some((gcols.toSeq ++ aggs.map(_.get._1).zipWithIndex
+        .map { case (sql, i) => s"$sql AS agg_$i" }.toSeq,
         StructType(gfields ++ afields)))
     }
   }
 
+  // complete pushdown is only legal when ONE warehouse query computes
+  // the whole aggregate; a sharded table returns partials and Spark
+  // plans the final merge (review r15 #4 — the 100×-scale posture)
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    compileAggregation(aggregation).isDefined
+    tables.size == 1 && compileAggregation(aggregation).isDefined
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
     compileAggregation(aggregation) match {
@@ -244,11 +307,12 @@ private[sources] class WarehouseScanBuilder(schema: StructType, url: String,
       case None => false
     }
 
-  // LIMIT / ORDER-BY-LIMIT push whole (the reference sends LIMIT to
-  // ClickHouse too): the scan is ONE source query, so the source's cut
-  // IS the global cut — isPartiallyPushed=false lets Spark drop its own
-  // Sort/Limit nodes. A sharded warehouse would return true here and
-  // keep Spark's global re-sort/re-limit over per-shard topNs.
+  // LIMIT / ORDER-BY-LIMIT push whole on a single table (the reference
+  // sends LIMIT to ClickHouse too): the scan is ONE source query, so
+  // the source's cut IS the global cut — isPartiallyPushed=false lets
+  // Spark drop its own Sort/Limit nodes. Sharded, the cut is per shard
+  // (each ships ≤ N rows) and isPartiallyPushed=true keeps Spark's
+  // global re-sort/re-limit.
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
@@ -269,7 +333,7 @@ private[sources] class WarehouseScanBuilder(schema: StructType, url: String,
     else { orderSql = compiled.map(_.get).toSeq; limit = Some(n); true }
   }
 
-  override def isPartiallyPushed(): Boolean = false
+  override def isPartiallyPushed(): Boolean = tables.size > 1
 
   override def build(): Scan = {
     val (selects, outSchema, groupCols) = agg match {
@@ -288,22 +352,25 @@ private[sources] class WarehouseScanBuilder(schema: StructType, url: String,
       if (orderSql.isEmpty) "" else orderSql.mkString(" ORDER BY ", ", ", "")
     val fetch =
       limit.map(n => s" FETCH FIRST $n ROWS ONLY").getOrElse("")
+    // one compiled query per shard — same pushed state everywhere; a
+    // sharded aggregate ships per-shard partials Spark merges above
     new WarehouseScan(url,
-      s"SELECT $sel FROM $table$where$group$order$fetch", outSchema,
-      pushed.map(_.toString), agg.isDefined)
+      tables.map(t => s"SELECT $sel FROM $t$where$group$order$fetch"),
+      outSchema, pushed.map(_.toString), agg.isDefined)
   }
 }
 
-private[sources] class WarehouseScan(url: String, sql: String,
+private[sources] class WarehouseScan(url: String, sqls: Seq[String],
     outSchema: StructType, pushedDesc: Array[String], aggPushed: Boolean)
     extends Scan with Batch {
   override def readSchema(): StructType = outSchema
   override def description(): String =
-    s"WarehouseScan sql=[$sql], PushedFilters: [${pushedDesc.mkString(", ")}], " +
+    s"WarehouseScan sql=[${sqls.mkString(" ∪ ")}], " +
+      s"PushedFilters: [${pushedDesc.mkString(", ")}], " +
       s"PushedAggregation: $aggPushed"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(WarehousePartition(url, sql))
+    sqls.map(sql => WarehousePartition(url, sql): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new WarehouseReaderFactory(outSchema)
 }
