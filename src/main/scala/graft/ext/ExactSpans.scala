@@ -58,8 +58,15 @@ object ExactSpans {
     val grams = maxGramDF match {
       case Some(cap) =>
         require(cap >= 2, "maxGramDF must be >= 2")
-        val withDf = grams0.withColumn("gdf", count(lit(1))
-          .over(Window.partitionBy(col("g"))))
+        // gram df via partial-aggregated count + join, NOT an unordered
+        // window: Window.partitionBy(g) colocates each gram's rows in
+        // one task — and a boilerplate flood (the exact case this cap
+        // audits) is one gram with millions of rows. The hash aggregate
+        // combines map-side; the join back is skew-splittable by AQE.
+        val gdfTbl = grams0.groupBy(col("g"))
+          .agg(count(lit(1)).as("gdf"))
+        val withDf = grams0.join(gdfTbl, Seq("g"))
+          .select(col("doc_id"), col("pos"), col("g"), col("gdf"))
         SkewGuard.observeDropCount(withDf, "exact_span_gram",
           sum(when(col("gdf") > cap, 1L)),
           dropped => s"repeatedSpans: skew guard dropped $dropped " +

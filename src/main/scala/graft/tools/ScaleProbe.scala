@@ -177,7 +177,19 @@ object ScaleProbe {
       // token counts, so the KEPT set stays ~constant — the time is
       // pure selection-machinery scaling. q_pack rides the same
       // helper on the packing order.
-      "q_token_budget", "q_pack")
+      "q_token_budget", "q_pack",
+      // r16: the de-serialized window family (VERDICT r15 #2) — ranks
+      // and exact percentiles now come from range-sharded rank-select
+      // (RankSelect), so the decade ratio must read the sharded
+      // profile: boundary sketch ×10 (map-side), per-(group, shard)
+      // counts ×10 rows into a fixed groups×shards offset table,
+      // in-shard windows ×10 with per-task sorts capped at ~1/64 of a
+      // group. The old shape put each whole group in ONE task — the
+      // event_type keys span the corpus, so its decade exponent was
+      // structurally 1.0-with-a-straggler; q_mad (above) rides the
+      // same helper twice. q_zscore is the no-window groupBy+broadcast
+      // twin.
+      "q_zscore", "q_rank_norm", "q_winsorize", "q_bin_depth")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
@@ -199,8 +211,8 @@ object ScaleProbe {
       // also reads l_returnflag/l_quantity — carried verbatim
       val li = spark.read.parquet(s"$base/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
-          col("l_discount"), col("l_tax"))
+          col("l_linenumber"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
       val docShards = (0 until Replicas).map { k =>
         val text = if (k == 0) col("text")
         else regexp_replace(col("text"), "(\\S+)", s"r${k}q$$1")
@@ -214,8 +226,8 @@ object ScaleProbe {
         li.select((col("l_orderkey") + lit(k * 10000000L)).as("l_orderkey"),
           (col("l_partkey") + lit(k * 1000000L)).as("l_partkey"),
           (col("l_suppkey") + lit(k * 1000000L)).as("l_suppkey"),
-          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
-          col("l_discount"), col("l_tax"))
+          col("l_linenumber"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
       }.reduce(_ unionByName _)
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$sf1/lineitem.parquet")
@@ -234,18 +246,20 @@ object ScaleProbe {
     if (!args.contains("regen") &&
         new java.io.File(s"$sf1/lineitem.parquet").exists() &&
         { val cs = spark.read.parquet(s"$sf1/lineitem.parquet").columns
-          // r11 added the money columns (co-moments) to the shard schema
-          !cs.contains("l_suppkey") || !cs.contains("l_extendedprice") }) {
+          // r11 added the money columns (co-moments) to the shard schema;
+          // r16 added l_linenumber (q_zscore's emission slice key)
+          !cs.contains("l_suppkey") || !cs.contains("l_extendedprice") ||
+            !cs.contains("l_linenumber") }) {
       val li = spark.read.parquet(s"$base/lineitem.parquet")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
-          col("l_discount"), col("l_tax"))
+          col("l_linenumber"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
       (0 until Replicas).map { k =>
         li.select((col("l_orderkey") + lit(k * 10000000L)).as("l_orderkey"),
           (col("l_partkey") + lit(k * 1000000L)).as("l_partkey"),
           (col("l_suppkey") + lit(k * 1000000L)).as("l_suppkey"),
-          col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
-          col("l_discount"), col("l_tax"))
+          col("l_linenumber"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
       }.reduce(_ unionByName _)
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$sf1/lineitem.parquet.tmp_upgrade")
