@@ -1996,12 +1996,17 @@ object SparkEntry {
       val qual = docs.select(col("doc_id"),
         TextAnalysis.qualityScore(col("text"), ExtConfig.stopwords)
           .as("quality"))
-      val w = Window.partitionBy(col("component"))
-        .orderBy(col("quality").desc, col("node"))
-      comp.join(qual, comp("node") === qual("doc_id"))
-        .withColumn("rk", row_number().over(w))
+      // keeper via a map-side-combinable min_by aggregate + join back,
+      // not a per-component sort window: a near-dup FLOOD is one giant
+      // cluster, and Window.partitionBy(component) would sort the whole
+      // flood in a single task; min_by over struct(-quality, node) is
+      // the same (quality desc, node asc) argmin and partial-aggregates
+      val scored = comp.join(qual, comp("node") === qual("doc_id"))
+      val keepers = scored.groupBy(col("component"))
+        .agg(expr("min_by(node, struct(-quality, node))").as("__keep"))
+      scored.join(keepers, Seq("component"))
         .select(col("component").as("cluster_id"), col("node").as("doc_id"),
-          col("quality"), (col("rk") === 1).as("is_keeper"))
+          col("quality"), (col("node") === col("__keep")).as("is_keeper"))
     }),
 
     // ── Exact duplicated-span pairs via winnowed fingerprints

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Nucleus (top-p) coverage: per group, the smallest set of items whose
@@ -18,30 +17,39 @@ import org.apache.spark.sql.functions._
   * rational, not a double).
   *
   * Shape for 100 TB: input is the already-aggregated (group, item,
-  * weight) table — corpus-sized data never reaches this operator. ONE
-  * ordered window per group computes total and running sum in a single
-  * shuffle. Groups must fit a partition (true of any per-segment item
-  * table; a global vocabulary nucleus should pre-bucket by weight range
-  * instead).
+  * weight) table — corpus-sized data never reaches this operator. The
+  * running sum is the [[RankSelect]] two-level range-sharded prefix sum
+  * under the (−weight, item) order, so a group NEVER has to fit one
+  * task: a global vocabulary nucleus (millions of items under a handful
+  * of group keys — exactly the review-r15-#2 shape) runs at groups ×
+  * shards parallelism, bit-identical to the single-window form (BIGINT
+  * addition, shard ranges tile the total order).
   */
 object Coverage {
 
-  /** @param weighted one row per (keys, item) with a BIGINT-safe weight
+  /** @param weighted one row per (keys, item) with a NON-NULL
+    *        BIGINT-safe weight
     * @return the kept rows plus `total`, `cum` (inclusive running sum)
     *         and `share_4dp` (item's weight share, half-up 4 dp). */
   def nucleus(weighted: DataFrame, keys: Seq[String], itemCol: String,
-      weightCol: String, pNum: Long, pDen: Long): DataFrame = {
+      weightCol: String, pNum: Long, pDen: Long,
+      shards: Int = 64): DataFrame = {
     require(keys.nonEmpty, "nucleus coverage needs at least one group key")
     require(pDen > 0 && pNum >= 0 && pNum <= pDen,
       "need 0 <= pNum/pDen <= 1")
-    val grp = Window.partitionBy(keys.map(col): _*)
-    val ord = grp.orderBy(col(weightCol).desc, col(itemCol).asc)
     val w = col(weightCol).cast("long")
-    weighted
-      .withColumn("total", sum(w).over(grp))
-      .withColumn("cum", sum(w).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(lit(pDen) * (col("cum") - w) < lit(pNum) * col("total"))
+    // (−weight asc, item asc) ≡ (weight desc, item asc): the numeric
+    // negation keeps the leading key ASC for the range sharding
+    val base = weighted
+      .withColumn("__w", w)
+      .withColumn("__negw", -w)
+    RankSelect.withPrefixSumAndTotal(base, keys,
+      orderCols = Seq("__negw", itemCol), valueCol = "__w",
+      sumCol = "cum", totalCol = "total", shards = shards)
+      .filter(lit(pDen) * (col("cum") - col("__w")) <
+        lit(pNum) * col("total"))
       .withColumn("share_4dp", TextAnalysis.halfUp4(w, col("total")))
+      .select(weighted.columns.map(col) ++
+        Seq(col("total"), col("cum"), col("share_4dp")): _*)
   }
 }

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, all built on the
@@ -84,12 +83,18 @@ object Dedup {
       hotShingles: Option[DataFrame] = None
   ): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
-    // Global rarity df stays a WINDOW count (one shuffle+sort on the
-    // shingle key): a per-shingle collect_list would materialize a
-    // stop-shingle's whole posting set in ONE row — an OOM at corpus
-    // scale that the windowed count structurally cannot hit.
-    val withDf = sh.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    // Global rarity df via partial-aggregated count + join, NOT an
+    // unordered window: Window.partitionBy(shingle) colocates each
+    // shingle's posting rows in one task, and a stop-shingle flood is
+    // ONE shingle with millions of rows. The hash aggregate combines
+    // map-side (the df table is one row per distinct shingle), and the
+    // join back is skew-splittable by AQE — same hardening as
+    // [[ExactSpans.repeatedSpans]]' gram df. (A per-shingle
+    // collect_list would be worse than either: it materializes a
+    // stop-shingle's whole posting set in ONE row.)
+    val dfTbl = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val withDf = sh.join(dfTbl, Seq("shingle"))
+      .select(col(idCol), col("shingle"), col("df"))
     val observed = maxShingleDF match {
       case Some(cap) =>
         // the metric sums exploded (doc, shingle) rows, so one hot
@@ -384,8 +389,13 @@ object Dedup {
     val bandsDet = maxBandDF match {
       case Some(cap) =>
         require(cap >= 2, "maxBandDF must be >= 2")
-        val withDf = bandsDet0.withColumn("bdf", count(lit(1))
-          .over(Window.partitionBy(col("band"), col("band_sig"))))
+        // band df via partial-aggregated count + join, not an unordered
+        // window — a byte-identical flood is ONE (band, band_sig) key
+        // with the whole flood colocated (ExactSpans gram-df hardening)
+        val bdfTbl = bandsDet0.groupBy(col("band"), col("band_sig"))
+          .agg(count(lit(1)).as("bdf"))
+        val withDf = bandsDet0.join(bdfTbl, Seq("band", "band_sig"))
+          .select(bandsDet0.columns.map(col) :+ col("bdf"): _*)
         SkewGuard.observeDropCount(withDf, "minhash_band",
           sum(when(col("bdf") > cap, 1L)),
           dropped => s"minhashLshPairs: skew guard dropped $dropped " +
@@ -614,8 +624,13 @@ object Dedup {
     val bands1 = maxChunkDF match {
       case Some(cap) =>
         require(cap >= 2, "maxChunkDF must be >= 2")
-        val withDf = bands0.withColumn("cdf", count(lit(1))
-          .over(Window.partitionBy(col("b"), col("chunk"))))
+        // chunk df via partial-aggregated count + join, not an unordered
+        // window (identical-doc floods share all four chunks — the hot
+        // key IS the flood; ExactSpans gram-df hardening)
+        val cdfTbl = bands0.groupBy(col("b"), col("chunk"))
+          .agg(count(lit(1)).as("cdf"))
+        val withDf = bands0.join(cdfTbl, Seq("b", "chunk"))
+          .select(bands0.columns.map(col) :+ col("cdf"): _*)
         SkewGuard.observeDropCount(withDf, "simhash_chunk",
           sum(when(col("cdf") > cap, 1L)),
           dropped => s"simhashPairs: skew guard dropped $dropped " +
@@ -750,8 +765,13 @@ object Dedup {
     val withB = maxBucketDF match {
       case Some(cap) =>
         require(cap >= 2, "maxBucketDF must be >= 2")
-        val withDf = withB0.withColumn("bdf", count(lit(1))
-          .over(Window.partitionBy(col("bucket"))))
+        // bucket df via partial-aggregated count + join, not an
+        // unordered window — an embedding flood is ONE sign bucket
+        // (ExactSpans gram-df hardening)
+        val bdfTbl = withB0.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("bdf"))
+        val withDf = withB0.join(bdfTbl, Seq("bucket"))
+          .select(withB0.columns.map(col) :+ col("bdf"): _*)
         SkewGuard.observeDropCount(withDf, "embed_bucket",
           sum(when(col("bdf") > cap, 1L)),
           dropped => s"embeddingCosinePairs: skew guard dropped $dropped " +

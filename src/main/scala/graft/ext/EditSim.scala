@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact edit-distance-1 similarity join via deletion neighborhoods
@@ -53,8 +52,13 @@ object EditSim {
 
     val guarded = maxVariantDF match {
       case Some(cap) =>
-        val withDf = exploded.withColumn("vdf",
-          count(lit(1)).over(Window.partitionBy(col("variant"))))
+        // variant df via partial-aggregated count + join, not an
+        // unordered window — an identical-string flood shares every
+        // deletion variant (ExactSpans gram-df hardening)
+        val vdfTbl = exploded.groupBy(col("variant"))
+          .agg(count(lit(1)).as("vdf"))
+        val withDf = exploded.join(vdfTbl, Seq("variant"))
+          .select(exploded.columns.map(col) :+ col("vdf"): _*)
         SkewGuard.observeDropCount(withDf, "edit_variant",
           sum(when(col("vdf") > cap, 1L)),
           dropped => s"dist1Pairs: skew guard dropped $dropped " +

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact lexical cosine similarity join — the sparse-vector complement
@@ -30,8 +29,8 @@ import org.apache.spark.sql.functions._
   * contract). The reported cos4 rounds num/√(na·nb) computed in
   * IEEE double from exact integers — engine-identical.
   *
-  * Shape for 100 TB: one tokenize+count aggregate, one windowed df
-  * count on the term key, the posting self-join shuffles on term
+  * Shape for 100 TB: one tokenize+count aggregate, a partial-aggregated
+  * df count joined back on the term key, the posting self-join shuffles on term
   * (bucket-local pairs, bounded C(maxTermDF, 2) per term), one pair
   * aggregate, two norm joins. No all-pairs stage anywhere.
   *
@@ -52,12 +51,14 @@ object LexCosine {
       .where(length(col("term")) > 0)
       .groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // stop-term projection: df over the term key, window not
-    // collect_list (the [[Dedup.ngramJaccardPairs]] OOM argument)
-    val kept = tok
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    // stop-term projection: df via partial-aggregated count + join,
+    // not an unordered window — a stop-term flood is ONE term key with
+    // the whole corpus colocated (ExactSpans gram-df hardening); the
+    // df table is one row per distinct term, combined map-side
+    val dfTbl = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val kept = tok.join(dfTbl, Seq("term"))
       .where(col("df") <= maxTermDF)
-      .drop("df")
+      .select(col("doc"), col("term"), col("tf"))
       .localCheckpoint() // feeds norms AND both posting sides
 
     val norms = kept.groupBy(col("doc"))

@@ -45,23 +45,21 @@ import org.apache.spark.sql.functions._
   */
 object RankSelect {
 
-  /** Appends `rankCol` (1-based BIGINT row_number under `orderCols`,
-    * each ASC NULLS FIRST, within each `keys` group) and `nCol` (the
-    * group's BIGINT row count) to `df`. The leading order column must
-    * be numeric (it feeds the range sharding); callers needing a total
-    * order must include a tie-breaking order column, exactly as with
-    * a window row_number. */
-  def withRankAndCount(df: DataFrame, keys: Seq[String],
-      orderCols: Seq[String], rankCol: String, nCol: String,
-      shards: Int = 64): DataFrame = {
+  /** Shared first level of the two-level discipline: appends `__shard`
+    * to `df` — per-group `approx_percentile` boundaries of the LEADING
+    * order column (map-side-partial agg, one small row per group),
+    * broadcast back, shard = count of boundaries strictly below the
+    * value. Monotone in the leading value, equal values never split,
+    * NULLs take shard −1 (matching ASC NULLS FIRST); boundary quality
+    * affects only balance, never values. */
+  private def rangeSharded(df: DataFrame, keys: Seq[String],
+      orderCols: Seq[String], shards: Int): DataFrame = {
     require(keys.nonEmpty, "need at least one group key")
     require(orderCols.nonEmpty, "need at least one order column")
     require(shards >= 1 && shards <= 4096,
       s"shards must be in [1, 4096]: $shards")
     val lead = col(orderCols.head)
     val keyCols = keys.map(col)
-    // 1. per-group boundary sketch of the leading order column; the
-    //    agg is map-side partial, its output is one small row per group
     val cuts = (1 until shards).map(_.toDouble / shards)
     val bounds =
       if (shards == 1)
@@ -78,15 +76,26 @@ object RankSelect {
         col("__bnd"): _*)
     val joinBnd = keys.indices.map(i => col(keys(i)) <=> col(s"__bk$i"))
       .reduce(_ && _)
-    // 2. shard assignment: monotone in the leading value, equal values
-    //    never split, NULLs first (shard −1)
     val leadD = lead.cast("double")
     val shard = when(lead.isNull, lit(-1L)).otherwise(
       size(filter(coalesce(col("__bnd"),
         lit(Array.empty[Double])), b => b < leadD)).cast("long"))
-    val withShard = df.join(broadcast(boundsR), joinBnd)
+    df.join(broadcast(boundsR), joinBnd)
       .withColumn("__shard", shard)
       .drop((keys.indices.map(i => s"__bk$i") :+ "__bnd"): _*)
+  }
+
+  /** Appends `rankCol` (1-based BIGINT row_number under `orderCols`,
+    * each ASC NULLS FIRST, within each `keys` group) and `nCol` (the
+    * group's BIGINT row count) to `df`. The leading order column must
+    * be numeric (it feeds the range sharding); callers needing a total
+    * order must include a tie-breaking order column, exactly as with
+    * a window row_number. */
+  def withRankAndCount(df: DataFrame, keys: Seq[String],
+      orderCols: Seq[String], rankCol: String, nCol: String,
+      shards: Int = 64): DataFrame = {
+    val keyCols = keys.map(col)
+    val withShard = rangeSharded(df, keys, orderCols, shards)
     // 3.–4. per-(group, shard) counts → exclusive offsets + totals over
     //       the tiny subtotal table
     val counts = withShard.groupBy(keyCols :+ col("__shard"): _*)
@@ -113,6 +122,45 @@ object RankSelect {
       .withColumn(rankCol,
         col("__off") + row_number().over(wIn).cast("long"))
       .select(df.columns.map(col) ++ Seq(col(rankCol), col(nCol)): _*)
+  }
+
+  /** Appends `sumCol` (INCLUSIVE BIGINT running sum of `valueCol`
+    * under `orderCols`, each ASC NULLS FIRST, within each `keys`
+    * group) and `totalCol` (the group's BIGINT `valueCol` total) to
+    * `df` — the [[PrefixSums]] two-level discipline under an ARBITRARY
+    * numeric-leading order instead of the hash-rank order. Same shard
+    * machinery as [[withRankAndCount]]; BIT-IDENTICAL to the
+    * single-window running sum (shard ranges tile the total order and
+    * BIGINT addition is associative). `valueCol` must be non-null
+    * BIGINT-safe; callers needing a total order must include a
+    * tie-breaking order column. */
+  def withPrefixSumAndTotal(df: DataFrame, keys: Seq[String],
+      orderCols: Seq[String], valueCol: String, sumCol: String,
+      totalCol: String, shards: Int = 64): DataFrame = {
+    val keyCols = keys.map(col)
+    val withShard = rangeSharded(df, keys, orderCols, shards)
+    val subtotals = withShard.groupBy(keyCols :+ col("__shard"): _*)
+      .agg(sum(col(valueCol).cast("long")).as("__sub"))
+    val wOff = Window.partitionBy(keyCols: _*).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(keyCols: _*).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = subtotals
+      .withColumn("__off", coalesce(sum(col("__sub")).over(wOff), lit(0L)))
+      .withColumn(totalCol, sum(col("__sub")).over(wTot))
+      .drop("__sub")
+    val offsetsR = offsets.select(
+      keys.zipWithIndex.map { case (k, i) => col(k).as(s"__ok$i") } ++
+        Seq(col("__shard").as("__oshard"), col("__off"), col(totalCol)): _*)
+    val joinOff = (keys.indices.map(i => col(keys(i)) <=> col(s"__ok$i")) :+
+      (col("__shard") === col("__oshard"))).reduce(_ && _)
+    val wIn = Window.partitionBy(keyCols :+ col("__shard"): _*)
+      .orderBy(orderCols.map(c => col(c).asc_nulls_first): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withShard.join(broadcast(offsetsR), joinOff)
+      .withColumn(sumCol,
+        col("__off") + sum(col(valueCol).cast("long")).over(wIn))
+      .select(df.columns.map(col) ++ Seq(col(sumCol), col(totalCol)): _*)
   }
 
   /** One row per `keys` group with the exact linear-interpolated

@@ -74,8 +74,12 @@ object SpanDedup {
     val sel = maxFingerprintDF match {
       case Some(cap) =>
         require(cap >= 2, "maxFingerprintDF must be >= 2")
-        val withDf = sel0.withColumn("df",
-          count(lit(1)).over(Window.partitionBy(col("fp"))))
+        // fp df via partial-aggregated count + join, not an unordered
+        // window — a boilerplate flood is ONE fingerprint with the
+        // whole flood colocated (ExactSpans gram-df hardening)
+        val dfTbl = sel0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        val withDf = sel0.join(dfTbl, Seq("fp"))
+          .select(sel0.columns.map(col) :+ col("df"): _*)
         SkewGuard.observeDropCount(withDf, "span",
           sum(when(col("df") > cap, 1L)),
           dropped => s"sharedSpanPairs: skew guard dropped $dropped " +

@@ -189,7 +189,13 @@ object ScaleProbe {
       // structurally 1.0-with-a-straggler; q_mad (above) rides the
       // same helper twice. q_zscore is the no-window groupBy+broadcast
       // twin.
-      "q_zscore", "q_rank_norm", "q_winsorize", "q_bin_depth")
+      "q_zscore", "q_rank_norm", "q_winsorize", "q_bin_depth",
+      // r16 cont.: nucleus coverage (replica-prefixed words → per-source
+      // vocab ×10 under FIXED source keys — the exact corpus-spanning-
+      // group shape the two-level prefix-sum rewrite de-serializes) and
+      // the dedup keep policy (clusters ×10 disjoint; keeper via min_by
+      // aggregate, no per-cluster sort)
+      "q_top_share", "q_dedup_keep")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {

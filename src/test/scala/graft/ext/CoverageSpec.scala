@@ -28,6 +28,35 @@ class CoverageSpec extends SparkSpec {
     assert(kept(80, 100) == Set("a", "b"))
   }
 
+  test("nucleus ≡ the single-window form, bit for bit, and its plan " +
+      "has no Window partitioned by a bare group key (review r15 #2: " +
+      "a vocabulary nucleus has millions of items under few groups)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    val big = (1 to 700).map { i =>
+      (if (i % 3 == 0) "g" else "h", s"it$i", (rnd.nextInt(20) + 1).toLong)
+    }.toDF("grp", "item", "w")
+    val grp = Window.partitionBy(col("grp"))
+    val ord = grp.orderBy(col("w").desc, col("item").asc)
+    val wl = col("w").cast("long")
+    val ref = big
+      .withColumn("total", sum(wl).over(grp))
+      .withColumn("cum", sum(wl).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(lit(10L) * (col("cum") - wl) < lit(9L) * col("total"))
+      .withColumn("share_4dp", TextAnalysis.halfUp4(wl, col("total")))
+      .collect().map(r => r.getString(1) -> r.toSeq).toMap
+    val gotDf = Coverage.nucleus(big, Seq("grp"), "item", "w", 9, 10)
+    val got = gotDf.collect().map(r => r.getString(1) -> r.toSeq).toMap
+    assert(got === ref)
+    val plan = gotDf.queryExecution.executedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.contains("__shard")),
+      s"unsharded window in nucleus plan:\n$plan")
+  }
+
   test("ties order by item name; singleton group keeps its only item") {
     val tied = Seq(("g", "b", 10L), ("g", "a", 10L)).toDF("grp", "item", "w")
     val out = Coverage.nucleus(tied, Seq("grp"), "item", "w", 1, 2)

@@ -134,6 +134,24 @@ class RankSelectSpec extends SparkSpec {
     assert(zPlan.contains("BroadcastHashJoin"), zPlan)
   }
 
+  test("withPrefixSumAndTotal: running sum ≡ window sum at several " +
+      "shard counts (ties split across shards must not break the order)") {
+    val iv = events.filter(col("v").isNotNull)
+      .withColumn("w", col("v").cast("long") + 1L)
+    for (s <- Seq(1, 4, 64)) {
+      val ord = Window.partitionBy(col("grp"))
+        .orderBy(col("v").asc_nulls_first, col("id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ref = iv
+        .withColumn("cum", sum(col("w")).over(ord))
+        .withColumn("tot", sum(col("w")).over(
+          Window.partitionBy(col("grp"))))
+      val got = RankSelect.withPrefixSumAndTotal(iv, Seq("grp"),
+        Seq("v", "id"), "w", "cum", "tot", shards = s)
+      assert(collectMap(got) === collectMap(ref), s"shards=$s")
+    }
+  }
+
   test("withRankAndCount: rank ≡ row_number at several shard counts") {
     for (s <- Seq(1, 4, 64)) {
       val w = Window.partitionBy(col("grp"))

@@ -32,6 +32,11 @@ def run_bench(cwd, sf_dir):
         cwd=cwd, env=env, capture_output=True, text=True, check=False)
     for line in (out.stdout + out.stderr).splitlines():
         line = line.strip()
+        # sbt may prefix program stdout with its log label depending on
+        # the project's output strategy (observed in fresh worktrees)
+        for p in ("[info] ", "[error] "):
+            if line.startswith(p):
+                line = line[len(p):]
         if line.startswith("{") and '"queries"' in line:
             return json.loads(line)
     sys.exit(f"no bench JSON line from {cwd}:\n{out.stdout[-3000:]}\n"
