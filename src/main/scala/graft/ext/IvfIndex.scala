@@ -74,29 +74,28 @@ object IvfIndex {
     val waves = version
       .map(v => graft.model.WaveManifest.wavesAt(spark, path, v))
       .orElse(graft.model.WaveManifest.pinned(spark, path))
-    def pin(df: DataFrame) = waves match {
+    // explicit pinned dirs, never a table-root scan: partition
+    // discovery on the root races a superseded compactor's orphan
+    // delete (WaveManifest.readWaves doc — the round-16 fix)
+    val lists = (waves match {
       case Some(ws) =>
-        df.filter(col("batch").isin(ws.map(Long.box): _*)).drop("batch")
-      case None => df.drop("batch")
-    }
-    val lists = pin(spark.read.parquet(s"$path/lists"))
+        graft.model.WaveManifest.readWaves(spark, path, "lists", ws)
+      case None => spark.read.parquet(s"$path/lists")
+    }).drop("batch")
     // pinned tombstone waves (deleteSave) mask their ids — a handle
     // pinned BEFORE a delete keeps serving them (snapshot semantics,
     // both directions; the IvfPq contract). No forced broadcast: the
     // mask is unbounded over an index's lifetime, AQE broadcasts
     // while small and compact() clears it to zero.
-    val masked = tombs(spark, path).map(pin) match {
+    val masked = graft.model.WaveManifest
+      .sideTableWaves(spark, path, "tombs", waves)
+      .map(_.drop("batch")) match {
       case Some(t) => lists.join(t.select(col("vid").as("__tvid"))
           .distinct(), col("neighbor_id") === col("__tvid"), "left_anti")
       case None => lists
     }
     IvfModel(masked, cents)
   }
-
-  /** The tombstone table, if any delete ever landed. */
-  private def tombs(spark: SparkSession,
-      path: String): Option[DataFrame] =
-    graft.model.WaveManifest.sideTable(spark, path, "tombs")
 
   /** Tombstone delete: the [[IvfPq.deleteSave]] contract on the dense
     * index — ids land as their own `tombs/batch=<wave>` wave (same
@@ -283,12 +282,14 @@ object IvfIndex {
       // materialized BEFORE the write (the rewrite scans the path it
       // overwrites; Spark refuses the lazy form). Tombstoned rows are
       // PHYSICALLY removed here and the mask resets to empty.
-      val live = spark.read.parquet(s"$path/lists")
-        .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch")
-      val rows = (tombs(spark, path) match {
+      // Explicit pinned dirs (readWaves): a racing loser's orphan
+      // delete must not crash this rewrite's partition discovery.
+      val live = graft.model.WaveManifest
+        .readWaves(spark, path, "lists", waves).drop("batch")
+      val rows = (graft.model.WaveManifest
+          .sideTableWaves(spark, path, "tombs", Some(waves)) match {
         case Some(t) =>
-          val tv = t.filter(col("batch").isin(waves.map(Long.box): _*))
-            .select(col("vid").as("__tvid")).distinct()
+          val tv = t.select(col("vid").as("__tvid")).distinct()
           live.join(tv, col("neighbor_id") === col("__tvid"), "left_anti")
         case None => live
       }).localCheckpoint()

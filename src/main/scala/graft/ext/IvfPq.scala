@@ -287,27 +287,25 @@ object IvfPq {
     val waves = version
       .map(v => graft.model.WaveManifest.wavesAt(spark, path, v))
       .orElse(graft.model.WaveManifest.pinned(spark, path))
-    def pin(df: DataFrame) = waves match {
+    // explicit pinned dirs, never a table-root scan (WaveManifest
+    // .readWaves doc — the round-16 orphan-delete listing race)
+    val codes = (waves match {
       case Some(ws) =>
-        df.filter(col("batch").isin(ws.map(Long.box): _*)).drop("batch")
-      case None => df.drop("batch")
-    }
-    val codes = pin(spark.read.parquet(s"$path/codes"))
+        graft.model.WaveManifest.readWaves(spark, path, "codes", ws)
+      case None => spark.read.parquet(s"$path/codes")
+    }).drop("batch")
     // no forced broadcast: tombstone cardinality is unbounded over an
     // index's lifetime — AQE broadcasts the anti join while it is
     // small, and compaction ([[compact]]) clears it back to zero
-    val masked = tombs(spark, path).map(pin) match {
+    val masked = graft.model.WaveManifest
+      .sideTableWaves(spark, path, "tombs", waves)
+      .map(_.drop("batch")) match {
       case Some(t) => codes.join(t.select(col("vid").as("__tvid"))
           .distinct(), col("vid") === col("__tvid"), "left_anti")
       case None => codes
     }
     IvfPqDisk(model, masked)
   }
-
-  /** The tombstone table, if any delete ever landed. */
-  private def tombs(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[DataFrame] =
-    graft.model.WaveManifest.sideTable(spark, path, "tombs")
 
   /** On-disk insert: land [[encode]]d rows as their own `batch=<wave>`
     * partition wave — re-running the SAME wave id dynamically
@@ -374,12 +372,14 @@ object IvfPq {
     // their waves; compactions racing each other stay correct too
     graft.model.WaveManifest.runCompaction(spark, path,
         Seq("codes")) { (waves, newWave) =>
-      val live = spark.read.parquet(s"$path/codes")
-        .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch")
-      val rows = (tombs(spark, path) match {
+      // explicit pinned dirs (readWaves): a racing loser's orphan
+      // delete must not crash this rewrite's partition discovery
+      val live = graft.model.WaveManifest
+        .readWaves(spark, path, "codes", waves).drop("batch")
+      val rows = (graft.model.WaveManifest
+          .sideTableWaves(spark, path, "tombs", Some(waves)) match {
         case Some(t) =>
-          val tv = t.filter(col("batch").isin(waves.map(Long.box): _*))
-            .select(col("vid").as("__tvid")).distinct()
+          val tv = t.select(col("vid").as("__tvid")).distinct()
           live.join(tv, col("vid") === col("__tvid"), "left_anti")
         case None => live
       }).localCheckpoint()

@@ -170,14 +170,19 @@ object PostingIndex {
                  b: Double = 0.75,
                  pin: Option[Seq[Long]] = None): DataFrame = {
     require(terms.nonEmpty, "scoreQuery needs at least one term")
-    // plan-time pin: explicit > manifest pointer > legacy scan-all
+    // plan-time pin: explicit > manifest pointer > legacy scan-all.
+    // Pinned reads go through EXPLICIT batch dirs (WaveManifest
+    // .readWaves) — a table-root scan's partition discovery races the
+    // transient dirs a superseded compactor deletes (the round-16
+    // compactor-race FileNotFoundException).
     val waves = pin.orElse(graft.model.WaveManifest.pinned(spark, path))
-    def pinWaves(df: DataFrame): DataFrame = waves match {
-      case Some(ws) => df.filter(col("batch").isin(ws.map(Long.box): _*))
-      case None => df
+    def pinnedTable(table: String): DataFrame = waves match {
+      case Some(ws) =>
+        graft.model.WaveManifest.readWaves(spark, path, table, ws)
+      case None => spark.read.parquet(s"$path/$table")
     }
     val lower = terms.map(_.toLowerCase(java.util.Locale.ROOT))
-    val post = pinWaves(spark.read.parquet(s"$path/postings"))
+    val post = pinnedTable("postings")
       .filter(col("bucket").isin(bucketsOf(lower, termBuckets): _*) &&
         col("term").isin(lower: _*))
     // per-doc tf columns in TERM ORDER (the fold order is the parity)
@@ -190,23 +195,23 @@ object PostingIndex {
     val withTf = lower.indices.foldLeft(byDoc) { (d, i) =>
       d.withColumn(s"tf_$i", coalesce(col(s"tf_raw_$i"), lit(0L)))
     }
-    val dls = pinWaves(spark.read.parquet(s"$path/doclens"))
+    val dls = pinnedTable("doclens")
       .select(col("doc_id"), col("dl"))
-    val stats = pinWaves(spark.read.parquet(s"$path/stats"))
+    val stats = pinnedTable("stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     // one (df_0..df_n) row, wave-summed; absent terms read as df 0 —
     // a lazy broadcast, not an eager collect (serve-time snapshot)
     val dfAggs = lower.indices.map(i =>
       coalesce(sum(when(col("term") === lower(i), col("df"))), lit(0.0))
         .as(s"df_$i"))
-    val dfRow = pinWaves(spark.read.parquet(s"$path/terms"))
+    val dfRow = pinnedTable("terms")
       .filter(col("term").isin(lower: _*))
       .agg(dfAggs.head, dfAggs.tail: _*)
     // Lucene-semantics delete mask: pinned tombstones hide their docs
     // from the RESULTS; df/stats above stay wave-summed (stale until
     // compaction) so surviving docs score identically pre/post delete
-    val masked = graft.model.WaveManifest.sideTable(spark, path, "tombs")
-      .map(pinWaves) match {
+    val masked = graft.model.WaveManifest.sideTableWaves(
+        spark, path, "tombs", waves) match {
       case Some(t) => withTf.join(t.select(col("doc_id").as("__tdoc"))
           .distinct(), col("doc_id") === col("__tdoc"), "left_anti")
       case None => withTf
@@ -261,9 +266,11 @@ object PostingIndex {
     // — the whole pre-compaction index vanished from serving (review r12)
     // materialized (localCheckpoint) BEFORE the write: the rewrite
     // reads the same table paths it overwrites, and Spark refuses a
-    // write whose lazy input scans its own output path
-    def pinned(table: String) = spark.read.parquet(s"$path/$table")
-      .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch")
+    // write whose lazy input scans its own output path. Explicit
+    // pinned dirs, not a root scan — a racing loser's orphan delete
+    // must not crash this rewrite's partition discovery.
+    def pinned(table: String) = graft.model.WaveManifest
+      .readWaves(spark, path, table, waves).drop("batch")
       .localCheckpoint()
     // Lucene merge: tombstoned docs drop PHYSICALLY here, and df/stats
     // are RECOMPUTED from the survivors (the moment stale statistics
@@ -272,9 +279,9 @@ object PostingIndex {
     // count(postings per term) = Σ per-wave dfs and the doclens
     // count/sum = Σ per-wave stats — integer-valued doubles below
     // 2^53 (spec-pinned by WaveCompactionSpec's bit-identical serve).
-    val tv = graft.model.WaveManifest.sideTable(spark, path, "tombs")
-      .map(_.filter(col("batch").isin(waves.map(Long.box): _*))
-        .select(col("doc_id").as("__tdoc")).distinct())
+    val tv = graft.model.WaveManifest
+      .sideTableWaves(spark, path, "tombs", Some(waves))
+      .map(_.select(col("doc_id").as("__tdoc")).distinct())
     def maskDocs(df: DataFrame): DataFrame = tv match {
       case Some(t) =>
         df.join(t, col("doc_id") === col("__tdoc"), "left_anti")

@@ -168,6 +168,68 @@ object WaveManifest {
       case other => other
     }
 
+  /** Read EXACTLY the `batch=<w>` dirs of `waves` under `root/<table>`
+    * ("" = waves directly under the root) — the pinned-serve read path.
+    * Explicit immutable dirs instead of a table-root scan: Spark's
+    * recursive partition discovery lists EVERYTHING under the root
+    * before any pruning filter runs, so a root scan races every
+    * transient child — a superseded compactor deleting its orphan
+    * `batch=<claimed>` dir, or [[expire]] reclaiming an unreferenced
+    * wave — and dies with FileNotFoundException inside
+    * `HadoopFSUtils.listLeafFiles` (the round-16 WaveRaceSpec
+    * compactor-race failure). Committed waves are immutable and
+    * referenced dirs are never deleted (expire keeps every wave a
+    * surviving version names), so listing only them closes the window
+    * structurally. The pinned set is intersected with the table's
+    * EXISTING `batch=` children (one non-recursive listing — safe
+    * against concurrently vanishing entries): a pinned wave may
+    * legitimately have no dir in a given table (a tombstone-only wave
+    * lands nothing in the four main posting tables and vice versa) —
+    * the same semantics the old root-scan + isin filter gave missing
+    * partitions. `basePath` keeps the `batch` partition column in the
+    * schema. */
+  def readWaves(spark: SparkSession, root: String, table: String,
+      waves: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    require(waves.nonEmpty, s"readWaves needs at least one wave ($root)")
+    val base = if (table.isEmpty) root else s"$root/$table"
+    val hit = existingOf(spark, base, waves)
+    require(hit.nonEmpty,
+      s"none of the pinned waves ${waves.sorted.mkString(",")} has " +
+        s"landed under $base — corrupted index or expired-under-pin")
+    spark.read.option("basePath", base)
+      .parquet(hit.map(w => s"$base/batch=$w"): _*)
+  }
+
+  /** The subset of `waves` whose `batch=<w>` dir exists under `base`
+    * (input order preserved). */
+  private def existingOf(spark: SparkSession, base: String,
+      waves: Seq[Long]): Seq[Long] = {
+    val hp = new org.apache.hadoop.fs.Path(base)
+    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(hp)) Seq.empty
+    else {
+      val existing = f.listStatus(hp).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch=") =>
+          n.stripPrefix("batch=").toLong }.toSet
+      waves.filter(existing.contains)
+    }
+  }
+
+  /** [[sideTable]] pinned to `waves`: the table's EXISTING `batch=`
+    * children (one non-recursive listing — safe against concurrently
+    * vanishing entries) intersected with the pinned set, read as
+    * explicit dirs. None when the table is absent or no pinned wave
+    * has landed in it. `waves = None` = legacy scan-all. */
+  def sideTableWaves(spark: SparkSession, root: String, table: String,
+      waves: Option[Seq[Long]]): Option[org.apache.spark.sql.DataFrame] =
+    waves match {
+      case None => sideTable(spark, root, table)
+      case Some(ws) =>
+        val hit = existingOf(spark, s"$root/$table", ws)
+        if (hit.isEmpty) None
+        else Some(readWaves(spark, root, table, hit))
+    }
+
   /** An OPTIONAL wave-partitioned side table under `root/<table>` (the
     * tombstone tables of the delete faces): Some(frame) only when the
     * dir exists AND still holds at least one `batch=` wave — existence

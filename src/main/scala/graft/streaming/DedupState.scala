@@ -175,8 +175,11 @@ private[streaming] object DedupState {
       eff: Long): Option[DataFrame] = {
     val waves = corpusWaves(spark, indexPath, eff)
     if (waves.isEmpty) None
-    else Some(spark.read.parquet(indexPath)
-      .filter(col("batch").isin(waves.map(Long.box): _*)))
+    // explicit pinned dirs, not a root scan: partition discovery on
+    // the root races a compactor's orphan-dir delete (WaveManifest
+    // .readWaves doc — the round-16 listing race)
+    else Some(graft.model.WaveManifest.readWaves(
+      spark, indexPath, "", waves))
   }
 
   /** Data landed for `eff` — make it visible (skipped on a replay of an
@@ -217,10 +220,11 @@ private[streaming] object DedupState {
       pin: Option[Seq[Long]]): DataFrame = {
     val waves = pin.orElse(
       graft.model.WaveManifest.pinned(spark, indexPath))
-    val all = spark.read.parquet(indexPath)
     waves match {
-      case Some(ws) => all.filter(col("batch").isin(ws.map(Long.box): _*))
-      case None => all
+      // explicit pinned dirs, not a root scan (readWaves doc)
+      case Some(ws) =>
+        graft.model.WaveManifest.readWaves(spark, indexPath, "", ws)
+      case None => spark.read.parquet(indexPath)
     }
   }
 
@@ -246,8 +250,8 @@ private[streaming] object DedupState {
     // correct too ("" = waves directly under the root)
     graft.model.WaveManifest.runCompaction(spark, indexPath,
         Seq("")) { (waves, newWave) =>
-      val rows = reduce(spark.read.parquet(indexPath)
-        .filter(col("batch").isin(waves.map(Long.box): _*)).drop("batch"))
+      val rows = reduce(graft.model.WaveManifest
+        .readWaves(spark, indexPath, "", waves).drop("batch"))
         .localCheckpoint() // the rewrite scans the path it overwrites
       writeWave(rows, indexPath, newWave)
     }

@@ -99,8 +99,10 @@ object IndexStream {
     import org.apache.spark.sql.functions.col
     if (!graft.model.WaveManifest.pinned(spark, path)
         .exists(_.contains(oldWave))) return false
-    val old = spark.read.parquet(s"$path/doclens")
-      .filter(col("batch") === oldWave).select(col("doc_id"))
+    // explicit pinned dir, not a root scan (WaveManifest.readWaves doc)
+    val old = graft.model.WaveManifest
+      .readWaves(spark, path, "doclens", Seq(oldWave))
+      .select(col("doc_id"))
     val ids = batch.select(col(idCol).as("doc_id")).distinct()
     ids.join(old, Seq("doc_id"), "left_anti").limit(1).count() == 0L &&
       old.join(ids, Seq("doc_id"), "left_anti").limit(1).count() == 0L

@@ -94,10 +94,11 @@ object PerceptronStream {
   private def weightsAt(spark: SparkSession, path: String, wave: Long,
       len: Int): Array[Long] = {
     val w = Array.fill(len)(0L)
-    graft.model.WaveManifest.sideTable(spark, path, "weights")
+    // explicit pinned dir, not a root scan (WaveManifest.readWaves doc)
+    graft.model.WaveManifest
+      .sideTableWaves(spark, path, "weights", Some(Seq(wave)))
       .foreach { t =>
-        t.filter(col("batch") === wave)
-          .select(col("j"), col("w"))
+        t.select(col("j"), col("w"))
           .collect()
           .foreach(r => w(r.getInt(0)) = r.getLong(1))
       }

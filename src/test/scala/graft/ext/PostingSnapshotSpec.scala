@@ -85,6 +85,43 @@ class PostingSnapshotSpec extends SparkSpec {
         termBuckets = 8)))
   }
 
+  test("pinned serves list ONLY pinned batch dirs — an uncommitted " +
+      "orphan (a superseded compactor's rewrite mid-delete) is never " +
+      "touched by partition discovery (round-16 listing race)") {
+    val path = freshPath()
+    PostingIndex.build(docs.filter($"doc_id" <= 3), "doc_id", "text",
+      path, termBuckets = 8)
+    PostingIndex.append(docs.filter($"doc_id" > 3), "doc_id", "text",
+      path, wave = 1L, termBuckets = 8)
+    // plant an orphan compaction-space dir holding GARBAGE under every
+    // table: a root-scan read would list it (and could sample its file
+    // for schema inference, or crash when it vanishes mid-listing);
+    // the explicit-dir read must never know it exists
+    val orphan = graft.model.WaveManifest.CompactBase + 7L
+    Seq("doclens", "postings", "terms", "stats").foreach { t =>
+      val d = new java.io.File(s"$path/$t/batch=$orphan")
+      assert(d.mkdirs())
+      Files.write(java.nio.file.Paths.get(d.toString, "part-garbage"),
+        "not parquet at all".getBytes("UTF-8"))
+      ()
+    }
+    val serve = PostingIndex.scoreQuery(spark, path, terms,
+      termBuckets = 8)
+    val pinnedDirs = Set("batch=0", "batch=1")
+    val listed = serve.inputFiles.toSeq
+    assert(listed.nonEmpty)
+    listed.foreach { f =>
+      assert(pinnedDirs.exists(f.contains),
+        s"serve listed a non-pinned path: $f")
+      assert(!f.contains(s"batch=$orphan"), s"orphan dir listed: $f")
+    }
+    val full = freshPath()
+    PostingIndex.build(docs, "doc_id", "text", full, termBuckets = 8)
+    assert(collectRows(serve) ===
+      collectRows(PostingIndex.scoreQuery(spark, full, terms,
+        termBuckets = 8)))
+  }
+
   test("explicit pin: time travel to an old manifest version") {
     val path = freshPath()
     PostingIndex.build(docs.filter($"doc_id" <= 3), "doc_id", "text",
