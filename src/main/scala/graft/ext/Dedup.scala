@@ -80,9 +80,13 @@ object Dedup {
       threshold: Double,
       maxShingleDF: Option[Long] = None,
       broadcastCandidates: Boolean = false,
-      hotShingles: Option[DataFrame] = None
+      hotShingles: Option[DataFrame] = None,
+      shinglesOpt: Option[DataFrame] = None
   ): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    // shinglesOpt: a caller that already materialized shingles(df)
+    // (ngramJaccardPairsSketchCapped checkpoints it for the sketch
+    // pass) hands it in so the corpus text is parsed ONCE, not twice
+    val sh = shinglesOpt.getOrElse(shingles(df, idCol, textCol, n))
     // Global rarity df via partial-aggregated count + join, NOT an
     // unordered window: Window.partitionBy(shingle) colocates each
     // shingle's posting rows in one task, and a stop-shingle flood is
@@ -253,9 +257,8 @@ object Dedup {
       seed: Long = 42L
   ): DataFrame = {
     require(minEst >= 2, s"minEst must be >= 2: $minEst")
-    // one text parse for both sketch and probe keys; the pair operator
-    // re-derives its own shingle frame from df (it materializes it as
-    // perDoc anyway)
+    // ONE text parse feeds the sketch, the probe keys, AND the pair
+    // operator (shinglesOpt below) — the corpus is never re-tokenized
     val sh = shingles(df, idCol, textCol, n).localCheckpoint()
     val sk = CountMin.sketch(sh.select(col("shingle")), "shingle",
       d, w, seed)
@@ -264,7 +267,7 @@ object Dedup {
       .filter(col("est") >= minEst)
       .select(col("key").as("shingle"))
     ngramJaccardPairs(df, idCol, textCol, n, threshold,
-      hotShingles = Some(hot))
+      hotShingles = Some(hot), shinglesOpt = Some(sh))
   }
 
   /** MinHash signatures as one wide aggregation: column sig_h =
