@@ -501,17 +501,15 @@ class PlanContractSpec extends SparkSpec {
   test("bm25 index serving: the postings scan is partition-pruned") {
     // the whole point of the persisted index: a k-term query reads at
     // most k term buckets of the manifest-pinned waves, never the full
-    // posting set — BOTH partition keys must prune (batch leads the
-    // filter list since r12's manifest pin; the scan's Location string
-    // truncates mid-path, so match on the pruning predicates, not the
-    // "postings" directory name)
-    // (a single pinned wave prints as `batch = 0`, multi-wave as
-    // `batch IN (...)` — accept either form, require BOTH keys)
+    // posting set. Since the round-16 readWaves fix, WAVE pruning is by
+    // CONSTRUCTION — the reader lists only the pinned `batch=` dirs, so
+    // no batch predicate appears in the plan; the bucket key must still
+    // prune as a PartitionFilter.
     val p = plan("q_bm25_indexed")
     assert(
-      "PartitionFilters: \\[[^\\]]*batch#\\d+[^\\]]*bucket#\\d+ IN".r
+      "PartitionFilters: \\[[^\\]]*bucket#\\d+ IN".r
         .findFirstIn(p).isDefined,
-      s"postings scan not pruned on (batch, bucket):\n${p.take(1200)}")
+      s"postings scan not pruned on bucket:\n${p.take(1200)}")
   }
 
   test("hyperball: register merge is a hash aggregate with map-side " +
