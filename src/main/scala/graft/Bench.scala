@@ -10,6 +10,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // engine extensions: registered SQL functions + the
+      // sharded-warehouse DISTINCT dedup rewrite (graft.plans)
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // dev-loop escape hatch: SPARK_GRAFT_ONLY=q_a,q_b times a subset

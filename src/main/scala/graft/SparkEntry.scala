@@ -148,6 +148,34 @@ object SparkEntry {
           max(col("user_id")).as("max_user"))
     }),
 
+    // ── DISTINCT over the sharded posture (review r16 #4): the DSv2
+    //    API cannot carry a partial DISTINCT (distinct sets do not
+    //    merge), so plans/DistinctAggThroughShards rewrites
+    //    count(DISTINCT user_id) into a plain count over a dedup
+    //    aggregate, and the standard pushdown turns THAT into
+    //    per-shard `GROUP BY event_type, user_id` warehouse SQL —
+    //    each shard ships its distinct pairs once; Spark dedups
+    //    across shards and counts. Plan-contracted in
+    //    WarehouseSourceSpec.
+    "q_warehouse_distinct" -> ((s, dir) => {
+      val url = graft.sources.Warehouse.memoryUrl("graftwh")
+      val base = Tables.events(s, dir)
+        .filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          (col("value") * 100).cast("long").as("cents"))
+      val t0 = "evwp0" + math.abs(dir.hashCode).toString
+      val t1 = "evwp1" + math.abs(dir.hashCode).toString
+      graft.sources.Warehouse.stage(
+        base.filter(expr("(event_id div 10) % 2 = 0")), url, t0)
+      graft.sources.Warehouse.stage(
+        base.filter(expr("(event_id div 10) % 2 = 1")), url, t1)
+      s.read.format("graft.sources.WarehouseSource")
+        .option("url", url).option("dbtable", s"$t0,$t1").load()
+        .filter(col("cents") >= 500L)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // ── The same source's row face: pushed filters + pruned SELECT
     //    list (the scan reads exactly two columns and ships exactly
     //    the matching rows — nothing re-filters Spark-side).
@@ -2000,10 +2028,16 @@ object SparkEntry {
       // not a per-component sort window: a near-dup FLOOD is one giant
       // cluster, and Window.partitionBy(component) would sort the whole
       // flood in a single task; min_by over struct(-quality, node) is
-      // the same (quality desc, node asc) argmin and partial-aggregates
+      // the same (quality desc, node asc) argmin and partial-aggregates.
+      // coalesce(−quality, +∞): qualityScore is NULL for empty/null
+      // text, and a null struct field sorts FIRST ascending — the
+      // replaced window's (quality desc, node) put nulls LAST, so the
+      // null-quality doc must sort past every real score, never win
+      // the keeper slot (advice r16, low)
       val scored = comp.join(qual, comp("node") === qual("doc_id"))
       val keepers = scored.groupBy(col("component"))
-        .agg(expr("min_by(node, struct(-quality, node))").as("__keep"))
+        .agg(expr("min_by(node, struct(coalesce(-quality, double('inf')), node))")
+          .as("__keep"))
       scored.join(keepers, Seq("component"))
         .select(col("component").as("cluster_id"), col("node").as("doc_id"),
           col("quality"), (col("node") === col("__keep")).as("is_keeper"))
@@ -4082,6 +4116,15 @@ object SparkEntry {
          CAST(sum(cents) AS BIGINT) AS sum_cents,
          max(user_id) AS max_user
          FROM (SELECT event_id, user_id, event_type,
+                      CAST(trunc(value * 100) AS BIGINT) AS cents
+               FROM events WHERE event_id % 10 = 0) w
+         WHERE cents >= 500
+         GROUP BY event_type""",
+
+    "q_warehouse_distinct" ->
+      """SELECT event_type,
+         count(DISTINCT user_id) AS n_users
+         FROM (SELECT user_id, event_type,
                       CAST(trunc(value * 100) AS BIGINT) AS cents
                FROM events WHERE event_id % 10 = 0) w
          WHERE cents >= 500

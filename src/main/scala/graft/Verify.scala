@@ -18,6 +18,9 @@ object Verify {
       // reader rejects; read as long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // engine extensions: registered SQL functions + the
+      // sharded-warehouse DISTINCT dedup rewrite (graft.plans)
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -37,6 +37,22 @@ object Coverage {
     require(keys.nonEmpty, "nucleus coverage needs at least one group key")
     require(pDen > 0 && pNum >= 0 && pNum <= pDen,
       "need 0 <= pNum/pDen <= 1")
+    // ENFORCED BIGINT contract (advice r16, low): the nucleus order key
+    // is the long-cast weight, so a fractional weight column would
+    // silently truncate — ties where the raw values ordered exactly,
+    // reordered by item — and drift the running sum. Refuse non-integral
+    // weight types loudly instead of relying on the docstring.
+    weighted.schema(weightCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"nucleus coverage needs an integral (BIGINT-safe) weight " +
+          s"column; '$weightCol' is $other — pre-quantize fractional " +
+          "weights explicitly (the cast here would truncate and " +
+          "silently reorder exact ties)")
+    }
     val w = col(weightCol).cast("long")
     // (−weight asc, item asc) ≡ (weight desc, item asc): the numeric
     // negation keeps the leading key ASC for the range sharding

@@ -97,6 +97,11 @@ object Dedup {
     // collect_list would be worse than either: it materializes a
     // stop-shingle's whole posting set in ONE row.)
     val dfTbl = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // join key is NON-NULL BY CONSTRUCTION (derived via explode/hash
+    // of generated values, which never yields a null key row), so the
+    // non-null-safe equi-join keeps every row the replaced
+    // Window.partitionBy kept — a future NULLABLE key would silently
+    // drop its rows here (advice r16, low)
     val withDf = sh.join(dfTbl, Seq("shingle"))
       .select(col(idCol), col("shingle"), col("df"))
     val observed = maxShingleDF match {
@@ -397,6 +402,11 @@ object Dedup {
         // with the whole flood colocated (ExactSpans gram-df hardening)
         val bdfTbl = bandsDet0.groupBy(col("band"), col("band_sig"))
           .agg(count(lit(1)).as("bdf"))
+        // join key is NON-NULL BY CONSTRUCTION (derived via explode/hash
+        // of generated values, which never yields a null key row), so the
+        // non-null-safe equi-join keeps every row the replaced
+        // Window.partitionBy kept — a future NULLABLE key would silently
+        // drop its rows here (advice r16, low)
         val withDf = bandsDet0.join(bdfTbl, Seq("band", "band_sig"))
           .select(bandsDet0.columns.map(col) :+ col("bdf"): _*)
         SkewGuard.observeDropCount(withDf, "minhash_band",
@@ -632,6 +642,11 @@ object Dedup {
         // key IS the flood; ExactSpans gram-df hardening)
         val cdfTbl = bands0.groupBy(col("b"), col("chunk"))
           .agg(count(lit(1)).as("cdf"))
+        // join key is NON-NULL BY CONSTRUCTION (derived via explode/hash
+        // of generated values, which never yields a null key row), so the
+        // non-null-safe equi-join keeps every row the replaced
+        // Window.partitionBy kept — a future NULLABLE key would silently
+        // drop its rows here (advice r16, low)
         val withDf = bands0.join(cdfTbl, Seq("b", "chunk"))
           .select(bands0.columns.map(col) :+ col("cdf"): _*)
         SkewGuard.observeDropCount(withDf, "simhash_chunk",
@@ -773,6 +788,11 @@ object Dedup {
         // (ExactSpans gram-df hardening)
         val bdfTbl = withB0.groupBy(col("bucket"))
           .agg(count(lit(1)).as("bdf"))
+        // join key is NON-NULL BY CONSTRUCTION (derived via explode/hash
+        // of generated values, which never yields a null key row), so the
+        // non-null-safe equi-join keeps every row the replaced
+        // Window.partitionBy kept — a future NULLABLE key would silently
+        // drop its rows here (advice r16, low)
         val withDf = withB0.join(bdfTbl, Seq("bucket"))
           .select(withB0.columns.map(col) :+ col("bdf"): _*)
         SkewGuard.observeDropCount(withDf, "embed_bucket",

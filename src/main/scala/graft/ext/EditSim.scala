@@ -57,6 +57,11 @@ object EditSim {
         // deletion variant (ExactSpans gram-df hardening)
         val vdfTbl = exploded.groupBy(col("variant"))
           .agg(count(lit(1)).as("vdf"))
+        // join key is NON-NULL BY CONSTRUCTION (explode of generated
+        // deletion variants never yields a null key row), so the
+        // non-null-safe equi-join keeps every row the replaced
+        // Window.partitionBy kept — a future NULLABLE key would
+        // silently drop its rows here (advice r16, low)
         val withDf = exploded.join(vdfTbl, Seq("variant"))
           .select(exploded.columns.map(col) :+ col("vdf"): _*)
         SkewGuard.observeDropCount(withDf, "edit_variant",

@@ -56,6 +56,11 @@ object LexCosine {
     // the whole corpus colocated (ExactSpans gram-df hardening); the
     // df table is one row per distinct term, combined map-side
     val dfTbl = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // join key is NON-NULL BY CONSTRUCTION (derived via explode/hash
+    // of generated values, which never yields a null key row), so the
+    // non-null-safe equi-join keeps every row the replaced
+    // Window.partitionBy kept — a future NULLABLE key would silently
+    // drop its rows here (advice r16, low)
     val kept = tok.join(dfTbl, Seq("term"))
       .where(col("df") <= maxTermDF)
       .select(col("doc"), col("term"), col("tf"))

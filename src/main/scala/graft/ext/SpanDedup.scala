@@ -78,6 +78,11 @@ object SpanDedup {
         // window — a boilerplate flood is ONE fingerprint with the
         // whole flood colocated (ExactSpans gram-df hardening)
         val dfTbl = sel0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        // join key is NON-NULL BY CONSTRUCTION (derived via explode/hash
+        // of generated values, which never yields a null key row), so the
+        // non-null-safe equi-join keeps every row the replaced
+        // Window.partitionBy kept — a future NULLABLE key would silently
+        // drop its rows here (advice r16, low)
         val withDf = sel0.join(dfTbl, Seq("fp"))
           .select(sel0.columns.map(col) :+ col("df"): _*)
         SkewGuard.observeDropCount(withDf, "span",

@@ -32,5 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("mg_candidates"),
       MisraGriesAgg.info,
       (children: Seq[Expression]) => MisraGriesAgg.build(children)))
+    // DISTINCT-over-sharded-warehouse dedup rewrite: runs in the
+    // fixed-point operator-optimization batch, which precedes the
+    // early-pushdown batch where V2ScanRelationPushDown builds the
+    // scan — so the inner grouping-only Aggregate it plants is what
+    // the source sees and pushes per shard
+    ext.injectOptimizerRule(_ => graft.plans.DistinctAggThroughShards)
   }
 }

@@ -37,6 +37,52 @@ import org.apache.spark.sql.SparkSession
   *
   * Absent manifest = legacy/quiesced index: readers fall back to
   * scanning every wave, the pre-manifest behavior.
+  *
+  * == Filesystem contract (cross-process atomicity) ==
+  * Both commit primitives — the version-file CAS and the compaction
+  * claim — reduce to ONE requirement: a manifest file must APPEAR
+  * atomically and EXCLUSIVELY (exactly one of N racing creators of the
+  * same name succeeds; a loser must observe the winner's file). How
+  * that is met is per-filesystem:
+  *  - '''Local FS''' (single host, many JVMs): version files publish
+  *    via hard LINK of a fully-written staging file — link(2) is
+  *    atomic and fails EEXIST when the name exists. Hadoop's rename
+  *    is NOT enough here: it is a non-atomic dst-exists check over
+  *    POSIX rename(2), which silently OVERWRITES, so two cross-JVM
+  *    racers could both "win" the same version and one wave set would
+  *    vanish. Claim markers use O_EXCL create. Same-JVM racers are
+  *    additionally serialized by the per-root [[casLocks]] monitor.
+  *    Exercised end-to-end by the forked two-JVM
+  *    `MultiProcessManifestSpec` hammer.
+  *  - '''HDFS''': `rename` (no-overwrite) and `create(overwrite =
+  *    false)` are both atomic by the FileSystem contract — the default
+  *    paths are already exclusive.
+  *  - '''Object stores''' (S3/GCS/ABFS): rename is copy+delete and a
+  *    blind PUT is last-writer-wins — NEITHER is exclusive. Deploy the
+  *    `_manifest` dir behind a connector that maps
+  *    `create(overwrite=false)` onto the store's conditional put
+  *    (S3 `If-None-Match: *`, GCS `ifGenerationMatch=0`, Azure
+  *    `If-None-Match: *`), or front commits with an external lock
+  *    service; without one of those, two committers on different
+  *    hosts can both believe they won `v=<n>`. Data waves are safe
+  *    regardless (immutable dirs, never renamed) — the conditional-put
+  *    requirement is ONLY for the tiny `_manifest` files.
+  *
+  * == Retention vs outstanding pins ==
+  * [[expire]] reclaims versions below the `keepVersions` floor and
+  * every wave dir no surviving version references. A reader still
+  * PINNED to a reclaimed snapshot — a serve outliving the retention
+  * window, or an explicit time-travel pin — fails its next read with
+  * [[ExpiredUnderPinException]], loudly and immediately; it can never
+  * silently serve the partial row set the surviving dirs would give
+  * (the guard distinguishes a tombstone-only wave legitimately absent
+  * from ONE table from a wave absent from EVERY surviving version).
+  * Minimum-retention guidance: keep `keepVersions` ≥ the number of
+  * commits that can land during your longest-running query PLUS any
+  * time-travel window you promise — retention is the only operation
+  * that can invalidate a pinned read, so the floor is a serving SLO,
+  * not a storage knob. `keepVersions = 1` is safe only when nothing
+  * reads concurrently with maintenance.
   */
 object WaveManifest {
 
@@ -193,11 +239,58 @@ object WaveManifest {
     require(waves.nonEmpty, s"readWaves needs at least one wave ($root)")
     val base = if (table.isEmpty) root else s"$root/$table"
     val hit = existingOf(spark, base, waves)
+    val missing = waves.filterNot(hit.toSet)
+    if (missing.nonEmpty) assertNotExpired(spark, root, base, missing)
     require(hit.nonEmpty,
       s"none of the pinned waves ${waves.sorted.mkString(",")} has " +
         s"landed under $base — corrupted index or expired-under-pin")
     spark.read.option("basePath", base)
       .parquet(hit.map(w => s"$base/batch=$w"): _*)
+  }
+
+  /** A pinned read raced RETENTION: (some of) the waves this reader
+    * pinned were reclaimed by [[expire]] after the pin was resolved —
+    * a long-running serve outliving the retention window, or an
+    * explicit time-travel pin below the retention floor. The read
+    * fails here, loudly and immediately, instead of returning the
+    * silent PARTIAL result the surviving dirs would produce. Recovery:
+    * re-resolve [[pinned]] (the current snapshot always survives
+    * expire) — and size `keepVersions` so this cannot happen to
+    * legitimate readers (class doc, retention guidance). */
+  final class ExpiredUnderPinException(msg: String)
+    extends java.io.IOException(msg)
+
+  /** Distinguish the two reasons a pinned wave can have no `batch=`
+    * dir in a table: LEGAL absence (a committed wave that landed
+    * nothing in this particular table — tombstone-only waves, empty
+    * micro-batches — is still referenced by a live manifest version)
+    * vs EXPIRY (the wave is referenced by NO surviving version:
+    * [[expire]] reclaimed it, and serving the remaining dirs would be
+    * a silent partial read). Loud throw on the latter. Skipped for
+    * manifest-less legacy roots (nothing ever expires there). During
+    * an IN-FLIGHT expire (data dirs deleted, version files not yet)
+    * a racing reader can still see the wave as referenced — the
+    * guarantee is deterministic once expire returns, same
+    * single-committer maintenance contract as expire itself. */
+  private def assertNotExpired(spark: SparkSession, root: String,
+      base: String, missing: Seq[Long]): Unit = {
+    val vs = versions(spark, root)
+    if (vs.isEmpty) return // legacy/manifest-less: no retention to race
+    val live = vs.flatMap { v =>
+      // a version file may be reclaimed between the listing and this
+      // read — treat a vanished version as referencing nothing
+      try wavesAt(spark, root, v)
+      catch { case _: Exception => Seq.empty[Long] }
+    }.toSet
+    val dead = missing.filterNot(live.contains)
+    if (dead.nonEmpty)
+      throw new ExpiredUnderPinException(
+        s"pinned wave(s) ${dead.sorted.mkString(",")} under $base are " +
+          "referenced by no surviving manifest version — retention " +
+          "(WaveManifest.expire) reclaimed them while this reader held " +
+          "the pin. Refusing the silent partial read; re-resolve the " +
+          "current snapshot, and raise keepVersions to cover your " +
+          "longest-running reads")
   }
 
   /** The subset of `waves` whose `batch=<w>` dir exists under `base`
@@ -384,17 +477,20 @@ object WaveManifest {
       .++(waves.distinct.sorted.map(_.toString)).mkString("\n")
     val lock = casLocks.computeIfAbsent(root, _ => new Object)
     lock.synchronized {
-      // tmp-write + rename: a concurrent reader of v=<n> never sees a
-      // partial wave list; the tmp name carries a nonce so two racing
-      // committers never overwrite each other's staging file
+      // staging write + EXCLUSIVE publish: a concurrent reader of
+      // v=<n> never sees a partial wave list (the staging file is
+      // fully written and closed before it gets its final name), and
+      // exactly ONE of N racing committers — across JVMs, not just
+      // threads — wins the name (class doc, filesystem contract). The
+      // tmp name carries a nonce so two racing committers never
+      // overwrite each other's staging file.
       val tmp = new org.apache.hadoop.fs.Path(dir(root),
         s".tmp.v$next.${java.util.UUID.randomUUID().toString.take(8)}")
       val out = f.create(tmp, true)
       out.write(body.getBytes("UTF-8"))
       out.close()
       val vfile = new org.apache.hadoop.fs.Path(dir(root), s"v=$next")
-      if (f.exists(vfile) || !f.rename(tmp, vfile)) {
-        f.delete(tmp, false)
+      if (!publishExclusive(f, tmp, vfile)) {
         val theirs = if (f.exists(vfile)) readFile(f, vfile) else ""
         if (theirs != body)
           throw new ConcurrentCommitException(
@@ -402,11 +498,49 @@ object WaveManifest {
               "with different content — another committer won; re-read " +
               "the manifest and retry")
         // identical content: our own crashed attempt / at-least-once
-        // replay — v=next is already committed AND visible (the rename
-        // was the visibility event); no-op success
+        // replay — v=next is already committed AND visible (the
+        // publish was the visibility event); no-op success
       }
     }
     next
+  }
+
+  /** Atomically PUBLISH a fully-written staging file under its final
+    * immutable name, exclusively: true iff THIS caller won the name.
+    * Local FS: hard link — link(2) is atomic and fails EEXIST, the
+    * only local primitive that is both (Hadoop's local rename is a
+    * non-atomic dst-exists check over an OVERWRITING rename(2) — two
+    * cross-JVM racers could both "win" and one manifest's content
+    * silently vanished; this was the one commit leg [[exclusiveCreate]]
+    * did not already cover). Filesystems without hard links fall back
+    * to the no-overwrite rename, which is atomic on HDFS by contract
+    * (object stores: see the class-doc conditional-put requirement).
+    * The staging file is deleted in every outcome. */
+  private def publishExclusive(f: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    def renamePath(): Boolean =
+      if (f.exists(dst) || !f.rename(tmp, dst)) { f.delete(tmp, false); false }
+      else true
+    f match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          f.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            f.delete(tmp, false); false
+          case _: UnsupportedOperationException =>
+            // local FS without hard links (exotic mounts): the rename
+            // path still serializes same-JVM committers via casLocks;
+            // cross-JVM exclusivity degrades to check-then-rename
+            renamePath()
+        }
+      case _ => renamePath()
+    }
   }
 
   /** Commit a COMPACTION: replace exactly the `absorbed` waves (the set

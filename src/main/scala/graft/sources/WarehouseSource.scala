@@ -223,8 +223,17 @@ object WarehouseSource {
   }
 }
 
+/** Marker for logical-plan rules that need to know a V2 relation is a
+  * warehouse scan backed by N shard tables without depending on the
+  * package-private table class
+  * ([[graft.plans.DistinctAggThroughShards]] fires only on
+  * shardCount > 1). */
+trait ShardedWarehouseTable { def shardCount: Int }
+
 private[sources] class WarehouseTable(schema: StructType, url: String,
-    tables: Seq[String]) extends Table with SupportsRead {
+    tables: Seq[String]) extends Table with SupportsRead
+    with ShardedWarehouseTable {
+  override def shardCount: Int = tables.size
   override def name(): String = s"warehouse(${tables.mkString(",")})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =

@@ -92,7 +92,14 @@ object IndexStream {
     * directions (a pinned wave from a DIFFERENT run that merely shares
     * some ids stays false and proceeds to the normal shifted write —
     * where the doc-ids-new-across-batches precondition governs, as
-    * ever). */
+    * ever). A pinned wave with NO doclens dir at all (a tombstone-only
+    * wave sharing the index's wave space, or a wave committed from an
+    * empty micro-batch whose dynamic overwrite wrote no partition)
+    * cannot be a pre-upgrade landing of THIS batch — route through
+    * [[graft.model.WaveManifest.sideTableWaves]]'s tolerant existence
+    * semantics and proceed with the normal shifted write, instead of
+    * tripping readWaves' corrupted-index require (advice r16,
+    * medium). */
   private[streaming] def alreadyLandedPreUpgrade(spark: SparkSession,
       path: String, oldWave: Long, batch: DataFrame,
       idCol: String): Boolean = {
@@ -100,9 +107,10 @@ object IndexStream {
     if (!graft.model.WaveManifest.pinned(spark, path)
         .exists(_.contains(oldWave))) return false
     // explicit pinned dir, not a root scan (WaveManifest.readWaves doc)
-    val old = graft.model.WaveManifest
-      .readWaves(spark, path, "doclens", Seq(oldWave))
-      .select(col("doc_id"))
+    val oldTbl = graft.model.WaveManifest
+      .sideTableWaves(spark, path, "doclens", Some(Seq(oldWave)))
+    if (oldTbl.isEmpty) return false
+    val old = oldTbl.get.select(col("doc_id"))
     val ids = batch.select(col(idCol).as("doc_id")).distinct()
     ids.join(old, Seq("doc_id"), "left_anti").limit(1).count() == 0L &&
       old.join(ids, Seq("doc_id"), "left_anti").limit(1).count() == 0L

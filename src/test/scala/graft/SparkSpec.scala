@@ -24,5 +24,8 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // same extension set as Verify/Bench: registered SQL functions +
+    // the sharded-warehouse DISTINCT dedup rewrite
+    .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 }

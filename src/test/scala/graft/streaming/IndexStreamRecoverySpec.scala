@@ -143,4 +143,27 @@ class IndexStreamRecoverySpec extends SparkSpec {
     assert(!IndexStream.alreadyLandedPreUpgrade(spark, path, 1L,
       subset, "doc_id"))
   }
+
+  test("pre-upgrade guard tolerates a pinned wave with NO doclens dir " +
+      "(tombstone-only / empty-batch wave): false, not a corrupted-" +
+      "index crash") {
+    val path = Files.createTempDirectory("istream-upg-nodl").toString
+    // a wave can be pinned with no doclens `batch=` dir at all — a
+    // tombstone-only wave sharing the wave space, or a wave committed
+    // from an empty micro-batch (dynamic overwrite writes no partition
+    // dir). Pin such a wave directly:
+    graft.model.WaveManifest.commitWave(spark, path, 1L)
+    assert(graft.model.WaveManifest.pinned(spark, path).get === Seq(1L))
+
+    val b0 = Seq((1L, "spark join table scan fast")).toDF("doc_id", "text")
+    // pre-fix this threw readWaves' require("none of the pinned waves
+    // ... has landed"); the contract is FALSE → proceed with the
+    // normal shifted write (advice r16, medium)
+    assert(!IndexStream.alreadyLandedPreUpgrade(spark, path, 1L,
+      b0, "doc_id"))
+    IndexStream.appendBatchGuarded(b0, "doc_id", "text", path,
+      rawEpochId = 0L, base = 1L, termBuckets = 8)
+    assert(graft.model.WaveManifest.pinned(spark, path).get ===
+      Seq(1L, 2L))
+  }
 }
