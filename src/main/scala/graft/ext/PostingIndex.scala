@@ -99,29 +99,67 @@ object PostingIndex {
       textCol: String, path: String, wave: Long, termBuckets: Int,
       dynamic: Boolean): Unit = {
     require(termBuckets >= 1, s"termBuckets must be >= 1: $termBuckets")
-    val toks = docs.select(col(idCol).as("doc_id"),
+    // one tokenization plan feeds all four tables. BUILD face: pin it
+    // with a checkpoint — scan the corpus once, the fan reads the
+    // materialized blocks. STREAMING face (dynamic): skip the
+    // checkpoint — it is a SEQUENTIAL job in front of the concurrent
+    // fan, and a micro-batch (already persisted by the foreachBatch
+    // caller) re-tokenizes for pennies inside each concurrent branch;
+    // dropping it removes one whole scheduling latency from the
+    // critical path (review r16 #3). Determinism holds either way:
+    // every input below the fan is cached/checkpointed upstream.
+    val toksPlan = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.words(col(textCol)).as("ws"))
-      .localCheckpoint() // feeds all four tables — scan once
+    val toks = if (dynamic) toksPlan else toksPlan.localCheckpoint()
     def wv(df: DataFrame, table: String, parts: String*): Unit =
       df.withColumn("batch", lit(wave))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
         .partitionBy("batch" +: parts: _*)
         .parquet(s"$path/$table")
-    wv(toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl")),
-      "doclens")
-    val postings = toks
-      .select(col("doc_id"), explode(col("ws")).as("term"))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("tf"))
-      .withColumn("bucket",
-        pmod(xxhash64(col("term"), lit(42)), lit(termBuckets)).cast("int"))
-      .localCheckpoint() // feeds the posting write AND the df rollup
-    wv(postings, "postings", "bucket")
-    wv(postings.groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("df")), "terms")
-    wv(toks.agg(count(lit(1)).cast("double").as("n_docs"),
-      sum(size(col("ws"))).cast("double").as("sum_dl")), "stats")
+    // the four table writes are INDEPENDENT actions over the shared
+    // checkpointed token scan — submit them concurrently (review r16
+    // #3: a streamed wave paid six sequential job-scheduling
+    // latencies; the data is micro-batch-sized, the fan IS the cost).
+    // Ordering stays wave-safe: everything lands before this returns,
+    // and the manifest commit (the visibility event) is the caller's
+    // NEXT step — a reader can never pin a wave whose fan is still
+    // in flight, and a crashed half-landed fan is invisible until the
+    // replay overwrites it.
+    graft.model.ConcurrentJobs.awaitAll(
+      () => wv(toks.select(col("doc_id"),
+        size(col("ws")).cast("long").as("dl")), "doclens"),
+      () => {
+        val postingsPlan = toks
+          .select(col("doc_id"), explode(col("ws")).as("term"))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("tf"))
+          .withColumn("bucket",
+            pmod(xxhash64(col("term"), lit(42)), lit(termBuckets)).cast("int"))
+        // build face: checkpoint — the corpus-wide (term, doc) shuffle
+        // must run once for the posting write AND the df rollup.
+        // streaming face: the checkpoint is another sequential job in
+        // front of two concurrent writes; let each write run the tiny
+        // shuffle itself, concurrently
+        val postings =
+          if (dynamic) postingsPlan else postingsPlan.localCheckpoint()
+        // STREAMING face (dynamic): cluster by bucket before writing —
+        // the groupBy leaves every shuffle partition holding rows of
+        // ~every bucket, so a micro-batch wave wrote up to
+        // partitions×buckets tiny files (the small-files debt the
+        // compactor exists to pay down); clustered, a wave writes at
+        // most one file per bucket and the pruned serve reads one.
+        // The BUILD face keeps the full write parallelism — a corpus
+        // write wants all tasks, not termBuckets of them.
+        val clustered =
+          if (dynamic) postings.repartition(col("bucket")) else postings
+        graft.model.ConcurrentJobs.awaitAll(
+          () => wv(clustered, "postings", "bucket"),
+          () => wv(postings.groupBy(col("term"))
+            .agg(count(lit(1)).cast("double").as("df")), "terms"))
+      },
+      () => wv(toks.agg(count(lit(1)).cast("double").as("n_docs"),
+        sum(size(col("ws"))).cast("double").as("sum_dl")), "stats"))
   }
 
   /** Tombstone delete — LUCENE SEMANTICS, the industry contract for

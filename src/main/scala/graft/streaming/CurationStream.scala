@@ -97,18 +97,29 @@ object CurationStream {
       bandSize: Int, threshold: Double): Unit = {
     batch.persist()
     try {
-      val report = Expectations.audit(batch, rowRules).collect().toSeq
-      if (report.forall(_.getAs[Boolean]("pass")))
-        StreamingNearDup.processBatch(batch, idCol, textCol, dedupPath,
-          shingleN, numHashes, bandSize, threshold,
-          eff = dedupBase + rawId,
-          onSurvivors = (surv, _) => {
-            IndexStream.appendBatchGuarded(surv, idCol, textCol,
-              indexPath, rawId, postBase, termBuckets)
-            onSurvivors(surv, rawId)
-          },
-          onDuplicates = (_, _) => ())
-      else quarantine(batch, rawId, report)
+      // the whole-batch audit runs CONCURRENTLY with the dedup stage's
+      // read-only signature checkpoint (review r16 #3 — they were two
+      // sequential actions over the same cached batch); the gate is
+      // awaited before the corpus probe, so a failing batch still
+      // touches neither index and routes whole to quarantine
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import graft.model.ConcurrentJobs.ec
+      val reportF =
+        Future(Expectations.audit(batch, rowRules).collect().toSeq)
+      def report = Await.result(reportF, Duration.Inf)
+      def pass = report.forall(_.getAs[Boolean]("pass"))
+      StreamingNearDup.processBatch(batch, idCol, textCol, dedupPath,
+        shingleN, numHashes, bandSize, threshold,
+        eff = dedupBase + rawId,
+        onSurvivors = (surv, _) => {
+          IndexStream.appendBatchGuarded(surv, idCol, textCol,
+            indexPath, rawId, postBase, termBuckets)
+          onSurvivors(surv, rawId)
+        },
+        onDuplicates = (_, _) => (),
+        gate = () => pass)
+      if (!pass) quarantine(batch, rawId, report)
     } finally { batch.unpersist(); () }
   }
 

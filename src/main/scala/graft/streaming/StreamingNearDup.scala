@@ -77,7 +77,13 @@ object StreamingNearDup {
     * policy, land `batch=<eff>` with the survivors' index rows, commit
     * the manifest. Calling this twice with the same `eff` is idempotent
     * — the at-least-once replay contract; a batch a compaction already
-    * absorbed is a complete no-op. */
+    * absorbed is a complete no-op.
+    *
+    * `gate` lets the caller run a batch-level admission check (the
+    * QualityGate audit) CONCURRENTLY with the signature computation:
+    * it is awaited after the read-only minhash checkpoint but before
+    * the corpus probe and any write — a refused batch costs one
+    * wasted signature job and touches neither index. */
   private[streaming] def processBatch(
       batch: DataFrame,
       idCol: String,
@@ -90,11 +96,13 @@ object StreamingNearDup {
       eff: Long,
       onSurvivors: (DataFrame, Long) => Unit,
       onDuplicates: (DataFrame, Long) => Unit,
-      compactEvery: Int = 0): Unit = {
+      compactEvery: Int = 0,
+      gate: () => Boolean = () => true): Unit = {
     val spark = batch.sparkSession
     if (DedupState.absorbed(spark, indexPath, eff)) return
     val batchIdx = Dedup.minhashIndex(batch, idCol, textCol,
       shingleN, numHashes).localCheckpoint()
+    if (!gate()) return
     val corpusIdx = DedupState.corpusFor(spark, indexPath, eff)
       .getOrElse(batchIdx.limit(0))
     val pairs = Dedup.minhashLshPairsIncremental(corpusIdx, batchIdx,
@@ -103,10 +111,23 @@ object StreamingNearDup {
       batchIdx.select(col(idCol)), idCol)
     val survivors = batch.join(dropped, Seq(idCol), "left_anti")
     val survivorIdx = batchIdx.join(dropped, Seq(idCol), "left_anti")
-    DedupState.writeWave(survivorIdx, indexPath, eff)
-    DedupState.commitAndMaybeCompact(spark, indexPath, eff, compactEvery)
-    onDuplicates(pairs, eff)
-    onSurvivors(survivors, eff)
+    // land the survivor-index wave CONCURRENTLY with the sinks (review
+    // r16 #3): the sinks read `survivors`/`pairs`, which derive from
+    // the checkpointed batch/pairs frames, not from the index write —
+    // the two index families' waves are independent until each one's
+    // own manifest commit, and every crash interleaving (neither /
+    // either / both landed) is repaired by the at-least-once replay
+    // rewriting both waves byte-identically under the same eff.
+    graft.model.ConcurrentJobs.awaitAll(
+      () => {
+        DedupState.writeWave(survivorIdx, indexPath, eff)
+        DedupState.commitAndMaybeCompact(spark, indexPath, eff,
+          compactEvery)
+      },
+      () => {
+        onDuplicates(pairs, eff)
+        onSurvivors(survivors, eff)
+      })
   }
 
   /** The survivor index as a PINNED SNAPSHOT — the serve face for

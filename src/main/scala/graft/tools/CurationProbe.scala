@@ -109,11 +109,46 @@ object CurationProbe {
         s"$work/pi1/idx")
     }
 
+    // ── direct-drive pass: the SAME batch bodies (audit → near-dup →
+    //    posting append, same accumulation order) called directly,
+    //    without the streaming engine — isolates the engine's
+    //    per-trigger machinery (offset WAL, commit log, microbatch
+    //    planning, file-source listing) from the batch body the
+    //    library owns
+    val batchFrames = (0 until batches).map { i =>
+      spark.read.schema(schema).json(f"$flat/b$i%03d.json")
+        .localCheckpoint()
+    }
+    val (_, directSec) = time {
+      batchFrames.zipWithIndex.foreach { case (b, i) =>
+        CurationStream.processBatch(b, i.toLong, "doc_id", "text", rules,
+          s"$work/ddD/idx", s"$work/piD/idx", dedupBase = 0L,
+          postBase = 0L, quarantine = (_, _, _) => (),
+          onSurvivors = (_, _) => (), termBuckets = 64, shingleN = 3,
+          numHashes = 12, bandSize = 4, threshold = 0.7)
+      }
+    }
+
+    // ── raw manifest-commit cost: the engine's own consistency
+    //    primitive, isolated (tmp-write + hard-link publish, FS
+    //    metadata only — no Spark job)
+    val commitRoot = s"$work/commitprobe"
+    val (_, commitSec) = time {
+      (1L to 50L).foreach(w =>
+        graft.model.WaveManifest.commitWave(spark, commitRoot, w))
+    }
+
     val perBatch = (streamedSec - oneShotSec) / batches
+    val bodyPer = directSec / batches
+    val enginePer = (streamedSec - directSec) / batches
     println(f"""{"probe":"curation_overhead","sf_dir":"$sfDir",""" +
       f""""batches":$batches,"streamed_sec":$streamedSec%.2f,""" +
       f""""one_shot_sec":$oneShotSec%.2f,""" +
-      f""""per_batch_overhead_sec":$perBatch%.3f}""")
+      f""""per_batch_overhead_sec":$perBatch%.3f,""" +
+      f""""direct_body_sec":$directSec%.2f,""" +
+      f""""per_batch_body_sec":$bodyPer%.3f,""" +
+      f""""per_batch_engine_sec":$enginePer%.3f,""" +
+      f""""manifest_commit_ms":${commitSec * 1000 / 50}%.2f}""")
     spark.stop()
   }
 }
