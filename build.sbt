@@ -9,6 +9,18 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Second embedded SQL engine for the warehouse DIALECT seam's tests
+// (sources/WarehouseDialect): the DuckDB JDBC jar already present in
+// the pre-warmed local coursier cache, attached as an unmanaged
+// TEST-ONLY jar — no new libraryDependencies, nothing to resolve,
+// zero egress. If the jar is absent the DuckDB dialect specs cancel
+// themselves (assume()) and everything else is unaffected; the
+// shipped library itself never links against it (dialects register
+// drivers reflectively by URL).
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-*.jar").get.headOption.map(Attributed.blank).toSeq
+}
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -15,7 +15,11 @@ import org.apache.spark.sql.types._
   * source SQL → aggregated rows back — is exercised end-to-end with
   * zero new dependencies. On a cluster the JDBC URL would name a
   * server reachable from every executor; embedded `memory:` URLs are
-  * the local[n] test harness for the same plumbing.
+  * the local[n] test harness for the same plumbing. Engine-specific
+  * behavior (driver registration, padded-string comparison, DDL
+  * niceties) lives behind [[WarehouseDialect]], resolved from the URL
+  * — the dialect suite runs the same pushdown contracts against a
+  * second live engine (embedded DuckDB, test classpath only).
   *
   * Staging is DRIVER-SIDE by design and bounded by contract: a real
   * warehouse already holds its rows (loading is not the source's job),
@@ -28,27 +32,11 @@ object Warehouse {
   /** In-memory Derby URL (per-JVM; same name = same database). */
   def memoryUrl(db: String): String = s"jdbc:derby:memory:$db;create=true"
 
+  /** Connect via the URL's [[WarehouseDialect]] (driver registration
+    * is the one per-engine connect quirk). */
   def connect(url: String): Connection = {
-    // Derby 10.15+ splits the embedded driver into derbytools; service
-    // auto-registration can lose the race with the first getConnection
-    // under sbt's layered classloaders — load it explicitly.
-    Class.forName("org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    WarehouseDialect.of(url).loadDriver()
     DriverManager.getConnection(url)
-  }
-
-  /** Spark→Derby DDL type. Only the types the staged tables use; a new
-    * column type must be added HERE and in [[WarehouseSource]]'s two
-    * mappers (read schema, row getter) — the require keeps the three in
-    * sync by failing loudly at stage time. */
-  private[sources] def ddlType(dt: DataType): String = dt match {
-    case LongType => "BIGINT"
-    case IntegerType => "INTEGER"
-    case DoubleType => "DOUBLE"
-    case BooleanType => "BOOLEAN"
-    case StringType => "VARCHAR(4096)"
-    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
-    case other => throw new IllegalArgumentException(
-      s"Warehouse staging does not map $other")
   }
 
   /** Drop/create `table` and load `df` into it. Column names pass
@@ -56,14 +44,19 @@ object Warehouse {
     * unquoted too, so lookups stay case-insensitive both ways). */
   def stage(df: DataFrame, url: String, table: String): Unit = {
     val schema = df.schema
+    val dialect = WarehouseDialect.of(url)
     val conn = connect(url)
     try {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
-      try st.executeUpdate(s"DROP TABLE $table")
-      catch { case _: java.sql.SQLException => () } // no DROP IF EXISTS in Derby
+      dialect.dropTableIfExistsSql(table) match {
+        case Some(sql) => st.executeUpdate(sql)
+        case None => // no DROP IF EXISTS (Derby): try-drop, ignore absent
+          try st.executeUpdate(s"DROP TABLE $table")
+          catch { case _: java.sql.SQLException => () }
+      }
       val cols = schema.fields
-        .map(f => s"${f.name} ${ddlType(f.dataType)}").mkString(", ")
+        .map(f => s"${f.name} ${dialect.ddlType(f.dataType)}").mkString(", ")
       st.executeUpdate(s"CREATE TABLE $table ($cols)")
       st.close()
       val ps = conn.prepareStatement(

@@ -266,11 +266,15 @@ private[sources] class WarehouseScanBuilder(schema: StructType, url: String,
     val (ok, residual) = filters.partition(f => compileFilter(f).isDefined)
     pushed = ok
     whereSql = ok.map(f => compileFilter(f).get).toSeq
-    // string-literal predicates push (the scan ships fewer rows) AND
-    // stay residual: padded-comparison warehouses ('x' = 'x ') return
-    // a SUPERSET under the pushed form, and Spark's re-check restores
-    // binary equality (advice r15, low)
-    residual ++ ok.filter(touchesString)
+    // string-literal predicates push (the scan ships fewer rows) AND —
+    // on PADDED-comparison dialects only (Derby: 'x' = 'x ') — stay
+    // residual: the pushed form returns a SUPERSET there and Spark's
+    // re-check restores binary equality (advice r15, low). Binary-
+    // exact dialects (DuckDB) skip the twin: the push already IS exact
+    // (WarehouseDialect, review r16 #5).
+    if (WarehouseDialect.of(url).paddedStringComparison)
+      residual ++ ok.filter(touchesString)
+    else residual
   }
   override def pushedFilters(): Array[Filter] = pushed
 
