@@ -195,7 +195,35 @@ object ScaleProbe {
       // group shape the two-level prefix-sum rewrite de-serializes) and
       // the dedup keep policy (clusters ×10 disjoint; keeper via min_by
       // aggregate, no per-cluster sort)
-      "q_top_share", "q_dedup_keep")
+      "q_top_share", "q_dedup_keep",
+      // r17: FULL-CORPUS decade coverage (review r16 #2) — every
+      // remaining gate query ≥0.5 s at sf0.1 in the r16 close bench.
+      // These read tables the probe's own shard set never carried
+      // (customer/nation/part/region and full schemas), so the sweep
+      // points SPARK_GRAFT_SF1_DIR at a GateData dir, which applies
+      // the same disjointness discipline to all ten tables; the probe
+      // detects such a dir (nation.parquet present) and skips its own
+      // generation. Families: ANN serves (fixed query count — the
+      // ratio reads the build/scan side), sketch/recall audits,
+      // graph metrics over the ×10 co-purchase shards, perceptron
+      // training, LM/collocation rollups, SimHash/minhash capped
+      // sketch pairs, the e2e curation funnel, and the event/ops
+      // rollup family
+      "q_alarm_dispatch", "q_ann_brute", "q_ann_ivf", "q_ann_ivf_disk",
+      "q_ann_ivf_pruned", "q_ann_opq_ivfpq", "q_ann_radius",
+      "q_ann_radius_probed", "q_coreset_sample", "q_countmin",
+      "q_countmin_serve", "q_declared_deps", "q_dedup_clusters",
+      "q_e2e_curation", "q_embed_dedup", "q_embed_isotropy",
+      "q_env_join", "q_expectations", "q_funnel", "q_heavy_rollup",
+      "q_image_dedup_keep", "q_kcore", "q_keywords", "q_label_prop",
+      "q_lift", "q_minhash_sketch_capped", "q_ngram_lm",
+      "q_ngram_sketch_capped", "q_opq_recall", "q_pagerank",
+      "q_perceptron", "q_perceptron_avg", "q_perceptron_avg_score",
+      "q_pmi", "q_ppr", "q_pq_recall_capacity", "q_pq_recall_tuned",
+      "q_repetition", "q_semdedup", "q_session_window", "q_simhash",
+      "q_simhash_pairs", "q_simhash_sketch_capped", "q_sketch_serve",
+      "q_snapshot_diff", "q_span_dedup", "q_topology",
+      "q_topology_stats", "q_transitions", "q_two_hop")
   private val Replicas = 10
 
   def main(args: Array[String]): Unit = {
@@ -210,8 +238,14 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // A GateData dir (detected by the dims only it carries) is already
+    // a COMPLETE sf1 set under the same disjointness discipline — use
+    // it as-is; the probe's own generation would clobber it with the
+    // probe-table subset.
+    val isGateDir = new java.io.File(s"$sf1/nation.parquet").exists() &&
+      new java.io.File(s"$sf1/customer.parquet").exists()
     val marker = new java.io.File(s"$sf1/_GENERATED")
-    if (args.contains("regen") || !marker.exists()) {
+    if (!isGateDir && (args.contains("regen") || !marker.exists())) {
       val docs = spark.read.parquet(s"$base/documents.parquet")
       // graph queries read (l_orderkey, l_partkey); the bloom family
       // also reads l_returnflag/l_quantity — carried verbatim
@@ -249,7 +283,7 @@ object ScaleProbe {
     // hub-connected graph with 10× suppliers and 10× edges — work ×10
     // through denser hubs, the realistic many-to-few join shape, not a
     // disjoint-shard idealization.
-    if (!args.contains("regen") &&
+    if (!isGateDir && !args.contains("regen") &&
         new java.io.File(s"$sf1/lineitem.parquet").exists() &&
         { val cs = spark.read.parquet(s"$sf1/lineitem.parquet").columns
           // r11 added the money columns (co-moments) to the shard schema;
@@ -291,8 +325,8 @@ object ScaleProbe {
     //     bigger real corpus adds users rather than longer sessions;
     //   - ts is kept verbatim (the per-user ORDER, not the global range,
     //     drives the succession edges).
-    if (args.contains("regen") ||
-        !new java.io.File(s"$sf1/events.parquet").exists()) {
+    if (!isGateDir && (args.contains("regen") ||
+        !new java.io.File(s"$sf1/events.parquet").exists())) {
       val ev = graft.model.Tables.events(spark, base)
       (0 until Replicas).map { k =>
         ev.select((col("event_id") + lit(k * 10000000L)).as("event_id"),
@@ -308,8 +342,8 @@ object ScaleProbe {
     // replica by the SAME offset as lineitem's l_orderkey, so the
     // order⋈lineitem key relationships hold shard-locally; priorities
     // kept verbatim (the urgent key-set grows ×10 like everything else)
-    if (args.contains("regen") ||
-        !new java.io.File(s"$sf1/orders.parquet").exists()) {
+    if (!isGateDir && (args.contains("regen") ||
+        !new java.io.File(s"$sf1/orders.parquet").exists())) {
       val od = spark.read.parquet(s"$base/orders.parquet")
       (0 until Replicas).map { k =>
         od.select((col("o_orderkey") + lit(k * 10000000L)).as("o_orderkey"),
@@ -325,8 +359,8 @@ object ScaleProbe {
     // embeddings joined the probe with k-means — vec_id shifts per
     // replica, vectors kept verbatim (k-means has no pair expansion, so
     // identical vectors can't skew-bomb it; assignment work is N·k).
-    if (args.contains("regen") ||
-        !new java.io.File(s"$sf1/embeddings.parquet").exists()) {
+    if (!isGateDir && (args.contains("regen") ||
+        !new java.io.File(s"$sf1/embeddings.parquet").exists())) {
       val emb = spark.read.parquet(s"$base/embeddings.parquet")
       (0 until Replicas).map { k =>
         emb.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
@@ -342,8 +376,8 @@ object ScaleProbe {
     // universes stay disjoint: verbatim copies would make every name a
     // 10-way dist-0 clique (+45 pairs each) and measure a pair bomb,
     // not engine scaling. Same discipline as the document shards.
-    if (args.contains("regen") ||
-        !new java.io.File(s"$sf1/supplier.parquet").exists()) {
+    if (!isGateDir && (args.contains("regen") ||
+        !new java.io.File(s"$sf1/supplier.parquet").exists())) {
       val sup = spark.read.parquet(s"$base/supplier.parquet")
       (0 until Replicas).map { k =>
         // DOUBLED digit: single-digit prefixes (r1q/r2q) differ by one
