@@ -19,7 +19,12 @@ libraryDependencies ++= Seq(
 // drivers reflectively by URL).
 Test / unmanagedJars ++= {
   val cache = file(sys.props("user.home")) / ".cache" / "coursier"
-  (cache ** "duckdb_jdbc-*.jar").get.headOption.map(Attributed.blank).toSeq
+  // newest version by name, NOT headOption of an unsorted traversal
+  // (advice r17: with several cached versions the pick was
+  // machine-dependent)
+  (cache ** "duckdb_jdbc-*.jar").get
+    .sortBy(_.getName)(Ordering[String].reverse)
+    .headOption.map(Attributed.blank).toSeq
 }
 Test / fork := true
 run / fork := true

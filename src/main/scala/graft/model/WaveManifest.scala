@@ -42,31 +42,32 @@ import org.apache.spark.sql.SparkSession
   * Both commit primitives — the version-file CAS and the compaction
   * claim — reduce to ONE requirement: a manifest file must APPEAR
   * atomically and EXCLUSIVELY (exactly one of N racing creators of the
-  * same name succeeds; a loser must observe the winner's file). How
-  * that is met is per-filesystem:
-  *  - '''Local FS''' (single host, many JVMs): version files publish
-  *    via hard LINK of a fully-written staging file — link(2) is
-  *    atomic and fails EEXIST when the name exists. Hadoop's rename
-  *    is NOT enough here: it is a non-atomic dst-exists check over
-  *    POSIX rename(2), which silently OVERWRITES, so two cross-JVM
-  *    racers could both "win" the same version and one wave set would
-  *    vanish. Claim markers use O_EXCL create. Same-JVM racers are
-  *    additionally serialized by the per-root [[casLocks]] monitor.
-  *    Exercised end-to-end by the forked two-JVM
+  * same name succeeds; a loser must observe the winner's file). That
+  * requirement is a SEAM, [[ManifestPublish]], resolved per filesystem
+  * scheme (review r17 #1 — it used to be an inline local-vs-everything
+  * branch that silently degraded unknown backends to check-then-rename):
+  *  - '''Local FS''' (single host, many JVMs): [[LinkPublish]] — hard
+  *    LINK of a fully-written staging file; link(2) is atomic and
+  *    fails EEXIST, where Hadoop's local rename is a non-atomic
+  *    dst-exists check over an OVERWRITING rename(2). Same-JVM racers
+  *    are additionally serialized by the per-root [[casLocks]]
+  *    monitor. Exercised end-to-end by the forked two-JVM
   *    `MultiProcessManifestSpec` hammer.
-  *  - '''HDFS''': `rename` (no-overwrite) and `create(overwrite =
-  *    false)` are both atomic by the FileSystem contract — the default
-  *    paths are already exclusive.
+  *  - '''HDFS''' family: [[RenamePublish]] — staging write +
+  *    no-overwrite rename, atomic by the FileSystem contract.
   *  - '''Object stores''' (S3/GCS/ABFS): rename is copy+delete and a
-  *    blind PUT is last-writer-wins — NEITHER is exclusive. Deploy the
-  *    `_manifest` dir behind a connector that maps
-  *    `create(overwrite=false)` onto the store's conditional put
-  *    (S3 `If-None-Match: *`, GCS `ifGenerationMatch=0`, Azure
-  *    `If-None-Match: *`), or front commits with an external lock
-  *    service; without one of those, two committers on different
-  *    hosts can both believe they won `v=<n>`. Data waves are safe
-  *    regardless (immutable dirs, never renamed) — the conditional-put
+  *    blind PUT is last-writer-wins — NEITHER is exclusive. Commits
+  *    REFUSE (loud `UnsupportedCommitBackendException`) unless the
+  *    deployment registers a [[ConditionalPutPublish]] over the
+  *    store's conditional put (S3 `If-None-Match: *`, GCS
+  *    `ifGenerationMatch=0`, Azure `If-None-Match: *`) — the same
+  *    storm spec runs green against the conditional-put contract fake
+  *    ([[EmulatedConditionalPut]]). Data waves are safe regardless
+  *    (immutable dirs, never renamed) — the conditional-put
   *    requirement is ONLY for the tiny `_manifest` files.
+  *  - '''Unknown schemes''': fail fast, same exception — never the
+  *    silent check-then-rename the r17 negative control showed losing
+  *    2 commits in 5.
   *
   * == Retention vs outstanding pins ==
   * [[expire]] reclaims versions below the `keepVersions` floor and
@@ -133,14 +134,14 @@ object WaveManifest {
     * watermark (bids always start past the pinned max, which only
     * grows, so a reclaimed id can never be re-bid).
     *
-    * Atomicity (advice r15, medium): Hadoop's `create(overwrite=false)`
-    * on the LOCAL filesystem is a non-atomic exists-check + truncating
-    * open, so same-host cross-JVM racers get a true O_EXCL create via
-    * java.nio there; same-JVM racers are additionally serialized by the
-    * per-root [[casLocks]] monitor (the realistic race: two streaming
-    * queries on one driver). HDFS create(false) is atomic natively;
-    * object stores need their conditional-put flavor here, the same
-    * caveat as the version-file rename. */
+    * Atomicity (advice r15, medium): claim markers publish through the
+    * same per-backend [[ManifestPublish]] seam as version files (on
+    * the local FS Hadoop's `create(overwrite=false)` is a non-atomic
+    * exists-check + truncating open — the seam's link/conditional-put
+    * primitives are what make cross-JVM claims exclusive); same-JVM
+    * racers are additionally serialized by the per-root [[casLocks]]
+    * monitor (the realistic race: two streaming queries on one
+    * driver). */
   def claimCompactionWave(spark: SparkSession, root: String,
       pinnedWaves: Seq[Long]): Long = {
     val f = fs(spark, root)
@@ -154,39 +155,12 @@ object WaveManifest {
       var id = math.max(nextCompactionWave(pinnedWaves), burnedMax + 1L)
       while (true) {
         val p = new org.apache.hadoop.fs.Path(d, s".claim_w=$id")
-        if (exclusiveCreate(f, p, id.toString.getBytes("UTF-8"))) return id
+        if (ManifestPublish.forFs(f).writeExclusive(f, p,
+            id.toString.getBytes("UTF-8"))) return id
         id += 1L // cross-JVM racer claimed it between listing and create
       }
       -1L // unreachable
     }
-  }
-
-  /** True exclusive create: O_EXCL via java.nio on the local FS (where
-    * Hadoop's create(overwrite=false) is check-then-open), the FS's own
-    * no-overwrite create elsewhere. Returns false iff the path already
-    * exists. */
-  private def exclusiveCreate(f: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path, body: Array[Byte]): Boolean = f match {
-    case _: org.apache.hadoop.fs.RawLocalFileSystem =>
-      try {
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(p.toUri.getPath), body,
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-    case other =>
-      try {
-        val out = other.create(p, false)
-        out.write(body)
-        out.close()
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.io.IOException if other.exists(p) => false
-      }
   }
 
   /** The `#through=` watermark a compaction of `pinnedWaves` must record:
@@ -276,12 +250,20 @@ object WaveManifest {
       base: String, missing: Seq[Long]): Unit = {
     val vs = versions(spark, root)
     if (vs.isEmpty) return // legacy/manifest-less: no retention to race
-    val live = vs.flatMap { v =>
-      // a version file may be reclaimed between the listing and this
-      // read — treat a vanished version as referencing nothing
-      try wavesAt(spark, root, v)
-      catch { case _: Exception => Seq.empty[Long] }
-    }.toSet
+    // fast path (advice r17): tombstone-only/side-table absence — the
+    // COMMON legitimate case on serve paths — usually resolves against
+    // the newest version alone (commitWave only adds stream-space
+    // waves, so the latest set covers every recently committed one);
+    // one version read instead of O(keepVersions)
+    val newest =
+      try wavesAt(spark, root, vs.last).toSet
+      catch { case _: Exception => Set.empty[Long] }
+    if (missing.forall(newest.contains)) return
+    // slow path: union the full surviving history, memoized per
+    // (root, version listing) — version files are immutable once
+    // published and the cache key changes whenever expire reclaims
+    // one, so a hit can never report a reclaimed wave as live
+    val live = liveWavesCached(spark, root, vs)
     val dead = missing.filterNot(live.contains)
     if (dead.nonEmpty)
       throw new ExpiredUnderPinException(
@@ -291,6 +273,26 @@ object WaveManifest {
           "the pin. Refusing the silent partial read; re-resolve the " +
           "current snapshot, and raise keepVersions to cover your " +
           "longest-running reads")
+  }
+
+  // memo of the union live-wave set per (root, surviving version
+  // listing): version files are IMMUTABLE once published, so the set
+  // is a pure function of which version files exist — expire changes
+  // the listing and thereby the key, so a hit can never resurrect a
+  // reclaimed wave. Bounded: serve paths touch a handful of roots.
+  private val liveWavesMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Seq[Long]), Set[Long]]()
+
+  private def liveWavesCached(spark: SparkSession, root: String,
+      vs: Seq[Long]): Set[Long] = {
+    if (liveWavesMemo.size > 256) liveWavesMemo.clear()
+    liveWavesMemo.computeIfAbsent((root, vs), _ =>
+      vs.flatMap { v =>
+        // a version file may be reclaimed between the listing and this
+        // read — treat a vanished version as referencing nothing
+        try wavesAt(spark, root, v)
+        catch { case _: Exception => Seq.empty[Long] }
+      }.toSet)
   }
 
   /** The subset of `waves` whose `batch=<w>` dir exists under `base`
@@ -477,20 +479,15 @@ object WaveManifest {
       .++(waves.distinct.sorted.map(_.toString)).mkString("\n")
     val lock = casLocks.computeIfAbsent(root, _ => new Object)
     lock.synchronized {
-      // staging write + EXCLUSIVE publish: a concurrent reader of
-      // v=<n> never sees a partial wave list (the staging file is
-      // fully written and closed before it gets its final name), and
-      // exactly ONE of N racing committers — across JVMs, not just
-      // threads — wins the name (class doc, filesystem contract). The
-      // tmp name carries a nonce so two racing committers never
-      // overwrite each other's staging file.
-      val tmp = new org.apache.hadoop.fs.Path(dir(root),
-        s".tmp.v$next.${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = f.create(tmp, true)
-      out.write(body.getBytes("UTF-8"))
-      out.close()
+      // EXCLUSIVE atomic publish via the per-backend seam
+      // ([[ManifestPublish]]): a concurrent reader of v=<n> never sees
+      // a partial wave list, and exactly ONE of N racing committers —
+      // across JVMs, not just threads — wins the name. Backends with
+      // no verified exclusive primitive REFUSE here (loud) instead of
+      // degrading to check-then-rename (review r17 #1).
       val vfile = new org.apache.hadoop.fs.Path(dir(root), s"v=$next")
-      if (!publishExclusive(f, tmp, vfile)) {
+      if (!ManifestPublish.forFs(f).writeExclusive(f, vfile,
+          body.getBytes("UTF-8"))) {
         val theirs = if (f.exists(vfile)) readFile(f, vfile) else ""
         if (theirs != body)
           throw new ConcurrentCommitException(
@@ -503,44 +500,6 @@ object WaveManifest {
       }
     }
     next
-  }
-
-  /** Atomically PUBLISH a fully-written staging file under its final
-    * immutable name, exclusively: true iff THIS caller won the name.
-    * Local FS: hard link — link(2) is atomic and fails EEXIST, the
-    * only local primitive that is both (Hadoop's local rename is a
-    * non-atomic dst-exists check over an OVERWRITING rename(2) — two
-    * cross-JVM racers could both "win" and one manifest's content
-    * silently vanished; this was the one commit leg [[exclusiveCreate]]
-    * did not already cover). Filesystems without hard links fall back
-    * to the no-overwrite rename, which is atomic on HDFS by contract
-    * (object stores: see the class-doc conditional-put requirement).
-    * The staging file is deleted in every outcome. */
-  private def publishExclusive(f: org.apache.hadoop.fs.FileSystem,
-      tmp: org.apache.hadoop.fs.Path,
-      dst: org.apache.hadoop.fs.Path): Boolean = {
-    def renamePath(): Boolean =
-      if (f.exists(dst) || !f.rename(tmp, dst)) { f.delete(tmp, false); false }
-      else true
-    f match {
-      case _: org.apache.hadoop.fs.RawLocalFileSystem =>
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dst.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          f.delete(tmp, false)
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            f.delete(tmp, false); false
-          case _: UnsupportedOperationException =>
-            // local FS without hard links (exotic mounts): the rename
-            // path still serializes same-JVM committers via casLocks;
-            // cross-JVM exclusivity degrades to check-then-rename
-            renamePath()
-        }
-      case _ => renamePath()
-    }
   }
 
   /** Commit a COMPACTION: replace exactly the `absorbed` waves (the set

@@ -100,8 +100,20 @@ object StreamingNearDup {
       gate: () => Boolean = () => true): Unit = {
     val spark = batch.sparkSession
     if (DedupState.absorbed(spark, indexPath, eff)) return
-    val batchIdx = Dedup.minhashIndex(batch, idCol, textCol,
-      shingleN, numHashes).localCheckpoint()
+    // the signature job runs CONCURRENTLY with the caller's gate audit
+    // by design — but a malformed batch the audit is about to refuse
+    // can CRASH tokenization first (advice r17). Await the gate on
+    // failure: a refused batch still routes to quarantine (return
+    // false-path) instead of killing the stream; a gate-PASSING
+    // batch's signature failure is a real error and rethrows.
+    val batchIdx =
+      try Dedup.minhashIndex(batch, idCol, textCol,
+        shingleN, numHashes).localCheckpoint()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          if (!gate()) return
+          throw e
+      }
     if (!gate()) return
     val corpusIdx = DedupState.corpusFor(spark, indexPath, eff)
       .getOrElse(batchIdx.limit(0))

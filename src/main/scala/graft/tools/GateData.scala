@@ -26,12 +26,19 @@ import org.apache.spark.sql.functions._
   *
   * The oracle runs on the same parquet, so the compare is as strict as
   * the driver's: per-query rows + schema + cell values.
-  * Run: sbt "runMain graft.tools.GateData [outDir] [replicas]"
+  * Run: sbt "runMain graft.tools.GateData [outDir] [replicas] [tables]"
+  * — `tables` (comma list, default all) narrows the output for
+  * second-decade SPOT sets (e.g. 100 replicas of documents,lineitem
+  * for the q_compaction/q_triangles/q_video_neardup_filter ×100 check;
+  * writing all ten at ×100 would mostly synthesize data no probe
+  * reads).
   */
 object GateData {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1gate")
     val replicas = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val only = args.drop(2).headOption
+      .map(_.split(",").map(_.trim).toSet)
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -41,18 +48,20 @@ object GateData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, base, out, replicas, cpus.toInt)
+    generate(spark, base, out, replicas, cpus.toInt, only)
     spark.stop()
   }
 
   def generate(spark: SparkSession, base: String, out: String,
-      replicas: Int, parts: Int): Unit = {
+      replicas: Int, parts: Int,
+      only: Option[Set[String]] = None): Unit = {
     def tbl(name: String) = spark.read.parquet(s"$base/$name.parquet")
-    def write(df: DataFrame, name: String): Unit = {
-      df.repartition(parts).write.mode("overwrite")
-        .parquet(s"$out/$name.parquet")
-      println(s"[gatedata] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
-    }
+    def write(df: => DataFrame, name: String): Unit =
+      if (only.forall(_.contains(name))) {
+        df.repartition(parts).write.mode("overwrite")
+          .parquet(s"$out/$name.parquet")
+        println(s"[gatedata] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+      }
     def shards(src: DataFrame)(f: (DataFrame, Int) => DataFrame) =
       (0 until replicas).map(k => f(src, k)).reduce(_ unionByName _)
     // doubled-digit prefix for name-like columns (edit-pair disjointness)
@@ -101,9 +110,31 @@ object GateData {
       t.select((col("doc_id") + lit(k * 1000000L)).as("doc_id"),
         text.as("text"), col("lang"), col("source"), col("n_chars"))
     }, "documents")
+    // per-replica SIGNED FLIP of embedding coordinates (md5-derived,
+    // deterministic): a diagonal ±1 matrix is orthogonal, so norms and
+    // every IN-replica inner product are preserved EXACTLY — each
+    // replica contributes the same near-dup pairs as the base set —
+    // while cross-replica cosine of what used to be verbatim copies
+    // drops to ~0 (random-sign inner product). Verbatim replication
+    // made q_embed_dedup's pair output a ×417 cross-replica bomb and
+    // q_semdedup's ×65 (VERDICT r17 #2), defeating the decade exponent
+    // the gate set exists to measure for exactly the near-dup family.
+    lazy val embDims = tbl("embeddings")
+      .select(size(col("embedding"))).head.getInt(0)
+    def flipSigns(k: Int) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until embDims).map { i =>
+        if ((md.digest(s"$k:$i".getBytes("UTF-8"))(0) & 1) == 1) -1.0f
+        else 1.0f
+      }
+    }
     write(shards(tbl("embeddings")) { (t, k) =>
+      val vec =
+        if (k == 0) col("embedding")
+        else zip_with(col("embedding"), typedLit(flipSigns(k)),
+          (x, s) => x * s)
       t.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
-        col("embedding"), col("label"))
+        vec.as("embedding"), col("label"))
     }, "embeddings")
   }
 }

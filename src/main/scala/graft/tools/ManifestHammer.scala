@@ -30,12 +30,46 @@ import graft.model.WaveManifest
   * outFile, `OK` last; the spec asserts global invariants over the
   * merged logs and the final manifest. Any exception exits nonzero
   * with the stack on stderr — a loud spec failure.
+  *
+  * Optional 6th arg selects the [[graft.model.ManifestPublish]]
+  * publisher this JVM commits through (review r17 #1 — prove the
+  * protocol over each primitive, not just the local link):
+  *  - `link` (default): the built-in local-FS [[graft.model.LinkPublish]]
+  *  - `condput`: [[graft.model.ConditionalPutPublish]] over the
+  *    object-store contract fake [[graft.model.EmulatedConditionalPut]]
+  *    — the storm invariants must hold when the ONLY exclusive
+  *    primitive is a conditional put
+  *  - `blindput`: NEGATIVE CONTROL — a last-writer-wins put (what an
+  *    object store does WITHOUT `If-None-Match`); the storm is
+  *    expected to lose updates/claims, proving the spec exercises the
+  *    conditional semantics rather than passing vacuously
   */
 object ManifestHammer {
+
+  /** The negative-control publisher: a blind overwriting PUT, i.e. an
+    * object store WITHOUT its conditional header. Every racer "wins". */
+  private object BlindPut extends graft.model.ManifestPublish {
+    def writeExclusive(f: org.apache.hadoop.fs.FileSystem,
+        dst: org.apache.hadoop.fs.Path, body: Array[Byte]): Boolean = {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dst.toUri.getPath), body)
+      true
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val Array(mode, root, procIdS, nS, outFile) = args
+    val Array(mode, root, procIdS, nS, outFile) = args.take(5)
     val procId = procIdS.toLong
     val n = nS.toInt
+    args.drop(5).headOption.getOrElse("link") match {
+      case "link" => () // built-in resolution
+      case "condput" => graft.model.ManifestPublish.register("file",
+        new graft.model.ConditionalPutPublish(
+          graft.model.EmulatedConditionalPut))
+      case "blindput" =>
+        graft.model.ManifestPublish.register("file", BlindPut)
+      case other => sys.error(s"unknown publisher '$other'")
+    }
     val spark = SparkSession.builder()
       .master("local[1]")
       .appName(s"manifest-hammer-$procId")

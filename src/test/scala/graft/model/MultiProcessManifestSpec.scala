@@ -50,7 +50,8 @@ class MultiProcessManifestSpec extends SparkSpec {
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   private def launchHammer(mode: String, root: String, procId: Int,
-      n: Int, outFile: String, log: String): Process = {
+      n: Int, outFile: String, log: String,
+      publisher: String = "link"): Process = {
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
       .toString
     val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
@@ -58,7 +59,8 @@ class MultiProcessManifestSpec extends SparkSpec {
       "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
       "graft.tools.ManifestHammer",
-      mode, root, procId.toString, n.toString, outFile)).asJava
+      mode, root, procId.toString, n.toString, outFile,
+      publisher)).asJava
     new ProcessBuilder(cmd)
       .redirectErrorStream(true)
       .redirectOutput(new java.io.File(log))
@@ -76,6 +78,24 @@ class MultiProcessManifestSpec extends SparkSpec {
 
   test("two forked JVMs storming one manifest root: no lost update, " +
       "contiguous versions, globally unique claims, monotone serves") {
+    stormInvariants("link")
+  }
+
+  /** The same storm, but every commit in the forked JVMs goes through
+    * the OBJECT-STORE adapter ([[ConditionalPutPublish]] over the
+    * contract fake [[EmulatedConditionalPut]]) — proving the manifest
+    * protocol is correct when the ONLY exclusive primitive is a
+    * conditional put: no rename, no dst-exists pre-check (review r17
+    * #1, the executable leg of the class-doc conditional-put
+    * requirement). The negative control lives in the hammer's
+    * `blindput` mode: the identical storm over a last-writer-wins put
+    * loses updates (run manually at close, recorded in PERF.md). */
+  test("the same storm committed exclusively through the " +
+      "conditional-put adapter holds every invariant") {
+    stormInvariants("condput")
+  }
+
+  private def stormInvariants(publisher: String): Unit = {
     val dir = Files.createTempDirectory("mp-manifest")
     val root = dir.resolve("idx").toString
     val out1 = dir.resolve("p1.out").toString
@@ -84,8 +104,8 @@ class MultiProcessManifestSpec extends SparkSpec {
     val log2 = dir.resolve("p2.log").toString
     val perProc = 40
 
-    val p1 = launchHammer("storm", root, 1, perProc, out1, log1)
-    val p2 = launchHammer("storm", root, 2, perProc, out2, log2)
+    val p1 = launchHammer("storm", root, 1, perProc, out1, log1, publisher)
+    val p2 = launchHammer("storm", root, 2, perProc, out2, log2, publisher)
 
     // serve DURING the storm from this (third) process: snapshots must
     // only grow; a transiently half-visible or overwritten version
