@@ -127,6 +127,7 @@ object ImageHash {
   def fingerprints(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      Multimodal.memCachedImageIO
       rows.map { r =>
         val img =
           try javax.imageio.ImageIO.read(

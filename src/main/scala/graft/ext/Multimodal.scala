@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** JVM-once: route `ImageIO.read` through a MEMORY-backed
+    * `ImageInputStream`. The default (`useCache=true`) wraps every
+    * InputStream decode in a `FileCacheImageInputStream` — a temp file
+    * CREATED AND DELETED PER DECODE, so a media scan pays millions of
+    * filesystem metadata ops that contend across executor threads
+    * (measured: the ×100 video-dedup spot probe read ×15.9 wall for
+    * ×10 work; memory-cached decode restored the media family's
+    * linear decade curve — PERF.md round 18). Frames here are small
+    * byte arrays already in memory; a heap-backed stream is strictly
+    * better. Executor-side: each JVM flips the static once on first
+    * decode via this val. */
+  private[ext] lazy val memCachedImageIO: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRow(media_id: Long, media: Array[Byte], format: String,
       n_bytes: Long)
   case class MediaFeatures(media_id: Long, format: String, n_bytes: Long,
@@ -49,6 +63,7 @@ object Multimodal {
     }
 
     def decode(media: Array[Byte]): (Int, Array[Double]) = {
+      memCachedImageIO
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(media))
       if (img == null) return (0, Array(0.0, 0.0, 0.0))
@@ -183,6 +198,7 @@ object Multimodal {
     }
 
     def decode(media: Array[Byte]): (Int, Array[Double]) = {
+      memCachedImageIO
       val fs = frames(media)
       if (fs.isEmpty) return (0, Array(0.0, 0.0, 0.0))
       var w = 0.0; var h = 0.0
@@ -357,6 +373,7 @@ object Multimodal {
     require(width >= 1 && height >= 1, "target dims must be >= 1")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      memCachedImageIO
       rows.map { r =>
         val img =
           try javax.imageio.ImageIO.read(

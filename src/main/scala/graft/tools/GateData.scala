@@ -136,5 +136,14 @@ object GateData {
       t.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
         vec.as("embedding"), col("label"))
     }, "embeddings")
+    // a SUBSET dir is not a full gate set — drop a marker so ScaleProbe
+    // uses it as-is instead of clobbering it with its own generation
+    // (its gate-dir detection keys on tables a subset may omit)
+    if (only.nonEmpty) {
+      val m = new java.io.File(s"$out/_GATEDATA_SUBSET")
+      m.getParentFile.mkdirs()
+      m.createNewFile()
+      ()
+    }
   }
 }

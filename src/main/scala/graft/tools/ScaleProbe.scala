@@ -230,9 +230,14 @@ object ScaleProbe {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // second-decade sizing: at sf10 the 32-partition default exceeds
+    // per-partition memory on the widest shuffles (the knob a real
+    // cluster scales with data); override to separate partition-sizing
+    // overhead from genuine plan degeneration
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -242,8 +247,11 @@ object ScaleProbe {
     // a COMPLETE sf1 set under the same disjointness discipline — use
     // it as-is; the probe's own generation would clobber it with the
     // probe-table subset.
-    val isGateDir = new java.io.File(s"$sf1/nation.parquet").exists() &&
-      new java.io.File(s"$sf1/customer.parquet").exists()
+    val isGateDir = (new java.io.File(s"$sf1/nation.parquet").exists() &&
+      new java.io.File(s"$sf1/customer.parquet").exists()) ||
+      // a GateData SUBSET (second-decade spot sets, e.g. ×100
+      // documents+lineitem) — also use as-is
+      new java.io.File(s"$sf1/_GATEDATA_SUBSET").exists()
     val marker = new java.io.File(s"$sf1/_GENERATED")
     if (!isGateDir && (args.contains("regen") || !marker.exists())) {
       val docs = spark.read.parquet(s"$base/documents.parquet")
