@@ -19,11 +19,14 @@ libraryDependencies ++= Seq(
 // drivers reflectively by URL).
 Test / unmanagedJars ++= {
   val cache = file(sys.props("user.home")) / ".cache" / "coursier"
-  // newest version by name, NOT headOption of an unsorted traversal
-  // (advice r17: with several cached versions the pick was
-  // machine-dependent)
+  // newest version by NUMERIC sort, NOT headOption of an unsorted
+  // traversal (advice r17) and not plain lexicographic either (which
+  // would order 1.9.0 after 1.10.0): zero-pad every digit run so
+  // string order equals version order
+  def verKey(n: String): String =
+    "\\d+".r.replaceAllIn(n, m => f"${m.matched.toLong}%010d")
   (cache ** "duckdb_jdbc-*.jar").get
-    .sortBy(_.getName)(Ordering[String].reverse)
+    .sortBy(f => verKey(f.getName))(Ordering[String].reverse)
     .headOption.map(Attributed.blank).toSeq
 }
 Test / fork := true

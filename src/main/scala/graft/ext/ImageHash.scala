@@ -127,11 +127,9 @@ object ImageHash {
   def fingerprints(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      Multimodal.memCachedImageIO
       rows.map { r =>
         val img =
-          try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.media))
+          try Multimodal.readImage(r.media)
           catch { case _: java.io.IOException | _: RuntimeException => null }
         if (img == null) (r.media_id, -1L, -1L)
         else (r.media_id, dhash63(img), phash63(img))

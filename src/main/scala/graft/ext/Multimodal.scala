@@ -18,19 +18,32 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** JVM-once: route `ImageIO.read` through a MEMORY-backed
-    * `ImageInputStream`. The default (`useCache=true`) wraps every
-    * InputStream decode in a `FileCacheImageInputStream` — a temp file
-    * CREATED AND DELETED PER DECODE, so a media scan pays millions of
-    * filesystem metadata ops that contend across executor threads
-    * (measured: the ×100 video-dedup spot probe read ×15.9 wall for
-    * ×10 work; memory-cached decode restored the media family's
+  /** Decode image bytes through an explicitly MEMORY-backed
+    * `ImageInputStream`. `ImageIO.read(InputStream)` under the default
+    * `useCache=true` wraps every decode in a `FileCacheImageInputStream`
+    * — a temp file CREATED AND DELETED PER DECODE, so a media scan pays
+    * millions of filesystem metadata ops that contend across executor
+    * threads (measured: the ×100 video-dedup spot probe read ×15.9 wall
+    * for ×10 work; memory-cached decode restored the media family's
     * linear decade curve — PERF.md round 18). Frames here are small
     * byte arrays already in memory; a heap-backed stream is strictly
-    * better. Executor-side: each JVM flips the static once on first
-    * decode via this val. */
-  private[ext] lazy val memCachedImageIO: Unit =
-    javax.imageio.ImageIO.setUseCache(false)
+    * better. Scoped PER CALL rather than the process-global
+    * `ImageIO.setUseCache(false)` so an embedding application's own
+    * large file/network decodes keep their default disk-backed caching
+    * (review r18 — a library must not mutate JVM-global decode policy). */
+  private[ext] def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    // ImageIO.read(ImageInputStream) closes the stream itself whenever
+    // a reader was found (success or decode failure) but NOT on the
+    // no-reader null path — close ourselves and swallow the
+    // double-close, which ImageInputStreamImpl reports as IOException
+    // "closed" (a throw from finally here would DESTROY a successful
+    // decode)
+    try javax.imageio.ImageIO.read(iis)
+    finally try iis.close()
+    catch { case _: java.io.IOException => () }
+  }
 
   case class MediaRow(media_id: Long, media: Array[Byte], format: String,
       n_bytes: Long)
@@ -63,9 +76,7 @@ object Multimodal {
     }
 
     def decode(media: Array[Byte]): (Int, Array[Double]) = {
-      memCachedImageIO
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(media))
+      val img = readImage(media)
       if (img == null) return (0, Array(0.0, 0.0, 0.0))
       (1, Array(img.getWidth.toDouble, img.getHeight.toDouble,
         meanLuminance(img)))
@@ -198,14 +209,13 @@ object Multimodal {
     }
 
     def decode(media: Array[Byte]): (Int, Array[Double]) = {
-      memCachedImageIO
       val fs = frames(media)
       if (fs.isEmpty) return (0, Array(0.0, 0.0, 0.0))
       var w = 0.0; var h = 0.0
       var lumSum = 0.0; var decoded = 0
       fs.foreach { f =>
         val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+          try readImage(f)
           catch { case _: java.io.IOException | _: RuntimeException => null }
         if (img != null) {
           if (decoded == 0) { w = img.getWidth; h = img.getHeight }
@@ -373,11 +383,9 @@ object Multimodal {
     require(width >= 1 && height >= 1, "target dims must be >= 1")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      memCachedImageIO
       rows.map { r =>
         val img =
-          try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.media))
+          try readImage(r.media)
           catch { case _: java.io.IOException | _: RuntimeException => null }
         if (img == null) ResizedMedia(r.media_id, 0, 0, Array.emptyByteArray)
         else {

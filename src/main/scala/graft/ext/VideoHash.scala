@@ -64,12 +64,11 @@ object VideoHash {
   /** 63-bit luminance contour of an MJPEG-AVI clip; −1 when the
     * container yields fewer than 64 frames. */
   def contour63(media: Array[Byte]): Long = {
-    Multimodal.memCachedImageIO
     val fs = Multimodal.AviMjpegCodec.frames(media)
     if (fs.length < 64) return -1L
     val totals = fs.map { f =>
       val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+        try Multimodal.readImage(f)
         catch { case _: java.io.IOException | _: RuntimeException => null }
       if (img == null) 0L else lumTotal(img)
     }

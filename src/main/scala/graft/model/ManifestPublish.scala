@@ -129,8 +129,23 @@ object ManifestPublish {
 
   private[model] def renameExclusive(f: FileSystem, tmp: Path,
       dst: Path): Boolean =
-    if (f.exists(dst) || !f.rename(tmp, dst)) { f.delete(tmp, false); false }
-    else true
+    if (f.exists(dst)) { f.delete(tmp, false); false }
+    else if (f.rename(tmp, dst)) true
+    else {
+      // rename's boolean false conflates "dst appeared — lost the
+      // race" with genuine environmental failures (staging file swept
+      // by an ops cleanup, dst-is-a-directory, degraded mount).
+      // Re-check: only a visible winner at dst is a race; anything
+      // else must surface as an error, or the CAS layer would report
+      // a phantom ConcurrentCommitException and claimCompactionWave's
+      // retry loop could spin unboundedly (review r18)
+      val lost = f.exists(dst)
+      f.delete(tmp, false)
+      if (!lost) throw new java.io.IOException(
+        s"rename $tmp -> $dst failed with no competing winner at the " +
+          "destination — an environmental fault, not a lost commit race")
+      false
+    }
 }
 
 /** Local-FS publisher: fully write a nonce'd staging file, then hard

@@ -286,13 +286,27 @@ object WaveManifest {
   private def liveWavesCached(spark: SparkSession, root: String,
       vs: Seq[Long]): Set[Long] = {
     if (liveWavesMemo.size > 256) liveWavesMemo.clear()
-    liveWavesMemo.computeIfAbsent((root, vs), _ =>
-      vs.flatMap { v =>
-        // a version file may be reclaimed between the listing and this
-        // read — treat a vanished version as referencing nothing
-        try wavesAt(spark, root, v)
-        catch { case _: Exception => Seq.empty[Long] }
-      }.toSet)
+    val cached = liveWavesMemo.get((root, vs))
+    if (cached != null) return cached
+    var clean = true
+    val live = vs.flatMap { v =>
+      // a version file may be reclaimed between the listing and this
+      // read — an empty contribution is then a pure function of the
+      // (now stale) key and safe to memoize
+      try wavesAt(spark, root, v)
+      catch {
+        case _: java.io.FileNotFoundException => Seq.empty[Long]
+        // a TRANSIENT read error must never be memoized: a poisoned
+        // entry would turn one IO hiccup into a persistent spurious
+        // ExpiredUnderPinException until the version listing changes
+        // (review r18) — answer from what IS readable, recompute next
+        // call (the pre-memo self-healing behavior)
+        case scala.util.control.NonFatal(_) =>
+          clean = false; Seq.empty[Long]
+      }
+    }.toSet
+    if (clean) liveWavesMemo.put((root, vs), live)
+    live
   }
 
   /** The subset of `waves` whose `batch=<w>` dir exists under `base`

@@ -52,9 +52,22 @@ object GateData {
     spark.stop()
   }
 
+  /** Every table this generator can write — the `only` subset is
+    * validated against it so a typo fails fast instead of writing a
+    * partial dir that still carries the `_GATEDATA_SUBSET` marker
+    * (which tells ScaleProbe to trust the dir as-is; review r18). */
+  private val AllTables = Set("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def generate(spark: SparkSession, base: String, out: String,
       replicas: Int, parts: Int,
       only: Option[Set[String]] = None): Unit = {
+    only.foreach { s =>
+      val unknown = s.diff(AllTables)
+      require(unknown.isEmpty,
+        s"unknown table(s) ${unknown.toSeq.sorted.mkString(",")} in the " +
+          s"subset arg — known: ${AllTables.toSeq.sorted.mkString(",")}")
+    }
     def tbl(name: String) = spark.read.parquet(s"$base/$name.parquet")
     def write(df: => DataFrame, name: String): Unit =
       if (only.forall(_.contains(name))) {
