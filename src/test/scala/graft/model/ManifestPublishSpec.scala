@@ -99,6 +99,49 @@ class ManifestPublishSpec extends SparkSpec {
     assert(names.forall(!_.contains(".put.")), names.mkString(","))
   }
 
+  test("renameExclusive: a rename failure with NO winner at the " +
+      "destination surfaces as an error — not a phantom lost race " +
+      "that would spin the CAS/claim retry loops") {
+    val dir = Files.createTempDirectory("renfail")
+    // FileSystem.rename's boolean-false channel carries many
+    // NON-race failures (source swept, dst-is-a-directory, degraded
+    // mount — the local FS itself papers most of them over with a
+    // copy fallback, so pin the contract with a stub): rename=false
+    // with NO winner visible at dst must surface as an error, not a
+    // phantom lost race (review r18)
+    val refusing = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def rename(src: Path, dst: Path): Boolean = false
+    }
+    refusing.initialize(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val tmpFile = dir.resolve(".tmp.v=1.abc")
+    Files.write(tmpFile, "waves".getBytes("UTF-8"))
+    val e = intercept[java.io.IOException] {
+      ManifestPublish.renameExclusive(refusing,
+        new Path(tmpFile.toString), new Path(dir.resolve("v=1").toString))
+    }
+    assert(e.getMessage.contains("environmental fault"))
+    // and dst-appeared-meanwhile stays a clean lost race: same failing
+    // rename, but a winner IS visible at the destination
+    val tmp2 = dir.resolve(".tmp.v=2.abc")
+    Files.write(tmp2, "mine".getBytes("UTF-8"))
+    Files.write(dir.resolve("v=2"), "winner".getBytes("UTF-8"))
+    val won = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val racing = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def exists(p: Path): Boolean =
+        // dst "appears" only on the post-failure re-check
+        if (p.getName == "v=2" && !won.getAndSet(true)) false
+        else super.exists(p)
+      override def rename(src: Path, dst: Path): Boolean = false
+    }
+    racing.initialize(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    assert(!ManifestPublish.renameExclusive(racing,
+      new Path(tmp2.toString), new Path(dir.resolve("v=2").toString)))
+    assert(new String(Files.readAllBytes(dir.resolve("v=2")),
+      "UTF-8") === "winner")
+  }
+
   test("LinkPublish and RenamePublish: sequential double-publish on " +
       "the local FS — first wins, second loses, content is the winner's") {
     Seq(LinkPublish: ManifestPublish, RenamePublish).foreach { pub =>

@@ -88,6 +88,39 @@ class RetentionPinSpec extends SparkSpec {
     assert(WaveManifest.readWaves(spark, root, "tbl", fresh).count() === 6L)
   }
 
+  test("a transient version-file read error is never memoized: the " +
+      "read after the fault self-heals instead of throwing forever") {
+    val (root, _, c) = compactedRoot()
+    // wave 500: tombstone-only (no dir under tbl), then absorbed by a
+    // SECOND compaction — the newest version no longer references it,
+    // so a pinned read of 500 must walk the full surviving history
+    WaveManifest.commitWave(spark, root, 500L)
+    val vWith500 = WaveManifest.latestVersion(spark, root).get
+    writeWave(root, c + 1, Seq(10L, 11L, 20L, 21L, 30L, 31L))
+    WaveManifest.commitCompaction(spark, root, absorbed = Seq(c, 500L),
+      newWave = c + 1, through = 500L, basedOn = Some(vWith500))
+    // corrupt the one version file that references 500 — simulating a
+    // transient read fault on the history walk (version files are
+    // immutable in the protocol; the bytes here stand in for an IO
+    // error, not a modeled state)
+    val vPath = java.nio.file.Paths.get(root, "_manifest", s"v=$vWith500")
+    val original = Files.readAllBytes(vPath)
+    Files.write(vPath, "not-a-wave-id".getBytes("UTF-8"))
+    // the faulted walk answers loudly from what IS readable (the
+    // pre-memo behavior)...
+    intercept[WaveManifest.ExpiredUnderPinException] {
+      WaveManifest.readWaves(spark, root, "tbl", Seq(c + 1, 500L))
+    }
+    // ...and must NOT have memoized that impoverished set: once the
+    // fault clears, the SAME pin (same root, same version listing —
+    // the memo key is unchanged) reads clean (review r18; the old
+    // computeIfAbsent turned one IO hiccup into a permanent spurious
+    // ExpiredUnderPinException)
+    Files.write(vPath, original)
+    assert(WaveManifest.readWaves(spark, root, "tbl", Seq(c + 1, 500L))
+      .count() === 6L)
+  }
+
   test("manifest-less legacy roots skip the guard: absence there is " +
       "the pre-manifest contract, not expiry") {
     val root = Files.createTempDirectory("retpin-legacy")
