@@ -2657,9 +2657,7 @@ object SparkEntry {
               while (x < 8) { img.setRGB(x, y, rgb); x += 1 }
               y += 1
             }
-            val buf = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "jpg", buf)
-            val frame = buf.toByteArray
+            val frame = Multimodal.writeImage(img, "jpg")
             val avi = Multimodal.muxMjpegAvi(Seq(frame, frame), 8, 8)
             val (n, feats) = Multimodal.AviMjpegCodec.decode(avi)
             (id, n, feats(0), feats(1), math.abs(feats(2) - gray) <= 3.0)
@@ -3464,9 +3462,7 @@ object SparkEntry {
             }
             py += 1
           }
-          val buf = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", buf)
-          (id, buf.toByteArray)
+          (id, Multimodal.writeImage(img, "png"))
         }
       }.toDF("doc_id", "png")
   }
@@ -3557,9 +3553,7 @@ object SparkEntry {
               while (x < 8) { img.setRGB(x, y, rgb); x += 1 }
               y += 1
             }
-            val buf = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "jpg", buf)
-            buf.toByteArray
+            Multimodal.writeImage(img, "jpg")
           })
         it.map { id =>
           val idp = id / 10

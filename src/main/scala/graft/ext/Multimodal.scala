@@ -45,6 +45,25 @@ object Multimodal {
     catch { case _: java.io.IOException => () }
   }
 
+  /** Encode an image to bytes through an explicitly MEMORY-backed
+    * `ImageOutputStream` — the write-side twin of [[readImage]]:
+    * `ImageIO.write(img, fmt, OutputStream)` under the default
+    * `useCache=true` buffers every encode in a
+    * `FileCacheImageOutputStream` temp file, the same per-call
+    * filesystem tax the decode side measured (PERF.md round 18). */
+  private[graft] def writeImage(img: java.awt.image.RenderedImage,
+      fmt: String): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(buf)
+    // the ImageOutputStream overload leaves the stream caller-owned;
+    // close() also flushes the cache into buf — must precede toByteArray
+    try {
+      if (!javax.imageio.ImageIO.write(img, fmt, ios))
+        throw new java.io.IOException(s"no ImageIO writer for '$fmt'")
+    } finally ios.close()
+    buf.toByteArray
+  }
+
   case class MediaRow(media_id: Long, media: Array[Byte], format: String,
       n_bytes: Long)
   case class MediaFeatures(media_id: Long, format: String, n_bytes: Long,
@@ -404,9 +423,7 @@ object Multimodal {
             }
             y += 1
           }
-          val buf = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", buf)
-          ResizedMedia(r.media_id, width, height, buf.toByteArray)
+          ResizedMedia(r.media_id, width, height, writeImage(out, "png"))
         }
       }
     }
