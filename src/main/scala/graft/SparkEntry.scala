@@ -1658,8 +1658,13 @@ object SparkEntry {
     "q_components_adaptive" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-      val edges = Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), col("ts"))
+      // parallelism floor before the window: the events scan is a
+      // single task on an under-split file, and the window exchange's
+      // map side (ts conversion + projection + partitioning) would
+      // otherwise run serially (Parallelism doc; no-op at scale)
+      val edges = graft.model.Parallelism.floor(
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts")))
         .withColumn("nxt", lead(col("event_id"), 1).over(w))
         .filter(col("nxt").isNotNull)
         .select(col("event_id").as("src"), col("nxt").as("dst"))

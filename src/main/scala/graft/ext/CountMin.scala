@@ -56,7 +56,11 @@ object CountMin {
     val nNull = df.filter(k.isNull).limit(1).count()
     require(nNull == 0L,
       s"CountMin: NULL $keyCol rows would silently vanish from counts")
-    df.select(k.as("k"),
+    // parallelism floor before the ×d explode + per-row md5 buckets —
+    // the sketch pass is pure per-row hashing and otherwise serializes
+    // into a single-task scan stage on under-split inputs
+    graft.model.Parallelism.floor(df.select(k.as("k")))
+      .select(col("k"),
         explode(expr(s"sequence(0, ${d - 1})")).as("i"))
       .select(col("i"), bucket(seed, col("i"), col("k"), w).as("j"))
       .groupBy(col("i"), col("j"))

@@ -17,7 +17,15 @@ object Dedup {
     * `[1, 0]`, and the 0 would crash `slice` at runtime. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val w = TextAnalysis.words(col(textCol))
-    df.select(col(idCol), w.as("w"))
+    // parallelism floor on the RAW projection (Parallelism doc): the
+    // tokenize + n-gram expansion is the densest per-row work in the
+    // whole dedup family and otherwise runs inside a single-task scan
+    // stage on under-split inputs. The floor must sit BELOW words():
+    // column pruning pushes only the (id, text) attributes under the
+    // exchange, so tokenization evaluates on the repartitioned side.
+    // Everything downstream of the distinct is already exchange-parallel.
+    graft.model.Parallelism.floor(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), w.as("w"))
       .select(col(idCol),
         explode(expr(
           s"case when size(w) >= $n then " +

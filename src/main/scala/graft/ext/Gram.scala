@@ -45,8 +45,9 @@ object Gram {
     // every element_at (measured 199 s → 2.1 s at sf0.1 — the optimizer
     // keeps the projection because the alias is multiply-referenced and
     // non-cheap, so each row quantizes exactly once)
-    val quant = vecs.select(transform(col(vecCol),
-      x => round(x.cast("double") * lit(GRID)).cast("long")).as("qv"))
+    val quant = graft.model.Parallelism.floor(
+      vecs.select(transform(col(vecCol),
+        x => round(x.cast("double") * lit(GRID)).cast("long")).as("qv")))
     val qv = col("qv")
     val d = size(qv)
     // guard d = 0: sequence(0, -1) generates DESCENDING [0, -1] and the

@@ -1,0 +1,42 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+
+/** Scale-adaptive parallelism floor for CPU-DENSE one-pass funnels
+  * (optimization guide §2.5, "input skew — one huge unsplittable file:
+  * repartition immediately after the read").
+  *
+  * Parquet cannot split below a row group, so a single-row-group table
+  * scans as ONE task — and Catalyst fuses everything up to the first
+  * exchange into that scan stage. For a funnel whose per-row work is
+  * heavy (shingle explode + md5 coins, dim² gram products, ×d sketch
+  * rows), that serializes seconds of compute onto one core while the
+  * rest of the cluster idles; a localCheckpoint downstream then
+  * freezes the 1-partition layout for every later pass.
+  *
+  * The floor fires ONLY when the input under-splits relative to the
+  * cluster (`partitions < spark.sparkContext.defaultParallelism`), so
+  * on a production-shaped table (row groups ≥ cores) it is a no-op by
+  * construction — it adapts to input shape rather than hard-coding a
+  * local constant. It is deliberately NOT applied at the table loaders
+  * or inside iterative loops: light relational queries would pay an
+  * exchange they don't need (measured +0.1–0.4 s per query at sf0.1),
+  * and per-round small frames would multiply task-scheduling overhead
+  * (measured on k-means). Round-robin repartition keeps row→partition
+  * assignment deterministic under retry (sortBeforeRepartition,
+  * SPARK-23207); every gated query is row-order-insensitive, so
+  * results are bit-identical (oracle-re-proven).
+  *
+  * `spark.graft.scan.minParallelism` overrides the floor; 0 disables.
+  */
+object Parallelism {
+  def floor(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val want = s.conf.getOption("spark.graft.scan.minParallelism")
+      .map(_.toInt).getOrElse(s.sparkContext.defaultParallelism)
+    // toRdd only plans (no job runs); for a scan this is the split count
+    if (want > 0 && df.queryExecution.toRdd.getNumPartitions < want)
+      df.repartition(want)
+    else df
+  }
+}

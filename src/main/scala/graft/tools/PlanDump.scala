@@ -22,6 +22,10 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // same extensions as Bench/Verify: without them the warehouse
+      // queries plan without the sharded-DISTINCT rewrite and the dump
+      // would show a shape the driver never runs
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
