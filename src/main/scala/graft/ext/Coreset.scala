@@ -37,8 +37,12 @@ object Coreset {
     require(k >= 1, s"k must be >= 1: $k")
     val spark = vecs.sparkSession
     import spark.implicits._
+    // LAZY checkpoints throughout this loop (the starEdges discipline):
+    // the action right after each one — the seed agg here, the argmax
+    // TakeOrdered per round below — scans every partition, so it both
+    // materializes the blocks (one job, not two) and reads them
     val comp = PqIndex.comps(vecs, idCol, vecCol, m = 1)
-      .select(col("vid"), col("pos"), col("q")).localCheckpoint()
+      .select(col("vid"), col("pos"), col("q")).localCheckpoint(false)
     val seedRow = comp.agg(min(col("vid"))).head()
     require(!seedRow.isNullAt(0), "Coreset needs a non-empty vector frame")
     val seed = seedRow.getLong(0)
@@ -53,7 +57,7 @@ object Coreset {
     }
 
     var dmin = distTo(seed).withColumnRenamed("d", "dmin")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val picks = scala.collection.mutable.ArrayBuffer((seed, 0, 0L))
     (1 until k).foreach { r =>
       val far = dmin.orderBy(col("dmin").desc, col("vid")).limit(1)
@@ -62,7 +66,7 @@ object Coreset {
       if (r < k - 1)
         dmin = dmin.join(distTo(far.getLong(0)), "vid")
           .select(col("vid"), least(col("dmin"), col("d")).as("dmin"))
-          .localCheckpoint()
+          .localCheckpoint(false)
     }
     picks.toSeq.toDF(idCol, "rk", "radius")
   }

@@ -76,13 +76,23 @@ object IvfPq {
       nLists: Int, coarseRounds: Int, m: Int, k: Int,
       pqRounds: Int): (IvfPqModel, DataFrame) = {
     require(nLists >= 1, s"nLists must be >= 1: $nLists")
+    // ONE component explode feeds the coarse training, the residual
+    // build, AND the PQ stage (it was three separate posexplode passes
+    // + three validation scans before — guide §1.2 "don't compute
+    // things twice"). Coarse training is codebooksFromComps over the
+    // SAME frame with `sub` collapsed to 0: with one subspace the
+    // (vid, sub) grouping degenerates to (vid), so the centroids are
+    // bit-identical to the former codebooks(m = 1) call.
+    val mcomp = PqIndex.partitionedComps(vecs, idCol, vecCol, m)
     val coarse = PqIndex
-      .codebooks(vecs, idCol, vecCol, m = 1, k = nLists,
-        rounds = coarseRounds)
+      .codebooksFromComps(
+        mcomp.select(col("vid"), lit(0).as("sub"), col("pos"), col("q")),
+        nLists, coarseRounds)
       .select(col("cid"), col("pos"), col("cq"))
-      .localCheckpoint()
-    val rcomp = residualComps(vecs, idCol, vecCol, m, coarse)
-      .localCheckpoint()
+    // same re-declared hash(vid) as partitionedComps: the PQ training
+    // rounds and the final encode both group on (vid, …) keys
+    val rcomp = residualFromComps(mcomp, coarse).localCheckpoint()
+      .repartition(col("vid"))
     val pq = PqIndex.codebooksFromComps(rcomp, k, pqRounds)
     (IvfPqModel(coarse, pq), assignResiduals(rcomp, pq))
   }
@@ -94,8 +104,17 @@ object IvfPq {
     * table has no sub split) + one broadcast re-join for the
     * subtraction. */
   private def residualComps(vecs: DataFrame, idCol: String,
-      vecCol: String, m: Int, coarse: DataFrame): DataFrame = {
-    val comp = PqIndex.comps(vecs, idCol, vecCol, m)
+      vecCol: String, m: Int, coarse: DataFrame): DataFrame =
+    // encode()-path entry: the comps frame feeds BOTH the argmin and
+    // the re-join below, so materialize it once, vid-partitioned
+    // (trainEncode hands in its own frame via residualFromComps)
+    residualFromComps(
+      PqIndex.partitionedComps(vecs, idCol, vecCol, m), coarse)
+
+  /** [[residualComps]] body over an already-materialized component
+    * frame. */
+  private def residualFromComps(comp: DataFrame,
+      coarse: DataFrame): DataFrame = {
     val diff = col("q") - col("cq")
     val asg = comp
       .join(broadcast(coarse), "pos")

@@ -35,9 +35,12 @@ import org.apache.spark.sql.functions._
   * Per round: one BROADCAST join comp⋈centroids on pos (centroids are
   * k·dim rows — broadcastable for any sane k·dim), one partial-agg
   * groupBy(id, cid) for distances, one min(struct) argmin aggregate,
-  * and one groupBy(cid, pos) update aggregate. Nothing is ever
-  * collected to the driver — centroids stay a (checkpointed, tiny)
-  * DataFrame, so the operator chains into a plan. The per-round cost is
+  * and one groupBy(cid, pos) update aggregate. The DATA is never
+  * collected to the driver — only the k·dim-row centroid table
+  * materializes driver-side each round ([[graft.model.LocalModel]]
+  * bounded-model collect, the Gram.fitPca precedent; it was headed
+  * for a broadcast to driver + executors anyway), and the operator
+  * still chains into a plan. The per-round cost is
   * N·dim·k intermediate rows in the distance aggregate's map side —
   * map-side combine on (id, cid) keeps the exchange at N·k.
   *
@@ -58,21 +61,34 @@ object KMeans {
     require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
 
     // (vid, pos, q) — quantized components, materialized once
+    // hash-partitioned by vid before the checkpoint (guide §2.4):
+    // every round's distance grouping (vid, cid) → (vid) and the
+    // update join on vid are all satisfied by hash(vid), so the loop
+    // re-reads these blocks with no further data exchange (the update
+    // aggregate's k·dim-row shuffle is the only one per round)
     val comp = vecs
       .select(col(idCol).cast("long").as("vid"),
         posexplode(col(vecCol)).as(Seq("pos", "x")))
       .select(col("vid"), col("pos"),
         round(col("x").cast("double") * lit(GRID)).cast("long").as("q"))
+      .repartition(col("vid"))
       .localCheckpoint()
+      // checkpointed RDDs report UnknownPartitioning under AQE — re-
+      // declare hash(vid) so the narrow plan actually plans narrow
+      .repartition(col("vid"))
 
     // init: cluster c = the (c+1)-th lowest vector id. The k-row limit
     // is a driver-side sort of ids only, not data.
     val initIds = vecs.select(col(idCol).cast("long").as("vid"))
       .distinct().orderBy(col("vid")).limit(k)
       .withColumn("cid", row_number().over(Window.orderBy(col("vid"))) - 1)
-    var cent = comp.join(broadcast(initIds), "vid")
-      .select(col("cid"), col("pos"), col("q").as("cq"))
-      .localCheckpoint()
+    // centroids are k·dim rows by construction — localized (driver-
+    // local relation, [[graft.model.LocalModel]]) instead of
+    // checkpointed: one job per round, and the per-round broadcast
+    // joins below build job-free; rows are bit-identical
+    var cent = graft.model.LocalModel.localized(
+      comp.join(broadcast(initIds), "vid")
+        .select(col("cid"), col("pos"), col("q").as("cq")))
 
     var asg: DataFrame = null
     (1 to rounds).foreach { r =>
@@ -85,13 +101,13 @@ object KMeans {
         .select(col("vid"), col("m.cid").as("cid"), col("m.d").as("d"))
       if (r < rounds) {
         asg = asg.localCheckpoint() // feeds both the update and next round
-        cent = asg.join(comp, "vid")
-          .groupBy(col("cid"), col("pos"))
-          .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-          .select(col("cid"), col("pos"),
-            floor((lit(2.0) * col("s") + col("n")) / (lit(2.0) * col("n")))
-              .cast("long").as("cq"))
-          .localCheckpoint()
+        cent = graft.model.LocalModel.localized(
+          asg.join(comp, "vid")
+            .groupBy(col("cid"), col("pos"))
+            .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+            .select(col("cid"), col("pos"),
+              floor((lit(2.0) * col("s") + col("n")) / (lit(2.0) * col("n")))
+                .cast("long").as("cq")))
       }
     }
     asg.select(col("vid").as("vec_id"), col("cid").as("cluster_id"),

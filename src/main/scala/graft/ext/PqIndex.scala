@@ -85,8 +85,30 @@ object PqIndex {
     * against, and encode∘codebooks ≡ the last training assignment). */
   def codebooks(vecs: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, rounds: Int): DataFrame =
-    codebooksFromComps(comps(vecs, idCol, vecCol, m).localCheckpoint(),
+    codebooksFromComps(partitionedComps(vecs, idCol, vecCol, m),
       k, rounds)
+
+  /** The component frame every training/encode pass re-joins,
+    * materialized ONCE and hash-partitioned by `vid` first (guide
+    * §2.4 — share one exchange): hash(vid) satisfies the clustering
+    * of every downstream grouping — (vid, sub, cid), (vid, sub),
+    * (vid, list_id, sub, …) — and of every vid-keyed join, so the
+    * whole train → residual → encode chain runs exchange-free off
+    * these blocks (each round's only shuffle is the m·k·subDim-row
+    * update aggregate). The repartition doubles as the under-split
+    * scan's parallelism floor ([[graft.model.Parallelism]]). */
+  private[ext] def partitionedComps(vecs: DataFrame, idCol: String,
+      vecCol: String, m: Int): DataFrame =
+    // repartition BELOW the checkpoint so the explode materializes in
+    // parallel, and AGAIN above it because a checkpointed RDD reports
+    // UnknownPartitioning under AQE (verified in plans/r18) — the
+    // upper exchange moves the already-placed N·m small rows once per
+    // consuming query and in return every downstream grouping/join
+    // runs exchange-free; inside one execution ReusedExchange dedups
+    // multiple readers
+    comps(vecs, idCol, vecCol, m)
+      .repartition(col("vid")).localCheckpoint()
+      .repartition(col("vid"))
 
   /** The training loop over an already-built component frame (vid, sub,
     * pos, q) — the entry [[IvfPq]] uses to train codebooks on coarse
@@ -102,19 +124,24 @@ object PqIndex {
     val initIds = comp.select(col("vid"))
       .distinct().orderBy(col("vid")).limit(k)
       .withColumn("cid", row_number().over(Window.orderBy(col("vid"))) - 1)
-    var cent = comp.join(broadcast(initIds), "vid")
-      .select(col("sub"), col("cid"), col("pos"), col("q").as("cq"))
-      .localCheckpoint()
+    // centroid frames are m·k·subDim rows by construction — localized
+    // (driver-local relation, [[graft.model.LocalModel]]) instead of
+    // checkpointed, so each round is ONE job and every later broadcast
+    // of the codebooks (training, encode, ADC serve) builds job-free;
+    // rows and schema are bit-identical to the checkpointed form
+    var cent = graft.model.LocalModel.localized(
+      comp.join(broadcast(initIds), "vid")
+        .select(col("sub"), col("cid"), col("pos"), col("q").as("cq")))
     // rounds - 1 updates: the final assignment pass belongs to encode()
     (1 until rounds).foreach { _ =>
       val asg = assign(comp, cent)
-      cent = asg.join(comp, Seq("vid", "sub"))
-        .groupBy(col("sub"), col("cid"), col("pos"))
-        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-        .select(col("sub"), col("cid"), col("pos"),
-          floor((lit(2.0) * col("s") + col("n")) / (lit(2.0) * col("n")))
-            .cast("long").as("cq"))
-        .localCheckpoint()
+      cent = graft.model.LocalModel.localized(
+        asg.join(comp, Seq("vid", "sub"))
+          .groupBy(col("sub"), col("cid"), col("pos"))
+          .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+          .select(col("sub"), col("cid"), col("pos"),
+            floor((lit(2.0) * col("s") + col("n")) / (lit(2.0) * col("n")))
+              .cast("long").as("cq")))
     }
     cent
   }
@@ -141,7 +168,10 @@ object PqIndex {
   def encode(vecs: DataFrame, idCol: String, vecCol: String,
       cb: DataFrame): DataFrame = {
     val m = 1 + cb.agg(max(col("sub"))).head().getInt(0)
-    assign(comps(vecs, idCol, vecCol, m), cb)
+    // repartition WITHOUT a checkpoint (single pass): hash(vid) lets
+    // both assign() aggregates run exchange-free on top of it, and the
+    // explode no longer serializes into an under-split scan stage
+    assign(comps(vecs, idCol, vecCol, m).repartition(col("vid")), cb)
       .select(col("vid"), col("sub"), col("cid").as("code"),
         col("d").as("sqdist"))
   }
