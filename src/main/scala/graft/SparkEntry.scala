@@ -1292,12 +1292,14 @@ object SparkEntry {
         System.getProperty("java.io.tmpdir") +
           "/graft_sketch_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + ProcessHandle.current().pid() + "_" + System.nanoTime())
-      (0 until 3).foreach { i =>
+      // independent per-batch builds on disjoint paths — overlapped
+      // (guide §2.6; the ConcurrentJobs wave-fan precedent)
+      graft.model.ConcurrentJobs.awaitAll((0 until 3).map { i => () =>
         graft.ext.Quantiles.sketch(
           ev.filter(pmod(col("event_id"), lit(3)) === i),
           Seq("event_type"), "value")
           .write.mode("overwrite").parquet(s"$path/batch=$i")
-      }
+      }: _*)
       graft.streaming.SketchStream.quantiles(s, path, Seq("event_type"),
         Seq(("p50_x200", 1, 2), ("p95_x200", 19, 20)))
     }),
@@ -3024,12 +3026,15 @@ object SparkEntry {
         System.getProperty("java.io.tmpdir") +
           "/graft_cm_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
           "_" + ProcessHandle.current().pid() + "_" + System.nanoTime())
-      (0 until 3).foreach { i =>
+      // the three batch sketches are independent actions on disjoint
+      // paths — overlap them (guide §2.6; the ConcurrentJobs wave-fan
+      // precedent) instead of paying three sequential scan+write fans
+      graft.model.ConcurrentJobs.awaitAll((0 until 3).map { i => () =>
         graft.ext.CountMin.sketch(
           li.filter(pmod(col("l_partkey"), lit(3)) === i),
           "l_partkey", d = 4, w = 512)
           .write.mode("overwrite").parquet(s"$path/batch=$i")
-      }
+      }: _*)
       val est = graft.streaming.CountMinStream.estimate(s, path,
         li.filter(col("l_partkey") < 50), "l_partkey", d = 4, w = 512)
       val truth = li.filter(col("l_partkey") < 50)
@@ -3537,8 +3542,14 @@ object SparkEntry {
   private def videoDedupAvis(s: SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id"))
-      .filter(col("doc_id") % 10 === 0)
+    // parallelism floor: 64 JPEG encodes + the AVI mux per row is the
+    // densest synthesis in the media family and otherwise runs in a
+    // single-task scan stage (Parallelism doc). The image/audio
+    // synthesizers are deliberately NOT floored - their per-row work
+    // is too cheap to amortize the extra exchange (measured +40%).
+    graft.model.Parallelism.floor(
+        Tables.documents(s, dir).select(col("doc_id"))
+          .filter(col("doc_id") % 10 === 0))
       .as[Long].mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         def draw(key: String): Int = {

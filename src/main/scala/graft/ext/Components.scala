@@ -402,9 +402,16 @@ object Components {
             .as("component"),
           (coalesce(col("m"), col("component")) < col("component"))
             .as("__chg"))
-        .localCheckpoint()
+        .localCheckpoint(false)
+      // LAZY checkpoint + one FULL count (the starEdges fingerprint
+      // discipline): the count scans every partition, so it both
+      // materializes the round's blocks and measures them in ONE job —
+      // the former eager-checkpoint-then-probe shape paid two. The
+      // full count replaces the limit-1 probe on the non-plateau path
+      // too: over materializing blocks it costs the same scan the
+      // materialization needs anyway.
+      val changed = next.filter(col("__chg")).count()
       val anyChanged = if (plateauAbort) {
-        val changed = next.filter(col("__chg")).count()
         if (changed > 0 && prevChanged != Long.MaxValue &&
             changed * 4 >= prevChanged * 3) plateauRounds += 1
         else plateauRounds = 0
@@ -416,7 +423,7 @@ object Components {
             "aborting the remaining min-label budget")
         }
         changed > 0
-      } else next.filter(col("__chg")).limit(1).count() > 0
+      } else changed > 0
       checkpointRdd(labels).foreach(_.unpersist(false)) // free prior round
       labels = next.drop("__chg")
       converged = !anyChanged

@@ -45,16 +45,26 @@ object ExactSpans {
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int, maxGramDF: Option[Long] = None): DataFrame = {
     require(minTokens >= 2, s"minTokens must be >= 2: $minTokens")
-    val toks = df.select(col(idCol).as("doc_id"),
-      TextAnalysis.words(col(textCol)).as("ws"))
+    // parallelism floor below the tokenizer (Parallelism doc): the
+    // per-position window md5 is the densest per-row work in this
+    // operator and otherwise serializes into a single-task scan stage
+    val toks = graft.model.Parallelism
+      .floor(df.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), TextAnalysis.words(col(textCol)).as("ws"))
     // one row per window start: pos = 0-based offset, g = md5 of the
     // space-joined window (the docs-shorter-than-minTokens filter also
-    // keeps sequence() from producing a DESCENDING range)
+    // keeps sequence() from producing a DESCENDING range).
+    // Materialized ONCE: both sides of the pair self-join below (and
+    // the df-cap's count+join pass) read these blocks — AQE does not
+    // reuse identical sibling stages, so without the checkpoint the
+    // window-md5 explode evaluated twice (measured in JobProbe: ~2 s
+    // of task time over 5 single-task stages at sf0.1)
     val grams0 = toks.filter(size(col("ws")) >= minTokens)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(ws) - $minTokens), " +
           s"i -> md5(array_join(slice(ws, i + 1, $minTokens), ' ')))")))
       .toDF("doc_id", "pos", "g")
+      .localCheckpoint()
     val grams = maxGramDF match {
       case Some(cap) =>
         require(cap >= 2, "maxGramDF must be >= 2")

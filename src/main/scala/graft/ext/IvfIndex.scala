@@ -44,12 +44,16 @@ object IvfIndex {
       * against the loaded index scans only the probed lists of the
       * pinned waves. */
     def save(path: String): Unit = {
-      writeListsWave(assigned, path, wave = 0L, dynamic = false)
       val spark = assigned.sparkSession
       import spark.implicits._
-      centroids.toSeq.map { case (i, c) => (i, c) }
-        .toDF("list_id", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      // disjoint-path writes overlapped (ConcurrentJobs wave-fan);
+      // the manifest commit still strictly FOLLOWS all data
+      graft.model.ConcurrentJobs.awaitAll(
+        () => writeListsWave(assigned, path, wave = 0L, dynamic = false),
+        () => centroids.toSeq.map { case (i, c) => (i, c) }
+          .toDF("list_id", "centroid")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/centroids"))
       // Some(-1): a rebuild resets compaction coverage
       graft.model.WaveManifest.commit(spark, path, Seq(0L),
         through = Some(-1L))

@@ -280,10 +280,15 @@ object IvfPq {
     * then a manifest commit pinning exactly {0} (a rebuild resets
     * compaction coverage). */
   def save(model: IvfPqModel, codes: DataFrame, path: String): Unit = {
-    writeCodesWave(codes, path, wave = 0L, dynamic = false)
-    model.coarse.coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/coarse")
-    model.pq.coalesce(1).write.mode("overwrite").parquet(s"$path/pqcb")
+    // the three writes land on disjoint paths — overlap them (the
+    // ConcurrentJobs wave-fan contract); the manifest commit still
+    // strictly FOLLOWS all data, so the publish ordering is unchanged
+    graft.model.ConcurrentJobs.awaitAll(
+      () => writeCodesWave(codes, path, wave = 0L, dynamic = false),
+      () => model.coarse.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/coarse"),
+      () => model.pq.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/pqcb"))
     graft.model.WaveManifest.commit(codes.sparkSession, path, Seq(0L),
       through = Some(-1L))
     ()

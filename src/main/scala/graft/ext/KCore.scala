@@ -42,7 +42,7 @@ object KCore {
       .where(u =!= v)
       .select(least(u, v).as("a"), greatest(u, v).as("b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     // ONE scan of the edge frame (explode of the endpoint pair), not a
     // unionAll of two projections that each re-read it — measured
@@ -62,7 +62,7 @@ object KCore {
       e = e
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     degrees(e)
   }

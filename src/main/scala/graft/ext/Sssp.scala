@@ -60,12 +60,12 @@ object Sssp {
     // per round, identical costs
     val e = oriented.where(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     var costs = seeds
       .select(col(seedCol).cast("long").as("node")).distinct()
       .withColumn("cost", lit(0L))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     (1 to rounds).foreach { _ =>
       val probe = if (broadcastCosts) broadcast(costs) else costs
@@ -73,7 +73,7 @@ object Sssp {
         .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
       costs = costs.union(cand)
         .groupBy(col("node")).agg(min(col("cost")).as("cost"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     costs
   }

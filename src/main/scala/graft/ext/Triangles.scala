@@ -63,7 +63,7 @@ object Triangles {
       .where(u =!= v)
       .select(least(u, v).as("a"), greatest(u, v).as("b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     // recomputed from the canon checkpoint by each consumer — cheaper
     // than one more blocking checkpoint job (measured at sf0.1); one
@@ -82,14 +82,14 @@ object Triangles {
     val oriented = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("src"),
       when(aFirst, col("b")).otherwise(col("a")).as("dst"))
-      .localCheckpoint() // feeds the adjacency agg AND the edge probe
+      .localCheckpoint(false) // feeds the adjacency agg AND the edge probe
 
     val outRaw = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("outs"))
     // broadcast path: each broadcast build re-aggregates from the
     // oriented checkpoint (cheap); shuffle path: both probe joins
     // consume the full table, so materialize it once
-    val out = if (broadcastAdjacency) outRaw else outRaw.localCheckpoint()
+    val out = if (broadcastAdjacency) outRaw else outRaw.localCheckpoint(false)
     val adj = if (broadcastAdjacency) broadcast(out) else out
     val tris = oriented
       .join(adj.select(col("src"), col("outs").as("ou")), Seq("src"))

@@ -27,7 +27,13 @@ import org.apache.spark.sql.functions._
   * neighbors contributes map-side partial minima, never a single-task
   * neighbor list (the same hot-key posture as [[LabelProp]]'s argmax
   * aggregate). Walk state is one row per walk; steps chain through
-  * localCheckpoint so step t+1 reads blocks, not a t-deep plan.
+  * localCheckpoint so step t+1 reads blocks, not a t-deep plan —
+  * LAZY (localCheckpoint(false)): the SQL plan is truncated at
+  * checkpoint creation either way, and with no per-step action the
+  * final union's ONE job materializes every step's blocks instead of
+  * paying a blocking job per step (fixed-step loops only; loops with
+  * per-round convergence actions pair the lazy checkpoint with that
+  * action — the Components/Coreset discipline).
   *
   * Dead ends cannot occur (symmetrization gives every present node
   * degree ≥ 1), so every walk has exactly `walkLen`+1 rows. Emits
@@ -43,7 +49,7 @@ object Walks {
 
     var frontier = sym.select(col("src").as("walk_id")).distinct()
       .select(col("walk_id"), col("walk_id").as("node"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var trail = List(frontier.withColumn("step", lit(0)))
 
     (1 to walkLen).foreach { t =>
@@ -55,7 +61,7 @@ object Walks {
         .groupBy(col("walk_id"))
         .agg(min(struct(coin.as("h"), col("dst").as("v"))).as("m"))
         .select(col("walk_id"), col("m.v").as("node"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       trail ::= frontier.withColumn("step", lit(t))
     }
     trail.reduce(_ union _)
@@ -102,7 +108,7 @@ object Walks {
     // step 1: first-order pick (no prev), same coin as the unbiased walk
     val start = sym.select(col("src").as("walk_id")).distinct()
       .select(col("walk_id"), col("walk_id").as("node"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var frontier = sym
       .join(start, col("src") === col("node"))
       .groupBy(col("walk_id"))
@@ -113,7 +119,7 @@ object Walks {
       // prev for step 2 is the start node, which IS the walk id
       .select(col("walk_id"), col("m.v").as("node"),
         col("walk_id").as("prev"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var trail = List(
       start.withColumn("step", lit(0)).select(col("walk_id"), col("step"), col("node")),
       frontier.withColumn("step", lit(1)).select(col("walk_id"), col("step"), col("node")))
@@ -145,7 +151,7 @@ object Walks {
         .agg(min(struct(coin.as("h"), col("v").as("vv"))).as("m"))
         .select(col("walk_id"), col("m.vv").as("node"))
         .join(frontier.select(col("walk_id"), col("node").as("prev")), "walk_id")
-        .localCheckpoint()
+        .localCheckpoint(false)
       trail ::= frontier.withColumn("step", lit(t))
         .select(col("walk_id"), col("step"), col("node"))
     }
