@@ -2533,8 +2533,11 @@ object SparkEntry {
       graft.ext.IvfPq.save(model, trainCodes, idxPath)
       val loaded = graft.ext.IvfPq.load(s, idxPath)
       graft.ext.IvfPq.appendSave(idxPath,
+        // no checkpoint: the encoded wave has exactly one consumer
+        // (the wave write) — a blocking materialization job bought
+        // nothing (guide §5: persist only what is reused)
         graft.ext.IvfPq.encode(emb.filter(col("vec_id") % 3 === 2),
-          "vec_id", "embedding", loaded.model).localCheckpoint(),
+          "vec_id", "embedding", loaded.model),
         wave = 1L)
       graft.ext.IvfPq.searchPruned(graft.ext.IvfPq.load(s, idxPath),
         emb.filter(col("vec_id") < 3), "vec_id", "embedding",

@@ -60,7 +60,9 @@ object CurationE2e {
         Seq(idCol), "left")
       .withColumn("p7",
         coalesce(col("p6"), lit(false)) && col("__mdrop").isNull)
-      .localCheckpoint() // counters + survivor stages both read it
+      .localCheckpoint(false) // counters + survivor stages both read it
+      // (LAZY: every consumer funnels into the one final union action,
+      // whose job materializes these blocks once — Walks discipline)
 
     val names = Seq("lang", "length", "quality", "repetition",
       "perplexity", "dedup", "media_dedup")
@@ -81,7 +83,7 @@ object CurationE2e {
     val surv = g7.filter(col("p7"))
       .select(col(idCol), col("lang"), col("toks"))
     val mixed = Sampling.upsample(surv, idCol, "lang", upFactors)
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     // stage 9: tokenBudget's rule with the copy-aware tie-break — two
     // copies of one doc share its md5 rank, so copy_idx must break the
@@ -96,7 +98,7 @@ object CurationE2e {
         idCol, "toks", tieCols = Seq("copy_idx"),
         outCol = "tokens_before")
       .filter(col("tokens_before") < budgetCol)
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     // stage 10: the packing rule under the SAME (md5, id, copy_idx)
     // total order as stage 9 — one order through assembly, and the hash
