@@ -1,0 +1,45 @@
+package graft.model
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the round-18 parallelism-floor contract: fire ONLY when the
+  * input under-splits relative to the cluster, honor the override,
+  * and never change row multiset. */
+class ParallelismSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("parallelism-spec").getOrCreate()
+
+  test("under-split input is repartitioned to defaultParallelism; " +
+      "row multiset unchanged") {
+    import spark.implicits._
+    val df = (1 to 100).toDF("x").coalesce(1)
+    assert(df.queryExecution.toRdd.getNumPartitions == 1)
+    val floored = Parallelism.floor(df)
+    assert(floored.queryExecution.toRdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    assert(floored.collect().map(_.getInt(0)).sorted.toSeq ==
+      (1 to 100))
+  }
+
+  test("already-parallel input passes through untouched (the 100 TB " +
+      "no-op leg: production row groups >= cores)") {
+    import spark.implicits._
+    val df = (1 to 100).toDF("x")
+      .repartition(spark.sparkContext.defaultParallelism + 2)
+    val floored = Parallelism.floor(df)
+    assert(floored eq df) // same instance — no plan change at all
+  }
+
+  test("spark.graft.scan.minParallelism=0 disables the floor") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.scan.minParallelism", "0")
+    try {
+      val df = (1 to 10).toDF("x").coalesce(1)
+      assert(Parallelism.floor(df) eq df)
+    } finally spark.conf.unset("spark.graft.scan.minParallelism")
+  }
+}
