@@ -89,8 +89,8 @@ object IvfPq {
         mcomp.select(col("vid"), lit(0).as("sub"), col("pos"), col("q")),
         nLists, coarseRounds)
       .select(col("cid"), col("pos"), col("cq"))
-    // same re-declared hash(vid) as partitionedComps: the PQ training
-    // rounds and the final encode both group on (vid, …) keys
+    // materialized once for the PQ rounds and the final encode (no
+    // partitioning re-declare — see the partitionedComps comment)
     val rcomp = residualFromComps(mcomp, coarse).localCheckpoint()
       .repartition(col("vid"))
     val pq = PqIndex.codebooksFromComps(rcomp, k, pqRounds)

@@ -61,11 +61,11 @@ object KMeans {
     require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
 
     // (vid, pos, q) — quantized components, materialized once
-    // hash-partitioned by vid before the checkpoint (guide §2.4):
-    // every round's distance grouping (vid, cid) → (vid) and the
-    // update join on vid are all satisfied by hash(vid), so the loop
-    // re-reads these blocks with no further data exchange (the update
-    // aggregate's k·dim-row shuffle is the only one per round)
+    // hash-partitioned by vid before the checkpoint: the explode
+    // materializes in parallel (the under-split-scan floor) with the
+    // blocks hash(vid)-placed; the partitioning is deliberately NOT
+    // re-declared above the checkpoint — measured slower across the
+    // PQ family (see PqIndex.partitionedComps)
     val comp = vecs
       .select(col(idCol).cast("long").as("vid"),
         posexplode(col(vecCol)).as(Seq("pos", "x")))
@@ -73,9 +73,6 @@ object KMeans {
         round(col("x").cast("double") * lit(GRID)).cast("long").as("q"))
       .repartition(col("vid"))
       .localCheckpoint()
-      // checkpointed RDDs report UnknownPartitioning under AQE — re-
-      // declare hash(vid) so the narrow plan actually plans narrow
-      .repartition(col("vid"))
 
     // init: cluster c = the (c+1)-th lowest vector id. The k-row limit
     // is a driver-side sort of ids only, not data.
