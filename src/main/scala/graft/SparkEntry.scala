@@ -2458,13 +2458,25 @@ object SparkEntry {
     //    measurement instead of a hope.
     "q_pq_recall_capacity" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Seq(("m4k4", 8, 4, 4), ("m8k16", 32, 8, 16), ("m8k32", 40, 8, 32))
-        .map { case (cfg, bits, m, k) =>
-          pqRecallDf(emb, m = m, k = k, rounds = 2)
+      // the three capacity configs are INDEPENDENT train→encode→serve
+      // chains whose training collects run at construction time —
+      // build them on the ConcurrentJobs fan (guide §2.6, the
+      // q_countmin_serve precedent) so one config's training tail
+      // back-fills the others'; the union below is index-ordered, so
+      // the result frame (and its rows) are identical to the
+      // sequential build
+      val cfgs = Seq(("m4k4", 8, 4, 4), ("m8k16", 32, 8, 16),
+        ("m8k32", 40, 8, 32))
+      val built =
+        new Array[org.apache.spark.sql.DataFrame](cfgs.size)
+      graft.model.ConcurrentJobs.awaitAll(
+        cfgs.zipWithIndex.map { case ((cfg, bits, m, k), i) => () => {
+          built(i) = pqRecallDf(emb, m = m, k = k, rounds = 2)
             .select(lit(cfg).as("cfg"),
               lit(bits).cast("int").as("bits_per_vec"),
               col("query_id"), col("hits"), col("k"))
-        }.reduce(_ unionByName _)
+        }}: _*)
+      built.reduce(_ unionByName _)
     }),
 
     // ── IVF-PQ (IvfPq): the coarse-quantizer + residual-PQ composition
@@ -3213,6 +3225,12 @@ object SparkEntry {
       val d1 = e.select(col("src").as("a"), col("dst").as("b"))
       val d2 = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
         .select(col("x.src").as("a"), col("y.dst").as("b"))
+      // NOTE r19: a fused single-distinct variant (tag ≤1-hop pairs,
+      // count both radii off one deduped pass) measured +5% on a
+      // min-of-3 interleaved A/B — the two branches below run as
+      // independent AQE stages and the smaller b1 dedup beats the
+      // wider tagged one. Kept as-is, rejection recorded in
+      // OPTIMIZATION_r19.md.
       val b1 = self.union(d1).distinct()
         .agg(count(lit(1)).as("n_exact")).select(lit(1).as("radius"),
           col("n_exact"))
@@ -3261,6 +3279,11 @@ object SparkEntry {
       val est = graft.ext.HyperBall.harmonicOnSymmetrized(e,
           maxRadius = 2, p = 7)
         .agg(sum(col("harmonic_micro")).as("h_est"))
+      // NOTE r19: a fused two-countDistinct variant (tag direct edges
+      // in d2p, one grouped aggregate, no b1⋈b2 join) measured +4% on
+      // a min-of-3 interleaved A/B — the Expand the dual countDistinct
+      // plans doubles the ≤2-hop frame, costing more than the saved
+      // scan + join. Kept as-is, rejection in OPTIMIZATION_r19.md.
       val b1 = e.groupBy(col("src")).agg(countDistinct(col("dst")).as("d1"))
       val d2 = e.as("x").join(e.as("y"), col("x.dst") === col("y.src"))
         .select(col("x.src").as("src"), col("y.dst").as("dst"))

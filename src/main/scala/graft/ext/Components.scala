@@ -232,13 +232,54 @@ object Components {
       // min-label-per-component IS the original min node id, and
       // composing star(root-of-label) over label(node) reproduces
       // [[connectedStar]]'s answer bit-for-bit (AdaptProbe-verified).
-      val la = labels.select(col("node").as("a"), col("component").as("ca"))
-      val lb = labels.select(col("node").as("b"), col("component").as("cb"))
+      //
+      // POINTER DOUBLING first (r19, guide §1.2 — remove passes): the
+      // partial labels form a forest (label(v) < v or label(v) = v,
+      // always within v's component), and composing the labeling with
+      // itself — label'(v) = label(label(v)) — HALVES the forest depth
+      // per composition for ONE node-keyed self-join, where a star
+      // round costs three edge-sized exchanges. At the doubling
+      // fixpoint every node names its forest ROOT, so the contracted
+      // graph the star phase sees is the root graph — on chain-shaped
+      // corpora (one tree per component) it collapses to EMPTY and the
+      // star loop exits at its first fingerprint. Every intermediate
+      // doubled labeling keeps the two contraction invariants (labels
+      // stay inside the component; the global min labels itself), so
+      // the loop is purely an accelerator: star still proves the
+      // fixpoint, and the iteration cap just bounds the acceleration
+      // (2^32-deep forests exceed any feasible node count).
+      val labels2 = {
+        var lab = labels
+        var changed = 1L
+        var hops = 0
+        while (changed > 0L && hops < 32) {
+          val nxt = lab.as("x")
+            .join(lab.select(col("node").as("__n"),
+              col("component").as("__c")), col("component") === col("__n"))
+            .select(col("node"), col("__c").as("component"),
+              (col("__c") < col("component")).as("__chg"))
+            .localCheckpoint(false)
+          // fused materialize + convergence statistic (the propagate
+          // discipline): the count scans every partition
+          changed = nxt.filter(col("__chg")).count()
+          checkpointRdd(lab).foreach(_.unpersist(false))
+          lab = nxt.drop("__chg")
+          hops += 1
+          if (log.isInfoEnabled)
+            log.info(s"label doubling $hops: $changed labels advanced")
+        }
+        lab
+      }
+      val la = labels2.select(col("node").as("a"), col("component").as("ca"))
+      val lb = labels2.select(col("node").as("b"), col("component").as("cb"))
       val contracted = sym
         .join(la, Seq("a")).join(lb, Seq("b"))
         .select(col("ca").as("a"), col("cb").as("b"))
         .filter(col("a") =!= col("b"))
         .distinct()
+        // EAGER on purpose: sym's blocks are unpersisted on the next
+        // line — a lazy checkpoint here would materialize after that
+        // and find its truncated-lineage input gone
         .localCheckpoint()
       checkpointRdd(sym).foreach(_.unpersist(false))
       // [[starEdges]], not [[starFrom]]: every label-space node already
@@ -247,13 +288,13 @@ object Components {
       // job — is pure overhead here
       val fix = starEdges(contracted, starMaxIter, strict = true)
       checkpointRdd(contracted).foreach(_.unpersist(false))
-      // compose: node → partial label → star root; labels absent from
+      // compose: node → doubled label → star root; labels absent from
       // the fixpoint's child side (roots, and components fully
-      // collapsed during min-label) keep their partial label, which is
-      // already the component min. `labels` stays checkpoint-persisted —
-      // the returned frame reads it lazily; the context cleaner frees
-      // it with the frame.
-      labels.join(fix.groupBy(col("b").as("component"))
+      // collapsed during min-label + doubling) keep their doubled
+      // label, which is already the component min. `labels2` stays
+      // checkpoint-persisted — the returned frame reads it lazily; the
+      // context cleaner frees it with the frame.
+      labels2.join(fix.groupBy(col("b").as("component"))
           .agg(min(col("a")).as("root")), Seq("component"), "left_outer")
         .select(col("node"),
           coalesce(col("root"), col("component")).as("component"))
@@ -377,10 +418,16 @@ object Components {
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .localCheckpoint()
+    // LAZY: round 1's labels-side exchange map stage is the first (and,
+    // via ReuseExchange, only) consumer — a full scan over sym's EAGER
+    // blocks, so the init materializes inside round 1's job instead of
+    // paying its own. sym itself stays eager: it feeds two concurrent
+    // stages per round, and a lazy sym could double-evaluate an
+    // expensive upstream pair computation in the materialization race.
     var labels = sym.select(col("a").as("node"))
       .distinct()
       .withColumn("component", col("node"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var round = 0
     var converged = false
     var prevChanged = Long.MaxValue

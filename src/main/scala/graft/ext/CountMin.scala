@@ -83,6 +83,41 @@ object CountMin {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** [[sketch]] + [[estimate]] FUSED over a pre-aggregated
+    * (key, weight) frame — for callers that already hold per-key
+    * counts (a df table) and probe the sketch with exactly the keys it
+    * was built from (the hot-key derivations). Bit-identical to
+    * `estimate(sketch(repeat keys by weight), distinct keys)`:
+    * cell cnt = Σ weight of the keys hashing there, est = min over the
+    * key's d cells — but the d md5 buckets are computed ONCE per
+    * DISTINCT key instead of once per posting row for the build plus
+    * once per distinct key for the probe, and the sketch/probe join
+    * collapses into one windowed pass. Returns the keys with
+    * est ≥ `minEst` (the cap list), keyed `keyCol`.
+    *
+    * Caller guarantees non-null keys (the shingle/band frames are
+    * md5-derived, never null) — the one-sided est ≥ true contract is
+    * [[sketch]]'s, unchanged. */
+  private[ext] def hotKeysWeighted(keyed: DataFrame, keyCol: String,
+      weightCol: String, minEst: Long, d: Int, w: Int,
+      seed: Long = 42L): DataFrame = {
+    checkShape(d, w)
+    import org.apache.spark.sql.expressions.Window
+    keyed
+      .select(col(keyCol).cast("string").as("key"),
+        col(weightCol).cast("long").as("wt"))
+      .select(col("key"), col("wt"),
+        explode(expr(s"sequence(0, ${d - 1})")).as("i"))
+      .select(col("key"), col("wt"), col("i"),
+        bucket(seed, col("i"), col("key"), w).as("j"))
+      .withColumn("cnt", sum(col("wt")).over(
+        Window.partitionBy(col("i"), col("j"))))
+      .groupBy(col("key"))
+      .agg(min(col("cnt")).as("est"))
+      .filter(col("est") >= minEst)
+      .select(col("key").as(keyCol))
+  }
+
   /** Cell-wise sum of two sketches built with the SAME (d, w, seed) —
     * sketch(A ⊎ B) exactly (spec-pinned). The caller owns the shape
     * agreement; mismatched shapes would silently mis-bucket. */

@@ -89,7 +89,8 @@ object Dedup {
       maxShingleDF: Option[Long] = None,
       broadcastCandidates: Boolean = false,
       hotShingles: Option[DataFrame] = None,
-      shinglesOpt: Option[DataFrame] = None
+      shinglesOpt: Option[DataFrame] = None,
+      dfTblOpt: Option[DataFrame] = None
   ): DataFrame = {
     // shinglesOpt: a caller that already materialized shingles(df)
     // (ngramJaccardPairsSketchCapped checkpoints it for the sketch
@@ -104,7 +105,11 @@ object Dedup {
     // [[ExactSpans.repeatedSpans]]' gram df. (A per-shingle
     // collect_list would be worse than either: it materializes a
     // stop-shingle's whole posting set in ONE row.)
-    val dfTbl = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // dfTblOpt: the sketch-capped caller already aggregated the SAME
+    // df table for its hot-key derivation — reuse it (one distinct-
+    // shingle aggregate for the whole query instead of two)
+    val dfTbl = dfTblOpt.getOrElse(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
     // join key is NON-NULL BY CONSTRUCTION (derived via explode/hash
     // of generated values, which never yields a null key row), so the
     // non-null-safe equi-join keeps every row the replaced
@@ -273,14 +278,19 @@ object Dedup {
     // ONE text parse feeds the sketch, the probe keys, AND the pair
     // operator (shinglesOpt below) — the corpus is never re-tokenized
     val sh = shingles(df, idCol, textCol, n).localCheckpoint()
-    val sk = CountMin.sketch(sh.select(col("shingle")), "shingle",
+    // ONE distinct-shingle aggregate feeds the sketch build, the probe,
+    // AND the pair operator's rarity table (dfTblOpt): the d md5
+    // buckets are computed per DISTINCT shingle instead of per posting
+    // row for the build plus per distinct for the probe, and the cap
+    // list is bit-identical (CountMin.hotKeysWeighted — cell counts are
+    // Σ df of the shingles hashing there, exactly the posting count)
+    val dfTbl = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(false)
+    val hot = CountMin.hotKeysWeighted(dfTbl, "shingle", "df", minEst,
       d, w, seed)
-    val hot = CountMin.estimate(sk, sh.select(col("shingle")), "shingle",
-      d, w, seed)
-      .filter(col("est") >= minEst)
-      .select(col("key").as("shingle"))
     ngramJaccardPairs(df, idCol, textCol, n, threshold,
-      hotShingles = Some(hot), shinglesOpt = Some(sh))
+      hotShingles = Some(hot), shinglesOpt = Some(sh),
+      dfTblOpt = Some(dfTbl))
   }
 
   /** MinHash signatures as one wide aggregation: column sig_h =
@@ -435,11 +445,15 @@ object Dedup {
         require(minEst >= 2, s"bandHotMinEst must be >= 2: $minEst")
         val keyed = bandsDet.withColumn("__bk",
           concat_ws(":", col("band"), col("band_sig")))
-        val keys = keyed.select(col("__bk"))
-        val sk = CountMin.sketch(keys, "__bk", d = 4, w = 65536)
-        val hot = CountMin.estimate(sk, keys, "__bk", d = 4, w = 65536)
-          .filter(col("est") >= minEst)
-          .select(col("key").as("__hotbk"))
+        // fused build+probe over the distinct band keys (CountMin
+        // .hotKeysWeighted — bit-identical cap list): the d md5 buckets
+        // are computed once per DISTINCT key, and the band frame is
+        // evaluated twice (df aggregate + flagged join) instead of
+        // three times (sketch, probe, join)
+        val hot = CountMin.hotKeysWeighted(
+          keyed.groupBy(col("__bk")).agg(count(lit(1)).as("__kdf")),
+          "__bk", "__kdf", minEst, d = 4, w = 65536)
+          .select(col("__bk").as("__hotbk"))
         val flagged = keyed.join(broadcast(hot),
           col("__bk") === col("__hotbk"), "left")
         SkewGuard.observeDropCount(flagged, "minhash_band_sketch",

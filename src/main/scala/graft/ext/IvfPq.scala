@@ -49,8 +49,18 @@ object IvfPq {
     * subspace codebooks (sub, cid, pos, cq) — m·k·(D/m) rows, SHARED
     * across lists (the standard IVFPQ choice: per-list codebooks
     * multiply training cost and table size by nLists for marginal
-    * recall). */
-  final case class IvfPqModel(coarse: DataFrame, pq: DataFrame)
+    * recall). `mOpt` carries the subspace count when the constructor
+    * knows it (train passes its parameter, load derives it from the
+    * rows it collects anyway) so the serve faces stop paying one
+    * discovery aggregate job each ([[m]]); absent, [[m]] discovers it
+    * once per model handle. */
+  final case class IvfPqModel(coarse: DataFrame, pq: DataFrame,
+      mOpt: Option[Int] = None) {
+    /** Number of PQ subspaces — the value every encode/serve face
+      * needs to split query vectors. */
+    lazy val m: Int =
+      mOpt.getOrElse(1 + pq.agg(max(col("sub"))).head().getInt(0))
+  }
 
   /** Fit coarse centroids (full-vector Lloyd's = [[PqIndex.codebooks]]
     * with m = 1), then PQ codebooks over the exact residuals of the
@@ -92,9 +102,8 @@ object IvfPq {
     // materialized once for the PQ rounds and the final encode (no
     // partitioning re-declare — see the partitionedComps comment)
     val rcomp = residualFromComps(mcomp, coarse).localCheckpoint()
-      .repartition(col("vid"))
     val pq = PqIndex.codebooksFromComps(rcomp, k, pqRounds)
-    (IvfPqModel(coarse, pq), assignResiduals(rcomp, pq))
+    (IvfPqModel(coarse, pq, Some(m)), assignResiduals(rcomp, pq))
   }
 
   /** (vid, list_id, sub, pos, qr): each vector's exact quantized
@@ -138,11 +147,9 @@ object IvfPq {
     * output is directly writable in the [[IvfIndex]] list-partitioned
     * layout. */
   def encode(vecs: DataFrame, idCol: String, vecCol: String,
-      model: IvfPqModel): DataFrame = {
-    val m = 1 + model.pq.agg(max(col("sub"))).head().getInt(0)
+      model: IvfPqModel): DataFrame =
     assignResiduals(
-      residualComps(vecs, idCol, vecCol, m, model.coarse), model.pq)
-  }
+      residualComps(vecs, idCol, vecCol, model.m, model.coarse), model.pq)
 
   /** The final PQ assignment over a residual frame — the single encode
     * rule [[encode]] and [[trainEncode]] share. */
@@ -171,10 +178,18 @@ object IvfPq {
   def adcTopK(codes: DataFrame, model: IvfPqModel, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     require(k >= 1 && nProbe >= 1, "k and nProbe must be >= 1")
-    val m = 1 + model.pq.agg(max(col("sub"))).head().getInt(0)
-    val qcomp = PqIndex.comps(queries, idCol, vecCol, m)
+    val qcomp = PqIndex.comps(queries, idCol, vecCol, model.m)
       .select(col("vid").as("qid"), col("sub"), col("pos"), col("q"))
-    val probes = probeFrame(qcomp, model.coarse, nProbe)
+    adcTopKFrom(codes, model, qcomp,
+      probeFrame(qcomp, model.coarse, nProbe), k)
+  }
+
+  /** [[adcTopK]] body over an already-built query component frame and
+    * probe set — [[searchPruned]] shares its qcomp/probeFrame subtrees
+    * with the pruning collect instead of re-validating and re-deriving
+    * them (one comps validation aggregate, not two, per serve). */
+  private def adcTopKFrom(codes: DataFrame, model: IvfPqModel,
+      qcomp: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     // per-(query, probed list) residual, then the ADC table:
     // queries × nProbe × m × k rows — tiny, broadcast
     val qres = qcomp
@@ -305,9 +320,21 @@ object IvfPq {
     * layout) scans everything. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
       version: Option[Long] = None): IvfPqDisk = {
-    val model = IvfPqModel(
-      spark.read.parquet(s"$path/coarse"),
+    // model tables are bounded by MODEL size (nLists·D and m·k·(D/m)
+    // rows — never data-sized), so localize them once at load: every
+    // serve-side broadcast then builds driver-side with no scan job,
+    // instead of re-reading the parquet per join
+    // ([[graft.model.LocalModel]], the trainEncode precedent), and the
+    // subspace count m falls out of the rows already collected — the
+    // per-serve discovery aggregates disappear
+    val coarse = graft.model.LocalModel.localized(
+      spark.read.parquet(s"$path/coarse"))
+    val (pq, pqRows) = graft.model.LocalModel.localizedWithRows(
       spark.read.parquet(s"$path/pqcb"))
+    require(pqRows.nonEmpty, s"empty PQ codebook table under $path/pqcb")
+    val subIdx = pq.schema.fieldIndex("sub")
+    val model = IvfPqModel(coarse, pq,
+      Some(1 + pqRows.iterator.map(_.getInt(subIdx)).max))
     val waves = version
       .map(v => graft.model.WaveManifest.wavesAt(spark, path, v))
       .orElse(graft.model.WaveManifest.pinned(spark, path))
@@ -429,14 +456,19 @@ object IvfPq {
     * drop a list the serve would score. */
   def searchPruned(disk: IvfPqDisk, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    val m = 1 + disk.model.pq.agg(max(col("sub"))).head().getInt(0)
-    val qcomp = PqIndex.comps(queries, idCol, vecCol, m)
+    require(k >= 1 && nProbe >= 1, "k and nProbe must be >= 1")
+    val qcomp = PqIndex.comps(queries, idCol, vecCol, disk.model.m)
       .select(col("vid").as("qid"), col("sub"), col("pos"), col("q"))
-    val probed = probeFrame(qcomp, disk.model.coarse, nProbe)
+    val probes = probeFrame(qcomp, disk.model.coarse, nProbe)
+    val probed = probes
       .select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).sorted
-    adcTopK(
+    // the serve reuses the SAME qcomp/probes subtrees the pruning
+    // collect just derived — the probe rule stays single-sourced
+    // ([[probeFrame]]), and the serve no longer re-validates the query
+    // frame or re-discovers m
+    adcTopKFrom(
       disk.codes.filter(col("list_id").isin(probed.map(Int.box): _*)),
-      disk.model, queries, idCol, vecCol, k, nProbe)
+      disk.model, qcomp, probes, k)
   }
 }

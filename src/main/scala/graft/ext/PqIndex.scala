@@ -110,7 +110,6 @@ object PqIndex {
     // AQE-coalesced tiny partitions and near-free
     comps(vecs, idCol, vecCol, m)
       .repartition(col("vid")).localCheckpoint()
-      .repartition(col("vid"))
 
   /** The training loop over an already-built component frame (vid, sub,
     * pos, q) — the entry [[IvfPq]] uses to train codebooks on coarse

@@ -26,8 +26,27 @@ import org.apache.spark.sql.DataFrame
   * bounded materialization happens, not how much is materialized.
   */
 object LocalModel {
-  def localized(df: DataFrame): DataFrame = {
-    val rows = java.util.Arrays.asList(df.collect(): _*)
-    df.sparkSession.createDataFrame(rows, df.schema)
+  def localized(df: DataFrame): DataFrame = localizedWithRows(df)._1
+
+  /** [[localized]], also handing back the collected rows — for callers
+    * that additionally need a driver-side scalar of the model frame
+    * (e.g. the PQ subspace count), so deriving it costs no extra job
+    * on top of the one bounded collect. */
+  /** Mechanical ceiling on the "never data-sized" contract (verdict
+    * r18): model frames are k·dim / nLists·D rows — orders of magnitude
+    * under this — while any corpus-sized frame mistakenly routed here
+    * blows past it. 2²² rows of centroid-width data is already beyond
+    * what a sane broadcast should carry. */
+  private val MaxModelRows: Int = 1 << 22
+
+  def localizedWithRows(df: DataFrame)
+      : (DataFrame, Array[org.apache.spark.sql.Row]) = {
+    val collected = df.collect()
+    require(collected.length <= MaxModelRows,
+      s"LocalModel.localized got ${collected.length} rows — this is for " +
+        "k·dim-BOUNDED model frames (centroids/codebooks), never " +
+        "data-sized ones")
+    val rows = java.util.Arrays.asList(collected: _*)
+    (df.sparkSession.createDataFrame(rows, df.schema), collected)
   }
 }

@@ -32,11 +32,29 @@ import org.apache.spark.sql.DataFrame
 object Parallelism {
   def floor(df: DataFrame): DataFrame = {
     val s = df.sparkSession
-    val want = s.conf.getOption("spark.graft.scan.minParallelism")
-      .map(_.toInt).getOrElse(s.sparkContext.defaultParallelism)
-    // toRdd only plans (no job runs); for a scan this is the split count
-    if (want > 0 && df.queryExecution.toRdd.getNumPartitions < want)
-      df.repartition(want)
+    val want = s.conf.getOption("spark.graft.scan.minParallelism") match {
+      case Some(v) =>
+        try v.trim.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.scan.minParallelism must be an integer, got '$v'")
+        }
+      case None => s.sparkContext.defaultParallelism
+    }
+    if (want <= 0) return df
+    // SCAN-ONLY precondition, enforced (advice r18): the floor exists
+    // for under-split *scans*. On an exchange-bearing frame the
+    // post-shuffle partition count is already cluster-adaptive (AQE),
+    // so the floor has nothing to fix — and probing its partition
+    // count via toRdd would eagerly execute the upstream query stages,
+    // then re-execute them under the fresh repartition plan. No-op
+    // there, structurally.
+    val hasExchange = df.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+    if (hasExchange) return df
+    // exchange-free plan: toRdd builds the (final) plan without running
+    // any stage — for a scan this is exactly the split count
+    if (df.queryExecution.toRdd.getNumPartitions < want) df.repartition(want)
     else df
   }
 }

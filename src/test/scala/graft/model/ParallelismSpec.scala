@@ -34,6 +34,28 @@ class ParallelismSpec extends AnyFunSuite {
     assert(floored eq df) // same instance — no plan change at all
   }
 
+  test("exchange-bearing frame is a structural no-op (scan-only " +
+      "contract, advice r18: probing it would execute upstream stages)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // under-split (1 partition) AND carries an exchange: the floor
+    // must neither probe its partition count nor wrap it
+    val df = (1 to 100).toDF("x")
+      .repartition(col("x")).coalesce(1)
+    assert(Parallelism.floor(df) eq df)
+  }
+
+  test("malformed spark.graft.scan.minParallelism fails loudly, not " +
+      "with a bare NumberFormatException") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.scan.minParallelism", "lots")
+    try {
+      val df = (1 to 10).toDF("x").coalesce(1)
+      val e = intercept[IllegalArgumentException](Parallelism.floor(df))
+      assert(e.getMessage.contains("minParallelism"))
+    } finally spark.conf.unset("spark.graft.scan.minParallelism")
+  }
+
   test("spark.graft.scan.minParallelism=0 disables the floor") {
     import spark.implicits._
     spark.conf.set("spark.graft.scan.minParallelism", "0")
