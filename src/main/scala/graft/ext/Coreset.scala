@@ -37,35 +37,61 @@ object Coreset {
     require(k >= 1, s"k must be >= 1: $k")
     val spark = vecs.sparkSession
     import spark.implicits._
-    // LAZY checkpoints throughout this loop (the starEdges discipline):
-    // the action right after each one — the seed agg here, the argmax
-    // TakeOrdered per round below — scans every partition, so it both
-    // materializes the blocks (one job, not two) and reads them
-    val comp = PqIndex.comps(vecs, idCol, vecCol, m = 1)
-      .select(col("vid"), col("pos"), col("q")).localCheckpoint(false)
-    val seedRow = comp.agg(min(col("vid"))).head()
-    require(!seedRow.isNullAt(0), "Coreset needs a non-empty vector frame")
+    // r19 shape (guide §2.4 — remove shuffles outright): the running
+    // min-distance frame CARRIES each point's quantized component
+    // array, so every round is ONE narrow projection — the new
+    // center's D components come back with the argmax row itself and
+    // the distance unrolls in-row against them as literals. The former
+    // shape paid, per round, a full comp scan to extract the center's
+    // components, a broadcast build, a pos-join + per-vid aggregate
+    // exchange, and a vid-join back into dmin. Same exact BIGINT
+    // Σ(q−q')² on the shared 10⁻⁶ grid, same lowest-id ties — picks
+    // and radii are bit-identical (oracle-re-proven).
+    // Validation is PqIndex.comps' contract, verbatim: loud on empty,
+    // null vectors, and ragged dimensions.
+    val stats = vecs.select(size(col(vecCol)).as("d"))
+      .agg(min(col("d")).as("mn"), max(col("d")).as("mx"),
+        count(lit(1)).as("n"),
+        count(when(col("d").isNull || col("d") < 0, 1)).as("n_null"))
+      .head()
+    require(stats.getLong(2) > 0, "Coreset needs a non-empty vector frame")
+    require(stats.getLong(3) == 0L,
+      s"Coreset: ${stats.getLong(3)} row(s) carry a NULL $vecCol")
+    val dim = stats.getInt(0)
+    require(dim == stats.getInt(1),
+      s"Coreset: ragged vectors (dims $dim..${stats.getInt(1)})")
+    // (vid, qs): the 10⁻⁶-grid quantization, one array per point; the
+    // parallelism floor keeps the per-round arithmetic off a single
+    // under-split scan task (no-op at production row-group counts)
+    val base = graft.model.Parallelism.floor(
+      vecs.select(col(idCol).cast("long").as("vid"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * lit(1000000L)).cast("long"))
+          .as("qs")))
+    def sqDistTo(center: Seq[Long]): org.apache.spark.sql.Column =
+      (1 to dim).map { i =>
+        val diff = element_at(col("qs"), i) - lit(center(i - 1))
+        diff * diff
+      }.reduce(_ + _)
+    // seed = lowest id; its components ride the same TakeOrdered row
+    val seedRow = base.orderBy(col("vid")).limit(1).head()
     val seed = seedRow.getLong(0)
-
-    def distTo(center: Long): DataFrame = {
-      val c = comp.filter(col("vid") === center)
-        .select(col("pos"), col("q").as("cq"))
-      val diff = col("q") - col("cq")
-      comp.join(broadcast(c), "pos")
-        .groupBy(col("vid"))
-        .agg(sum(diff * diff).as("d"))
-    }
-
-    var dmin = distTo(seed).withColumnRenamed("d", "dmin")
+    val seedQs = seedRow.getSeq[Long](1)
+    // LAZY checkpoints: each round's argmax TakeOrdered scans every
+    // partition, so it materializes the round's blocks and reads them
+    // in one job (the starEdges discipline)
+    var dmin = base
+      .select(col("vid"), col("qs"), sqDistTo(seedQs).as("dmin"))
       .localCheckpoint(false)
     val picks = scala.collection.mutable.ArrayBuffer((seed, 0, 0L))
     (1 until k).foreach { r =>
       val far = dmin.orderBy(col("dmin").desc, col("vid")).limit(1)
         .head()
-      picks += ((far.getLong(0), r, far.getLong(1)))
+      picks += ((far.getLong(0), r, far.getLong(2)))
       if (r < k - 1)
-        dmin = dmin.join(distTo(far.getLong(0)), "vid")
-          .select(col("vid"), least(col("dmin"), col("d")).as("dmin"))
+        dmin = dmin
+          .select(col("vid"), col("qs"),
+            least(col("dmin"), sqDistTo(far.getSeq[Long](1))).as("dmin"))
           .localCheckpoint(false)
     }
     picks.toSeq.toDF(idCol, "rk", "radius")

@@ -124,14 +124,10 @@ object IvfPq {
     * frame. */
   private def residualFromComps(comp: DataFrame,
       coarse: DataFrame): DataFrame = {
-    val diff = col("q") - col("cq")
-    val asg = comp
-      .join(broadcast(coarse), "pos")
-      .groupBy(col("vid"), col("cid"))
-      .agg(sum(diff * diff).as("d"))
-      .groupBy(col("vid"))
-      .agg(min(struct(col("d"), col("cid"))).as("a"))
-      .select(col("vid"), col("a.cid").as("list_id"))
+    // pivoted full-vector argmin (PqIndex.pivotArgmin, r19): one
+    // exchange of N rows instead of N·nLists + a second min pass
+    val asg = PqIndex.pivotArgmin(comp, coarse, Seq("vid"))
+      .select(col("vid"), col("cid").as("list_id"))
     comp.join(asg, "vid")
       .join(broadcast(coarse.withColumnRenamed("cid", "list_id")),
         Seq("list_id", "pos"))
@@ -153,18 +149,12 @@ object IvfPq {
 
   /** The final PQ assignment over a residual frame — the single encode
     * rule [[encode]] and [[trainEncode]] share. */
-  private def assignResiduals(rcomp: DataFrame, pq: DataFrame): DataFrame = {
-    val diff = col("q") - col("cq")
-    rcomp
-      .join(broadcast(pq.select(col("cid"), col("pos"), col("cq"))),
-        "pos")
-      .groupBy(col("vid"), col("list_id"), col("sub"), col("cid"))
-      .agg(sum(diff * diff).as("d"))
-      .groupBy(col("vid"), col("list_id"), col("sub"))
-      .agg(min(struct(col("d"), col("cid"))).as("a"))
+  private def assignResiduals(rcomp: DataFrame, pq: DataFrame): DataFrame =
+    // pivoted argmin with list_id riding the keys (it is functionally
+    // determined by vid — free), one exchange of N·m rows
+    PqIndex.pivotArgmin(rcomp, pq, Seq("vid", "list_id", "sub"))
       .select(col("vid"), col("list_id"), col("sub"),
-        col("a.cid").as("code"), col("a.d").as("sqdist"))
-  }
+        col("cid").as("code"), col("d").as("sqdist"))
 
   /** ADC top-k over probed lists: each query selects its `nProbe`
     * nearest coarse lists (broadcast-centroid argmin — distributed,

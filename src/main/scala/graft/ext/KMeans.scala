@@ -89,13 +89,12 @@ object KMeans {
 
     var asg: DataFrame = null
     (1 to rounds).foreach { r =>
-      val diff = col("q") - col("cq")
-      val dists = comp.join(broadcast(cent), "pos")
-        .groupBy(col("vid"), col("cid"))
-        .agg(sum(diff * diff).as("d"))
-      asg = dists.groupBy(col("vid"))
-        .agg(min(struct(col("d"), col("cid"))).as("m"))
-        .select(col("vid"), col("m.cid").as("cid"), col("m.d").as("d"))
+      // pivoted argmin (PqIndex.pivotArgmin, r19): the centroid row
+      // pivots to one row per pos, all k distance sums run in ONE hash
+      // aggregate and the argmin is in-row — one exchange of N rows
+      // instead of N·k plus a second min pass; same exact BIGINT sums,
+      // same lowest-cid tie rule
+      asg = PqIndex.pivotArgmin(comp, cent, Seq("vid"))
       if (r < rounds) {
         asg = asg.localCheckpoint() // feeds both the update and next round
         cent = graft.model.LocalModel.localized(

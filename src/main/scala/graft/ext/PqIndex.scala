@@ -147,19 +147,75 @@ object PqIndex {
     cent
   }
 
+  /** The centroid frame PIVOTED to one row per pos — (pos, cqs) with
+    * cqs[i] = the i-th live cid's component at that pos, null when that
+    * (sub, cid) cluster emptied out (a Lloyd's update emits no rows for
+    * a memberless cluster, uniformly across the sub's positions).
+    * Collected driver-side: centroid frames are k·dim-bounded
+    * LocalRelations on every internal path, where collect() is
+    * executeCollect — no job. Returns the pivot frame plus the sorted
+    * live cid list the argmin unrolls over. */
+  private def centPivot(cent: DataFrame)
+      : (DataFrame, Seq[Int]) = {
+    val rows = cent.select(col("cid"), col("pos"), col("cq")).collect()
+    require(rows.nonEmpty, "PqIndex: empty centroid frame")
+    val cids = rows.map(_.getInt(0)).distinct.sorted.toSeq
+    val data: Seq[org.apache.spark.sql.Row] =
+      rows.groupBy(_.getInt(1)).toSeq.map { case (pos, rs) =>
+        val byCid = rs.map(r => r.getInt(0) -> r.getLong(2)).toMap
+        org.apache.spark.sql.Row(pos,
+          cids.map(c => byCid.get(c).map(java.lang.Long.valueOf).orNull))
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cqs",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = true),
+        nullable = false)))
+    (cent.sparkSession.createDataFrame(
+      java.util.Arrays.asList(data: _*), schema), cids)
+  }
+
   /** One assignment pass: (vid, sub, cid, d) — nearest code per
     * subspace under exact BIGINT squared distance, ties to the lowest
-    * cid. pos determines sub, so the centroid join keys on pos alone. */
-  private[ext] def assign(comp: DataFrame, cent: DataFrame): DataFrame = {
-    val diff = col("q") - col("cq")
-    comp.join(broadcast(cent.select(col("cid"), col("pos"), col("cq"))),
-        "pos")
-      .groupBy(col("vid"), col("sub"), col("cid"))
-      .agg(sum(diff * diff).as("d"))
-      .groupBy(col("vid"), col("sub"))
-      .agg(min(struct(col("d"), col("cid"))).as("a"))
-      .select(col("vid"), col("sub"), col("a.cid").as("cid"),
-        col("a.d").as("d"))
+    * cid. pos determines sub, so the centroid join keys on pos alone.
+    *
+    * PIVOTED shape (r19, guide §2.3/§2.4): the former two-level argmin
+    * — join cent (k rows per pos), partial-sum per (vid, sub, cid),
+    * exchange N·m·k rows, then a second exchange for the per-(vid,
+    * sub) min — now joins the pos-pivoted centroid row (ONE row per
+    * pos), computes all k distance sums in one hash aggregate, and
+    * takes the argmin IN-ROW with least() over (d, cid) structs: one
+    * exchange of N·m rows, k× fewer shuffled rows, same exact BIGINT
+    * sums and the same lowest-cid tie rule. An emptied cluster's d is
+    * null (see [[centPivot]]) and its struct is nulled, which least()
+    * skips — exactly the rows the old join never produced. */
+  private[ext] def assign(comp: DataFrame, cent: DataFrame): DataFrame =
+    pivotArgmin(comp, cent, Seq("vid", "sub"))
+
+  /** The pivoted argmin over arbitrary grouping keys — [[assign]]'s
+    * engine, shared with the IVF-PQ residual encode (keys + list_id),
+    * the coarse full-vector routing (key = vid alone), and [[KMeans]].
+    * Output: keys ++ (cid, d). */
+  private[ext] def pivotArgmin(comp: DataFrame, cent: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val (pivot, cids) = centPivot(cent)
+    val dAggs = cids.indices.map { i =>
+      val diff = col("q") - element_at(col("cqs"), i + 1)
+      sum(diff * diff).as(s"__d$i")
+    }
+    val slots = cids.zipWithIndex.map { case (c, i) =>
+      when(col(s"__d$i").isNotNull,
+        struct(col(s"__d$i").as("d"), lit(c).as("cid")))
+    }
+    val best = if (slots.size == 1) slots.head else least(slots: _*)
+    comp.join(broadcast(pivot), "pos")
+      .groupBy(keys.map(col): _*)
+      .agg(dAggs.head, dAggs.tail: _*)
+      .select(keys.map(col) :+ best.as("a"): _*)
+      .select(keys.map(col) :+ col("a.cid").as("cid")
+        :+ col("a.d").as("d"): _*)
   }
 
   /** Encode a vector frame against trained codebooks: (vid, sub, code,
