@@ -100,9 +100,13 @@ object Coreset {
   /** Assign every point to its nearest chosen exemplar — the coverage
     * map that makes a coreset actionable (strata for sampling, routing
     * keys, per-exemplar quotas): (vec_id, exemplar_id, sqdist), ties
-    * to the lowest exemplar id. One broadcast join against the
-    * exemplars' k·D components + one partial-aggregated argmin — the
-    * [[PqIndex.assign]] shape with exemplar ids as the codebook. */
+    * to the lowest exemplar id. Rides [[PqIndex.pivotArgmin]] (r19):
+    * the k exemplars' D components pivot to one row per pos (a k·D-row
+    * bounded collect — the rows the former broadcast build scanned
+    * anyway, and the collect doubles as the loud empty-coverage check),
+    * all k distance sums run in one hash aggregate, and the argmin is
+    * in-row — one exchange of N rows instead of N·k plus a second min
+    * pass. Same exact BIGINT sums, same lowest-exemplar-id ties. */
   def assign(vecs: DataFrame, idCol: String, vecCol: String,
       exemplarIds: Seq[Long]): DataFrame = {
     require(exemplarIds.nonEmpty, "at least one exemplar id")
@@ -111,17 +115,11 @@ object Coreset {
     val cents = comp
       .filter(col("vid").isin(exemplarIds.map(Long.box): _*))
       .select(col("vid").as("cid"), col("pos"), col("q").as("cq"))
-    // a silently empty coverage map (no exemplar id present in the
-    // frame) would read as "nothing to assign" — raise instead
-    require(!cents.isEmpty,
-      "none of the exemplar ids exist in the vector frame")
-    val diff = col("q") - col("cq")
-    comp.join(broadcast(cents), "pos")
-      .groupBy(col("vid"), col("cid"))
-      .agg(sum(diff * diff).as("d"))
-      .groupBy(col("vid"))
-      .agg(min(struct(col("d"), col("cid"))).as("a"))
-      .select(col("vid").as(idCol), col("a.cid").as("exemplar_id"),
-        col("a.d").as("sqdist"))
+    PqIndex.pivotArgmin(comp, cents, Seq("vid"),
+        // a silently empty coverage map (no exemplar id present in the
+        // frame) would read as "nothing to assign" — raise instead
+        emptyMsg = "none of the exemplar ids exist in the vector frame")
+      .select(col("vid").as(idCol), col("cid").as("exemplar_id"),
+        col("d").as("sqdist"))
   }
 }

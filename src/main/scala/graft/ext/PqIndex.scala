@@ -153,16 +153,22 @@ object PqIndex {
     * a memberless cluster, uniformly across the sub's positions).
     * Collected driver-side: centroid frames are k·dim-bounded
     * LocalRelations on every internal path, where collect() is
-    * executeCollect — no job. Returns the pivot frame plus the sorted
+    * executeCollect — no job ([[Coreset.assign]]'s exemplar frame is
+    * the one data-derived caller: its collect is one k·D-row scan job
+    * that replaces the broadcast build the former shape paid anyway).
+    * cid may be INT (PQ/k-means codes) or LONG (exemplar vector ids);
+    * the pivot normalizes to Long internally and [[pivotArgmin]] emits
+    * the source type back. Returns the pivot frame plus the sorted
     * live cid list the argmin unrolls over. */
-  private def centPivot(cent: DataFrame)
-      : (DataFrame, Seq[Int]) = {
-    val rows = cent.select(col("cid"), col("pos"), col("cq")).collect()
-    require(rows.nonEmpty, "PqIndex: empty centroid frame")
-    val cids = rows.map(_.getInt(0)).distinct.sorted.toSeq
+  private def centPivot(cent: DataFrame, emptyMsg: String)
+      : (DataFrame, Seq[Long]) = {
+    val rows = cent.select(col("cid").cast("long").as("cid"), col("pos"),
+      col("cq")).collect()
+    require(rows.nonEmpty, emptyMsg)
+    val cids = rows.map(_.getLong(0)).distinct.sorted.toSeq
     val data: Seq[org.apache.spark.sql.Row] =
       rows.groupBy(_.getInt(1)).toSeq.map { case (pos, rs) =>
-        val byCid = rs.map(r => r.getInt(0) -> r.getLong(2)).toMap
+        val byCid = rs.map(r => r.getLong(0) -> r.getLong(2)).toMap
         org.apache.spark.sql.Row(pos,
           cids.map(c => byCid.get(c).map(java.lang.Long.valueOf).orNull))
       }
@@ -196,18 +202,24 @@ object PqIndex {
 
   /** The pivoted argmin over arbitrary grouping keys — [[assign]]'s
     * engine, shared with the IVF-PQ residual encode (keys + list_id),
-    * the coarse full-vector routing (key = vid alone), and [[KMeans]].
-    * Output: keys ++ (cid, d). */
+    * the coarse full-vector routing (key = vid alone), [[KMeans]], and
+    * [[Coreset.assign]] (long exemplar-id cids — the output cid keeps
+    * the source frame's cid type, so int-coded callers' schemas are
+    * untouched). Output: keys ++ (cid, d). */
   private[ext] def pivotArgmin(comp: DataFrame, cent: DataFrame,
-      keys: Seq[String]): DataFrame = {
-    val (pivot, cids) = centPivot(cent)
+      keys: Seq[String],
+      emptyMsg: String = "PqIndex: empty centroid frame"): DataFrame = {
+    val cidIsLong = cent.schema("cid").dataType ==
+      org.apache.spark.sql.types.LongType
+    val (pivot, cids) = centPivot(cent, emptyMsg)
     val dAggs = cids.indices.map { i =>
       val diff = col("q") - element_at(col("cqs"), i + 1)
       sum(diff * diff).as(s"__d$i")
     }
     val slots = cids.zipWithIndex.map { case (c, i) =>
+      val cidLit = if (cidIsLong) lit(c) else lit(c.toInt)
       when(col(s"__d$i").isNotNull,
-        struct(col(s"__d$i").as("d"), lit(c).as("cid")))
+        struct(col(s"__d$i").as("d"), cidLit.as("cid")))
     }
     val best = if (slots.size == 1) slots.head else least(slots: _*)
     comp.join(broadcast(pivot), "pos")
