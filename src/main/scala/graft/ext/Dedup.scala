@@ -238,8 +238,17 @@ object Dedup {
     val jac = col("n_inter").cast("double") /
       (col("n_a") + col("n_b") - col("n_inter"))
     val probe = if (broadcastCandidates) broadcast(candidates) else candidates
-    probe
+    val withSa = probe
       .join(docsets.select(col(idCol).as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
+    // PIN the doc_b exchange's partition count ([[Parallelism.pin]]):
+    // the sort-merge join pays this exchange anyway, and AQE's
+    // byte-based coalescing otherwise starves the verify stage's
+    // per-row array_intersect compute (measured at sf0.1: coalesced to
+    // 4 tasks carrying 8.2 s of the query's 16.3 s task time, max task
+    // 2.8 s, while 32 cores idled). Broadcast-candidate path too: its
+    // second join is the same doc_b-keyed sort-merge (the docset table
+    // outgrows the broadcast threshold by construction).
+    graft.model.Parallelism.pin(withSa, col("doc_b"))
       .join(docsets.select(col(idCol).as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
       .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
       .filter(jac >= threshold)
@@ -342,7 +351,17 @@ object Dedup {
       min(md5(concat(lit(h), lit("|"), col("shingle")))).as(s"sig_$h")
     } ++ Seq(count(lit(1)).as("n_sh"),
       collect_list(col("shingle")).as("shset"))
-    sh.groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
+    // PIN the doc-id exchange ([[graft.model.Parallelism.pin]]): the
+    // groupBy shuffles on the id regardless, but its numHashes min-md5
+    // expressions are per-row COMPUTE over few bytes, and AQE's
+    // byte-based coalescing squeezed the aggregate stage to 4 tasks
+    // (1.7–2.4 s of task time, max ~0.6 s) across every minhash
+    // consumer at sf0.1 while the cluster idled. collect_list order
+    // changes with the partitioning, but shset only ever feeds
+    // size(array_intersect(...)) — order-insensitive by construction
+    // (and the oracle re-proves every consumer).
+    graft.model.Parallelism.pin(sh, col(idCol))
+      .groupBy(col(idCol)).agg(sigAggs.head, sigAggs.tail: _*)
   }
 
   /** Unpivot an index frame to one row per (doc, band): band signature =
@@ -483,8 +502,12 @@ object Dedup {
     val jac = col("n_inter").cast("double") /
       (col("n_a") + col("n_b") - col("n_inter"))
     val probe = if (broadcastCandidates) broadcast(candidates) else candidates
-    probe
-      .join(docsets.select(col(idCol).as("doc_a"), col("shset").as("sa")), Seq("doc_a"))
+    // doc_b exchange pinned for the same reason as [[ngramJaccardPairs]]'
+    // verify: AQE byte-coalescing vs a compute-dense intersect stage
+    graft.model.Parallelism.pin(
+        probe.join(docsets.select(col(idCol).as("doc_a"),
+          col("shset").as("sa")), Seq("doc_a")),
+        col("doc_b"))
       .join(docsets.select(col(idCol).as("doc_b"), col("shset").as("sb")), Seq("doc_b"))
       .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
       .filter(jac >= threshold)

@@ -1,6 +1,6 @@
 package graft.model
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Scale-adaptive parallelism floor for CPU-DENSE one-pass funnels
   * (optimization guide §2.5, "input skew — one huge unsplittable file:
@@ -56,5 +56,36 @@ object Parallelism {
     // any stage — for a scan this is exactly the split count
     if (df.queryExecution.toRdd.getNumPartitions < want) df.repartition(want)
     else df
+  }
+
+  /** PIN a compute-dense exchange's partition count (guide §2.5's
+    * dual): `repartition(n, keys…)` with an EXPLICIT n plans a
+    * REPARTITION_BY_NUM shuffle, which AQE's byte-based partition
+    * coalescing leaves alone — where the keyed exchange a join or
+    * aggregation would plan anyway gets coalesced down to
+    * bytes/advisorySize partitions. For a stage whose cost is per-ROW
+    * compute over few bytes (array_intersect verification, the wide
+    * min-md5 signature aggregate), byte-based coalescing starves the
+    * cluster: measured at sf0.1, the near-dup verify stage coalesced to
+    * 4 tasks carrying 8.2 s of task time (max 2.8 s) while 32 cores
+    * idled. The pin replaces an exchange the consumer pays regardless
+    * (same key), so it adds no shuffle — it only removes AQE's freedom
+    * to under-split it. Keyed on `defaultParallelism` (no local
+    * constant); at production byte sizes AQE would not have coalesced
+    * below that count, making the pin a no-op in effect. Same
+    * `spark.graft.scan.minParallelism` override/disable contract as
+    * [[floor]]. */
+  def pin(df: DataFrame, keys: Column*): DataFrame = {
+    val s = df.sparkSession
+    val want = s.conf.getOption("spark.graft.scan.minParallelism") match {
+      case Some(v) =>
+        try v.trim.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.scan.minParallelism must be an integer, got '$v'")
+        }
+      case None => s.sparkContext.defaultParallelism
+    }
+    if (want <= 0) df else df.repartition(want, keys: _*)
   }
 }

@@ -64,4 +64,37 @@ class ParallelismSpec extends AnyFunSuite {
       assert(Parallelism.floor(df) eq df)
     } finally spark.conf.unset("spark.graft.scan.minParallelism")
   }
+
+  test("pin plans an explicit-count keyed repartition (the shape AQE " +
+      "coalescing leaves alone) and keeps the row multiset") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 100).toDF("x")
+    val pinned = Parallelism.pin(df, col("x"))
+    // REPARTITION_BY_NUM: the plan carries a shuffle whose partition
+    // count is the cluster's defaultParallelism, keyed on x
+    val exchanges = pinned.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    assert(exchanges.head.outputPartitioning.numPartitions ==
+      spark.sparkContext.defaultParallelism)
+    assert(pinned.collect().map(_.getInt(0)).sorted.toSeq == (1 to 100))
+  }
+
+  test("pin honors the minParallelism override and 0 disables it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 10).toDF("x")
+    spark.conf.set("spark.graft.scan.minParallelism", "2")
+    try {
+      val pinned = Parallelism.pin(df, col("x"))
+      val e = pinned.queryExecution.sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(e.head.outputPartitioning.numPartitions == 2)
+      spark.conf.set("spark.graft.scan.minParallelism", "0")
+      assert(Parallelism.pin(df, col("x")) eq df)
+    } finally spark.conf.unset("spark.graft.scan.minParallelism")
+  }
 }
