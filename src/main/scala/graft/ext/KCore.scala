@@ -38,6 +38,11 @@ object KCore {
     require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
     val u = col(srcCol)
     val v = col(dstCol)
+    // Parallelism.pin on this canon was TRIED and REJECTED (r19, the
+    // Triangles-twin measurement): the added post-distinct exchange
+    // costs more per peel than the AQE-coalesced layout it would fix
+    // (interleaved min-of-3: q_kcore +20%). See Triangles.perNode for
+    // the full adjudication.
     var e = edges
       .where(u =!= v)
       .select(least(u, v).as("a"), greatest(u, v).as("b"))

@@ -59,6 +59,15 @@ object Triangles {
     // once (AQE does not reuse sibling stages, so the upstream edge
     // construction would otherwise re-run per consumer); two fixed-width
     // columns per edge, cheap at any scale
+    // Parallelism.pin on this checkpoint was TRIED and REJECTED (r19):
+    // below the distinct it skips map-side partial dedup (+60%); above
+    // it, the extra exchange of the already-narrow edges costs more
+    // than the 10-partition AQE-coalesced layout it fixes (interleaved
+    // min-of-3: q_triangles −4% but q_triangles_approx +9%, q_kcore
+    // +20% on the same shape — net regression). The pin only pays when
+    // it REPLACES an exchange a consumer plans anyway (the Dedup
+    // verify/signature sites); here the checkpoint layout is the
+    // cheapest shape available.
     val canon = edges
       .where(u =!= v)
       .select(least(u, v).as("a"), greatest(u, v).as("b"))
